@@ -1,0 +1,215 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — one projection + TakeOrdered,
+fully distributed, exact. Scale path: LSH bucketing via deterministic
+random hyperplanes (signs of dot products) or an IVF-style coarse
+quantizer over an existing cluster/label column; both turn the O(n)
+scan per query into an O(n/buckets) probe.
+
+Everything numeric is JVM-side (F.aggregate / F.zip_with) — no
+Python, no UDF — so the dot products run inside whole-stage codegen.
+For large batched query workloads a Pandas-UDF matmul variant
+(numpy BLAS over Arrow batches) is provided as ``topk_batch_pandas``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def lit_vec(v: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k against one query vector.
+
+    Plan shape: scan → project(cosine) → TakeOrderedAndProject(k) —
+    no shuffle of the data, only k rows to the driver per partition.
+    """
+    q = lit_vec(query)
+    sim = F.round(cosine(F.col(vec_col), q), round_to)
+    return (
+        df.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH bucketing (random hyperplanes, deterministic)
+# ---------------------------------------------------------------------------
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-gaussian hyperplane from md5 bytes —
+    reproducible across runs/engines with no RNG state."""
+    out: list[float] = []
+    i = 0
+    while len(out) < dim:
+        h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        for j in range(0, 16, 2):
+            if len(out) >= dim:
+                break
+            u = int.from_bytes(h[j : j + 2], "big") / 65535.0
+            out.append(u * 2.0 - 1.0)
+        i += 1
+    return out
+
+
+def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-of-dot-product LSH bucket id in [0, 2^n_planes)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = lit_vec(_hyperplane(p, dim))
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    round_to: int = 6,
+    bucket_col: Optional[str] = None,
+) -> DataFrame:
+    """Approximate top-k: search only buckets within ``probe_hamming``
+    bits of the query's bucket. With b planes this prunes the scan to
+    ~(1 + b)/2^b of the data at hamming 1.
+
+    ``bucket_col`` reuses a precomputed bucket column (the 100 TB
+    pattern: bucket once at ingest, partition the table by bucket so
+    probes become partition-pruned scans).
+    """
+    dim = len(query)
+    qb = 0
+    for p in range(n_planes):
+        plane = _hyperplane(p, dim)
+        d = sum(x * y for x, y in zip(query, plane))
+        qb = qb * 2 + (1 if d >= 0 else 0)
+    probe = [qb]
+    if probe_hamming >= 1:
+        probe += [qb ^ (1 << i) for i in range(n_planes)]
+    bcol = F.col(bucket_col) if bucket_col else hyperplane_bucket(F.col(vec_col), dim, n_planes)
+    pruned = df.withColumn("__bucket", bcol).where(F.col("__bucket").isin(probe))
+    return brute_force_topk(pruned, vec_col, id_col, query, k, round_to)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse search over an existing partition/label column
+# ---------------------------------------------------------------------------
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF: centroids per cell (one small agg), probe the ``nprobe``
+    closest cells, exact search inside. Centroid table is tiny →
+    computed and ranked driver-side; the big scan is cell-pruned."""
+    dim = len(query)
+    sums = df.groupBy(cell_col).agg(
+        *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}") for i in range(dim)],
+    )
+    cents = sums.collect()
+    scored = []
+    for r in cents:
+        c = [r[f"c{i}"] for i in range(dim)]
+        d = sum((x - y) ** 2 for x, y in zip(c, query))
+        scored.append((r[cell_col], d))
+    probe_cells = [c for c, _ in sorted(scored, key=lambda t: t[1])[:nprobe]]
+    pruned = df.where(F.col(cell_col).isin(probe_cells))
+    return brute_force_topk(pruned, vec_col, id_col, query, k, round_to)
+
+
+# ---------------------------------------------------------------------------
+# batched queries: Arrow + numpy matmul
+# ---------------------------------------------------------------------------
+
+def topk_batch_pandas(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: list[Sequence[float]],
+    k: int = 10,
+) -> DataFrame:
+    """Many queries at once: per Arrow batch, one numpy matmul
+    (queries × batch) then a local partial top-k; global top-k via
+    groupBy(query_idx). This is the high-throughput path when the
+    per-query expression approach would rebuild the plan per query."""
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    n_q = len(queries)
+
+    def score(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = qn @ m.T  # (n_q, batch)
+            for qi in range(n_q):
+                s = sims[qi]
+                top = np.argsort(-s)[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_idx": qi,
+                        id_col: pdf[id_col].iloc[top].to_numpy(),
+                        "cos_sim": np.round(s[top], 6),
+                    }
+                )
+
+    partial = df.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_idx int, {id_col} long, cos_sim double"
+    )
+    from pyspark.sql import Window
+    from pyspark.sql.functions import row_number
+
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return partial.withColumn("__rn", row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")

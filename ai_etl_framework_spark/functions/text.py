@@ -1,0 +1,145 @@
+"""Text analysis for large-scale training-data curation.
+
+All of these are pure Column expressions (whole-stage codegen, no
+Python in the hot path), designed to run over a 100 TB ``documents``
+table as a single projection pass:
+
+- token counting (whitespace + a BPE-ish regex estimate)
+- language ID (stopword-hit heuristic over small per-language lists)
+- quality scoring (length / punctuation / stopword / repetition)
+- document fingerprinting (normalized-text md5 + rolling-window
+  content signature)
+
+The heuristics are deliberately simple and *deterministic* so the
+DuckDB oracle can replicate them exactly; swapping in fastText/KenLM
+scores later only changes the expression, not the plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small, fixed stopword lists (top function words); order of LANGS is
+# the deterministic tie-break (first wins on equal scores)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "und", "das", "in", "von", "zu", "mit", "ist", "des"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "est"],
+}
+LANGS = list(STOPWORDS)
+
+WORD_RE = r"[A-Za-z]+"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+# BPE-ish piece estimate: a word contributes ceil(len/4) pieces;
+# digits and punctuation one piece each
+BPE_CHARS_PER_PIECE = 4
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """Estimated BPE piece count: sum over words of ceil(len/4), plus
+    one per digit/punctuation char. A cheap stand-in for a real
+    tokenizer with the same monotonicity."""
+    words = F.regexp_extract_all(text, F.lit(WORD_RE), 0)
+    word_pieces = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / BPE_CHARS_PER_PIECE).cast("long"),
+    )
+    other = F.length(F.regexp_replace(text, r"[A-Za-z\s]", ""))
+    return (word_pieces + other).alias("bpe_tokens")
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(0.0)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_ratio(text, lang) for lang in LANGS}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language stopword ratios; ties (incl. all-zero)
+    resolve to the earliest language in LANGS — deterministic."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    expr = F.lit(LANGS[0])
+    # build reversed so earlier langs take precedence on ties
+    for lang in reversed(LANGS):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    return F.when(n > 0, F.regexp_count(text, F.lit(PUNCT_RE)) / n).otherwise(0.0)
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(0.0)
+
+
+def repetition_ratio(text: Column) -> Column:
+    """1 − distinct_tokens/tokens: high → boilerplate/spam."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) > 0,
+        1.0 - F.size(F.array_distinct(toks)) / F.size(toks),
+    ).otherwise(0.0)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document quality in [0,1]:
+    0.3·length_ok + 0.3·(1−punct_excess) + 0.2·stopword_signal +
+    0.2·(1−repetition). Deterministic, oracle-replicable."""
+    n_tok = F.size(tokens(text))
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(
+        F.when(n_tok > 0, 0.5).otherwise(0.0)
+    )
+    punct_excess = F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    sw = F.least(stopword_ratio(text, "en") * 4.0, F.lit(1.0))
+    rep = repetition_ratio(text)
+    return (
+        length_ok * 0.3 + (1.0 - punct_excess) * 0.3 + sw * 0.2 + (1.0 - rep) * 0.2
+    )
+
+
+def normalize(text: Column) -> Column:
+    """Canonical form: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """md5 of the normalized text — exact-dup key robust to
+    case/whitespace noise."""
+    return F.md5(normalize(text))
+
+
+def window_fingerprints(text: Column, window: int = 5) -> Column:
+    """Rolling content signatures: md5 of every ``window``-token span
+    of the normalized text (array). Enables partial-overlap detection
+    (contained/quoted passages) via explode + self-join on the
+    signature — same shape as the MinHash band join."""
+    toks = tokens(normalize(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    spans = F.when(
+        n >= window,
+        F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window), " "))),
+    ).otherwise(F.when(n > 0, F.array(F.md5(F.array_join(toks, " ")))).otherwise(F.array()))
+    return F.array_distinct(spans)

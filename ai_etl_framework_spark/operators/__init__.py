@@ -1,0 +1,28 @@
+"""Pipeline transformers, re-expressed as DataFrame → DataFrame functions.
+
+Every operator here is a *library* function emitting standard Column
+expressions — no Catalyst extensions, no RDDs, no driver-side row
+loops — so the optimizer sees through them (pushdown, pruning,
+whole-stage codegen all apply).
+"""
+
+from ai_etl_framework_spark.operators.null_remover import NullRemover
+from ai_etl_framework_spark.operators.column_remover import ColumnRemover
+from ai_etl_framework_spark.operators.aggregator import Aggregator
+from ai_etl_framework_spark.operators.dedup import Deduplicator
+from ai_etl_framework_spark.operators.quality import QualityScorer
+from ai_etl_framework_spark.operators.anomaly import AnomalyDetector, AnomalySplitter
+from ai_etl_framework_spark.operators.rollups import DashboardAggregator
+from ai_etl_framework_spark.operators.schema_inferrer import SchemaInferrer
+
+__all__ = [
+    "NullRemover",
+    "ColumnRemover",
+    "Aggregator",
+    "Deduplicator",
+    "QualityScorer",
+    "AnomalyDetector",
+    "AnomalySplitter",
+    "DashboardAggregator",
+    "SchemaInferrer",
+]

@@ -1,0 +1,131 @@
+"""Group-by aggregation with the reference's exact (non-SQL) semantics.
+
+Reference: src/transformers/enrichers/aggregator.py:13-321
+(AGG_FUNCTIONS :17-28, grouping :148-171, output schema :244-300).
+
+The 10 functions deviate from SQL in documented ways — each is
+preserved here (SURVEY §2.6a):
+
+| function        | reference semantics                                   |
+|-----------------|-------------------------------------------------------|
+| sum             | numeric non-null only; **0** for empty/all-null (:18) |
+| avg/min/max     | numeric non-null only — non-numeric strings IGNORED   |
+| count           | len(values) — counts NULLs too ≡ COUNT(*) (:22)       |
+| count_distinct  | distinct over str(v) of non-null (string-cast!) (:23) |
+| first/last      | positional in input order, NULLs included (:24-25)    |
+| concat          | ", ".join(str(v)) over non-null, input order (:26)    |
+| list            | list of non-null values, input order (:27)            |
+
+Output typing rule (ref :275-292): sum/avg/min/max → double,
+count/count_distinct → long, first/last/concat → string, list stays
+an array; group fields keep their source type.
+
+Input order: Spark has no implicit row order (SURVEY §7.4.1), so
+order-sensitive functions (first/last/concat/list) take an explicit
+``order_col``. first/last compile to min_by/max_by (single-pass,
+no sort); concat/list collect (order, value) structs and sort within
+each group — group-local work, never a global sort.
+
+Scale notes: everything is a single hash aggregation with map-side
+partial combine. Custom functions register as pandas UDAFs
+(Arrow-batched), mirroring add_custom_function (ref :302-321).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+AGG_FUNCTIONS = {
+    "sum", "avg", "min", "max", "count",
+    "count_distinct", "first", "last", "concat", "list",
+}
+
+
+def _num(c: Column) -> Column:
+    """Numeric view of a column: non-numeric values → NULL (so they are
+    ignored, matching the reference's isinstance(v, (int, float)) guard)."""
+    return c.try_cast("double")
+
+
+def _ordered_vals(c: Column, order: Column, keep_nulls: bool) -> Column:
+    """Array of values sorted by input order. collect_list skips NULLs,
+    but a struct wrapper is never NULL, so nullable values survive."""
+    pairs = F.array_sort(F.collect_list(F.struct(order.alias("o"), c.alias("v"))))
+    vals = F.transform(pairs, lambda s: s["v"])
+    if not keep_nulls:
+        vals = F.filter(vals, lambda v: v.isNotNull())
+    return vals
+
+
+class Aggregator:
+    def __init__(
+        self,
+        group_by: Sequence[str],
+        aggregations: dict[str, dict[str, str]],
+        keep_group_fields: bool = True,
+        order_col: Optional[str] = None,
+    ) -> None:
+        """aggregations = {out_field: {"field": col, "function": fn}}
+        — the reference's exact signature (ref :13-60)."""
+        self.group_by = list(group_by)
+        self.aggregations = dict(aggregations)
+        self.keep_group_fields = keep_group_fields
+        self.order_col = order_col
+        self.custom: dict[str, Callable] = {}
+        for spec in self.aggregations.values():
+            fn = spec["function"]
+            if fn not in AGG_FUNCTIONS and fn not in self.custom:
+                raise ValueError(f"unknown aggregation function: {fn!r}")
+
+    def add_custom_function(self, name: str, fn: Callable, return_type: str = "double") -> None:
+        """Runtime-registered aggregate (ref :302-321): ``fn`` is a
+        pandas Series → scalar, executed as an Arrow-batched UDAF."""
+        from pyspark.sql.functions import pandas_udf
+
+        self.custom[name] = pandas_udf(fn, return_type)
+
+    def _expr(self, out: str, field: str, fn: str, order: Column) -> Column:
+        c = F.col(field)
+        if fn == "sum":
+            e = F.coalesce(F.sum(_num(c)), F.lit(0.0))  # empty → 0 (ref :18)
+        elif fn == "avg":
+            e = F.avg(_num(c))
+        elif fn == "min":
+            e = F.min(_num(c))
+        elif fn == "max":
+            e = F.max(_num(c))
+        elif fn == "count":
+            e = F.count(F.lit(1)).cast("long")  # includes NULLs (ref :22)
+        elif fn == "count_distinct":
+            e = F.countDistinct(c.cast("string")).cast("long")  # string-cast (ref :23)
+        elif fn == "first":
+            e = F.min_by(c, order).cast("string")
+        elif fn == "last":
+            e = F.max_by(c, order).cast("string")
+        elif fn == "concat":
+            e = F.array_join(_ordered_vals(c.cast("string"), order, keep_nulls=False), ", ")
+        elif fn == "list":
+            e = _ordered_vals(c, order, keep_nulls=False)
+        else:
+            e = self.custom[fn](c)
+        if fn in ("sum", "avg", "min", "max"):
+            e = e.cast("double")  # output typing rule (ref :275-292)
+        return e.alias(out)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        order = F.col(self.order_col) if self.order_col else F.monotonically_increasing_id()
+        if self.order_col is None:
+            df = df.withColumn("__row_order", order)
+            order = F.col("__row_order")
+        exprs = [
+            self._expr(out, spec["field"], spec["function"], order)
+            for out, spec in self.aggregations.items()
+        ]
+        result = df.groupBy(*self.group_by).agg(*exprs)
+        if not self.keep_group_fields:
+            result = result.drop(*self.group_by)  # ref keep_group_fields=False
+        return result

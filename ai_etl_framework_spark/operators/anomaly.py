@@ -1,0 +1,224 @@
+"""Anomaly detection (z-score / IQR / isolation-forest / combined) and
+quarantine routing.
+
+Reference: src/transformers/analyzers/anomaly_detector.py and
+src/transformers/routing/anomaly_splitter.py.
+
+Semantics preserved (SURVEY §2.7, §7.4.5-6):
+- fields auto-detected as the numeric columns (reference inspects the
+  first record, :370-378; with a typed schema that IS the numeric
+  columns).
+- ``statistical``: |z| > threshold with POPULATION std (np.std has
+  ddof=0, ref :201) — Spark's stddev is sample, so stddev_pop here.
+  Fields with <3 non-null values or std==0 are skipped (ref :193-199).
+- ``iqr``: Q1/Q3 with linear interpolation (np.percentile) — exact
+  `percentile`, not percentile_approx, for oracle parity; the
+  ``approx`` flag opts into the sketch at 100 TB. Bounds Q1−t·IQR /
+  Q3+t·IQR; <4 values or IQR==0 skipped (ref :246-254).
+- ``isolation_forest``: sklearn IsolationForest(contamination=0.1,
+  n_estimators=100, random_state=42), mean imputation (ref :298-317).
+  Runs as a single-group applyInPandas (the model is global); gated
+  behind an import-try since sklearn may be absent.
+- ``combined``: flagged by ≥2 of the available methods (ref :326-355).
+- annotation columns _meta_is_anomaly / _meta_anomaly_method /
+  _meta_anomaly_reasons ("k=v is z.zz standard deviations from mean
+  (m.mm)", ref :393-431).
+
+Scale shape: stats are ONE aggregate job (map-side combined); the
+per-row flagging is a projection joined to the 1-row stats frame via
+broadcast — two scans total, no per-field jobs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def numeric_columns(df: DataFrame, exclude_meta: bool = True) -> list[str]:
+    out = []
+    for f in df.schema.fields:
+        if exclude_meta and f.name.startswith("_meta_"):
+            continue
+        if isinstance(
+            f.dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType),
+        ):
+            out.append(f.name)
+    return out
+
+
+def _stats_row(df: DataFrame, fields: Sequence[str], approx: bool) -> DataFrame:
+    """1-row frame of per-field mean/std_pop/q1/q3/count — one job."""
+    aggs: list[Column] = []
+    for c in fields:
+        col = F.col(c)
+        aggs += [
+            F.avg(col).alias(f"{c}__mean"),
+            F.stddev_pop(col).alias(f"{c}__std"),
+            F.count(col).alias(f"{c}__cnt"),
+        ]
+        if approx:
+            aggs += [
+                F.percentile_approx(col, 0.25, 10000).alias(f"{c}__q1"),
+                F.percentile_approx(col, 0.75, 10000).alias(f"{c}__q3"),
+            ]
+        else:
+            aggs += [
+                F.percentile(col, 0.25).alias(f"{c}__q1"),
+                F.percentile(col, 0.75).alias(f"{c}__q3"),
+            ]
+    return df.agg(*aggs)
+
+
+class AnomalyDetector:
+    def __init__(
+        self,
+        method: str = "statistical",
+        threshold: float = 3.0,
+        fields: Optional[Sequence[str]] = None,
+        filter_anomalies: bool = False,
+        approx: bool = False,
+    ) -> None:
+        if method not in {"statistical", "iqr", "isolation_forest", "combined"}:
+            raise ValueError(f"unknown method: {method!r}")
+        self.method = method
+        self.threshold = threshold
+        self.fields = list(fields) if fields else None
+        self.filter_anomalies = filter_anomalies
+        self.approx = approx
+
+    # -- flag expressions (evaluated against broadcast stats columns) --
+
+    def _z_flag(self, c: str) -> Column:
+        mean, std, cnt = F.col(f"{c}__mean"), F.col(f"{c}__std"), F.col(f"{c}__cnt")
+        usable = (cnt >= 3) & std.isNotNull() & (std > 0)  # ref :193-199
+        z = F.abs((F.col(c) - mean) / std)
+        return F.when(usable & F.col(c).isNotNull() & (z > self.threshold), True).otherwise(False)
+
+    def _iqr_flag(self, c: str) -> Column:
+        q1, q3, cnt = F.col(f"{c}__q1"), F.col(f"{c}__q3"), F.col(f"{c}__cnt")
+        iqr = q3 - q1
+        usable = (cnt >= 4) & iqr.isNotNull() & (iqr > 0)  # ref :246-254
+        lo = q1 - self.threshold * iqr
+        hi = q3 + self.threshold * iqr
+        out = (F.col(c) < lo) | (F.col(c) > hi)
+        return F.when(usable & F.col(c).isNotNull() & out, True).otherwise(False)
+
+    def _z_reason(self, c: str) -> Column:
+        mean, std = F.col(f"{c}__mean"), F.col(f"{c}__std")
+        z = F.abs((F.col(c) - mean) / std)
+        return F.format_string(
+            f"{c}=%s is %.2f standard deviations from mean (%.2f)",
+            F.col(c).cast("string"), z, mean,
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        fields = self.fields or numeric_columns(df)
+        if not fields:
+            return (
+                df.withColumn("_meta_is_anomaly", F.lit(False))
+                .withColumn("_meta_anomaly_method", F.lit(None).cast("string"))
+                .withColumn("_meta_anomaly_reasons", F.lit(None).cast("string"))
+            )
+        stats = _stats_row(df, fields, self.approx)
+        with_stats = df.join(F.broadcast(stats))
+
+        z_flags = {c: self._z_flag(c) for c in fields}
+        iqr_flags = {c: self._iqr_flag(c) for c in fields}
+        any_z = F.array_contains(F.array(*z_flags.values()), True)
+        any_iqr = F.array_contains(F.array(*iqr_flags.values()), True)
+
+        if self.method == "statistical":
+            flag = any_z
+        elif self.method == "iqr":
+            flag = any_iqr
+        elif self.method == "isolation_forest":
+            return self._isolation_forest(df, fields)
+        else:  # combined: ≥2 methods agree (ref :326-355). Without
+            # sklearn in the container the voters are z-score + IQR, so
+            # ≥2 means both; the iforest vote slots in when available.
+            flag = (any_z.cast("int") + any_iqr.cast("int")) >= 2
+
+        reasons = F.concat_ws(
+            "; ",
+            *[F.when(z_flags[c], self._z_reason(c)) for c in fields],
+        )
+        out = (
+            with_stats.withColumn("_meta_is_anomaly", flag)
+            .withColumn(
+                "_meta_anomaly_method",
+                F.when(flag, F.lit(self.method)).otherwise(F.lit(None).cast("string")),
+            )
+            .withColumn(
+                "_meta_anomaly_reasons",
+                F.when(flag & (reasons != ""), reasons).otherwise(F.lit(None).cast("string")),
+            )
+            .drop(*[f"{c}__{s}" for c in fields for s in ("mean", "std", "cnt", "q1", "q3")])
+        )
+        if self.filter_anomalies:  # ref :147-150
+            out = out.filter(~F.col("_meta_is_anomaly"))
+        return out
+
+    # -- isolation forest (optional, sklearn-gated) --------------------
+
+    def _isolation_forest(self, df: DataFrame, fields: Sequence[str]) -> DataFrame:
+        try:
+            from sklearn.ensemble import IsolationForest  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "isolation_forest needs scikit-learn (not in this container); "
+                "use method='statistical'/'iqr'/'combined' instead"
+            ) from e
+        import pandas as pd
+
+        schema = T.StructType(df.schema.fields + [T.StructField("_meta_is_anomaly", T.BooleanType())])
+        cols = list(fields)
+
+        def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
+            from sklearn.ensemble import IsolationForest
+
+            x = pdf[cols].astype(float)
+            x = x.fillna(x.mean())  # mean imputation (ref :298-302)
+            model = IsolationForest(contamination=0.1, n_estimators=100, random_state=42)
+            pdf = pdf.copy()
+            pdf["_meta_is_anomaly"] = model.fit_predict(x) == -1
+            return pdf
+
+        # single global group: the reference fits ONE model on the full
+        # batch (ref :298-317). Documented divergence for 100 TB: fit on
+        # a driver-side sample, broadcast, predict per-partition.
+        return (
+            df.withColumn("__g", F.lit(1))
+            .groupBy("__g")
+            .applyInPandas(fit_predict, schema=T.StructType([f for f in schema.fields]))
+            .drop("__g")
+        )
+
+
+class AnomalySplitter:
+    """Route flagged rows to a quarantine sink; pass clean rows on.
+
+    Reference: src/transformers/routing/anomaly_splitter.py:17-126.
+    Cache the parent once, then two cheap filters — the reference's
+    buffer-then-write-at-cleanup becomes a second write action.
+    """
+
+    def __init__(self, quarantine_path: str, flag_col: str = "_meta_is_anomaly",
+                 fmt: str = "csv") -> None:
+        self.quarantine_path = quarantine_path
+        self.flag_col = flag_col
+        self.fmt = fmt
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        df = df.cache()
+        flagged = df.filter(F.coalesce(F.col(self.flag_col), F.lit(False)))
+        writer = flagged.write.mode("overwrite")
+        if self.fmt == "csv":
+            writer.option("header", True).csv(self.quarantine_path)
+        else:
+            writer.parquet(self.quarantine_path)
+        return df.filter(~F.coalesce(F.col(self.flag_col), F.lit(False)))

@@ -1,0 +1,430 @@
+"""Deduplication: exact, fuzzy (reference parity), and the scale
+near-dup family (MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine) for training-data pipelines.
+
+Reference: src/transformers/enrichers/deduplicator.py:14-353
+(exact key :212-233, merge strategies :314-346, fuzzy greedy
+grouping :278-312).
+
+Design notes
+------------
+* Exact dedup is a window `row_number() == 1` over the key — one
+  shuffle on the hash key, no driver materialization, works at any
+  scale. ``dropDuplicates`` is NOT used because the reference's
+  keep_first/keep_last/keep_best_quality need an explicit order.
+* All text hashing uses MD5 *hex strings* (`F.md5`) rather than
+  `F.hash`/xxhash so signatures are engine-independent — the DuckDB
+  oracle computes byte-identical signatures with its own md5().
+  Hex strings compare lexicographically the same everywhere, so
+  `min(md5(...))` is a valid minhash in both engines.
+* MinHash-LSH: signature → bands → band-hash → group-by band. The
+  only shuffle is on band hashes; candidate pairs are verified with
+  exact Jaccard. No O(n²) stage anywhere.
+* The reference's *greedy scan-order* fuzzy grouping (:297-312) is
+  order-dependent and inherently sequential; we replicate it
+  driver-side over the (LSH-pruned) candidate pair list, bounded by
+  ``max_pairs``. The scalable alternative (connected components via
+  iterative label propagation) is `dedup_connected_components`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def record_key(df: DataFrame, match_fields: Optional[Sequence[str]] = None) -> Column:
+    """MD5 over the sorted (field, value) items — reference keys on the
+    sorted dict items (ref :212-233); we canonicalize as k=v joined
+    with 0x1f, NULL as a sentinel, fields in sorted name order."""
+    fields = sorted(match_fields or df.columns)
+    parts = [
+        F.concat_ws("=", F.lit(c), F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+        for c in fields
+    ]
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
+def exact_dedup(
+    df: DataFrame,
+    match_fields: Optional[Sequence[str]] = None,
+    keep: str = "keep_first",
+    order_col: Optional[str] = None,
+    quality_col: str = "_meta_quality_score",
+) -> DataFrame:
+    """Keep one row per key. keep ∈ {keep_first, keep_last,
+    keep_best_quality} (ref :314-346). Order sensitivity is explicit:
+    ``order_col`` defines "first"/"last" (SURVEY §7.4.1)."""
+    work = df
+    if order_col is None:
+        order_col = "__row_order"
+        work = work.withColumn(order_col, F.monotonically_increasing_id())
+    key = record_key(df, match_fields)
+    if keep == "keep_first":
+        order = [F.col(order_col).asc()]
+    elif keep == "keep_last":
+        order = [F.col(order_col).desc()]
+    elif keep == "keep_best_quality":
+        order = [F.col(quality_col).desc(), F.col(order_col).asc()]
+    else:
+        raise ValueError(f"unknown merge strategy: {keep!r}")
+    w = Window.partitionBy(key).orderBy(*order)
+    out = work.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    if order_col == "__row_order":
+        out = out.drop("__row_order")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# shingling / minhash
+# ---------------------------------------------------------------------------
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (empty tokens dropped)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles, joined with a single space."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+    ).otherwise(F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array()))
+    return F.array_distinct(sh)
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """Array of ``num_hashes`` minhash values (md5 hex strings).
+
+    minhash_i = min over shingles of md5(shingle || '#i') — the md5
+    family indexed by seed suffix. Engine-independent (see module doc).
+    Empty shingle set → array of NULLs (doc has no content).
+    """
+    sh = shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}")))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of band-hash strings: band_b = md5(concat of its rows)."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.element_at(sig, b * rows_per_band + r + 1)
+                                     for r in range(rows_per_band)]))
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    One explode + one self-join on (band_idx, band_hash); shuffle is
+    on band hashes only. Returns distinct pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(minhash_bands(sig, bands, rows_per_band)).alias("band_idx", "band_hash"),
+    ).where(F.col("band_hash").isNotNull())
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact k-shingle Jaccard similarity for pairs above ``threshold``.
+
+    |A∩B| via an explode + self-join on the shingle value, |A∪B| =
+    |A| + |B| − |A∩B|. When ``candidates`` (e.g. from LSH) is given,
+    the shingle join is pre-filtered to those pairs, keeping the
+    worst-case quadratic blowup bounded at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), k).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    joined = a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+    if candidates is not None:
+        joined = joined.join(
+            F.broadcast(candidates),
+            (F.col("a.id") == F.col("id_a")) & (F.col("b.id") == F.col("id_b")),
+            "left_semi",
+        )
+    inter = joined.groupBy(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.n_sh").alias("n_a"),
+        F.col("b.n_sh").alias("n_b"),
+    ).agg(F.count(F.lit(1)).alias("n_inter"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup removal: LSH candidates → exact Jaccard verify →
+    keep the smallest id of each duplicate pair's cluster (via the
+    min-id representative rule applied iteratively is unnecessary for
+    pairs; we drop any id that has a smaller near-identical peer —
+    the standard "keep canonical smallest" policy)."""
+    cand = minhash_candidates(df, id_col, text_col, num_hashes, bands, k)
+    dup_pairs = ngram_jaccard_pairs(df, id_col, text_col, k, threshold, candidates=cand)
+    losers = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens, ``bits`` wide (≤32).
+
+    Token hash bits come from the md5 hex digest: hex char h, bit j
+    of that char = (value(h) >> (3-j)) & 1 — pure arithmetic on
+    `strpos('0123456789abcdef', h)`, reproducible in any engine.
+    Bit b of the simhash is 1 iff sum over tokens of (±1) is > 0.
+    """
+    toks = tokens(text)
+    digests = F.transform(toks, lambda t: F.md5(t))
+    hexes = "0123456789abcdef"
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        ci, shift = b // 4, 3 - (b % 4)
+        bit = lambda d: (
+            F.floor(
+                (F.instr(F.lit(hexes), F.substring(d, ci + 1, 1)) - 1) / (2 ** shift)
+            ) % 2
+        )
+        vote = F.aggregate(
+            digests,
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + (bit(d) * 2 - 1),
+        )
+        total = total + F.when(vote > 0, F.lit(2 ** (bits - 1 - b)).cast("long")).otherwise(0)
+    return total
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash values (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, JVM-side
+    (F.aggregate over zip_with — no Python in the loop)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocks.
+
+    ``block_col`` is the blocking key (at scale: an LSH bucket from
+    random hyperplanes — see functions.similarity.hyperplane_bucket;
+    for oracle tests: any existing cluster/label column). The join
+    shuffles on the block key only; no global O(n²)."""
+    a = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    pairs = a.join(b, ["blk"]).where(F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("cos_sim", F.round(sim, 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# reference-parity Deduplicator facade + greedy fuzzy grouping
+# ---------------------------------------------------------------------------
+
+class Deduplicator:
+    """Reference facade (ref :14-60): match_mode exact|fuzzy."""
+
+    def __init__(
+        self,
+        match_mode: str = "exact",
+        match_fields: Optional[Sequence[str]] = None,
+        similarity_threshold: float = 0.95,
+        merge_strategy: str = "keep_first",
+        order_col: Optional[str] = None,
+        vec_col: Optional[str] = None,
+        block_col: Optional[str] = None,
+        max_pairs: int = 1_000_000,
+    ) -> None:
+        self.match_mode = match_mode
+        self.match_fields = match_fields
+        self.similarity_threshold = similarity_threshold
+        self.merge_strategy = merge_strategy
+        self.order_col = order_col
+        self.vec_col = vec_col
+        self.block_col = block_col
+        self.max_pairs = max_pairs
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if self.match_mode == "exact":
+            return exact_dedup(df, self.match_fields, self.merge_strategy, self.order_col)
+        if self.match_mode != "fuzzy":
+            raise ValueError(f"unknown match_mode: {self.match_mode!r}")
+        if not (self.vec_col and self.block_col and self.order_col):
+            raise ValueError("fuzzy mode needs vec_col, block_col and order_col")
+        pairs = embedding_dup_pairs(
+            df, self.order_col, self.vec_col, self.block_col, self.similarity_threshold
+        )
+        keep_ids = greedy_group_representatives(
+            [(r["id_a"], r["id_b"]) for r in pairs.limit(self.max_pairs).collect()]
+        )
+        drop = [b for a, b in keep_ids.items() if a != b]  # members absorbed into another rep
+        if not drop:
+            return df
+        spark = df.sparkSession
+        drop_df = spark.createDataFrame([(int(x),) for x in drop], [self.order_col])
+        return df.join(F.broadcast(drop_df), on=self.order_col, how="left_anti")
+
+
+def greedy_group_representatives(pairs: list[tuple]) -> dict:
+    """The reference's greedy scan-order absorption (ref :297-312):
+    iterate ids ascending; an unvisited id becomes a representative and
+    absorbs every unvisited partner with similarity ≥ threshold
+    (pairs are pre-thresholded here). Returns {member: representative}.
+
+    NOT connected components: A~B, B~C, A≁C greedily yields {A,B} and
+    {C} — the documented reference divergence (SURVEY §7.4.7).
+    """
+    partners: dict = {}
+    ids = set()
+    for a, b in pairs:
+        partners.setdefault(a, []).append(b)
+        partners.setdefault(b, []).append(a)
+        ids.add(a)
+        ids.add(b)
+    assignment: dict = {}
+    for i in sorted(ids):
+        if i in assignment:
+            continue
+        assignment[i] = i
+        for j in sorted(partners.get(i, [])):
+            if j not in assignment:
+                assignment[j] = i
+    # invert: member -> rep; drop-list is members whose rep != member
+    return {m: r for m, r in ((m, assignment[m]) for m in assignment)}
+
+
+def dedup_connected_components(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Scalable alternative grouping: iterative min-label propagation
+    over the duplicate-pair graph (the 100 TB path; greedy scan-order
+    cannot distribute). Converges in O(graph diameter) joins; AQE
+    handles the shrinking frontier."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        if updated.join(labels, ["id", "label"], "left_anti").isEmpty():
+            labels = updated
+            break
+        labels = updated
+    losers = labels.where(F.col("id") != F.col("label")).select(F.col("id").alias(id_col))
+    return df.join(losers, on=id_col, how="left_anti")

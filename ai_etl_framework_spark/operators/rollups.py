@@ -1,0 +1,144 @@
+"""Dashboard rollups with column auto-detection by name substring.
+
+Reference: src/transformers/exporters/dashboard_aggregator.py:17-349.
+
+Auto-detection (`_find_column`, ref :64-79) is FIRST-PATTERN,
+FIRST-COLUMN wins — outer loop over patterns, inner over columns,
+case-insensitive substring — preserved verbatim including the exact
+pattern lists (ref :130, :168, :174-175, :229, :278).
+
+The four rollups (all single group-by jobs; the reference buffered
+every record in driver memory — here nothing materializes):
+
+- claims_summary      1 row: count, sum/mean/min/max of amount col,
+                      mean quality, anomaly count+rate (ref :126-162)
+- claims_by_provider  groupby provider: count(claim_col) + amount
+                      stats + left-join mean quality, sort
+                      total_billed desc (ref :164-223)
+- claims_by_diagnosis groupby dx: count + sum/mean, sort count desc
+                      (ref :225-272)
+- claims_by_date      to_date with coercion (invalid → NULL →
+                      dropped), groupby day: count + sum/mean, sort
+                      date asc (ref :274-334)
+
+Note: pandas ``count`` counts NON-NULL values of the claim column —
+F.count(col), not COUNT(*).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AMOUNT_PATTERNS_SUMMARY = ["billed", "amount", "charged", "cost", "price", "payment"]
+AMOUNT_PATTERNS = ["billed", "amount", "charged", "cost", "price"]
+PROVIDER_PATTERNS = ["prov", "provider", "doctor", "physician", "practitioner"]
+DIAGNOSIS_PATTERNS = ["dx", "diagnosis", "condition", "icd", "disease"]
+DATE_PATTERNS = ["service", "date", "admission", "claim", "received"]
+CLAIM_PATTERNS = ["claim", "id", "number"]
+
+
+def find_column(columns: Sequence[str], patterns: Sequence[str]) -> Optional[str]:
+    """First-pattern, first-column wins (ref :64-79)."""
+    for pattern in patterns:
+        for col in columns:
+            if pattern.lower() in col.lower():
+                return col
+    return None
+
+
+class DashboardAggregator:
+    """Compute the 4 rollups; ``write(output_dir)`` persists them as
+    snappy parquet like the reference, or use the ``summary()`` /
+    ``by_provider()`` / ``by_diagnosis()`` / ``by_date()`` DataFrames
+    directly."""
+
+    def __init__(self, df: DataFrame) -> None:
+        self.df = df
+        self.cols = df.columns
+
+    def summary(self) -> DataFrame:
+        amount = find_column(self.cols, AMOUNT_PATTERNS_SUMMARY)
+        aggs = [F.count(F.lit(1)).alias("total_claims")]
+        if amount:
+            c = F.col(amount)
+            aggs += [
+                F.sum(c).alias("total_billed"),
+                F.avg(c).alias("avg_billed"),
+                F.min(c).alias("min_billed"),
+                F.max(c).alias("max_billed"),
+            ]
+        if "_meta_quality_score" in self.cols:
+            aggs.append(F.avg("_meta_quality_score").alias("avg_quality_score"))
+        if "_meta_is_anomaly" in self.cols:
+            flag = F.col("_meta_is_anomaly").cast("int")
+            aggs += [F.sum(flag).alias("anomaly_count"), F.avg(flag).alias("anomaly_rate")]
+        return self.df.agg(*aggs)
+
+    def _grouped(self, group_col: str, amount: Optional[str], full_stats: bool) -> DataFrame:
+        claim = find_column(self.cols, CLAIM_PATTERNS) or group_col
+        aggs = [F.count(F.col(claim)).alias("total_claims")]  # non-null count (pandas 'count')
+        if amount:
+            c = F.col(amount)
+            aggs += [F.sum(c).alias("total_billed"), F.avg(c).alias("avg_billed")]
+            if full_stats:
+                aggs += [F.min(c).alias("min_billed"), F.max(c).alias("max_billed")]
+        return self.df.groupBy(group_col).agg(*aggs)
+
+    def by_provider(self) -> DataFrame:
+        provider = find_column(self.cols, PROVIDER_PATTERNS)
+        if not provider:
+            raise ValueError("no provider column found")
+        out = self._grouped(provider, find_column(self.cols, AMOUNT_PATTERNS), full_stats=True)
+        if "_meta_quality_score" in self.cols:
+            quality = self.df.groupBy(provider).agg(
+                F.avg("_meta_quality_score").alias("avg_quality_score")
+            )
+            out = out.join(quality, on=provider, how="left")  # ref pd.merge how='left' :203-210
+        if "total_billed" in out.columns:
+            out = out.orderBy(F.col("total_billed").desc())
+        return out
+
+    def by_diagnosis(self) -> DataFrame:
+        dx = find_column(self.cols, DIAGNOSIS_PATTERNS)
+        if not dx:
+            raise ValueError("no diagnosis column found")
+        out = self._grouped(dx, find_column(self.cols, AMOUNT_PATTERNS), full_stats=False)
+        return out.orderBy(F.col("total_claims").desc())
+
+    def by_date(self) -> DataFrame:
+        date_col = find_column(self.cols, DATE_PATTERNS)
+        if not date_col:
+            raise ValueError("no date column found")
+        amount = find_column(self.cols, AMOUNT_PATTERNS)
+        claim = find_column(self.cols, CLAIM_PATTERNS) or date_col
+        # to_date returns NULL on unparseable input ≡ errors='coerce'
+        work = self.df.withColumn("date", F.to_date(F.col(date_col))).na.drop(subset=["date"])
+        aggs = [F.count(F.col(claim)).alias("total_claims")]
+        if amount:
+            c = F.col(amount)
+            aggs += [F.sum(c).alias("total_billed"), F.avg(c).alias("avg_billed")]
+        return work.groupBy("date").agg(*aggs).orderBy(F.col("date").asc())
+
+    def write(self, output_dir: str) -> None:
+        import os
+
+        jobs = {
+            "claims_summary": self.summary,
+            "claims_by_provider": self.by_provider,
+            "claims_by_diagnosis": self.by_diagnosis,
+            "claims_by_date": self.by_date,
+        }
+        self.df.cache()  # 4 rollups over one scan of the cached input
+        try:
+            for name, fn in jobs.items():
+                try:
+                    fn().write.mode("overwrite").option("compression", "snappy").parquet(
+                        os.path.join(output_dir, name)
+                    )
+                except ValueError:
+                    continue  # missing detection column → skip (ref logs + skips)
+        finally:
+            self.df.unpersist()

@@ -1,0 +1,83 @@
+"""Drill-down pagination + distinct filter-values.
+
+Reference: src/database/duckdb_service.py:477-505 (drill-down) and
+507-562 (filter values).
+
+Divergence, by design (SURVEY §7.4 item 11): the reference paginates
+with LIMIT/OFFSET and *no* ORDER BY (file order). Spark has no stable
+implicit order, so pagination here requires an explicit ``order_by``
+column — deterministic for both the user and the oracle.
+
+Scale note: offset+limit on a sorted DataFrame compiles to a global
+sort limited to offset+limit rows (TakeOrderedAndProject) — it does
+not materialize the full sort. Deep pagination (huge offsets) should
+use keyset pagination (WHERE order_col > last_seen) instead; exposed
+via ``after``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ai_etl_framework_spark.plans.filters import Filter, apply_filters
+
+
+def drill_down(
+    df: DataFrame,
+    filters: Sequence[Filter | dict] | None = None,
+    columns: Optional[Sequence[str]] = None,
+    order_by: str | None = None,
+    order_desc: bool = False,
+    limit: int = 100,
+    offset: int = 0,
+    after: Any = None,
+) -> dict[str, Any]:
+    """Filtered raw-row page + total count (ref :482-505)."""
+    out = apply_filters(df, filters)
+    total = out.count()
+    if columns:
+        out = out.select(*columns)  # projection (ref :477-480)
+    if order_by is not None:
+        oc = F.col(order_by)
+        if after is not None:
+            # keyset pagination: skip the global-sort-with-offset path
+            out = out.filter(oc < F.lit(after) if order_desc else oc > F.lit(after))
+            offset = 0
+        out = out.orderBy(oc.desc() if order_desc else oc.asc())
+    page = out.offset(offset).limit(limit) if offset else out.limit(limit)
+    rows = [r.asDict(recursive=True) for r in page.collect()]
+    return {
+        "records": rows,
+        "columns": page.columns,
+        "row_count": len(rows),
+        "total_count": total,
+        "limit": limit,
+        "offset": offset,
+    }
+
+
+def distinct_values(
+    df: DataFrame,
+    column: str,
+    search: str | None = None,
+    limit: int = 100,
+) -> dict[str, Any]:
+    """Distinct non-null values of one column, optional case-insensitive
+    substring search, sorted asc, limited; plus total distinct count and
+    truncation flag (ref duckdb_service.py:507-562)."""
+    c = F.col(column)
+    base = df.select(c.alias(column)).where(c.isNotNull())
+    if search:
+        esc = search.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        base = base.where(c.cast("string").ilike(f"%{esc}%"))
+    distinct = base.distinct()
+    total = distinct.count()
+    vals = [r[0] for r in distinct.orderBy(c.asc()).limit(limit).collect()]
+    return {
+        "values": vals,
+        "total_distinct": total,
+        "truncated": total > limit,
+    }

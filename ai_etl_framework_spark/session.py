@@ -1,0 +1,82 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Every knob here is chosen for the 100 TB target, then overridden down
+for local testing:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic join-strategy switching replace any
+  hand-tuned batch-size logic the reference carried
+  (reference: src/ml/auto_tuner.py — subsumed by AQE).
+- Arrow on: every pandas_udf / applyInPandas boundary is
+  Arrow-batched, never row-at-a-time pickling.
+- Session timezone pinned UTC so date/timestamp semantics are
+  reproducible against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "ai-etl-framework-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for tests; on a
+    real cluster the caller leaves it None and spark-submit decides.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Read the testdata star schema; returns {name: DataFrame}.
+
+    Also registers each as a temp view so ``spark.sql`` works over the
+    same names the DuckDB oracle uses.
+    """
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for n in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

@@ -1,0 +1,143 @@
+"""Sinks (CSV / JSON / Parquet / JDBC) with the reference's surface.
+
+Reference: src/adapters/destinations/{csv_loader,json_loader,
+parquet_loader,sqlite_loader,postgres_loader}.py.
+
+What maps where:
+- overwrite/append: native write modes — the reference's Parquet
+  "append" was read-concat-rewrite (parquet_loader.py:192-195) which
+  is O(table) per append; Spark append is O(new data).
+- compression: option("compression", …) — gzip/bz2 for CSV/JSON,
+  snappy/gzip/zstd/lz4/brotli for Parquet (ref loaders' option sets).
+- partition_cols → partitionBy (ref parquet_loader.py:198-204), which
+  also buys partition pruning on read.
+- schema-ordered columns with extras preserved after
+  (ref csv_loader.py:162-175): ``ordered_columns``.
+- temp-file + atomic rename transactionality → Spark's job-commit
+  protocol, nothing to build.
+- type coercion on write (ref parquet_loader.py:216-250) → cast map.
+- JSON 'array'/pretty mode buffered whole files in memory; kept
+  JSONL (lines) — array mode only for small collected outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ordered_columns(df: DataFrame, schema_cols: Sequence[str]) -> DataFrame:
+    """Schema columns first (in given order), extras after, preserved
+    (ref csv_loader.py:162-175)."""
+    present = [c for c in schema_cols if c in df.columns]
+    extras = [c for c in df.columns if c not in present]
+    return df.select(*present, *extras)
+
+
+def coerce_types(df: DataFrame, type_map: dict[str, str]) -> DataFrame:
+    """Schema-driven cast (ref parquet_loader.py:216-250); try_cast so
+    bad values become NULL like pandas' errors='coerce'."""
+    out = df
+    for col, t in type_map.items():
+        if col in out.columns:
+            out = out.withColumn(col, F.col(col).try_cast(t))
+    return out
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+    partition_cols: Optional[Sequence[str]] = None,
+    schema_cols: Optional[Sequence[str]] = None,
+    type_map: Optional[dict[str, str]] = None,
+) -> None:
+    if type_map:
+        df = coerce_types(df, type_map)
+    if schema_cols:
+        df = ordered_columns(df, schema_cols)
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    compression: Optional[str] = None,
+    schema_cols: Optional[Sequence[str]] = None,
+    single_file: bool = False,
+) -> None:
+    if schema_cols:
+        df = ordered_columns(df, schema_cols)
+    if single_file:
+        # small outputs only (gold/rag CSV for downstream RAG indexers)
+        df = df.coalesce(1)
+    writer = df.write.mode(mode).option("header", header)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: Optional[str] = None,
+) -> None:
+    """JSONL (the reference's 'lines' mode; 'array' mode only made
+    sense for in-memory writes)."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    user: Optional[str] = None,
+    password: Optional[str] = None,
+    batch_size: int = 1000,
+    **properties,
+) -> None:
+    """DB loaders (sqlite/postgres) → JDBC writer; ``batchsize``
+    replaces the reference's executemany batching (default 1000,
+    ref sqlite_loader.py:146)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batch_size)
+        .mode(mode)
+    )
+    if user:
+        writer = writer.option("user", user)
+    if password:
+        writer = writer.option("password", password)
+    for k, v in properties.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def fan_out(df: DataFrame, writes: Sequence[dict]) -> None:
+    """Multi-destination fan-out (ref pipeline_core.py:82-134; unified
+    API always writes parquet + csv, main.py:146-149): cache once,
+    then one action per sink."""
+    df = df.cache()
+    try:
+        for spec in writes:
+            kind = spec.pop("kind")
+            {"parquet": write_parquet, "csv": write_csv, "json": write_json, "jdbc": write_jdbc}[
+                kind
+            ](df, **spec)
+    finally:
+        df.unpersist()

@@ -1,0 +1,197 @@
+"""Source readers (CSV / JSON / Parquet / JDBC).
+
+Reference: src/adapters/sources/{csv_source,json_source,postgres_source}.py.
+
+The reference's hand-rolled chunked reads, sample-based schema
+inference and per-line error tolerance map to reader options:
+
+- CSV (ref csv_source.py:16-218): header/sep/encoding passthrough,
+  ``inferSchema`` with samplingRatio ≈ the 100-row sample.
+- JSON (ref json_source.py:15-327): JSONL native; ``multiLine`` for
+  array files; auto mode sniffs the first byte; ``json_path`` (dot
+  path into a nested array) → getField chain + explode; bad lines →
+  PERMISSIVE + _corrupt_record.
+- JDBC (ref postgres_source.py:19-284): table or arbitrary query
+  (wrapped as a subquery); partitioned reads via partitionColumn.
+- Incremental state (ref csv_source.py:201-212 SHA256 manifest) →
+  ``incremental_manifest`` records processed file names; new files
+  only. The streaming-native alternative is streaming.read_stream.
+
+Every reader can stamp ``_row_id`` — the explicit input-order column
+that order-sensitive operators (first/last/dedup keep_first) require
+(SURVEY §7.4.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def with_row_id(df: DataFrame, name: str = "_row_id") -> DataFrame:
+    """Stable 0-based input-order id: file name + in-file position.
+
+    monotonically_increasing_id alone is not contiguous across files
+    (SURVEY §7.4.1); ranking (file, mono_id) gives the total order of
+    the input as listed. One window pass; only used when an operator
+    actually needs input order.
+    """
+    w = Window.orderBy(F.col("__file"), F.col("__mono"))
+    return (
+        df.withColumn("__file", F.input_file_name())
+        .withColumn("__mono", F.monotonically_increasing_id())
+        .withColumn(name, F.row_number().over(w) - 1)
+        .drop("__file", "__mono")
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    encoding: str = "utf-8",
+    has_header: bool = True,
+    infer_schema: bool = True,
+    sampling_ratio: float = 1.0,
+    row_id: bool = False,
+    **options,
+) -> DataFrame:
+    reader = (
+        spark.read.option("header", has_header)
+        .option("sep", delimiter)
+        .option("encoding", encoding)
+        .option("inferSchema", infer_schema)
+        .option("samplingRatio", sampling_ratio)
+        .option("mode", "PERMISSIVE")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.csv(path)
+    return with_row_id(df) if row_id else df
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    mode: str = "auto",
+    json_path: Optional[str] = None,
+    row_id: bool = False,
+    **options,
+) -> DataFrame:
+    """mode ∈ auto|array|lines (ref json_source.py:83-106): 'array'
+    uses multiLine; 'auto' sniffs whether the file starts with '['."""
+    if mode == "auto":
+        with open(_first_file(path), "rb") as f:
+            head = f.read(64).lstrip()
+        mode = "array" if head.startswith(b"[") else "lines"
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if mode == "array":
+        reader = reader.option("multiLine", True)
+    df = reader.json(path)
+    if json_path:
+        # dot-path into a nested array (ref json_source.py:203-223)
+        parts = json_path.split(".")
+        col = F.col(parts[0])
+        for p in parts[1:]:
+            col = col.getField(p)
+        df = df.select(F.explode(col).alias("_rec")).select("_rec.*")
+    return with_row_id(df) if row_id else df
+
+
+def read_parquet(spark: SparkSession, path: str, row_id: bool = False) -> DataFrame:
+    df = spark.read.parquet(path)
+    return with_row_id(df) if row_id else df
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: Optional[str] = None,
+    query: Optional[str] = None,
+    user: Optional[str] = None,
+    password: Optional[str] = None,
+    partition_column: Optional[str] = None,
+    num_partitions: int = 8,
+    lower_bound: Optional[int] = None,
+    upper_bound: Optional[int] = None,
+    **properties,
+) -> DataFrame:
+    if (table is None) == (query is None):
+        raise ValueError("exactly one of table/query")
+    reader = spark.read.format("jdbc").option("url", url)
+    reader = reader.option("dbtable", table if table else f"({query}) q")
+    if user:
+        reader = reader.option("user", user)
+    if password:
+        reader = reader.option("password", password)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def _first_file(path: str) -> str:
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if not name.startswith(("_", ".")):
+                return os.path.join(path, name)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# incremental file manifest (batch-incremental ingestion)
+# ---------------------------------------------------------------------------
+
+def incremental_manifest(
+    spark: SparkSession,
+    data_path: str,
+    manifest_path: str,
+    fmt: str = "parquet",
+    **reader_options,
+) -> DataFrame:
+    """Process only files not yet recorded in the manifest (the
+    reference's SHA256 file-state, ref csv_source.py:201-212, done
+    with file names — content hashing 100 TB of input to detect
+    change is not viable; mtime-based invalidation can be added).
+
+    Returns the DataFrame of NEW files only and appends their names to
+    the manifest on ``commit()`` (attached attribute)."""
+    seen: set[str] = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            seen = {line.strip() for line in f if line.strip()}
+    all_files = [
+        os.path.join(data_path, n)
+        for n in sorted(os.listdir(data_path))
+        if not n.startswith(("_", "."))
+    ]
+    new = [f for f in all_files if f not in seen]
+    if not new:
+        df = spark.createDataFrame([], schema="`__empty` string")
+    else:
+        reader = spark.read
+        for k, v in reader_options.items():
+            reader = reader.option(k, v)
+        df = getattr(reader, fmt)(*new)
+
+    def commit() -> None:
+        with open(manifest_path, "a") as f:
+            for p in new:
+                f.write(p + "\n")
+
+    df.commit_manifest = commit  # type: ignore[attr-defined]
+    return df
