@@ -1,38 +1,981 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data operators); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for the differential correctness gate.
+
+Conventions that keep the cross-engine value-hash stable:
+- every computed float is ROUNDed identically on both sides (sums of
+  doubles to 2dp, means to 4dp, ratios/similarities to 6dp) so
+  aggregation-order ulps can't flip the hash;
+- counts are CAST to BIGINT in DuckDB (its integer SUM/COUNT widen to
+  HUGEINT/INT128, Spark's stay int64);
+- all text hashing is md5 hex (identical strings in both engines);
+- order-sensitive aggregates (first/last/concat) take an explicit
+  order column on both sides (SURVEY §7.4.1).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ai_etl_framework_spark.session import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01_pricing_summary(spark, SF_SMOKE)
 
+
+# ---------------------------------------------------------------------------
+# core query surface (reference: duckdb_service.py dialect)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape through the engine ops: filter → groupBy → agg.
+    Reference dialect: AggregationSpec (duckdb_service.py:30-37)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1999-06-30")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                              AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)                              AS avg_qty,
+       ROUND(AVG(l_discount), 4)                              AS avg_disc,
+       CAST(COUNT(*) AS BIGINT)                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 13-operator Filter spec + AggregationSpec compiler
+    (reference: duckdb_service.py:255-325, 327-434)."""
+    from ai_etl_framework_spark.plans import Filter, compile_query
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = compile_query(
+        orders,
+        filters=[
+            Filter("o_orderpriority", "in", ["1-URGENT", "2-HIGH"]),
+            Filter("o_totalprice", "between", [10000.0, 400000.0]),
+            Filter("o_orderstatus", "neq", "X"),
+            Filter("o_orderdate", "is_not_null"),
+            Filter("o_orderpriority", "contains", "h"),
+            Filter("o_custkey", "in", []),  # empty IN → no-op (ref :281)
+        ],
+        spec={
+            "group_by": ["o_orderstatus", "o_orderpriority"],
+            "metrics": [
+                {"column": "*", "agg": "count", "alias": "n_orders"},
+                {"column": "o_totalprice", "agg": "sum", "alias": "total_price_raw"},
+            ],
+        },
+    )
+    return out.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_orders",
+        F.round("total_price_raw", 2).alias("total_price"),
+    )
+
+
+_Q02_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)       AS n_orders,
+       ROUND(SUM(o_totalprice), 2)    AS total_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_totalprice BETWEEN 10000.0 AND 400000.0
+  AND o_orderstatus != 'X'
+  AND o_orderdate IS NOT NULL
+  AND CAST(o_orderpriority AS VARCHAR) ILIKE '%h%'
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def q03_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join (broadcast dims) + revenue rollup per nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_Q03_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)        AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q04_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k pattern (ref: order by first metric desc + limit,
+    duckdb_service.py:384-398)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("total_spent").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+_Q04_SQL = """
+SELECT o_custkey,
+       ROUND(SUM(o_totalprice), 2) AS total_spent,
+       CAST(COUNT(*) AS BIGINT)    AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY total_spent DESC, o_custkey
+LIMIT 10
+"""
+
+
+def q05_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct filter-values query (ref duckdb_service.py:507-562)."""
+    cust = load_table(spark, sf_dir, "customer")
+    c = F.col("c_mktsegment")
+    return (
+        cust.select(c.alias("value"))
+        .where(c.isNotNull())
+        .distinct()
+        .orderBy(F.col("value").asc())
+        .limit(100)
+    )
+
+
+_Q05_SQL = """
+SELECT DISTINCT c_mktsegment AS value
+FROM customer
+WHERE c_mktsegment IS NOT NULL
+ORDER BY value
+LIMIT 100
+"""
+
+
+def q06_drilldown_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-down pagination with explicit order (ref :482-505; the
+    reference's unordered LIMIT/OFFSET is nondeterministic — SURVEY
+    §7.4.11 imposes an order column on both sides)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_orderkey").asc())
+        .offset(100)
+        .limit(50)
+    )
+
+
+_Q06_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'O'
+ORDER BY o_orderkey
+LIMIT 50 OFFSET 100
+"""
+
+
+def q07_agg_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference Aggregator's exact non-SQL semantics
+    (aggregator.py:17-28): count incl. NULLs, string-cast
+    count_distinct, sum-empty→0, positional first/last/concat over an
+    explicit order column."""
+    from ai_etl_framework_spark.operators import Aggregator
+
+    # (l_orderkey, l_linenumber) is NOT unique in this data — use a
+    # row hash over the discrete columns as the input-order key; rows
+    # tied on it are identical in l_linestatus, so first/last/concat
+    # stay deterministic.
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__ord",
+        F.md5(
+            F.concat_ws(
+                "|",
+                "l_orderkey",
+                "l_linenumber",
+                "l_suppkey",
+                "l_partkey",
+                "l_returnflag",
+                "l_linestatus",
+            )
+        ),
+    )
+    agg = Aggregator(
+        group_by=["l_returnflag"],
+        aggregations={
+            "n_rows": {"field": "l_quantity", "function": "count"},
+            "n_status": {"field": "l_linestatus", "function": "count_distinct"},
+            "sum_qty_raw": {"field": "l_quantity", "function": "sum"},
+            "avg_qty_raw": {"field": "l_quantity", "function": "avg"},
+            "min_qty_raw": {"field": "l_quantity", "function": "min"},
+            "max_qty_raw": {"field": "l_quantity", "function": "max"},
+            "first_status": {"field": "l_linestatus", "function": "first"},
+            "last_status": {"field": "l_linestatus", "function": "last"},
+            "status_concat": {"field": "l_linestatus", "function": "concat"},
+        },
+        order_col="__ord",
+    )
+    return agg(li).select(
+        "l_returnflag",
+        "n_rows",
+        "n_status",
+        F.round("sum_qty_raw", 2).alias("sum_qty"),
+        F.round("avg_qty_raw", 4).alias("avg_qty"),
+        F.round("min_qty_raw", 2).alias("min_qty"),
+        F.round("max_qty_raw", 2).alias("max_qty"),
+        "first_status",
+        "last_status",
+        "status_concat",
+    )
+
+
+_Q07_ORD = (
+    "md5(l_orderkey || '|' || l_linenumber || '|' || l_suppkey || '|' || "
+    "l_partkey || '|' || l_returnflag || '|' || l_linestatus)"
+)
+
+_Q07_SQL = f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT)                                        AS n_rows,
+       CAST(COUNT(DISTINCT CAST(l_linestatus AS VARCHAR)) AS BIGINT)   AS n_status,
+       ROUND(COALESCE(SUM(TRY_CAST(l_quantity AS DOUBLE)), 0), 2)      AS sum_qty,
+       ROUND(AVG(TRY_CAST(l_quantity AS DOUBLE)), 4)                   AS avg_qty,
+       ROUND(MIN(TRY_CAST(l_quantity AS DOUBLE)), 2)                   AS min_qty,
+       ROUND(MAX(TRY_CAST(l_quantity AS DOUBLE)), 2)                   AS max_qty,
+       CAST(arg_min(l_linestatus, {_Q07_ORD}) AS VARCHAR)              AS first_status,
+       CAST(arg_max(l_linestatus, {_Q07_ORD}) AS VARCHAR)              AS last_status,
+       string_agg(CAST(l_linestatus AS VARCHAR), ', '
+                  ORDER BY {_Q07_ORD})                                 AS status_concat
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q08_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NullRemover 'drop' with the ""≡NULL rule (null_remover.py:54-58,
+    92-94) over a derived table with injected ""/NULL cells."""
+    from ai_etl_framework_spark.operators import NullRemover
+
+    cust = load_table(spark, sf_dir, "customer")
+    derived = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("")).otherwise(F.col("c_name")).alias("name"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    return NullRemover(strategy="drop")(derived)
+
+
+_Q08_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 10 = 0 THEN '' ELSE c_name END AS name,
+       NULLIF(c_mktsegment, 'BUILDING')                     AS seg
+FROM customer
+WHERE NOT (c_custkey IS NULL)
+  AND NOT (CASE WHEN c_custkey % 10 = 0 THEN '' ELSE c_name END IS NULL
+           OR CASE WHEN c_custkey % 10 = 0 THEN '' ELSE c_name END = '')
+  AND NOT (NULLIF(c_mktsegment, 'BUILDING') IS NULL
+           OR NULLIF(c_mktsegment, 'BUILDING') = '')
+"""
+
+
+def q09_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QualityScorer 0.4/0.3/0.3 weighting with the reference's field
+    checks (quality_scorer.py:61-313) over a defect-injected table."""
+    from ai_etl_framework_spark.operators import QualityScorer
+
+    part = load_table(spark, sf_dir, "part")
+    derived = part.select(
+        "p_partkey",
+        F.col("p_name").alias("name"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("user@example.com"))
+        .otherwise(F.lit("bademail"))
+        .alias("contact_email"),
+        F.when(F.col("p_partkey") % 11 == 0, F.lit(200).cast("long"))
+        .otherwise(F.col("p_size").cast("long"))
+        .alias("age"),
+        F.when(F.col("p_partkey") % 7 == 0, -F.col("p_retailprice"))
+        .otherwise(F.col("p_retailprice"))
+        .alias("price"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("")).otherwise(F.col("p_brand")).alias("brand"),
+    )
+    scored = QualityScorer()(derived)
+    return scored.select("p_partkey", F.round("_meta_quality_score", 6).alias("quality_score"))
+
+
+# completeness: 6 fields, only `brand` can be "" → 5/6 or 6/6
+# validity: partkey 1 + name 1 + email (len 1 + fmt e) + age 1 + price 1
+#           + brand 1 → (6+e)/7 ; brand "" counts as valid-null check 1
+# consistency: partkey 1 + name 1 + email(string) 1 + age(0<v<150) +
+#           price(>0) + brand 1 → (4+a+p)/6 ; brand "" → 1
+_Q09_SQL = """
+SELECT p_partkey,
+       ROUND(
+         0.4 * (CASE WHEN p_partkey % 5 = 0 THEN 5 ELSE 6 END / 6.0)
+       + 0.3 * ((6 + CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END) / 7.0)
+       + 0.3 * ((4 + CASE WHEN (CASE WHEN p_partkey % 11 = 0 THEN 200 ELSE p_size END) > 0
+                          AND (CASE WHEN p_partkey % 11 = 0 THEN 200 ELSE p_size END) < 150
+                          THEN 1 ELSE 0 END
+                   + CASE WHEN (CASE WHEN p_partkey % 7 = 0 THEN -p_retailprice ELSE p_retailprice END) > 0
+                          THEN 1 ELSE 0 END) / 6.0)
+       , 6) AS quality_score
+FROM part
+"""
+
+
+def q10_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z-score anomaly flags with POPULATION std (np.std ddof=0,
+    anomaly_detector.py:201 → stddev_pop, SURVEY §7.4.5)."""
+    from ai_etl_framework_spark.operators import AnomalyDetector
+
+    events = load_table(spark, sf_dir, "events")
+    det = AnomalyDetector(method="statistical", threshold=3.0, fields=["value"])
+    return det(events).filter(F.col("_meta_is_anomaly")).select("event_id")
+
+
+_Q10_SQL = """
+SELECT event_id
+FROM events,
+     (SELECT AVG(value) AS m, STDDEV_POP(value) AS s, COUNT(value) AS c FROM events)
+WHERE c >= 3 AND s > 0 AND value IS NOT NULL AND ABS((value - m) / s) > 3.0
+"""
+
+
+def q11_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR anomaly flags with exact linear-interpolation percentiles
+    (np.percentile ≡ Spark `percentile` ≡ DuckDB quantile_cont,
+    SURVEY §7.4.6); threshold 1.5 (classic fence)."""
+    from ai_etl_framework_spark.operators import AnomalyDetector
+
+    events = load_table(spark, sf_dir, "events")
+    det = AnomalyDetector(method="iqr", threshold=1.5, fields=["value"])
+    return det(events).filter(F.col("_meta_is_anomaly")).select("event_id")
+
+
+_Q11_SQL = """
+SELECT event_id
+FROM events,
+     (SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3,
+             COUNT(value) AS c
+      FROM events)
+WHERE c >= 4 AND (q3 - q1) > 0 AND value IS NOT NULL
+  AND (value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1))
+"""
+
+
+def q12_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep_first over an explicit order column
+    (deduplicator.py:137-170, 314-346) — window row_number, no
+    driver-side state."""
+    from ai_etl_framework_spark.operators.dedup import exact_dedup
+
+    # l_linenumber alone is not unique per order in this data; the
+    # order key folds in quantity so tied rows are identical in every
+    # projected column → deterministic in both engines.
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__ord",
+        F.col("l_linenumber").cast("long") * 10000
+        + F.round(F.col("l_quantity") * 100).cast("long"),
+    )
+    out = exact_dedup(li, match_fields=["l_orderkey"], keep="keep_first", order_col="__ord")
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+_Q12_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber * 10000 + CAST(ROUND(l_quantity * 100, 0) AS BIGINT)
+             ) AS rn
+      FROM lineitem)
+WHERE rn = 1
+"""
+
+
+def q13_rollup_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DashboardAggregator.by_date with name-pattern column
+    auto-detection (dashboard_aggregator.py:274-334; detection
+    :64-79 first-pattern-first-column-wins)."""
+    from ai_etl_framework_spark.operators import DashboardAggregator
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = DashboardAggregator(orders).by_date()
+    return out.select(
+        "date",
+        "total_claims",
+        F.round("total_billed", 2).alias("total_billed"),
+        F.round("avg_billed", 4).alias("avg_billed"),
+    )
+
+
+# detected: date col = o_orderdate ('date'), amount = o_totalprice
+# ('price'), claim col falls back to the date col → COUNT(date)
+_Q13_SQL = """
+SELECT CAST(o_orderdate AS DATE)            AS date,
+       CAST(COUNT(o_orderdate) AS BIGINT)   AS total_claims,
+       ROUND(SUM(o_totalprice), 2)          AS total_billed,
+       ROUND(AVG(o_totalprice), 4)          AS avg_billed
+FROM orders
+WHERE o_orderdate IS NOT NULL
+GROUP BY CAST(o_orderdate AS DATE)
+"""
+
+
+def q14_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DashboardAggregator.summary single-row rollup
+    (dashboard_aggregator.py:126-162)."""
+    from ai_etl_framework_spark.operators import DashboardAggregator
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = DashboardAggregator(orders).summary()
+    return out.select(
+        "total_claims",
+        F.round("total_billed", 2).alias("total_billed"),
+        F.round("avg_billed", 4).alias("avg_billed"),
+        F.round("min_billed", 2).alias("min_billed"),
+        F.round("max_billed", 2).alias("max_billed"),
+    )
+
+
+_Q14_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT)     AS total_claims,
+       ROUND(SUM(o_totalprice), 2)  AS total_billed,
+       ROUND(AVG(o_totalprice), 4)  AS avg_billed,
+       ROUND(MIN(o_totalprice), 2)  AS min_billed,
+       ROUND(MAX(o_totalprice), 2)  AS max_billed
+FROM orders
+"""
+
+
+def q15_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-profiling aggregates in ONE pass (ref duckdb_service.py:
+    115-240 runs one query per column; SURVEY §2.6d)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.round(F.min("p_retailprice"), 2).alias("price_min"),
+        F.round(F.max("p_retailprice"), 2).alias("price_max"),
+        F.round(F.avg("p_retailprice"), 4).alias("price_avg"),
+        F.countDistinct("p_retailprice").alias("price_distinct"),
+        F.min("p_size").alias("size_min"),
+        F.max("p_size").alias("size_max"),
+        F.round(F.avg(F.col("p_size").cast("double")), 4).alias("size_avg"),
+        F.countDistinct("p_brand").alias("brand_distinct"),
+        F.countDistinct("p_type").alias("type_distinct"),
+    )
+
+
+_Q15_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT)                    AS row_count,
+       ROUND(MIN(p_retailprice), 2)                AS price_min,
+       ROUND(MAX(p_retailprice), 2)                AS price_max,
+       ROUND(AVG(p_retailprice), 4)                AS price_avg,
+       CAST(COUNT(DISTINCT p_retailprice) AS BIGINT) AS price_distinct,
+       MIN(p_size)                                 AS size_min,
+       MAX(p_size)                                 AS size_max,
+       ROUND(AVG(CAST(p_size AS DOUBLE)), 4)       AS size_avg,
+       CAST(COUNT(DISTINCT p_brand) AS BIGINT)     AS brand_distinct,
+       CAST(COUNT(DISTINCT p_type) AS BIGINT)      AS type_distinct
+FROM part
+"""
+
+
+def q16_pivot_flag_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heatmap pivot (ref visualization_generator.py:444 pivot_table
+    sum) — groupBy(y).pivot(x, values).sum(z) with explicit value
+    list so the plan is a single aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_linestatus").pivot("l_returnflag", ["A", "N", "R"]).sum("l_quantity")
+    return out.select(
+        "l_linestatus",
+        F.round("A", 2).alias("A"),
+        F.round("N", 2).alias("N"),
+        F.round("R", 2).alias("R"),
+    )
+
+
+_Q16_SQL = """
+SELECT l_linestatus,
+       ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+       ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+       ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+def q17_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (F.window) — the batch twin of the
+    Structured Streaming query (streaming/events.py); the reference
+    has no streaming (SURVEY §2.13), this is the beyond-parity op."""
+    from ai_etl_framework_spark.streaming import windowed_counts_batch
+
+    events = load_table(spark, sf_dir, "events")
+    out = windowed_counts_batch(events, "ts", "1 hour")
+    return out.select(
+        "window_start",
+        "window_end",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+_Q17_SQL = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))                   AS window_start,
+       date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+       CAST(COUNT(*) AS BIGINT)                                    AS n_events,
+       ROUND(SUM(value), 2)                                        AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data operators: dedup family
+# ---------------------------------------------------------------------------
+
+# shared DuckDB fragments (tokenization identical to functions/text.py)
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_SHINGLES = (
+    f"CASE WHEN len({_TOKS}) >= 3 THEN "
+    f"list_transform(range(1, len({_TOKS}) - 1), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]) "
+    f"ELSE [array_to_string({_TOKS}, ' ')] END"
+)
+
+
+def dd01_exact_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups by normalized-text fingerprint (md5) — the
+    canonical-smallest-id representative per group."""
+    from ai_etl_framework_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+_DD01_SQL = f"""
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT)    AS n_copies
+FROM documents
+GROUP BY md5({_NORM})
+"""
+
+
+def dd02_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes over 3-token shingles) using the
+    engine-independent md5-hex minhash family."""
+    from ai_etl_framework_spark.operators.dedup import minhash_signature
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(F.col("text"), num_hashes=8, k=3)
+    return docs.select(
+        "doc_id", *[F.element_at(sig, i + 1).alias(f"h{i}") for i in range(8)]
+    )
+
+
+def _dd02_sql() -> str:
+    mins = ",\n       ".join(
+        f"list_min(list_transform(sh, x -> md5(x || '#{i}'))) AS h{i}" for i in range(8)
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+SELECT doc_id, {mins}
+FROM s
+"""
+
+
+def dd03_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 8 hashes → 4 bands × 2 rows;
+    shuffle on band hashes only (no O(n²) stage)."""
+    from ai_etl_framework_spark.operators.dedup import minhash_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidates(docs, "doc_id", "text", num_hashes=8, bands=4, k=3)
+
+
+def _dd03_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, x -> md5(x || '#{i}'))) AS h{i}" for i in range(8)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || '|' || h{2*b+1}) AS band_hash FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+sig AS (SELECT doc_id, {mins} FROM s),
+banded AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a
+JOIN banded b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+"""
+
+
+def dd04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard near-dup pairs ≥ 0.5 (explode +
+    self-join on shingle; |A∪B| = |A|+|B|−|A∩B|)."""
+    from ai_etl_framework_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
+_DD04_SQL = f"""
+WITH d AS (SELECT doc_id, {_SHINGLES} AS shl FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(shl) AS s FROM d),
+counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(ni / (ca.n + cb.n - ni), 6) AS jaccard
+FROM inter
+JOIN counts ca ON id_a = ca.doc_id
+JOIN counts cb ON id_b = cb.doc_id
+WHERE ni / (ca.n + cb.n - ni) >= 0.5
+"""
+
+
+def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over whitespace tokens; md5-hex bit extraction is
+    pure arithmetic, reproducible in any engine."""
+    from ai_etl_framework_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text"), bits=32).alias("simhash"))
+
+
+def _dd05_sql() -> str:
+    votes = []
+    for b in range(32):
+        ci, shift = b // 4, 3 - (b % 4)
+        bit = (
+            f"((strpos('0123456789abcdef', substr(md5(tok), {ci + 1}, 1)) - 1) "
+            f"// {2 ** shift}) % 2"
+        )
+        votes.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS v{b}")
+    total = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {2 ** (31 - b)} ELSE 0 END" for b in range(32)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+v AS (SELECT doc_id, {', '.join(votes)} FROM t GROUP BY doc_id)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data operators: similarity search
+# ---------------------------------------------------------------------------
+
+def sim01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 embedding —
+    exact ANN baseline (scan → project → TakeOrderedAndProject)."""
+    from ai_etl_framework_spark.functions.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return brute_force_topk(emb, "embedding", "vec_id", [float(x) for x in query], k=10)
+
+
+_SIM01_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+def sim02_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocks (label = blocking
+    key here; at scale an LSH bucket) — join shuffles on the block key
+    only, never a global O(n²)."""
+    from ai_etl_framework_spark.operators.dedup import embedding_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, "vec_id", "embedding", "label", threshold=0.3)
+
+
+_SIM02_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+             6) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+      >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data operators: text analysis
+# ---------------------------------------------------------------------------
+
+def txt01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count / mean word length / punctuation ratio / English
+    stopword ratio — one projection pass (functions/text.py)."""
+    from ai_etl_framework_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(t).cast("long").alias("n_tokens"),
+        F.round(X.mean_word_length(t), 6).alias("mean_word_len"),
+        F.round(X.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(X.stopword_ratio(t, "en"), 6).alias("stopword_en"),
+    )
+
+
+def _txt01_sql() -> str:
+    from ai_etl_framework_spark.functions.text import STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       ROUND(list_sum(list_transform(toks, t -> length(t))) / len(toks), 6) AS mean_word_len,
+       ROUND(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text), 6) AS punct_ratio,
+       ROUND(len(list_filter(toks, t -> t IN ({en}))) * 1.0 / len(toks), 6) AS stopword_en
+FROM d
+"""
+
+
+def txt02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with deterministic tie-break
+    (functions/text.py lang_id)."""
+    from ai_etl_framework_spark.functions.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _txt02_sql() -> str:
+    from ai_etl_framework_spark.functions.text import LANGS, STOPWORDS
+
+    ratios = ", ".join(
+        f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in STOPWORDS[lang])})))"
+        f" * 1.0 / len(toks) AS r_{lang}"
+        for lang in LANGS
+    )
+    # earliest lang in LANGS wins ties (>= against all later langs)
+    cases = []
+    for i, lang in enumerate(LANGS[:-1]):
+        conds = " AND ".join(f"r_{lang} >= r_{o}" for o in LANGS[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{LANGS[-1]}' END"
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+r AS (SELECT doc_id, {ratios} FROM d)
+SELECT doc_id, {case} AS lang_pred FROM r
+"""
+
+
+def txt03_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score in [0,1]
+    (functions/text.py quality_score)."""
+    from ai_etl_framework_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("doc_quality"))
+
+
+def _txt03_sql() -> str:
+    from ai_etl_framework_spark.functions.text import STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+             len(toks) AS n_tok,
+             CASE WHEN len(toks) >= 10 AND len(toks) <= 100000 THEN 1.0
+                  WHEN len(toks) > 0 THEN 0.5 ELSE 0.0 END AS length_ok,
+             least(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text) * 5.0, 1.0) AS punct_excess,
+             least(len(list_filter(toks, t -> t IN ({en}))) * 1.0 / len(toks) * 4.0, 1.0) AS sw,
+             1.0 - len(list_distinct(toks)) * 1.0 / len(toks) AS rep
+      FROM d)
+SELECT doc_id,
+       ROUND(length_ok * 0.3 + (1.0 - punct_excess) * 0.3 + sw * 0.2 + (1.0 - rep) * 0.2, 6)
+         AS doc_quality
+FROM m
+"""
+
+
+def txt04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text md5 fingerprint (functions/text.py)."""
+    from ai_etl_framework_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+_TXT04_SQL = f"SELECT doc_id, md5({_NORM}) AS fp FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# rows-only checks (non-SQL-expressible: ANN probing, Pandas-UDF media)
+# ---------------------------------------------------------------------------
+
+def x01_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH bucket probing
+    (functions/similarity.py lsh_topk). Approximation → rows-only."""
+    from ai_etl_framework_spark.functions.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_topk(emb, "embedding", "vec_id", [float(x) for x in query], k=10, n_planes=6)
+
+
+def x02_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse search probing the 3 nearest label-cells
+    (functions/similarity.py ivf_topk). Approximation → rows-only."""
+    from ai_etl_framework_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(emb, "embedding", "vec_id", "label", [float(x) for x in query], k=10, nprobe=3)
+
+
+def x03_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary blobs → Arrow-batched mapInPandas
+    feature extraction (functions/multimodal.py; decode kernel is a
+    deterministic fake — real codecs absent in this container)."""
+    from ai_etl_framework_spark.functions.multimodal import image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
+    return image_features(blobs, "doc_id", "blob", dim=8, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_filter_spec": q02_filter_spec,
+        "q03_join_revenue": q03_join_revenue,
+        "q04_topk_customers": q04_topk_customers,
+        "q05_distinct_values": q05_distinct_values,
+        "q06_drilldown_page": q06_drilldown_page,
+        "q07_agg_semantics": q07_agg_semantics,
+        "q08_null_semantics": q08_null_semantics,
+        "q09_quality_score": q09_quality_score,
+        "q10_anomaly_zscore": q10_anomaly_zscore,
+        "q11_anomaly_iqr": q11_anomaly_iqr,
+        "q12_dedup_exact": q12_dedup_exact,
+        "q13_rollup_by_date": q13_rollup_by_date,
+        "q14_rollup_summary": q14_rollup_summary,
+        "q15_profile_stats": q15_profile_stats,
+        "q16_pivot_flag_qty": q16_pivot_flag_qty,
+        "q17_window_events": q17_window_events,
+        "dd01_exact_text_dedup": dd01_exact_text_dedup,
+        "dd02_minhash_sig": dd02_minhash_sig,
+        "dd03_minhash_band_pairs": dd03_minhash_band_pairs,
+        "dd04_ngram_jaccard": dd04_ngram_jaccard,
+        "dd05_simhash": dd05_simhash,
+        "sim01_cosine_topk": sim01_cosine_topk,
+        "sim02_embedding_dup_pairs": sim02_embedding_dup_pairs,
+        "txt01_text_stats": txt01_text_stats,
+        "txt02_lang_id": txt02_lang_id,
+        "txt03_doc_quality": txt03_doc_quality,
+        "txt04_fingerprint": txt04_fingerprint,
+        "x01_lsh_topk": x01_lsh_topk,
+        "x02_ivf_topk": x02_ivf_topk,
+        "x03_media_features": x03_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _Q01_SQL,
+        "q02_filter_spec": _Q02_SQL,
+        "q03_join_revenue": _Q03_SQL,
+        "q04_topk_customers": _Q04_SQL,
+        "q05_distinct_values": _Q05_SQL,
+        "q06_drilldown_page": _Q06_SQL,
+        "q07_agg_semantics": _Q07_SQL,
+        "q08_null_semantics": _Q08_SQL,
+        "q09_quality_score": _Q09_SQL,
+        "q10_anomaly_zscore": _Q10_SQL,
+        "q11_anomaly_iqr": _Q11_SQL,
+        "q12_dedup_exact": _Q12_SQL,
+        "q13_rollup_by_date": _Q13_SQL,
+        "q14_rollup_summary": _Q14_SQL,
+        "q15_profile_stats": _Q15_SQL,
+        "q16_pivot_flag_qty": _Q16_SQL,
+        "q17_window_events": _Q17_SQL,
+        "dd01_exact_text_dedup": _DD01_SQL,
+        "dd02_minhash_sig": _dd02_sql(),
+        "dd03_minhash_band_pairs": _dd03_sql(),
+        "dd04_ngram_jaccard": _DD04_SQL,
+        "dd05_simhash": _dd05_sql(),
+        "sim01_cosine_topk": _SIM01_SQL,
+        "sim02_embedding_dup_pairs": _SIM02_SQL,
+        "txt01_text_stats": _txt01_sql(),
+        "txt02_lang_id": _txt02_sql(),
+        "txt03_doc_quality": _txt03_sql(),
+        "txt04_fingerprint": _TXT04_SQL,
+        # x01/x02/x03: approximate / Pandas-UDF ops → rows-only check
+    }

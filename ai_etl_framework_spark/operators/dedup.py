@@ -110,12 +110,13 @@ def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
     Empty shingle set → array of NULLs (doc has no content).
     """
     sh = shingles(text, k)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}")))))
-            for i in range(num_hashes)
-        ]
-    )
+
+    def min_for_seed(seed: str):
+        # NB: single-arg lambda — a 2-arg lambda would make transform
+        # pass the array index as the second argument
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(seed)))))
+
+    return F.array(*[min_for_seed(f"#{i}") for i in range(num_hashes)])
 
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:

@@ -40,6 +40,11 @@ def get_spark(
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # permissive casts/arithmetic to mirror the reference's Python
+        # semantics (bad cast → None, not an error); operators also use
+        # try_cast so they stay correct under ANSI sessions
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -56,27 +61,57 @@ def get_spark(
     return builder.getOrCreate()
 
 
+# The driver-generated testdata stores timestamps as parquet
+# TIMESTAMP(NANOS), which Spark cannot read natively. We read them as
+# long (legacy conf, runtime-settable) and convert to real timestamps
+# (truncated to micros — exactly what DuckDB's CAST(ns AS TIMESTAMP)
+# does, keeping the oracle comparable).
+NANO_TS_COLUMNS: dict[str, list[str]] = {
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+    "events": ["ts"],
+}
+
+ALL_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one testdata table with nanos-timestamp repair.
+
+    Works on ANY SparkSession (the verification driver brings its
+    own), so the required confs are set at runtime here.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+
+    for c in NANO_TS_COLUMNS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Read the testdata star schema; returns {name: DataFrame}.
 
     Also registers each as a temp view so ``spark.sql`` works over the
     same names the DuckDB oracle uses.
     """
-    names = names or [
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "orders",
-        "lineitem",
-        "events",
-        "documents",
-        "embeddings",
-    ]
     out = {}
-    for n in names:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+    for n in names or ALL_TABLES:
+        df = load_table(spark, sf_dir, n)
         df.createOrReplaceTempView(n)
         out[n] = df
     return out
