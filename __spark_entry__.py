@@ -614,13 +614,10 @@ GROUP BY md5({_NORM})
 def dd02_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 hashes over 3-token shingles) using the
     engine-independent md5-hex minhash family."""
-    from ai_etl_framework_spark.operators.dedup import minhash_signature
+    from ai_etl_framework_spark.operators.dedup import minhash_signatures
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature(F.col("text"), num_hashes=8, k=3)
-    return docs.select(
-        "doc_id", *[F.element_at(sig, i + 1).alias(f"h{i}") for i in range(8)]
-    )
+    return minhash_signatures(docs, "doc_id", "text", num_hashes=8, k=3)
 
 
 def _dd02_sql() -> str:

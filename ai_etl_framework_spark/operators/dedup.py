@@ -60,24 +60,32 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one row per key. keep ∈ {keep_first, keep_last,
     keep_best_quality} (ref :314-346). Order sensitivity is explicit:
-    ``order_col`` defines "first"/"last" (SURVEY §7.4.1)."""
+    ``order_col`` defines "first"/"last" (SURVEY §7.4.1).
+
+    Physical shape: ONE aggregation — min_by/max_by of the whole
+    row-struct keyed by the dedup hash (struct buffer ⇒ SortAggregate,
+    which sorts each partition by key only). Unlike the window-
+    row_number formulation it combines map-side: partial_min_by runs
+    before the Exchange, so duplicates collapse before the shuffle —
+    at 100 TB the shuffle carries one row per key per input partition
+    instead of every input row — and AQE's skew handling applies."""
     work = df
+    cols = df.columns
     if order_col is None:
         order_col = "__row_order"
         work = work.withColumn(order_col, F.monotonically_increasing_id())
     key = record_key(df, match_fields)
+    row = F.struct(*[F.col(c) for c in cols])
     if keep == "keep_first":
-        order = [F.col(order_col).asc()]
+        picked = F.min_by(row, F.col(order_col))
     elif keep == "keep_last":
-        order = [F.col(order_col).desc()]
+        picked = F.max_by(row, F.col(order_col))
     elif keep == "keep_best_quality":
-        order = [F.col(quality_col).desc(), F.col(order_col).asc()]
+        # max quality wins, ties broken by earliest order
+        picked = F.min_by(row, F.struct(-F.col(quality_col), F.col(order_col)))
     else:
         raise ValueError(f"unknown merge strategy: {keep!r}")
-    w = Window.partitionBy(key).orderBy(*order)
-    out = work.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
-    if order_col == "__row_order":
-        out = out.drop("__row_order")
+    out = work.groupBy(key.alias("__key")).agg(picked.alias("__row")).select("__row.*")
     return out
 
 
@@ -103,11 +111,17 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
-    """Array of ``num_hashes`` minhash values (md5 hex strings).
+    """Array of ``num_hashes`` minhash values (md5 hex strings) as a
+    single expression.
 
     minhash_i = min over shingles of md5(shingle || '#i') — the md5
     family indexed by seed suffix. Engine-independent (see module doc).
     Empty shingle set → array of NULLs (doc has no content).
+
+    NOTE: fine for a few hashes inline; for signature TABLES use
+    ``minhash_signatures`` below — composing this expression per
+    element (element_at) duplicates the whole subtree and blows up
+    codegen.
     """
     sh = shingles(text, k)
 
@@ -119,15 +133,28 @@ def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
     return F.array(*[min_for_seed(f"#{i}") for i in range(num_hashes)])
 
 
-def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """Array of band-hash strings: band_b = md5(concat of its rows)."""
-    return F.array(
-        *[
-            F.md5(F.concat_ws("|", *[F.element_at(sig, b * rows_per_band + r + 1)
-                                     for r in range(rows_per_band)]))
-            for b in range(bands)
-        ]
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Signature table: one row per id, columns h0..h{n-1}.
+
+    Shape built for scale: explode shingles (1 row per shingle) then
+    ONE hash aggregation computing all mins map-side — tiny expression
+    tree, partial aggregation, no codegen blowup. Docs with no tokens
+    produce no row (same as the SQL oracle's group-by-over-unnest).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__s")
     )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("__s"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_candidates(
@@ -140,14 +167,25 @@ def minhash_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
-    One explode + one self-join on (band_idx, band_hash); shuffle is
-    on band hashes only. Returns distinct pairs.
+    signature table → band hashes (md5 of each band's rows) → explode
+    → self-join on (band_idx, band_hash); shuffle is on band hashes
+    only. Returns distinct pairs.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, k)
-    banded = df.select(
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
         F.col(id_col).alias("id"),
-        F.posexplode(minhash_bands(sig, bands, rows_per_band)).alias("band_idx", "band_hash"),
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
     ).where(F.col("band_hash").isNotNull())
     a = banded.alias("a")
     b = banded.alias("b")

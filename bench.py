@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing protocol: one JVM-warmup pass of the first query, then each
+query timed as plan-build + execution to completion (collect for
+small results, count for large ones — same work either way since
+every query here ends in an aggregation/limit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: core query surface + scale-relevant training-data ops
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_filter_spec",
+    "q03_join_revenue",
+    "q04_topk_customers",
+    "q07_agg_semantics",
+    "q12_dedup_exact",
+    "q13_rollup_by_date",
+    "q16_pivot_flag_qty",
+    "q17_window_events",
+    "dd03_minhash_band_pairs",
+    "dd04_ngram_jaccard",
+    "sim01_cosine_topk",
+    "txt03_doc_quality",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from ai_etl_framework_spark.session import get_spark
+
+    qs = entrymod.queries()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup (not timed)
+    qs[BENCH_QUERIES[0]](spark, SF_DIR).collect()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.collect()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
