@@ -870,6 +870,383 @@ _TXT04_SQL = f"SELECT doc_id, md5({_NORM}) AS fp FROM documents"
 
 
 # ---------------------------------------------------------------------------
+# q18-q27: second coverage wave (anomaly vote, null fill, column ops,
+# provider/diagnosis rollups, schema inference, CC dedup, search,
+# best-quality dedup, custom UDAF)
+# ---------------------------------------------------------------------------
+
+def q18_anomaly_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined anomaly vote: flagged by ≥2 of {z-score, IQR}
+    (anomaly_detector.py:326-355); shared threshold like the
+    reference's single `threshold` param."""
+    from ai_etl_framework_spark.operators import AnomalyDetector
+
+    events = load_table(spark, sf_dir, "events")
+    det = AnomalyDetector(method="combined", threshold=2.0, fields=["value"])
+    return det(events).filter(F.col("_meta_is_anomaly")).select("event_id")
+
+
+_Q18_SQL = """
+SELECT event_id
+FROM events,
+     (SELECT AVG(value) AS m, STDDEV_POP(value) AS s,
+             quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3,
+             COUNT(value) AS c
+      FROM events)
+WHERE value IS NOT NULL
+  AND (CASE WHEN c >= 3 AND s > 0 AND ABS((value - m) / s) > 2.0 THEN 1 ELSE 0 END
+     + CASE WHEN c >= 4 AND (q3 - q1) > 0
+             AND (value < q1 - 2.0 * (q3 - q1) OR value > q3 + 2.0 * (q3 - q1))
+            THEN 1 ELSE 0 END) >= 2
+"""
+
+
+def q19_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NullRemover drop_all then fill (null_remover.py:60-64, 74-80):
+    drop rows where ALL of (name, seg) are NULL/"", then fill seg with
+    'UNKNOWN' and bal with 0.0 — the ""≡NULL rule throughout."""
+    from ai_etl_framework_spark.operators import NullRemover
+
+    cust = load_table(spark, sf_dir, "customer")
+    derived = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("")).otherwise(F.col("c_name")).alias("name"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    out = NullRemover(strategy="drop_all", fields=["name", "seg"])(derived)
+    out = NullRemover(strategy="fill", fields=["seg"], fill_value="UNKNOWN")(out)
+    out = NullRemover(strategy="fill", fields=["bal"], fill_value=0.0)(out)
+    return out.select("c_custkey", "name", "seg", F.round("bal", 2).alias("bal"))
+
+
+_Q19_SQL = """
+WITH d AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN '' ELSE c_name END AS name,
+         NULLIF(c_mktsegment, 'BUILDING')                     AS seg,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer)
+SELECT c_custkey, name,
+       COALESCE(NULLIF(seg, ''), 'UNKNOWN') AS seg,
+       ROUND(COALESCE(bal, 0.0), 2)         AS bal
+FROM d
+WHERE NOT ((name IS NULL OR name = '') AND (seg IS NULL OR seg = ''))
+"""
+
+
+def q20_column_remover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColumnRemover precedence: keep > exact > prefix > regex
+    (column_remover.py:86-112) — '_meta_' prefix and 'seg' regex
+    removed, but keep_columns rescues c_mktsegment."""
+    from ai_etl_framework_spark.operators import ColumnRemover
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "_meta_score", F.col("c_acctbal") / 1000.0
+    )
+    remover = ColumnRemover(
+        columns=["c_nationkey"],
+        prefix="_meta_",
+        pattern="seg",
+        keep_columns=["c_mktsegment"],
+    )
+    return remover(cust)
+
+
+_Q20_SQL = "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"
+
+
+def q21_rollup_by_provider(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DashboardAggregator.by_provider: name-pattern auto-detection,
+    amount stats, LEFT-JOIN of mean quality, sort total_billed desc
+    (dashboard_aggregator.py:164-223)."""
+    from ai_etl_framework_spark.operators import DashboardAggregator
+
+    sup = load_table(spark, sf_dir, "supplier")
+    derived = sup.select(
+        F.col("s_nationkey").alias("provider_region"),   # 'prov' pattern
+        F.col("s_acctbal").alias("billed_amount"),       # 'billed' pattern
+        F.col("s_suppkey").alias("claim_id"),            # 'claim' pattern
+        ((F.col("s_suppkey") % 100) / 100.0).alias("_meta_quality_score"),
+    )
+    out = DashboardAggregator(derived).by_provider()
+    return out.select(
+        "provider_region",
+        "total_claims",
+        F.round("total_billed", 2).alias("total_billed"),
+        F.round("avg_billed", 4).alias("avg_billed"),
+        F.round("min_billed", 2).alias("min_billed"),
+        F.round("max_billed", 2).alias("max_billed"),
+        F.round("avg_quality_score", 6).alias("avg_quality_score"),
+    )
+
+
+_Q21_SQL = """
+SELECT s_nationkey                                   AS provider_region,
+       CAST(COUNT(s_suppkey) AS BIGINT)              AS total_claims,
+       ROUND(SUM(s_acctbal), 2)                      AS total_billed,
+       ROUND(AVG(s_acctbal), 4)                      AS avg_billed,
+       ROUND(MIN(s_acctbal), 2)                      AS min_billed,
+       ROUND(MAX(s_acctbal), 2)                      AS max_billed,
+       ROUND(AVG((s_suppkey % 100) / 100.0), 6)      AS avg_quality_score
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+def q22_rollup_by_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DashboardAggregator.by_diagnosis: count + sum/mean of detected
+    amount, sort count desc (dashboard_aggregator.py:225-272)."""
+    from ai_etl_framework_spark.operators import DashboardAggregator
+
+    part = load_table(spark, sf_dir, "part")
+    derived = part.select(
+        F.col("p_type").alias("diagnosis_code"),   # 'diagnosis' pattern
+        F.col("p_retailprice").alias("cost_amount"),  # 'amount' pattern
+        F.col("p_partkey").alias("record_id"),     # 'id' claim pattern
+    )
+    out = DashboardAggregator(derived).by_diagnosis()
+    return out.select(
+        "diagnosis_code",
+        "total_claims",
+        F.round("total_billed", 2).alias("total_billed"),
+        F.round("avg_billed", 4).alias("avg_billed"),
+    )
+
+
+_Q22_SQL = """
+SELECT p_type                              AS diagnosis_code,
+       CAST(COUNT(p_partkey) AS BIGINT)    AS total_claims,
+       ROUND(SUM(p_retailprice), 2)        AS total_billed,
+       ROUND(AVG(p_retailprice), 4)        AS avg_billed
+FROM part
+GROUP BY p_type
+"""
+
+
+def q23_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SchemaInferrer single-pass profiling (schema_inferrer.py:165-253):
+    null counts, distinct counts, dominant regex pattern ≥ 0.8,
+    enum suggestion ≤ 10 distinct, confidence = (type + pattern)/2."""
+    from ai_etl_framework_spark.operators import SchemaInferrer
+
+    cust = load_table(spark, sf_dir, "customer")
+    derived = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("not-an-email"))
+        .otherwise(
+            F.concat(
+                F.regexp_replace(F.lower(F.col("c_name")), "[^a-z0-9]", ""),
+                F.lit("@example.com"),
+            )
+        )
+        .alias("email"),
+        F.concat(
+            F.lit("2024-01-"), F.lpad((F.col("c_custkey") % 28 + 1).cast("string"), 2, "0")
+        ).alias("iso_date"),
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    info = SchemaInferrer().infer(derived)
+    rows = []
+    for col in derived.columns:
+        i = info[col]
+        rows.append(
+            (
+                col,
+                int(i["null_count"]),
+                int(i["distinct_count"]),
+                i.get("pattern"),
+                round(float(i["confidence"]), 6),
+                ",".join(i["enum_values"]) if "enum_values" in i else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "col string, null_count long, distinct_count long, pattern string, "
+        "confidence double, enum_vals string",
+    )
+
+
+_Q23_SQL = """
+WITH d AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN 'not-an-email'
+              ELSE regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') || '@example.com'
+         END AS email,
+         '2024-01-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0') AS iso_date,
+         c_mktsegment AS seg,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer),
+stats AS (
+  SELECT 'c_custkey' AS col, CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS null_count,
+         CAST(COUNT(DISTINCT CAST(c_custkey AS VARCHAR)) AS BIGINT) AS distinct_count,
+         NULL AS pattern, 1.0 AS confidence, COUNT(DISTINCT c_custkey) AS nd,
+         list_sort(list(DISTINCT CAST(c_custkey AS VARCHAR))) AS vals
+  FROM d
+  UNION ALL
+  SELECT 'email', CAST(COUNT(*) - COUNT(email) AS BIGINT),
+         CAST(COUNT(DISTINCT email) AS BIGINT),
+         CASE WHEN AVG(CASE WHEN regexp_matches(email, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$') THEN 1.0 ELSE 0.0 END) >= 0.8 THEN 'email' END,
+         CASE WHEN AVG(CASE WHEN regexp_matches(email, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$') THEN 1.0 ELSE 0.0 END) >= 0.8
+              THEN (1.0 + AVG(CASE WHEN regexp_matches(email, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$') THEN 1.0 ELSE 0.0 END)) / 2
+              ELSE 1.0 END,
+         COUNT(DISTINCT email), list_sort(list(DISTINCT email))
+  FROM d
+  UNION ALL
+  SELECT 'iso_date', CAST(COUNT(*) - COUNT(iso_date) AS BIGINT),
+         CAST(COUNT(DISTINCT iso_date) AS BIGINT),
+         CASE WHEN AVG(CASE WHEN regexp_matches(iso_date, '^\\d{4}-\\d{2}-\\d{2}$') THEN 1.0 ELSE 0.0 END) >= 0.8 THEN 'date_iso' END,
+         CASE WHEN AVG(CASE WHEN regexp_matches(iso_date, '^\\d{4}-\\d{2}-\\d{2}$') THEN 1.0 ELSE 0.0 END) >= 0.8
+              THEN (1.0 + AVG(CASE WHEN regexp_matches(iso_date, '^\\d{4}-\\d{2}-\\d{2}$') THEN 1.0 ELSE 0.0 END)) / 2
+              ELSE 1.0 END,
+         COUNT(DISTINCT iso_date), list_sort(list(DISTINCT iso_date))
+  FROM d
+  UNION ALL
+  SELECT 'seg', CAST(COUNT(*) - COUNT(seg) AS BIGINT),
+         CAST(COUNT(DISTINCT seg) AS BIGINT),
+         NULL, 1.0, COUNT(DISTINCT seg), list_sort(list(DISTINCT seg))
+  FROM d
+  UNION ALL
+  SELECT 'bal', CAST(COUNT(*) - COUNT(bal) AS BIGINT),
+         CAST(COUNT(DISTINCT bal) AS BIGINT),
+         NULL, 1.0, COUNT(DISTINCT bal), list_sort(list(DISTINCT CAST(bal AS VARCHAR)))
+  FROM d)
+SELECT col, null_count, distinct_count, pattern,
+       ROUND(confidence, 6) AS confidence,
+       CASE WHEN nd <= 10 THEN array_to_string(vals, ',') END AS enum_vals
+FROM stats
+"""
+
+
+def q24_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components near-dup removal — the scalable (100 TB)
+    alternative to the reference's greedy scan-order grouping
+    (SURVEY §7.4.7): iterative min-label propagation over the
+    Jaccard≥0.5 pair graph, keep each component's smallest doc_id."""
+    from ai_etl_framework_spark.operators.dedup import (
+        dedup_connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    return dedup_connected_components(docs, "doc_id", pairs).select("doc_id")
+
+
+_Q24_SQL = f"""
+WITH RECURSIVE d AS (SELECT doc_id, {_SHINGLES} AS shl FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(shl) AS s FROM d),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN counts ca ON id_a = ca.doc_id
+          JOIN counts cb ON id_b = cb.doc_id
+          WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.5),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM labels WHERE id != label)
+"""
+
+
+def q25_distinct_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct filter-values with ILIKE search (the `search` branch of
+    duckdb_service.py:507-562, escaped %/_)."""
+    part = load_table(spark, sf_dir, "part")
+    c = F.col("p_type")
+    return (
+        part.select(c.alias("value"))
+        .where(c.isNotNull() & c.cast("string").ilike("%om%"))
+        .distinct()
+        .orderBy(F.col("value").asc())
+        .limit(50)
+    )
+
+
+_Q25_SQL = """
+SELECT DISTINCT p_type AS value
+FROM part
+WHERE p_type IS NOT NULL AND CAST(p_type AS VARCHAR) ILIKE '%om%'
+ORDER BY value
+LIMIT 50
+"""
+
+
+def q26_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep_best_quality: max quality wins, earliest order
+    breaks ties (deduplicator.py:314-346 keep_best_quality)."""
+    from ai_etl_framework_spark.operators.dedup import exact_dedup
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_linenumber").cast("long") * 10000
+         + F.round(F.col("l_quantity") * 100).cast("long")).alias("__ord"),
+        ((F.col("l_partkey") % 97) / 97.0).alias("q"),
+    )
+    out = exact_dedup(
+        li, match_fields=["l_orderkey"], keep="keep_best_quality",
+        order_col="__ord", quality_col="q",
+    )
+    return out.select("l_orderkey", "l_linenumber", F.round("q", 6).alias("q"))
+
+
+_Q26_SQL = """
+SELECT l_orderkey, l_linenumber, ROUND(q, 6) AS q
+FROM (SELECT l_orderkey, l_linenumber,
+             (l_partkey % 97) / 97.0 AS q,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY (l_partkey % 97) / 97.0 DESC,
+                        l_linenumber * 10000 + CAST(ROUND(l_quantity * 100, 0) AS BIGINT)
+             ) AS rn
+      FROM lineitem)
+WHERE rn = 1
+"""
+
+
+def q27_agg_custom_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-registered custom aggregation function — an Arrow-batched
+    pandas UDAF (ref aggregator.py:302-321 add_custom_function).
+    Median matches DuckDB quantile_cont (linear interpolation)."""
+    import pandas as pd
+
+    from ai_etl_framework_spark.operators import Aggregator
+
+    agg = Aggregator(
+        group_by=["l_returnflag"],
+        aggregations={"median_qty_raw": {"field": "l_quantity", "function": "median"}},
+    )
+
+    def median_fn(s: pd.Series) -> float:
+        return float(s.median())
+
+    agg.add_custom_function("median", median_fn)
+    li = load_table(spark, sf_dir, "lineitem")
+    return agg(li).select("l_returnflag", F.round("median_qty_raw", 4).alias("median_qty"))
+
+
+_Q27_SQL = """
+SELECT l_returnflag, ROUND(median(l_quantity), 4) AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # rows-only checks (non-SQL-expressible: ANN probing, Pandas-UDF media)
 # ---------------------------------------------------------------------------
 
@@ -927,6 +1304,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_profile_stats": q15_profile_stats,
         "q16_pivot_flag_qty": q16_pivot_flag_qty,
         "q17_window_events": q17_window_events,
+        "q18_anomaly_combined": q18_anomaly_combined,
+        "q19_null_handling": q19_null_handling,
+        "q20_column_remover": q20_column_remover,
+        "q21_rollup_by_provider": q21_rollup_by_provider,
+        "q22_rollup_by_diagnosis": q22_rollup_by_diagnosis,
+        "q23_schema_infer": q23_schema_infer,
+        "q24_dedup_cc": q24_dedup_cc,
+        "q25_distinct_search": q25_distinct_search,
+        "q26_dedup_best_quality": q26_dedup_best_quality,
+        "q27_agg_custom_udaf": q27_agg_custom_udaf,
         "dd01_exact_text_dedup": dd01_exact_text_dedup,
         "dd02_minhash_sig": dd02_minhash_sig,
         "dd03_minhash_band_pairs": dd03_minhash_band_pairs,
@@ -963,6 +1350,16 @@ def oracle_sql() -> dict[str, str]:
         "q15_profile_stats": _Q15_SQL,
         "q16_pivot_flag_qty": _Q16_SQL,
         "q17_window_events": _Q17_SQL,
+        "q18_anomaly_combined": _Q18_SQL,
+        "q19_null_handling": _Q19_SQL,
+        "q20_column_remover": _Q20_SQL,
+        "q21_rollup_by_provider": _Q21_SQL,
+        "q22_rollup_by_diagnosis": _Q22_SQL,
+        "q23_schema_infer": _Q23_SQL,
+        "q24_dedup_cc": _Q24_SQL,
+        "q25_distinct_search": _Q25_SQL,
+        "q26_dedup_best_quality": _Q26_SQL,
+        "q27_agg_custom_udaf": _Q27_SQL,
         "dd01_exact_text_dedup": _DD01_SQL,
         "dd02_minhash_sig": _dd02_sql(),
         "dd03_minhash_band_pairs": _dd03_sql(),

@@ -76,17 +76,15 @@ class Aggregator:
         self.keep_group_fields = keep_group_fields
         self.order_col = order_col
         self.custom: dict[str, Callable] = {}
-        for spec in self.aggregations.values():
-            fn = spec["function"]
-            if fn not in AGG_FUNCTIONS and fn not in self.custom:
-                raise ValueError(f"unknown aggregation function: {fn!r}")
 
     def add_custom_function(self, name: str, fn: Callable, return_type: str = "double") -> None:
         """Runtime-registered aggregate (ref :302-321): ``fn`` is a
-        pandas Series → scalar, executed as an Arrow-batched UDAF."""
-        from pyspark.sql.functions import pandas_udf
+        pandas Series → scalar, executed as an Arrow-batched UDAF.
+        GROUPED_AGG is passed explicitly so callers don't need
+        resolvable type hints on ``fn``."""
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-        self.custom[name] = pandas_udf(fn, return_type)
+        self.custom[name] = pandas_udf(fn, return_type, PandasUDFType.GROUPED_AGG)
 
     def _expr(self, out: str, field: str, fn: str, order: Column) -> Column:
         c = F.col(field)
@@ -110,8 +108,12 @@ class Aggregator:
             e = F.array_join(_ordered_vals(c.cast("string"), order, keep_nulls=False), ", ")
         elif fn == "list":
             e = _ordered_vals(c, order, keep_nulls=False)
-        else:
+        elif fn in self.custom:
             e = self.custom[fn](c)
+        else:
+            # validated here, not in __init__, so add_custom_function can
+            # register after construction (ref add_custom_function :302-321)
+            raise ValueError(f"unknown aggregation function: {fn!r}")
         if fn in ("sum", "avg", "min", "max"):
             e = e.cast("double")  # output typing rule (ref :275-292)
         return e.alias(out)
