@@ -1270,6 +1270,28 @@ def x02_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "embedding", "vec_id", "label", [float(x) for x in query], k=10, nprobe=3)
 
 
+def x04_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation-forest anomaly flags (deterministic seeded numpy
+    implementation — operators/iforest.py; sklearn path used when
+    available). Algorithmic approximation → rows-only check."""
+    from ai_etl_framework_spark.operators import AnomalyDetector
+
+    events = load_table(spark, sf_dir, "events")
+    det = AnomalyDetector(method="isolation_forest", fields=["value", "user_id"])
+    return det(events).filter(F.col("_meta_is_anomaly")).select("event_id")
+
+
+def x05_iforest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB isolation-forest path: fit on a bounded driver-side
+    sample, broadcast the forest, score per-partition with mapInPandas
+    (no shuffle). Rows-only (sampling-dependent)."""
+    from ai_etl_framework_spark.operators.iforest import fit_sample_predict_distributed
+
+    events = load_table(spark, sf_dir, "events")
+    out = fit_sample_predict_distributed(events, ["value", "user_id"], sample_rows=5000)
+    return out.filter(F.col("_meta_is_anomaly")).select("event_id", "_meta_anomaly_score")
+
+
 def x03_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary blobs → Arrow-batched mapInPandas
     feature extraction (functions/multimodal.py; decode kernel is a
@@ -1328,6 +1350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x01_lsh_topk": x01_lsh_topk,
         "x02_ivf_topk": x02_ivf_topk,
         "x03_media_features": x03_media_features,
+        "x04_isolation_forest": x04_isolation_forest,
+        "x05_iforest_distributed": x05_iforest_distributed,
     }
 
 

@@ -14,8 +14,10 @@ from ai_etl_framework_spark.operators.quality import QualityScorer
 from ai_etl_framework_spark.operators.anomaly import AnomalyDetector, AnomalySplitter
 from ai_etl_framework_spark.operators.rollups import DashboardAggregator
 from ai_etl_framework_spark.operators.schema_inferrer import SchemaInferrer
+from ai_etl_framework_spark.operators.metadata_columns import MetadataToColumns
 
 __all__ = [
+    "MetadataToColumns",
     "NullRemover",
     "ColumnRemover",
     "Aggregator",

@@ -168,11 +168,13 @@ class AnomalyDetector:
     def _isolation_forest(self, df: DataFrame, fields: Sequence[str]) -> DataFrame:
         try:
             from sklearn.ensemble import IsolationForest  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "isolation_forest needs scikit-learn (not in this container); "
-                "use method='statistical'/'iqr'/'combined' instead"
-            ) from e
+        except ImportError:
+            # deterministic numpy re-implementation (same paper, same
+            # seed/contamination defaults; not bit-identical to sklearn
+            # — see operators/iforest.py module doc)
+            from ai_etl_framework_spark.operators.iforest import fit_predict_global
+
+            return fit_predict_global(df, fields)
         import pandas as pd
 
         schema = T.StructType(df.schema.fields + [T.StructField("_meta_is_anomaly", T.BooleanType())])

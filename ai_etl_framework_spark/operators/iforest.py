@@ -1,0 +1,204 @@
+"""Deterministic numpy isolation forest (no sklearn in this container).
+
+Reference: src/transformers/analyzers/anomaly_detector.py:265-324 pins
+sklearn IsolationForest(contamination=0.1, n_estimators=100,
+random_state=42) with column-mean imputation of NULLs (:298-302).
+sklearn is not installed here, so this module re-implements the
+algorithm from the published paper (Liu, Ting, Zhou, "Isolation
+Forest", ICDM 2008): random axis-parallel splits on subsamples of
+≤256 rows, anomaly score 2^(-E[h(x)]/c(ψ)), flag the top
+`contamination` fraction. Seeded RandomState → fully deterministic,
+but NOT bit-identical to sklearn (different RNG consumption order) —
+documented divergence; the sklearn path in `anomaly.py` is used when
+available.
+
+Execution shape (two modes):
+- `fit_predict_global`: ONE applyInPandas group = the reference's
+  global-model semantics. Correct at test scale; the whole table
+  passes through a single task.
+- scale mode (100 TB): `fit` the forest on a driver-side sample
+  (`df.sample(...).toPandas()`, bounded), broadcast the fitted trees
+  (plain nested lists — cheaply picklable), then `predict` inside
+  `mapInPandas` — embarrassingly parallel, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+
+EULER = 0.5772156649015329
+
+
+def _c(n: float) -> float:
+    """Average path length of an unsuccessful BST search (paper eq. 1)."""
+    if n <= 1:
+        return 0.0
+    return 2.0 * (math.log(n - 1) + EULER) - 2.0 * (n - 1) / n
+
+
+def _build_tree(x: np.ndarray, rng: np.random.RandomState, depth: int, limit: int):
+    """Nested-tuple iTree: (feature, split, left, right) | leaf size."""
+    n = x.shape[0]
+    if depth >= limit or n <= 1:
+        return n
+    f = int(rng.randint(x.shape[1]))
+    lo, hi = x[:, f].min(), x[:, f].max()
+    if lo == hi:
+        return n
+    s = float(rng.uniform(lo, hi))
+    mask = x[:, f] < s
+    return (f, s, _build_tree(x[mask], rng, depth + 1, limit),
+            _build_tree(x[~mask], rng, depth + 1, limit))
+
+
+def _path_length(row: np.ndarray, node, depth: int = 0) -> float:
+    while not isinstance(node, int):
+        f, s, left, right = node
+        node = left if row[f] < s else right
+        depth += 1
+    return depth + _c(node)
+
+
+class IsolationForestNp:
+    def __init__(
+        self,
+        n_estimators: int = 100,
+        max_samples: int = 256,
+        contamination: float = 0.1,
+        random_state: int = 42,
+    ) -> None:
+        self.n_estimators = n_estimators
+        self.max_samples = max_samples
+        self.contamination = contamination
+        self.random_state = random_state
+        self.trees: list = []
+        self.psi: int = 0
+
+    def fit(self, x: np.ndarray) -> "IsolationForestNp":
+        rng = np.random.RandomState(self.random_state)
+        n = x.shape[0]
+        self.psi = min(self.max_samples, n)
+        limit = math.ceil(math.log2(max(self.psi, 2)))
+        self.trees = []
+        for _ in range(self.n_estimators):
+            idx = rng.choice(n, self.psi, replace=False) if n > self.psi else np.arange(n)
+            self.trees.append(_build_tree(x[idx], rng, 0, limit))
+        return self
+
+    def score(self, x: np.ndarray) -> np.ndarray:
+        cn = _c(self.psi)
+        if cn == 0:
+            return np.zeros(x.shape[0])
+        depths = np.array(
+            [[_path_length(row, t) for t in self.trees] for row in x]
+        ).mean(axis=1)
+        return np.power(2.0, -depths / cn)
+
+    def fit_predict(self, x: np.ndarray) -> np.ndarray:
+        """True = anomaly (top `contamination` fraction by score)."""
+        self.fit(x)
+        scores = self.score(x)
+        k = max(1, int(round(self.contamination * x.shape[0])))
+        threshold = np.partition(scores, -k)[-k]
+        return scores >= threshold
+
+
+def impute_mean(x: np.ndarray) -> np.ndarray:
+    """Column-mean imputation of NaNs (ref :298-302)."""
+    means = np.nanmean(x, axis=0)
+    means = np.where(np.isnan(means), 0.0, means)
+    idx = np.where(np.isnan(x))
+    x = x.copy()
+    x[idx] = np.take(means, idx[1])
+    return x
+
+
+def fit_predict_global(
+    df,
+    fields: Sequence[str],
+    contamination: float = 0.1,
+    n_estimators: int = 100,
+    random_state: int = 42,
+):
+    """Global-model fit+predict as a single applyInPandas group —
+    the reference's semantics (one model over the whole batch)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("_meta_is_anomaly", T.BooleanType())]
+    )
+    cols = list(fields)
+
+    def run(pdf):
+        x = impute_mean(pdf[cols].astype(float).to_numpy())
+        model = IsolationForestNp(
+            n_estimators=n_estimators,
+            contamination=contamination,
+            random_state=random_state,
+        )
+        pdf = pdf.drop(columns=["__g"])
+        pdf["_meta_is_anomaly"] = model.fit_predict(x)
+        return pdf
+
+    return (
+        df.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(run, schema=schema)
+        .drop("__g")
+    )
+
+
+def fit_sample_predict_distributed(
+    df,
+    fields: Sequence[str],
+    sample_rows: int = 100_000,
+    contamination: float = 0.1,
+    n_estimators: int = 100,
+    random_state: int = 42,
+    threshold: Optional[float] = None,
+):
+    """The 100 TB path: fit on a bounded driver-side sample, broadcast
+    the forest, score per-partition with mapInPandas (no shuffle).
+    The flag threshold comes from the sample's score quantile (or an
+    explicit ``threshold``), since a global top-k needs a sort."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = list(fields)
+    n = df.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    sample = df.select(*cols).sample(fraction=frac, seed=random_state).toPandas()
+    x = impute_mean(sample.astype(float).to_numpy())
+    model = IsolationForestNp(
+        n_estimators=n_estimators, contamination=contamination, random_state=random_state
+    ).fit(x)
+    if threshold is None:
+        scores = model.score(x)
+        threshold = float(np.quantile(scores, 1.0 - contamination))
+    means = np.nanmean(x, axis=0)
+
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("_meta_anomaly_score", T.DoubleType()),
+            T.StructField("_meta_is_anomaly", T.BooleanType()),
+        ]
+    )
+
+    def score_partition(batches):
+        for pdf in batches:
+            xb = pdf[cols].astype(float).to_numpy()
+            idx = np.where(np.isnan(xb))
+            xb[idx] = np.take(means, idx[1])
+            s = model.score(xb)
+            out = pdf.copy()
+            out["_meta_anomaly_score"] = s
+            out["_meta_is_anomaly"] = s >= threshold
+            yield out
+
+    return df.mapInPandas(score_partition, schema=schema)
