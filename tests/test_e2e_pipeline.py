@@ -1,0 +1,176 @@
+"""End-to-end replication of the reference's flagship test
+(tests/test_comprehensive_pipeline.py, SURVEY §5): the full
+9-transformer medical-claims pipeline — schema inference, null
+cleanup, dedup, anomaly detection, quality scoring, metadata
+materialization, quarantine routing, dashboard rollups, meta-column
+removal, CSV gold output — expressed as ONE lazy DataFrame chain.
+
+The claims table is derived deterministically from the orders test
+table with injected defects (dups, empty strings, nulls, outlier
+amounts), so every stage has observable work to do and every count
+asserted below is stable.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_framework_spark.operators import (
+    AnomalyDetector,
+    AnomalySplitter,
+    ColumnRemover,
+    DashboardAggregator,
+    Deduplicator,
+    MetadataToColumns,
+    NullRemover,
+    QualityScorer,
+    SchemaInferrer,
+)
+from ai_etl_framework_spark.pipeline.pipeline import Pipeline
+
+
+@pytest.fixture(scope="module")
+def claims(spark, sf_dir):
+    """Medical-claims-shaped frame with injected defects."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    base = orders.select(
+        F.col("o_orderkey").alias("claim_id"),
+        F.concat(F.lit("DR_"), (F.col("o_custkey") % 20).cast("string")).alias("provider_name"),
+        F.concat(F.lit("ICD-"), (F.col("o_orderkey") % 7).cast("string")).alias("diagnosis_code"),
+        # outliers: every 100th claim is inflated far past any normal bill
+        F.when(F.col("o_orderkey") % 100 == 0, F.col("o_totalprice") + 10_000_000)
+        .otherwise(F.col("o_totalprice"))
+        .alias("billed_amount"),
+        F.col("o_orderdate").cast("date").cast("string").alias("service_date"),
+        # empty strings: every 10th claim has no status
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("")).otherwise(F.col("o_orderstatus")).alias(
+            "status"
+        ),
+        # a column that is entirely null/empty (remove_fields must drop it)
+        F.lit("").alias("legacy_code"),
+        F.col("o_orderkey").alias("__ord"),
+    )
+    # duplicates: re-append ~10% of claims with a later __ord
+    dups = base.filter(F.col("claim_id") % 10 == 3).withColumn(
+        "__ord", F.col("__ord") + 10_000_000
+    )
+    return base.unionByName(dups)
+
+
+def test_comprehensive_pipeline(claims, spark, tmp_path):
+    n_input = claims.count()
+    n_dups = claims.count() - claims.select("claim_id").distinct().count()
+    assert n_dups > 0, "fixture must contain duplicates"
+
+    quarantine = str(tmp_path / "quarantine")
+    gold_dir = str(tmp_path / "gold")
+    rollup_dir = str(tmp_path / "rollups")
+
+    inferrer = SchemaInferrer()
+    steps = [
+        NullRemover(strategy="remove_fields"),            # drops legacy_code
+        Deduplicator(match_mode="exact", match_fields=["claim_id"],
+                     merge_strategy="keep_first", order_col="__ord"),
+        AnomalyDetector(method="combined", threshold=2.0, fields=["billed_amount"]),
+        QualityScorer(),
+        MetadataToColumns(),
+        AnomalySplitter(quarantine, fmt="csv"),
+    ]
+
+    pipe = Pipeline(pipeline_id="claims_e2e").extract(claims)
+    for s in steps:
+        pipe = pipe.transform(s)
+    df = pipe.dataframe()
+
+    # --- run the chain (one action materializes everything) ----------
+    clean = df.cache()
+    n_clean = clean.count()
+
+    # schema inference works on the cleaned frame (one aggregate pass)
+    info = inferrer.infer(clean.drop("__ord"))
+    assert info["claim_id"]["nullable"] is False
+    assert info["service_date"]["pattern"] == "date_iso"
+    assert info["diagnosis_code"]["distinct_count"] == 7
+    assert "enum_values" in info["diagnosis_code"]
+
+    # dedup: one row per claim_id, keep_first means original __ord kept
+    n_unique = clean.select("claim_id").distinct().count()
+    assert n_clean == n_unique
+    kept_ord_max = clean.agg(F.max("__ord")).first()[0]
+    assert kept_ord_max < 10_000_000, "keep_first must keep the original rows"
+
+    # legacy_code (100% empty) dropped by remove_fields
+    assert "legacy_code" not in clean.columns
+    # partially-empty status column survives (documented divergence)
+    assert "status" in clean.columns
+
+    # quarantine got the anomalies; clean frame has none
+    assert clean.filter(F.col("_meta_is_anomaly")).count() == 0
+    qfiles = glob.glob(os.path.join(quarantine, "*.csv"))
+    assert qfiles, "quarantine CSV must exist"
+    qdf = spark.read.option("header", True).csv(quarantine)
+    n_quarantined = qdf.count()
+    assert n_quarantined > 0
+    # combined vote at t=2.0 must flag the inflated outliers
+    flagged_ids = {int(r.claim_id) for r in qdf.select("claim_id").collect()}
+    outlier_ids = {
+        r.claim_id
+        for r in claims.filter(F.col("claim_id") % 100 == 0).select("claim_id").collect()
+    }
+    assert outlier_ids <= flagged_ids
+
+    # conservation: clean + quarantined = deduped input
+    deduped_total = (
+        claims.count() - n_dups
+    )
+    assert n_clean + n_quarantined == deduped_total
+
+    # quality scores materialized, rounded to 4dp, within [0,1]
+    stats = clean.agg(
+        F.min("_meta_quality_score").alias("lo"), F.max("_meta_quality_score").alias("hi")
+    ).first()
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+    # --- rollups (4 parquet summaries over the cached clean frame) ---
+    DashboardAggregator(clean).write(rollup_dir)
+    for name in ("claims_summary", "claims_by_provider", "claims_by_diagnosis", "claims_by_date"):
+        assert glob.glob(os.path.join(rollup_dir, name, "*.parquet")), name
+    by_provider = spark.read.parquet(os.path.join(rollup_dir, "claims_by_provider"))
+    assert by_provider.count() == 20  # DR_0..DR_19
+    assert "avg_quality_score" in by_provider.columns  # quality left-join ran
+
+    summary = spark.read.parquet(os.path.join(rollup_dir, "claims_summary")).first()
+    assert summary.total_claims == n_clean
+    assert summary.anomaly_count == 0  # splitter already removed them
+
+    # --- gold output: no _meta_ columns, CSV written ------------------
+    gold = ColumnRemover(prefix="_meta_")(clean.drop("__ord"))
+    assert not [c for c in gold.columns if c.startswith("_meta_")]
+    gold.write.mode("overwrite").option("header", True).csv(gold_dir)
+    out = spark.read.option("header", True).csv(gold_dir)
+    assert out.count() == n_clean
+    assert sorted(out.columns) == sorted(gold.columns)
+
+    clean.unpersist()
+
+
+def test_pipeline_facade_multi_destination(claims, tmp_path):
+    """Pipeline.run with two loads caches once and reports counts."""
+    dest1 = str(tmp_path / "bi.parquet")
+    dest2 = str(tmp_path / "rag.csv")
+    result = (
+        Pipeline(pipeline_id="dual")
+        .extract(claims.select("claim_id", "billed_amount"))
+        .transform(NullRemover(strategy="drop"))
+        .load(lambda df: df.write.mode("overwrite").parquet(dest1))
+        .load(lambda df: df.write.mode("overwrite").option("header", True).csv(dest2))
+        .run()
+    )
+    assert result.success, result.errors
+    assert result.records_loaded > 0
+    assert os.path.isdir(dest1) and os.path.isdir(dest2)
+    assert "plan" in result.stage_durations and "execute" in result.stage_durations
