@@ -227,11 +227,13 @@ def q07_agg_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit order column."""
     from ai_etl_framework_spark.operators import Aggregator
 
+    from ai_etl_framework_spark.session import widen
+
     # (l_orderkey, l_linenumber) is NOT unique in this data — use a
     # row hash over the discrete columns as the input-order key; rows
     # tied on it are identical in l_linestatus, so first/last/concat
     # stay deterministic.
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
+    li = widen(load_table(spark, sf_dir, "lineitem")).withColumn(
         "__ord",
         F.md5(
             F.concat_ws(
@@ -416,10 +418,14 @@ def q12_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # l_linenumber alone is not unique per order in this data; the
     # order key folds in quantity so tied rows are identical in every
     # projected column → deterministic in both engines.
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "__ord",
-        F.col("l_linenumber").cast("long") * 10000
-        + F.round(F.col("l_quantity") * 100).cast("long"),
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (
+            F.col("l_linenumber").cast("long") * 10000
+            + F.round(F.col("l_quantity") * 100).cast("long")
+        ).alias("__ord"),
     )
     out = exact_dedup(li, match_fields=["l_orderkey"], keep="keep_first", order_col="__ord")
     return out.select("l_orderkey", "l_linenumber", "l_quantity")

@@ -74,7 +74,15 @@ def exact_dedup(
     if order_col is None:
         order_col = "__row_order"
         work = work.withColumn(order_col, F.monotonically_increasing_id())
-    key = record_key(df, match_fields)
+    # explicit match_fields → group directly on the natural columns
+    # (cheaper than hashing: no md5 per row, and the shuffle key is the
+    # raw values). The md5 record key is only needed for the
+    # "all fields, canonical" mode where the reference hashes sorted
+    # (field, value) items.
+    if match_fields:
+        keys = [F.col(c).alias(f"__k_{c}") for c in match_fields]
+    else:
+        keys = [record_key(df, None).alias("__key")]
     row = F.struct(*[F.col(c) for c in cols])
     if keep == "keep_first":
         picked = F.min_by(row, F.col(order_col))
@@ -85,7 +93,7 @@ def exact_dedup(
         picked = F.min_by(row, F.struct(-F.col(quality_col), F.col(order_col)))
     else:
         raise ValueError(f"unknown merge strategy: {keep!r}")
-    out = work.groupBy(key.alias("__key")).agg(picked.alias("__row")).select("__row.*")
+    out = work.groupBy(*keys).agg(picked.alias("__row")).select("__row.*")
     return out
 
 
@@ -147,7 +155,9 @@ def minhash_signatures(
     tree, partial aggregation, no codegen blowup. Docs with no tokens
     produce no row (same as the SQL oracle's group-by-over-unnest).
     """
-    sh = df.select(
+    from ai_etl_framework_spark.session import widen
+
+    sh = widen(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__s")
     )
     aggs = [
@@ -211,34 +221,81 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact k-shingle Jaccard similarity for pairs above ``threshold``.
 
-    |A∩B| via an explode + self-join on the shingle value, |A∪B| =
-    |A| + |B| − |A∩B|. When ``candidates`` (e.g. from LSH) is given,
-    the shingle join is pre-filtered to those pairs, keeping the
-    worst-case quadratic blowup bounded at scale.
+    Physical shape (PPJoin-style, EXACT — no approximation):
+
+    1. candidate generation by **prefix filtering**: order each doc's
+       shingles by global document frequency (rarest first); a doc of
+       n shingles indexes only its first n − ⌈t·n⌉ + 1. Two docs with
+       J ≥ t MUST share a prefix shingle (Xiao et al., WWW'08), so
+       joining prefixes loses nothing — but hot shingles (the
+       quadratic killers in a naive shingle self-join) almost never
+       appear in prefixes, collapsing the candidate space. A
+       size-ratio prune (J ≥ t ⇒ t·|B| ≤ |A|) cuts it further.
+    2. verification: join candidate pairs to the per-doc shingle
+       ARRAYS (shuffle on id — linear) and compute the exact
+       intersection with array_intersect. |A∪B| = |A|+|B|−|A∩B|.
+
+    When ``candidates`` (e.g. LSH bands) is supplied, step 1 is
+    skipped and those pairs are verified instead.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), k).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
-    exploded = sh.select("id", "n_sh", F.explode("sh").alias("s"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    joined = a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-    if candidates is not None:
-        joined = joined.join(
-            F.broadcast(candidates),
-            (F.col("a.id") == F.col("id_a")) & (F.col("b.id") == F.col("id_b")),
-            "left_semi",
+    from ai_etl_framework_spark.session import widen
+
+    # NB: no n_sh>0 filter here — a filter would be pushed through the
+    # widen() exchange by Catalyst, forcing the shingle expression to
+    # evaluate on the narrow pre-exchange side. Empty-shingle docs are
+    # harmless: explode drops them from candidate generation, and
+    # verification only joins candidate ids.
+    sh_sets = (
+        widen(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")))
+        .select("id", shingles(F.col("__txt"), k).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
+    # the shingle table feeds candidate generation AND both sides of
+    # verification — persist so the (expensive) text→shingles pass runs
+    # once; Spark's LRU evicts the blocks when memory is needed
+    sh_sets = sh_sets.persist()
+    if candidates is None:
+        exploded = sh_sets.select("id", "n_sh", F.explode("sh").alias("s"))
+        freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
+        prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        pref = (
+            exploded.join(freq, "s")
+            .withColumn("pos", F.row_number().over(w))
+            .where(F.col("pos") <= prefix_len)
+            .select("id", "n_sh", "s")
         )
-    inter = joined.groupBy(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.col("a.n_sh").alias("n_a"),
-        F.col("b.n_sh").alias("n_b"),
-    ).agg(F.count(F.lit(1)).alias("n_inter"))
+        a = pref.alias("a")
+        b = pref.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.id") < F.col("b.id"))
+                # size-ratio prune: J ≥ t ⇒ sizes within factor t
+                & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
+                & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    # verification: exact intersection over the shingle arrays
+    pairs = (
+        candidates.join(
+            sh_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                           F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sh_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                           F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -103,6 +103,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def widen(df, min_partitions: int | None = None):
+    """Repartition a narrow input up to the session's parallelism
+    before CPU-heavy per-row work (shingling, hashing, vector math).
+
+    Locally a small parquet file arrives as ONE split, serializing
+    expensive projections onto one core; a cheap round-robin exchange
+    unlocks the other 31. On a real cluster inputs already have many
+    splits, so this is a no-op — the check costs nothing."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Read the testdata star schema; returns {name: DataFrame}.
 

@@ -58,6 +58,29 @@ def main() -> None:
         df.collect()
         times[name] = round(time.perf_counter() - t0, 4)
 
+    # pipeline throughput vs the reference's 13.5k rec/s single-node
+    # best (BASELINE.md): clean → quality-score → parquet write
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.operators import NullRemover, QualityScorer
+    from ai_etl_framework_spark.session import load_table
+
+    out_dir = tempfile.mkdtemp(prefix="bench_gold_")
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        n_rows = orders.count()
+        t0 = time.perf_counter()
+        cleaned = NullRemover(strategy="drop")(orders)
+        scored = QualityScorer()(cleaned)
+        scored.write.mode("overwrite").parquet(out_dir)
+        pipe_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    times["p01_clean_score_write"] = round(pipe_sec, 4)
+
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -68,6 +91,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pipeline_records_per_sec": round(n_rows / pipe_sec, 1),
             }
         )
     )
