@@ -1,0 +1,185 @@
+"""Sources/sinks: CSV/JSON readers (modes, json_path, corrupt
+records), writers (ordering, coercion, partitioning, fan-out),
+incremental manifest, row-id stamping, medallion paths."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_framework_spark.sinks.writers import (
+    coerce_types,
+    fan_out,
+    ordered_columns,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+from ai_etl_framework_spark.sources.paths import generate_outputs, slugify
+from ai_etl_framework_spark.sources.readers import (
+    incremental_manifest,
+    read_csv,
+    read_json,
+    with_row_id,
+)
+
+
+@pytest.fixture()
+def small(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, 3.5)], "id int, name string, v double"
+    )
+
+
+# -- readers ----------------------------------------------------------
+
+
+def test_read_csv_roundtrip(spark, small, tmp_path):
+    p = str(tmp_path / "csv")
+    small.write.option("header", True).option("sep", ";").csv(p)
+    back = read_csv(spark, p, delimiter=";", has_header=True)
+    assert back.count() == 3
+    assert set(back.columns) == {"id", "name", "v"}
+    assert dict(back.dtypes)["id"] == "int"  # inferSchema on
+
+
+def test_read_json_lines_and_array(spark, tmp_path):
+    lines = tmp_path / "lines.json"
+    lines.write_text('{"a": 1}\n{"a": 2}\n')
+    arr = tmp_path / "arr.json"
+    arr.write_text('[{"a": 1}, {"a": 2}, {"a": 3}]')
+    assert read_json(spark, str(lines)).count() == 2  # auto → lines
+    assert read_json(spark, str(arr)).count() == 3  # auto → array
+    assert read_json(spark, str(arr), mode="array").count() == 3
+
+
+def test_read_json_dot_path(spark, tmp_path):
+    f = tmp_path / "nested.json"
+    f.write_text('{"data": {"records": [{"x": 1}, {"x": 2}]}}\n')
+    out = read_json(spark, str(f), json_path="data.records")
+    assert [r.x for r in out.orderBy("x").collect()] == [1, 2]
+
+
+def test_read_json_corrupt_line_tolerated(spark, tmp_path):
+    f = tmp_path / "bad.json"
+    f.write_text('{"a": 1}\nTHIS IS NOT JSON\n{"a": 3}\n')
+    out = read_json(spark, str(f)).cache()  # cache: Spark disallows
+    # querying only the corrupt-record column of a raw scan
+    assert out.count() == 3  # PERMISSIVE keeps the bad line
+    assert "_corrupt_record" in out.columns
+    assert out.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    out.unpersist()
+
+
+def test_with_row_id_is_contiguous(spark, small):
+    out = with_row_id(small.repartition(3))
+    ids = sorted(r._row_id for r in out.collect())
+    assert ids == [0, 1, 2]
+
+
+# -- writers ----------------------------------------------------------
+
+
+def test_ordered_columns_and_coercion(small):
+    out = ordered_columns(small, ["v", "id"])
+    assert out.columns == ["v", "id", "name"]  # schema first, extras after
+    co = coerce_types(small, {"id": "string", "name": "double"})
+    assert dict(co.dtypes)["id"] == "string"
+    # non-numeric strings coerce to NULL, not error
+    assert co.filter(F.col("name").isNotNull()).count() == 0
+
+
+def test_write_parquet_partitioned(spark, small, tmp_path):
+    p = str(tmp_path / "pq")
+    write_parquet(small, p, partition_cols=["id"], compression="zstd")
+    assert glob.glob(os.path.join(p, "id=1", "*.parquet"))
+    back = spark.read.parquet(p)
+    assert back.count() == 3
+    # partition pruning: only one directory read for id=2
+    pruned = back.filter(F.col("id") == 2)
+    assert pruned.count() == 1
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "(id" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_write_csv_gzip_single_file(small, tmp_path):
+    p = str(tmp_path / "csv_gz")
+    write_csv(small, p, compression="gzip", single_file=True, schema_cols=["name", "id"])
+    files = glob.glob(os.path.join(p, "*.csv.gz"))
+    assert len(files) == 1
+    with gzip.open(files[0], "rt") as f:
+        header = f.readline().strip()
+    assert header.split(",")[:2] == ["name", "id"]
+
+
+def test_write_json_lines(spark, small, tmp_path):
+    p = str(tmp_path / "jsonl")
+    write_json(small, p)
+    rows = []
+    for fp in glob.glob(os.path.join(p, "*.json")):
+        with open(fp) as f:
+            rows += [json.loads(line) for line in f if line.strip()]
+    assert len(rows) == 3
+
+
+def test_fan_out_two_sinks(spark, small, tmp_path):
+    fan_out(
+        small,
+        [
+            {"kind": "parquet", "path": str(tmp_path / "bi")},
+            {"kind": "csv", "path": str(tmp_path / "rag"), "single_file": True},
+        ],
+    )
+    assert spark.read.parquet(str(tmp_path / "bi")).count() == 3
+    assert spark.read.option("header", True).csv(str(tmp_path / "rag")).count() == 3
+
+
+# -- incremental manifest ---------------------------------------------
+
+
+def test_incremental_manifest(spark, small, tmp_path):
+    data = tmp_path / "in"
+    manifest = str(tmp_path / "manifest.txt")
+    small.coalesce(1).write.parquet(str(data / "batch1"))
+    # flatten: manifest works on a dir of files
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate(glob.glob(str(data / "batch1" / "*.parquet"))):
+        os.rename(f, str(flat / f"file{i}.parquet"))
+
+    df1 = incremental_manifest(spark, str(flat), manifest)
+    assert df1.count() == 3
+    df1.commit_manifest()
+
+    # no new files → empty frame
+    df2 = incremental_manifest(spark, str(flat), manifest)
+    assert df2.count() == 0
+
+    # one new file arrives → only it is read
+    small.limit(1).coalesce(1).write.parquet(str(data / "batch2"))
+    newf = glob.glob(str(data / "batch2" / "*.parquet"))[0]
+    os.rename(newf, str(flat / "file_new.parquet"))
+    df3 = incremental_manifest(spark, str(flat), manifest)
+    assert df3.count() == 1
+
+
+# -- medallion paths --------------------------------------------------
+
+
+def test_slugify():
+    assert slugify("My Data_Source 2024!") == "my-data-source-2024"
+    assert slugify("__weird--name__") == "weird-name"
+    assert slugify("ALL CAPS") == "all-caps"
+
+
+def test_generate_outputs():
+    out = generate_outputs("/data", "Acme Corp", "Claims Feed", etl_output="parquet")
+    assert out["bi_path"] == "/data/acme-corp/gold/bi/claims-feed/claims-feed.parquet"
+    assert out["rag_path"] == "/data/acme-corp/gold/rag/claims-feed/claims-feed.csv"
+    assert out["quarantine_path"] == "/data/acme-corp/quarantine/claims-feed_anomalies.csv"
+    assert out["bronze_dir"] == "/data/acme-corp/bronze"
