@@ -1224,6 +1224,46 @@ WHERE rn = 1
 """
 
 
+def q28_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) — the batch twin of the
+    applyInPandasWithState streaming operator (streaming/sessions.py).
+    lag/cumsum over one shuffle on user_id."""
+    from ai_etl_framework_spark.streaming.sessions import sessionize_batch
+
+    events = load_table(spark, sf_dir, "events")
+    out = sessionize_batch(events, gap_minutes=30.0)
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+_Q28_SQL = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s2 AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+)
+SELECT user_id,
+       MIN(ts)                     AS session_start,
+       MAX(ts)                     AS session_end,
+       CAST(COUNT(*) AS BIGINT)    AS n_events,
+       ROUND(SUM(value), 2)        AS total_value
+FROM s2
+GROUP BY user_id, sess
+"""
+
+
 def q27_agg_custom_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-registered custom aggregation function — an Arrow-batched
     pandas UDAF (ref aggregator.py:302-321 add_custom_function).
@@ -1342,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_distinct_search": q25_distinct_search,
         "q26_dedup_best_quality": q26_dedup_best_quality,
         "q27_agg_custom_udaf": q27_agg_custom_udaf,
+        "q28_sessionize": q28_sessionize,
         "dd01_exact_text_dedup": dd01_exact_text_dedup,
         "dd02_minhash_sig": dd02_minhash_sig,
         "dd03_minhash_band_pairs": dd03_minhash_band_pairs,
@@ -1390,6 +1431,7 @@ def oracle_sql() -> dict[str, str]:
         "q25_distinct_search": _Q25_SQL,
         "q26_dedup_best_quality": _Q26_SQL,
         "q27_agg_custom_udaf": _Q27_SQL,
+        "q28_sessionize": _Q28_SQL,
         "dd01_exact_text_dedup": _DD01_SQL,
         "dd02_minhash_sig": _dd02_sql(),
         "dd03_minhash_band_pairs": _dd03_sql(),
