@@ -1,0 +1,90 @@
+"""Skew mitigation utilities for hot keys at scale.
+
+AQE (enabled in session.py) already splits skewed SORT-MERGE join
+partitions at runtime; these helpers cover the cases AQE does not:
+
+- ``salted_join``: a hot-key equi-join where the small side fits in
+  memory per key but the big side has 10⁸ rows of one key. The big
+  side gets a random salt in [0, salt); the small side is replicated
+  once per salt value; the join key becomes (key, salt), spreading
+  each hot key over ``salt`` reducers. Row-identical to the plain
+  join.
+- ``salted_count_distinct``: exact COUNT(DISTINCT x) per key without
+  funneling each key's values through one reducer — phase 1 dedups on
+  (key, x) (shuffle spread over both), phase 2 counts per key. This
+  is what countDistinct compiles to internally (Expand), exposed here
+  for composition with other skew-safe aggs.
+- ``two_phase_agg``: partial aggregation on (key, salt), final on key
+  — for aggregates whose buffers grow with group size
+  (collect_list/set), where map-side combine alone cannot spread one
+  giant group.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread over ``salt``
+    reducers. ``small`` is replicated ``salt`` times — keep it the
+    dimension side."""
+    on = list(on)
+    big_s = big.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
+    small_s = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = big_s.join(small_s, on + ["__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    out_name: str = "n_distinct",
+) -> DataFrame:
+    """Exact distinct count per key, skew-safe: the first shuffle is on
+    (keys, col) so a hot key's values spread across reducers."""
+    keys = list(keys)
+    return (
+        df.select(*keys, col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(out_name))
+    )
+
+
+def two_phase_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: dict[str, Column],
+    final_aggs: dict[str, Column],
+    salt: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Generic salted two-phase aggregation.
+
+    ``partial_aggs``: {name: agg over raw rows} computed per
+    (keys, salt); ``final_aggs``: {name: agg over the partial columns}
+    computed per keys. Example — skew-safe collect_list::
+
+        two_phase_agg(df, ["k"],
+            {"vs": F.collect_list("v")},
+            {"vs": F.flatten(F.collect_list("vs"))})
+    """
+    keys = list(keys)
+    partial = (
+        df.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
+        .groupBy(*keys, "__salt")
+        .agg(*[e.alias(n) for n, e in partial_aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(*[e.alias(n) for n, e in final_aggs.items()])

@@ -1,0 +1,61 @@
+"""Skew utilities: salted join / salted distinct / two-phase agg must
+be row-identical to their plain formulations."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_framework_spark.operators.skew import (
+    salted_count_distinct,
+    salted_join,
+    two_phase_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """90% of rows share one key — the classic hot-key shape."""
+    base = spark.range(0, 10_000)
+    return base.select(
+        F.when(F.col("id") % 10 != 0, F.lit("HOT")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 100).cast("string"))
+        ).alias("k"),
+        (F.col("id") % 997).alias("v"),
+    )
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("HOT", "hot-dim"), ("k10", "cold-dim")], "k string, label string"
+    )
+    plain = skewed.join(dim, ["k"]).groupBy("k", "label").count()
+    salted = salted_join(skewed, dim, ["k"], salt=8).groupBy("k", "label").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left(spark, skewed):
+    dim = spark.createDataFrame([("HOT", 1)], "k string, d int")
+    plain = skewed.join(dim, ["k"], "left")
+    salted = salted_join(skewed, dim, ["k"], salt=4, how="left")
+    assert salted.count() == plain.count()
+    assert salted.filter(F.col("d").isNull()).count() == plain.filter(F.col("d").isNull()).count()
+
+
+def test_salted_count_distinct(skewed):
+    plain = skewed.groupBy("k").agg(F.countDistinct("v").alias("n_distinct"))
+    salted = salted_count_distinct(skewed, ["k"], "v")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_two_phase_collect_list(skewed):
+    plain = skewed.groupBy("k").agg(F.sort_array(F.collect_list("v")).alias("vs"))
+    salted = two_phase_agg(
+        skewed,
+        ["k"],
+        {"vs": F.collect_list("v")},
+        {"vs": F.sort_array(F.flatten(F.collect_list("vs")))},
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
