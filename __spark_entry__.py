@@ -1264,6 +1264,75 @@ GROUP BY user_id, sess
 """
 
 
+def q29_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram chart-prep: 30 equal-width bins over o_totalprice
+    (visualization_generator.py:433 nbins=30) — explicit floor-bin
+    arithmetic identical in both engines."""
+    from ai_etl_framework_spark.operators.viz_prep import histogram_prep
+
+    orders = load_table(spark, sf_dir, "orders")
+    return histogram_prep(orders, "o_totalprice", bins=30)
+
+
+_Q29_SQL = """
+WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / (hi - lo) * 30) + 1, 30) AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM orders, b
+WHERE o_totalprice IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q30_box_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-plot chart-prep: five-number summary per category with
+    exact linear-interpolation percentiles
+    (visualization_generator.py:441)."""
+    from ai_etl_framework_spark.operators.viz_prep import box_prep
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = box_prep(li, "l_returnflag", "l_quantity")
+    return out.select(
+        "l_returnflag",
+        F.round("min", 2).alias("min"),
+        F.round("q1", 4).alias("q1"),
+        F.round("median", 4).alias("median"),
+        F.round("q3", 4).alias("q3"),
+        F.round("max", 2).alias("max"),
+    )
+
+
+_Q30_SQL = """
+SELECT l_returnflag,
+       ROUND(MIN(l_quantity), 2)                  AS min,
+       ROUND(quantile_cont(l_quantity, 0.25), 4)  AS q1,
+       ROUND(quantile_cont(l_quantity, 0.5), 4)   AS median,
+       ROUND(quantile_cont(l_quantity, 0.75), 4)  AS q3,
+       ROUND(MAX(l_quantity), 2)                  AS max
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q31_pie_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pie chart-prep: value_counts().head(10)
+    (visualization_generator.py:393-395), id-ordered tiebreak so the
+    top-10 cut is deterministic in both engines."""
+    from ai_etl_framework_spark.operators.viz_prep import pie_prep
+
+    events = load_table(spark, sf_dir, "events")
+    return pie_prep(events, "event_type", top_n=10)
+
+
+_Q31_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS count
+FROM events
+GROUP BY event_type
+ORDER BY count DESC, event_type
+LIMIT 10
+"""
+
+
 def q27_agg_custom_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-registered custom aggregation function — an Arrow-batched
     pandas UDAF (ref aggregator.py:302-321 add_custom_function).
@@ -1383,6 +1452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_dedup_best_quality": q26_dedup_best_quality,
         "q27_agg_custom_udaf": q27_agg_custom_udaf,
         "q28_sessionize": q28_sessionize,
+        "q29_histogram": q29_histogram,
+        "q30_box_quartiles": q30_box_quartiles,
+        "q31_pie_counts": q31_pie_counts,
         "dd01_exact_text_dedup": dd01_exact_text_dedup,
         "dd02_minhash_sig": dd02_minhash_sig,
         "dd03_minhash_band_pairs": dd03_minhash_band_pairs,
@@ -1432,6 +1504,9 @@ def oracle_sql() -> dict[str, str]:
         "q26_dedup_best_quality": _Q26_SQL,
         "q27_agg_custom_udaf": _Q27_SQL,
         "q28_sessionize": _Q28_SQL,
+        "q29_histogram": _Q29_SQL,
+        "q30_box_quartiles": _Q30_SQL,
+        "q31_pie_counts": _Q31_SQL,
         "dd01_exact_text_dedup": _DD01_SQL,
         "dd02_minhash_sig": _dd02_sql(),
         "dd03_minhash_band_pairs": _dd03_sql(),

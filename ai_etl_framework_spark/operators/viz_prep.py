@@ -1,0 +1,116 @@
+"""Chart-prep aggregates for auto-visualization.
+
+Reference: src/api/visualization_generator.py:361-458 — pandas
+transforms that shape query results for each chart type. Re-expressed
+as single-pass DataFrame aggregations (the reference buffered the
+table in driver memory; these run distributed and return only the
+chart-sized result):
+
+- bar:       groupby-sum, sort desc, head(15)      (ref :380-382)
+- line:      to_datetime, groupby-sum, sort asc    (ref :386-390)
+- pie:       value_counts().head(10)               (ref :393-395)
+- histogram: 30 equal-width bins                   (ref :433)
+- scatter:   sample(min(1000, n))                  (ref :436)
+- box:       quartiles per category                (ref :441)
+- heatmap:   pivot_table sum                       (ref :444)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BAR_TOP_N = 15
+PIE_TOP_N = 10
+HIST_BINS = 30
+SCATTER_MAX = 1000
+
+
+def bar_prep(df: DataFrame, category: str, value: str, top_n: int = BAR_TOP_N) -> DataFrame:
+    return (
+        df.groupBy(category)
+        .agg(F.sum(value).alias(value))
+        .orderBy(F.col(value).desc(), F.col(category).asc())
+        .limit(top_n)
+    )
+
+
+def line_prep(df: DataFrame, date_col: str, value: str) -> DataFrame:
+    """to_date coerces invalid → NULL (≡ errors='coerce'), dropped."""
+    return (
+        df.withColumn("__d", F.to_date(F.col(date_col)))
+        .na.drop(subset=["__d"])
+        .groupBy(F.col("__d").alias(date_col))
+        .agg(F.sum(value).alias(value))
+        .orderBy(F.col(date_col).asc())
+    )
+
+
+def pie_prep(df: DataFrame, category: str, top_n: int = PIE_TOP_N) -> DataFrame:
+    return (
+        df.groupBy(category)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc(), F.col(category).asc())
+        .limit(top_n)
+    )
+
+
+def histogram_prep(df: DataFrame, value: str, bins: int = HIST_BINS) -> DataFrame:
+    """Equal-width bins over [min, max] — one pass for bounds (tiny),
+    one for counts. Bin id is explicit floor arithmetic (not
+    width_bucket) so any engine computing the same IEEE expression
+    produces identical bins; the max value folds into the last bin
+    like numpy.histogram."""
+    lo, hi = df.agg(F.min(value), F.max(value)).first()
+    if lo is None or lo == hi:
+        return df.agg(F.lit(1).alias("bin"), F.count(value).alias("count"))
+    lo, hi = float(lo), float(hi)
+    b = F.floor((F.col(value) - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * bins) + 1
+    bin_col = F.least(b, F.lit(bins)).cast("int")
+    return (
+        df.where(F.col(value).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("bin")
+    )
+
+
+def scatter_prep(
+    df: DataFrame, x: str, y: str, max_points: int = SCATTER_MAX, seed: int = 42
+) -> DataFrame:
+    """Bounded sample for plotting (ref sampled min(1000, n))."""
+    n = df.count()
+    if n <= max_points:
+        return df.select(x, y)
+    return df.select(x, y).sample(fraction=min(1.0, 1.1 * max_points / n), seed=seed).limit(
+        max_points
+    )
+
+
+def box_prep(df: DataFrame, category: str, value: str) -> DataFrame:
+    """Five-number summary per category; exact linear-interpolation
+    percentiles (≡ pandas/np quantile ≡ DuckDB quantile_cont)."""
+    v = F.col(value)
+    return df.groupBy(category).agg(
+        F.min(v).alias("min"),
+        F.percentile(v, 0.25).alias("q1"),
+        F.percentile(v, 0.5).alias("median"),
+        F.percentile(v, 0.75).alias("q3"),
+        F.max(v).alias("max"),
+    )
+
+
+def heatmap_prep(
+    df: DataFrame,
+    x: str,
+    y: str,
+    z: str,
+    x_values: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """pivot_table(values=z, index=y, columns=x, aggfunc=sum). Passing
+    ``x_values`` keeps the plan a single aggregation (no distinct-scan
+    job to discover pivot columns)."""
+    pivoted = df.groupBy(y).pivot(x, list(x_values) if x_values else None)
+    return pivoted.sum(z)

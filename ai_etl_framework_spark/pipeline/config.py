@@ -1,0 +1,138 @@
+"""Config-driven pipeline construction (the REST entry point's build
+layer, minus HTTP).
+
+Reference: src/api/pipeline_service.py:552-654 — string-keyed factory
+maps `_build_source` (csv|json), `_build_transformer` (10 types),
+`_build_destination` (sqlite|postgres|csv|json|parquet) consuming the
+PipelineConfig JSON (src/api/models.py:108-119). The same config
+dicts build the same pipeline here; the FastAPI layer (gated — the
+web framework is optional) would call exactly this function.
+
+The reference declared `type_converter` and `custom` transformer
+types but never implemented them (pipeline_service.py:608-613); both
+are trivial in Spark and implemented here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_etl_framework_spark.operators import (
+    Aggregator,
+    AnomalyDetector,
+    AnomalySplitter,
+    ColumnRemover,
+    DashboardAggregator,
+    Deduplicator,
+    MetadataToColumns,
+    NullRemover,
+    QualityScorer,
+    SchemaInferrer,
+)
+from ai_etl_framework_spark.pipeline.pipeline import Pipeline
+from ai_etl_framework_spark.sinks import writers
+from ai_etl_framework_spark.sources import readers
+
+
+def build_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    if kind == "csv":
+        return readers.read_csv(spark, cfg.pop("path"), **cfg)
+    if kind == "json":
+        return readers.read_json(spark, cfg.pop("path"), **cfg)
+    if kind == "parquet":
+        return readers.read_parquet(spark, cfg.pop("path"), **cfg)
+    if kind in ("jdbc", "postgres", "postgresql"):
+        return readers.read_jdbc(spark, **cfg)
+    raise ValueError(f"unknown source type: {kind!r}")
+
+
+def _type_converter(cfg: dict[str, Any]) -> Callable[[DataFrame], DataFrame]:
+    casts = cfg.get("casts", {})
+
+    def convert(df: DataFrame) -> DataFrame:
+        out = df
+        for col, t in casts.items():
+            if col in out.columns:
+                out = out.withColumn(col, F.col(col).try_cast(t))
+        return out
+
+    return convert
+
+
+def _dashboard_rollups(cfg: dict[str, Any]) -> Callable[[DataFrame], DataFrame]:
+    out_dir = cfg["output_dir"]
+
+    def rollup(df: DataFrame) -> DataFrame:
+        DashboardAggregator(df).write(out_dir)
+        return df  # pass-through like the reference's exporter
+
+    return rollup
+
+
+TRANSFORMER_FACTORIES: dict[str, Callable[[dict], Callable[[DataFrame], DataFrame]]] = {
+    # the 10 string keys of the reference's _build_transformer
+    "null_remover": lambda cfg: NullRemover(**cfg),
+    "column_remover": lambda cfg: ColumnRemover(**cfg),
+    "aggregator": lambda cfg: Aggregator(**cfg),
+    "deduplicator": lambda cfg: Deduplicator(**cfg),
+    "quality_scorer": lambda cfg: QualityScorer(**cfg),
+    "anomaly_detector": lambda cfg: AnomalyDetector(**cfg),
+    "anomaly_splitter": lambda cfg: AnomalySplitter(**cfg),
+    "schema_inferrer": lambda cfg: SchemaInferrer(**cfg),
+    "metadata_to_columns": lambda cfg: MetadataToColumns(**cfg),
+    "dashboard_aggregator": _dashboard_rollups,
+    # declared-but-unimplemented in the reference; implemented here
+    "type_converter": _type_converter,
+    "custom": lambda cfg: cfg["fn"],
+}
+
+
+def build_transformer(cfg: dict[str, Any]) -> Callable[[DataFrame], DataFrame]:
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    try:
+        return TRANSFORMER_FACTORIES[kind](cfg)
+    except KeyError:
+        raise ValueError(f"unknown transformer type: {kind!r}") from None
+
+
+def build_destination(cfg: dict[str, Any]) -> Callable[[DataFrame], None]:
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    writer = {
+        "parquet": writers.write_parquet,
+        "csv": writers.write_csv,
+        "json": writers.write_json,
+        "jdbc": writers.write_jdbc,
+        "sqlite": writers.write_jdbc,
+        "postgres": writers.write_jdbc,
+    }.get(kind)
+    if writer is None:
+        raise ValueError(f"unknown destination type: {kind!r}")
+    return lambda df: writer(df, **cfg)
+
+
+def build_pipeline(spark: SparkSession, config: dict[str, Any]) -> Pipeline:
+    """PipelineConfig dict → runnable Pipeline.
+
+    Shape (mirrors src/api/models.py:108-119)::
+
+        {"name": ..., "source": {...}, "transformers": [{...}, ...],
+         "destinations": [{...}, ...], "checkpoint_dir": ...}
+    """
+    pipe = Pipeline(
+        pipeline_id=config.get("name", "pipeline"),
+        checkpoint_dir=config.get("checkpoint_dir"),
+    )
+    pipe.extract(build_source(spark, config["source"]))
+    for t in config.get("transformers", []):
+        pipe.transform(build_transformer(t))
+    dests = config.get("destinations") or ([config["destination"]] if "destination" in config else [])
+    for d in dests:
+        pipe.load(build_destination(d))
+    return pipe

@@ -1,0 +1,74 @@
+"""Config-driven pipeline construction (REST build layer) and the
+AutoTuner recommendation math."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_framework_spark.ml import AutoTuner
+from ai_etl_framework_spark.pipeline.config import (
+    build_pipeline,
+    build_transformer,
+)
+
+
+def test_config_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The reference's unified-pipeline shape: source → transformers →
+    dual gold destinations, from one config dict."""
+    config = {
+        "name": "cfg_pipeline",
+        "source": {"type": "parquet", "path": os.path.join(sf_dir, "orders.parquet")},
+        "transformers": [
+            {"type": "type_converter", "casts": {"o_totalprice": "double"}},
+            {"type": "null_remover", "strategy": "drop", "fields": ["o_orderstatus"]},
+            {"type": "quality_scorer"},
+            {"type": "metadata_to_columns"},
+            {"type": "column_remover", "prefix": "_meta_anomaly"},
+        ],
+        "destinations": [
+            {"type": "parquet", "path": str(tmp_path / "bi")},
+            {"type": "csv", "path": str(tmp_path / "rag"), "single_file": True},
+        ],
+    }
+    result = build_pipeline(spark, config).run()
+    assert result.success, result.errors
+    bi = spark.read.parquet(str(tmp_path / "bi"))
+    assert bi.count() == result.records_loaded
+    assert "_meta_quality_score" in bi.columns
+    assert not any(c.startswith("_meta_anomaly") for c in bi.columns)
+    rag = spark.read.option("header", True).csv(str(tmp_path / "rag"))
+    assert rag.count() == result.records_loaded
+
+
+def test_custom_transformer_and_unknown_types(spark):
+    df = spark.range(3)
+    double_it = build_transformer({"type": "custom", "fn": lambda d: d.withColumn("x", F.col("id") * 2)})
+    assert double_it(df).agg(F.sum("x")).first()[0] == 6
+    with pytest.raises(ValueError):
+        build_transformer({"type": "nope"})
+
+
+def test_autotuner_recommendation():
+    """The reference's illustration series (ARCHITECTURE.md:680-684):
+    batch 1000 was best — the recommender must pick it."""
+    tuner = AutoTuner(knob="batch_size")
+    series = {100: 4355, 500: 12132, 1000: 13495, 2500: 12740, 5000: 12557}
+    for knob, tp in series.items():
+        for _ in range(3):  # repeated runs → confidence
+            tuner.record(knob, records=tp, duration_sec=1.0)
+    rec = tuner.recommend()
+    assert rec is not None
+    assert rec.knob_value == 1000
+    assert 0.0 < rec.confidence <= 1.0
+    assert rec.expected_improvement > 0
+    # exploration: first untried ladder value
+    assert tuner.suggest_exploration() == 250
+
+
+def test_autotuner_needs_variety():
+    tuner = AutoTuner()
+    tuner.record(100, 1000, 1.0)
+    assert tuner.recommend() is None  # one knob value → nothing to compare
