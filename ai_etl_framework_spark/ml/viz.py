@@ -1,0 +1,141 @@
+"""Auto-visualization: column analysis heuristics → ranked chart
+suggestions → chart-config dicts.
+
+Reference:
+- src/api/visualization_generator.py:76-358 — column analysis
+  (ID / boolean-like / rate / unit-price / code / year-month /
+  index / geographic detection at :128-216) and chart ranking
+  (bar > line > scatter > pie > histogram > box > heatmap, :259-358).
+- src/api/echarts_generator.py:446-556 — chart-type suggestion by
+  dtype/cardinality (datetime→line, 2-6 distinct→pie, ≤20
+  distinct→bar, numeric×numeric→scatter) and config building.
+
+The analysis consumes `plans.profile.profile_schema` output (one
+distributed aggregate pass); everything in this module is driver-side
+logic over that small profile — no Spark work.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+# name-substring heuristics (ref visualization_generator.py:128-216)
+ID_PARTS = ("_id", "id_", "uuid", "guid", "key")
+ID_EXACT = {"id", "pk", "index"}
+RATE_PARTS = ("rate", "ratio", "pct", "percent", "share")
+PRICE_PARTS = ("price", "cost", "amount", "billed", "charge", "payment")
+CODE_PARTS = ("code", "icd", "sku", "zip", "postal")
+GEO_PARTS = ("lat", "lon", "lng", "latitude", "longitude", "country", "state", "city", "region")
+YEAR_MONTH_PARTS = ("year", "month", "quarter", "week")
+
+
+def analyze_column(name: str, info: dict[str, Any], rows: int) -> dict[str, Any]:
+    """Role classification for one profiled column."""
+    low = name.lower()
+    bucket = info["type"]
+    distinct = info.get("distinct_count")
+    role = {
+        "name": name,
+        "bucket": bucket,
+        "is_id": low in ID_EXACT
+        or any(p in low for p in ID_PARTS)
+        or (distinct is not None and distinct == rows and rows > 100),
+        "is_rate": any(p in low for p in RATE_PARTS),
+        "is_price": any(p in low for p in PRICE_PARTS),
+        "is_code": any(p in low for p in CODE_PARTS),
+        "is_geo": any(p in low for p in GEO_PARTS),
+        "is_year_month": any(p in low for p in YEAR_MONTH_PARTS),
+        "is_boolean_like": bucket == "boolean"
+        or (bucket == "numeric" and distinct == 2),
+    }
+    return role
+
+
+def suggest_chart_type(
+    x_info: dict[str, Any], y_info: Optional[dict[str, Any]] = None
+) -> str:
+    """dtype/cardinality suggestion (ref echarts_generator.py:446-487)."""
+    if x_info["type"] == "datetime":
+        return "line"
+    if y_info and x_info["type"] == "numeric" and y_info["type"] == "numeric":
+        return "scatter"
+    if x_info["type"] == "categorical":
+        n = x_info.get("distinct_count") or 0
+        if 2 <= n <= 6:
+            return "pie"
+        if n <= 20:
+            return "bar"
+        return "histogram"
+    if x_info["type"] == "numeric":
+        return "histogram"
+    return "bar"
+
+
+def rank_charts(profile: dict[str, Any], max_charts: int = 8) -> list[dict[str, Any]]:
+    """Ranked chart configs from a schema profile (ref :259-358 —
+    priority bar > line > scatter > pie > histogram > box > heatmap)."""
+    rows = profile["row_count"]
+    cols = profile["columns"]
+    roles = {n: analyze_column(n, i, rows) for n, i in cols.items()}
+    dims = [
+        n
+        for n, i in cols.items()
+        if i["type"] == "categorical"
+        and not roles[n]["is_id"]
+        and (i.get("distinct_count") or 0) <= 20
+    ]
+    dates = [n for n, i in cols.items() if i["type"] == "datetime"]
+    metrics = [
+        n
+        for n, i in cols.items()
+        if i["type"] == "numeric" and not roles[n]["is_id"] and not roles[n]["is_boolean_like"]
+    ]
+
+    charts: list[dict[str, Any]] = []
+    for d in dims[:2]:
+        for m in metrics[:2]:
+            charts.append({"type": "bar", "x": d, "y": m, "agg": "sum", "top_n": 15})
+    for t in dates[:1]:
+        for m in metrics[:2]:
+            charts.append({"type": "line", "x": t, "y": m, "agg": "sum"})
+    if len(metrics) >= 2:
+        charts.append({"type": "scatter", "x": metrics[0], "y": metrics[1], "sample": 1000})
+    for d in dims:
+        n = cols[d].get("distinct_count") or 0
+        if 2 <= n <= 6:
+            charts.append({"type": "pie", "x": d, "top_n": 10})
+            break
+    for m in metrics[:2]:
+        charts.append({"type": "histogram", "x": m, "bins": 30})
+    if dims and metrics:
+        charts.append({"type": "box", "x": dims[0], "y": metrics[0]})
+    if len(dims) >= 2 and metrics:
+        charts.append({"type": "heatmap", "x": dims[0], "y": dims[1], "z": metrics[0]})
+    return charts[:max_charts]
+
+
+def echarts_config(chart: dict[str, Any], records: list[dict[str, Any]]) -> dict[str, Any]:
+    """Minimal ECharts option dict from a chart spec + query result
+    records (ref echarts_generator.py:14-24 chart types)."""
+    ctype = chart["type"]
+    if ctype == "pie":
+        return {
+            "series": [
+                {
+                    "type": "pie",
+                    "data": [
+                        {"name": str(r[chart["x"]]), "value": r.get("count", r.get(chart.get("y", ""), 0))}
+                        for r in records
+                    ],
+                }
+            ]
+        }
+    x_axis = [str(r[chart["x"]]) for r in records]
+    y_key = chart.get("y") or ("count" if ctype == "histogram" else None)
+    series = [r.get(y_key) for r in records] if y_key else []
+    kind = {"histogram": "bar", "box": "boxplot"}.get(ctype, ctype)
+    return {
+        "xAxis": {"type": "category", "data": x_axis},
+        "yAxis": {"type": "value"},
+        "series": [{"type": kind, "data": series}],
+    }
