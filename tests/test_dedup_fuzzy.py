@@ -1,0 +1,71 @@
+"""Fuzzy dedup: the reference's greedy scan-order grouping semantics
+(deduplicator.py:297-312) and the Deduplicator fuzzy facade over
+embedding blocks, plus minhash_dedup end-to-end."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_framework_spark.operators.dedup import (
+    Deduplicator,
+    greedy_group_representatives,
+    minhash_dedup,
+)
+
+
+def test_greedy_is_not_connected_components():
+    """A~B, B~C but A≁C: greedy scan-order groups {A,B} and leaves C
+    its own representative — the documented divergence from CC
+    (SURVEY §7.4.7)."""
+    assign = greedy_group_representatives([(1, 2), (2, 3)])
+    assert assign[1] == 1
+    assert assign[2] == 1  # absorbed by 1
+    assert assign[3] == 3  # NOT absorbed: 3 only pairs with 2, already taken
+
+
+def test_greedy_scan_order_absorption():
+    assign = greedy_group_representatives([(5, 9), (1, 5), (2, 7)])
+    # ids scanned ascending: 1 absorbs 5; 2 absorbs 7; 9 pairs with 5
+    # (taken) so it stays its own rep
+    assert assign == {1: 1, 5: 1, 2: 2, 7: 2, 9: 9}
+
+
+def test_deduplicator_fuzzy_embedding(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_before = emb.count()
+    dedup = Deduplicator(
+        match_mode="fuzzy",
+        similarity_threshold=0.95,
+        vec_col="embedding",
+        block_col="label",
+        order_col="vec_id",
+    )
+    out = dedup(emb)
+    n_after = out.count()
+    assert 0 < n_after <= n_before
+    # deterministic: same result twice
+    assert dedup(emb).count() == n_after
+    # surviving set keeps the scan-order representative (smallest id
+    # of each greedy group survives)
+    assert out.agg(F.min("vec_id")).first()[0] == emb.agg(F.min("vec_id")).first()[0]
+
+
+def test_minhash_dedup_removes_near_dups(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_before = docs.count()
+    out = minhash_dedup(docs, "doc_id", "text", num_hashes=8, bands=4, k=3, threshold=0.5)
+    n_after = out.count()
+    assert n_after < n_before, "the synthetic corpus contains near-dups"
+    # canonical-smallest policy: for every dropped doc a smaller
+    # near-identical peer survives → the global smallest id survives
+    assert out.agg(F.min("doc_id")).first()[0] == docs.agg(F.min("doc_id")).first()[0]
+
+
+def test_fuzzy_requires_columns():
+    with pytest.raises(ValueError):
+        Deduplicator(match_mode="fuzzy")(None)
+    with pytest.raises(ValueError):
+        Deduplicator(match_mode="nope")(None)
