@@ -121,6 +121,81 @@ def frame_sample(
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = "id long, n_windows int, energy array<double>"
+RESIZE_SCHEMA = "id long, blob binary, width int, height int"
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    window_bytes: int = 4096,
+    max_windows: int = 16,
+    fake: bool = True,
+) -> DataFrame:
+    """audio blob → per-window energy vector. Real implementation
+    would librosa-decode and compute RMS/MFCC; the fake kernel sums
+    byte values per window (same shape: one row per blob, one float
+    per window), so batching and schema are exercised for real."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real audio decode needs librosa/soundfile")
+            rows = []
+            for _, r in pdf.iterrows():
+                blob = r[blob_col] or b""
+                n = min(max_windows, max(1, len(blob) // window_bytes))
+                energy = [
+                    sum(blob[i * window_bytes : (i + 1) * window_bytes]) / max(window_bytes, 1)
+                    for i in range(n)
+                ]
+                rows.append({"id": r[id_col], "n_windows": n, "energy": energy})
+            yield pd.DataFrame(rows, columns=["id", "n_windows", "energy"])
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def image_resize(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    width: int = 224,
+    height: int = 224,
+    fake: bool = True,
+) -> DataFrame:
+    """blob → resized blob (binary in, binary out — the common
+    preprocessing shape). The fake kernel emits a deterministic
+    md5-seeded byte string of width*height/64 bytes so downstream
+    operators see realistic binary output sizes."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real image resize needs PIL")
+            out_len = max(16, width * height // 64)
+
+            def resize(b: bytes) -> bytes:
+                seed = hashlib.md5(b or b"").digest()
+                reps = out_len // len(seed) + 1
+                return (seed * reps)[:out_len]
+
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "blob": pdf[blob_col].apply(resize),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(run, RESIZE_SCHEMA)
+
+
 def attach_media_meta(df: DataFrame, blob_col: str, media_type: str, fmt: str) -> DataFrame:
     """Typed metadata struct next to the blob (sniffing stubbed:
     width/height/duration are NULL until real codecs are wired)."""
