@@ -626,10 +626,19 @@ def dd02_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(docs, "doc_id", "text", num_hashes=8, k=3)
 
 
+# affine minhash family (matches operators/dedup.py): one md5 per
+# shingle, h_i = (a + i*b) mod 2^61-1 with a/b cut from the digest
+_MH_P = (1 << 61) - 1
+_MH_A = "('0x' || substr(md5(x), 1, 15))::BIGINT"
+_MH_B = "('0x' || substr(md5(x), 17, 8))::BIGINT"
+
+
+def _mh_min(i: int) -> str:
+    return f"list_min(list_transform(sh, x -> ({_MH_A} + {i} * {_MH_B}) % {_MH_P}))"
+
+
 def _dd02_sql() -> str:
-    mins = ",\n       ".join(
-        f"list_min(list_transform(sh, x -> md5(x || '#{i}'))) AS h{i}" for i in range(8)
-    )
+    mins = ",\n       ".join(f"{_mh_min(i)} AS h{i}" for i in range(8))
     return f"""
 WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
 SELECT doc_id, {mins}
@@ -647,11 +656,10 @@ def dd03_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dd03_sql() -> str:
-    mins = ", ".join(
-        f"list_min(list_transform(sh, x -> md5(x || '#{i}'))) AS h{i}" for i in range(8)
-    )
+    mins = ", ".join(f"{_mh_min(i)} AS h{i}" for i in range(8))
     bands = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || '|' || h{2*b+1}) AS band_hash FROM sig"
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(CAST(h{2*b} AS VARCHAR) || '|' || CAST(h{2*b+1} AS VARCHAR)) AS band_hash FROM sig"
         for b in range(4)
     )
     return f"""

@@ -12,11 +12,11 @@ Design notes
   shuffle on the hash key, no driver materialization, works at any
   scale. ``dropDuplicates`` is NOT used because the reference's
   keep_first/keep_last/keep_best_quality need an explicit order.
-* All text hashing uses MD5 *hex strings* (`F.md5`) rather than
+* All text hashing derives from MD5 (`F.md5`) rather than
   `F.hash`/xxhash so signatures are engine-independent — the DuckDB
-  oracle computes byte-identical signatures with its own md5().
-  Hex strings compare lexicographically the same everywhere, so
-  `min(md5(...))` is a valid minhash in both engines.
+  oracle computes byte-identical values with its own md5(). Minhash
+  uses the affine family h_i = (a + i·b) mod (2^61−1) with a/b cut
+  from the hex digest: ONE md5 per shingle for any signature width.
 * MinHash-LSH: signature → bands → band-hash → group-by band. The
   only shuffle is on band hashes; candidate pairs are verified with
   exact Jaccard. No O(n²) stage anywhere.
@@ -118,27 +118,18 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
-def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
-    """Array of ``num_hashes`` minhash values (md5 hex strings) as a
-    single expression.
+# affine minhash family: h_i(s) = (a(s) + i·b(s)) mod P, with a = the
+# first 15 hex chars of md5(s) (60 bits) and b = 8 hex chars (32 bits)
+# — i·b stays < 2^36 so the sum never overflows int64 in any engine.
+# ONE md5 per shingle regardless of signature width: at 128 hashes
+# this is ~100× less hashing than the md5-per-seed family.
+MINHASH_P = (1 << 61) - 1
 
-    minhash_i = min over shingles of md5(shingle || '#i') — the md5
-    family indexed by seed suffix. Engine-independent (see module doc).
-    Empty shingle set → array of NULLs (doc has no content).
 
-    NOTE: fine for a few hashes inline; for signature TABLES use
-    ``minhash_signatures`` below — composing this expression per
-    element (element_at) duplicates the whole subtree and blows up
-    codegen.
-    """
-    sh = shingles(text, k)
-
-    def min_for_seed(seed: str):
-        # NB: single-arg lambda — a 2-arg lambda would make transform
-        # pass the array index as the second argument
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(seed)))))
-
-    return F.array(*[min_for_seed(f"#{i}") for i in range(num_hashes)])
+def _minhash_ab(digest: Column) -> tuple[Column, Column]:
+    a = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    b = F.conv(F.substring(digest, 17, 8), 16, 10).cast("long")
+    return a, b
 
 
 def minhash_signatures(
@@ -148,20 +139,23 @@ def minhash_signatures(
     num_hashes: int = 16,
     k: int = 3,
 ) -> DataFrame:
-    """Signature table: one row per id, columns h0..h{n-1}.
+    """Signature table: one row per id, bigint columns h0..h{n-1}.
 
-    Shape built for scale: explode shingles (1 row per shingle) then
-    ONE hash aggregation computing all mins map-side — tiny expression
-    tree, partial aggregation, no codegen blowup. Docs with no tokens
-    produce no row (same as the SQL oracle's group-by-over-unnest).
+    Shape built for scale: explode shingles (1 row per shingle), one
+    md5 per shingle, then ONE hash aggregation computing all affine
+    mins map-side — tiny expression tree, partial aggregation, no
+    codegen blowup. Docs with no tokens produce no row (same as the
+    SQL oracle's group-by-over-unnest).
     """
     from ai_etl_framework_spark.session import widen
 
     sh = widen(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__s")
     )
+    a, b = _minhash_ab(F.md5(F.col("__s")))
+    sh = sh.select(id_col, a.alias("__a"), b.alias("__b"))
     aggs = [
-        F.min(F.md5(F.concat(F.col("__s"), F.lit(f"#{i}")))).alias(f"h{i}")
+        F.min((F.col("__a") + F.lit(i) * F.col("__b")) % F.lit(MINHASH_P)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -187,7 +181,11 @@ def minhash_candidates(
         *[
             F.md5(
                 F.concat_ws(
-                    "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 )
             )
             for b in range(bands)
