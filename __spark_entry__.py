@@ -726,6 +726,32 @@ SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM v
 """
 
 
+def dd06_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4×8-bit band blocking (exact for
+    hamming ≤ 3 by pigeonhole) + bit_count verification."""
+    from ai_etl_framework_spark.operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", bits=32, bands=4, max_hamming=3)
+
+
+def _dd06_sql() -> str:
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, sim, {b} AS band_idx, (sim >> {(3 - b) * 8}) & 255 AS band_val FROM sims"
+        for b in range(4)
+    )
+    return f"""
+WITH sims AS (SELECT doc_id, simhash AS sim FROM ({_dd05_sql()}) dd05),
+banded AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM banded a
+JOIN banded b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+            AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data operators: similarity search
 # ---------------------------------------------------------------------------
@@ -1468,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd03_minhash_band_pairs": dd03_minhash_band_pairs,
         "dd04_ngram_jaccard": dd04_ngram_jaccard,
         "dd05_simhash": dd05_simhash,
+        "dd06_simhash_near_pairs": dd06_simhash_near_pairs,
         "sim01_cosine_topk": sim01_cosine_topk,
         "sim02_embedding_dup_pairs": sim02_embedding_dup_pairs,
         "txt01_text_stats": txt01_text_stats,
@@ -1520,6 +1547,7 @@ def oracle_sql() -> dict[str, str]:
         "dd03_minhash_band_pairs": _dd03_sql(),
         "dd04_ngram_jaccard": _DD04_SQL,
         "dd05_simhash": _dd05_sql(),
+        "dd06_simhash_near_pairs": _dd06_sql(),
         "sim01_cosine_topk": _SIM01_SQL,
         "sim02_embedding_dup_pairs": _SIM02_SQL,
         "txt01_text_stats": _txt01_sql(),

@@ -356,6 +356,67 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding — EXACT for
+    ``max_hamming <= bands - 1`` (pigeonhole: a pair differing in ≤
+    bands−1 bits differs in ≤ bands−1 bands, so at least one band is
+    identical; banding loses nothing). Shuffle is on (band_idx,
+    band_value) only; verification is one bit_count per candidate.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("banding is only exact for max_hamming <= bands - 1")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sims = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sim")
+    )
+    banded = sims.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("sim"), (bands - 1 - b) * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("id", "sim", "bd.band_idx", "bd.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------

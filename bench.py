@@ -52,11 +52,18 @@ def main() -> None:
     qs[BENCH_QUERIES[0]](spark, SF_DIR).collect()
 
     times: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
         df.collect()
         times[name] = round(time.perf_counter() - t0, 4)
+        # second run = steady-state latency (plan + codegen cached),
+        # comparable to the reference's warm cached-connection
+        # dashboard latency (duckdb_service.py per-source cache)
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).collect()
+        warm[name] = round(time.perf_counter() - t0, 4)
 
     # pipeline throughput vs the reference's 13.5k rec/s single-node
     # best (BASELINE.md): clean → quality-score → parquet write
@@ -90,6 +97,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pipeline_records_per_sec": round(n_rows / pipe_sec, 1),
             }
