@@ -128,6 +128,29 @@ def write_jdbc(
     writer.save()
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table.
+
+    Two tables bucketed on the same key with the same bucket count
+    join WITHOUT an exchange — at 100 TB this turns every repeated
+    fact-to-fact join on the bucket key from a full shuffle into a
+    local zip of corresponding buckets (verified by the bucketing
+    test: no Exchange in the join plan). Requires the session
+    catalog (saveAsTable), not a bare path."""
+    writer = df.write.format(fmt).mode(mode).bucketBy(int(num_buckets), *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def fan_out(df: DataFrame, writes: Sequence[dict]) -> None:
     """Multi-destination fan-out (ref pipeline_core.py:82-134; unified
     API always writes parquet + csv, main.py:146-149): cache once,
