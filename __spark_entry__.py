@@ -1258,6 +1258,30 @@ WHERE rn = 1
 """
 
 
+def q32_agg_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregator 'list' function (non-null values in input order,
+    aggregator.py:27), serialized to JSON so the array compares
+    byte-identically across engines."""
+    from ai_etl_framework_spark.operators import Aggregator
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = Aggregator(
+        group_by=["o_orderpriority"],
+        aggregations={"statuses": {"field": "o_orderstatus", "function": "list"}},
+        order_col="o_orderkey",
+    )
+    out = agg(orders)
+    return out.select("o_orderpriority", F.to_json("statuses").alias("statuses"))
+
+
+_Q32_SQL = """
+SELECT o_orderpriority,
+       to_json(list(o_orderstatus ORDER BY o_orderkey)) AS statuses
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def q28_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) — the batch twin of the
     applyInPandasWithState streaming operator (streaming/sessions.py).
@@ -1489,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_histogram": q29_histogram,
         "q30_box_quartiles": q30_box_quartiles,
         "q31_pie_counts": q31_pie_counts,
+        "q32_agg_list": q32_agg_list,
         "dd01_exact_text_dedup": dd01_exact_text_dedup,
         "dd02_minhash_sig": dd02_minhash_sig,
         "dd03_minhash_band_pairs": dd03_minhash_band_pairs,
@@ -1542,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         "q29_histogram": _Q29_SQL,
         "q30_box_quartiles": _Q30_SQL,
         "q31_pie_counts": _Q31_SQL,
+        "q32_agg_list": _Q32_SQL,
         "dd01_exact_text_dedup": _DD01_SQL,
         "dd02_minhash_sig": _dd02_sql(),
         "dd03_minhash_band_pairs": _dd03_sql(),
