@@ -1258,6 +1258,33 @@ WHERE rn = 1
 """
 
 
+def q33_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-window top-k per group: the 3 highest-value events per
+    event_type (row_number over a partition — the windowed sibling of
+    the global top-k q04)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("event_type", "rn", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+_Q33_SQL = """
+SELECT event_type, CAST(rn AS INT) AS rn, event_id, ROUND(value, 2) AS value
+FROM (SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events)
+WHERE rn <= 3
+"""
+
+
 def q32_agg_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregator 'list' function (non-null values in input order,
     aggregator.py:27), serialized to JSON so the array compares
@@ -1514,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_box_quartiles": q30_box_quartiles,
         "q31_pie_counts": q31_pie_counts,
         "q32_agg_list": q32_agg_list,
+        "q33_topk_per_group": q33_topk_per_group,
         "dd01_exact_text_dedup": dd01_exact_text_dedup,
         "dd02_minhash_sig": dd02_minhash_sig,
         "dd03_minhash_band_pairs": dd03_minhash_band_pairs,
@@ -1568,6 +1596,7 @@ def oracle_sql() -> dict[str, str]:
         "q30_box_quartiles": _Q30_SQL,
         "q31_pie_counts": _Q31_SQL,
         "q32_agg_list": _Q32_SQL,
+        "q33_topk_per_group": _Q33_SQL,
         "dd01_exact_text_dedup": _DD01_SQL,
         "dd02_minhash_sig": _dd02_sql(),
         "dd03_minhash_band_pairs": _dd03_sql(),

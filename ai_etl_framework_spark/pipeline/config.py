@@ -20,6 +20,7 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ai_etl_framework_spark.errors import ConfigurationError
 from ai_etl_framework_spark.operators import (
     Aggregator,
     AnomalyDetector,
@@ -48,7 +49,7 @@ def build_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
         return readers.read_parquet(spark, cfg.pop("path"), **cfg)
     if kind in ("jdbc", "postgres", "postgresql"):
         return readers.read_jdbc(spark, **cfg)
-    raise ValueError(f"unknown source type: {kind!r}")
+    raise ConfigurationError(f"unknown source type: {kind!r}")
 
 
 def _type_converter(cfg: dict[str, Any]) -> Callable[[DataFrame], DataFrame]:
@@ -98,22 +99,25 @@ def build_transformer(cfg: dict[str, Any]) -> Callable[[DataFrame], DataFrame]:
     try:
         return TRANSFORMER_FACTORIES[kind](cfg)
     except KeyError:
-        raise ValueError(f"unknown transformer type: {kind!r}") from None
+        raise ConfigurationError(f"unknown transformer type: {kind!r}") from None
 
 
 def build_destination(cfg: dict[str, Any]) -> Callable[[DataFrame], None]:
     cfg = dict(cfg)
     kind = cfg.pop("type")
+    from ai_etl_framework_spark.sinks.sqlite import write_sqlite
+
     writer = {
         "parquet": writers.write_parquet,
         "csv": writers.write_csv,
         "json": writers.write_json,
         "jdbc": writers.write_jdbc,
-        "sqlite": writers.write_jdbc,
+        # stdlib sqlite sink (no JDBC driver in this runtime)
+        "sqlite": write_sqlite,
         "postgres": writers.write_jdbc,
     }.get(kind)
     if writer is None:
-        raise ValueError(f"unknown destination type: {kind!r}")
+        raise ConfigurationError(f"unknown destination type: {kind!r}")
     return lambda df: writer(df, **cfg)
 
 

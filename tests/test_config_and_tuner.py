@@ -8,6 +8,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from ai_etl_framework_spark.errors import ConfigurationError
 from ai_etl_framework_spark.ml import AutoTuner
 from ai_etl_framework_spark.pipeline.config import (
     build_pipeline,
@@ -47,7 +48,7 @@ def test_custom_transformer_and_unknown_types(spark):
     df = spark.range(3)
     double_it = build_transformer({"type": "custom", "fn": lambda d: d.withColumn("x", F.col("id") * 2)})
     assert double_it(df).agg(F.sum("x")).first()[0] == 6
-    with pytest.raises(ValueError):
+    with pytest.raises(ConfigurationError):
         build_transformer({"type": "nope"})
 
 
