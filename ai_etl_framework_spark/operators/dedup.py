@@ -439,6 +439,34 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (norm(a) * norm(b))
 
 
+def embedding_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """End-to-end embedding near-dup removal at scale: random-
+    hyperplane LSH buckets as the blocking key → in-bucket cosine
+    pairs → connected components → keep each component's smallest id.
+
+    Approximation note: pairs split across buckets are missed; more
+    planes = smaller buckets = faster but lower recall (recall can be
+    recovered with multi-probe or plane-set unions — the standard
+    trade-off, documented rather than hidden)."""
+    from ai_etl_framework_spark.functions.similarity import hyperplane_bucket
+
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col))).first()
+        dim = int(first[0])
+    bucketed = df.withColumn(
+        "__bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes)
+    )
+    pairs = embedding_dup_pairs(bucketed, id_col, vec_col, "__bucket", threshold)
+    return dedup_connected_components(df, id_col, pairs)
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -558,11 +586,22 @@ def dedup_connected_components(
     cannot distribute). Converges in O(graph diameter) joins; AQE
     handles the shrinking frontier."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Iterative algorithm hygiene: each iteration's plan would embed
+    # TWO copies of the previous iteration's plan (labels appears in
+    # the join twice) — exponential logical-plan growth that persist()
+    # does NOT stop (it caches execution, not lineage). localCheckpoint
+    # truncates the lineage each round, so iteration i's plan is one
+    # join + one agg over materialized frames, at any graph density.
+    # (On a cluster, prefer reliable checkpointing — sc.setCheckpointDir
+    # + .checkpoint() — so executor loss can't orphan the lineage.)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -576,10 +615,13 @@ def dedup_connected_components(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
-        if updated.join(labels, ["id", "label"], "left_anti").isEmpty():
-            labels = updated
-            break
+        converged = updated.join(labels, ["id", "label"], "left_anti").isEmpty()
         labels = updated
+        if converged:
+            break
+    # the loser set stays distributed — it can be a large fraction of
+    # the table; no driver materialization.
     losers = labels.where(F.col("id") != F.col("label")).select(F.col("id").alias(id_col))
     return df.join(losers, on=id_col, how="left_anti")

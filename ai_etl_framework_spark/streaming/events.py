@@ -77,6 +77,20 @@ def windowed_counts_batch(
     )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` arriving within
+    the watermark horizon. State holds one entry per key seen inside
+    the horizon and is purged as the watermark advances — bounded
+    state, exactly-once output with checkpointing. (The streaming twin
+    of operators.dedup.exact_dedup keep_first.)"""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def start_to_parquet(
     stream_df: DataFrame,
     out_path: str,
