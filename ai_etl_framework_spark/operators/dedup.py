@@ -609,11 +609,24 @@ def dedup_connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+        )
+        # pointer jumping: label := label(label). Neighbor-min alone
+        # converges in O(graph diameter) — a chain of 10⁶ near-dups
+        # would need 10⁶ rounds; composing with one label-of-label hop
+        # squares the reach per round ⇒ O(log n) rounds total.
+        x, y = propagated.alias("x"), propagated.alias("y")
         updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            x.join(y, F.col("x.label") == F.col("y.id"), "left")
             .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.col("x.id").alias("id"),
+                F.least(
+                    F.col("x.label"), F.coalesce(F.col("y.label"), F.col("x.label"))
+                ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )

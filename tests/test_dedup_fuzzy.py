@@ -69,3 +69,19 @@ def test_fuzzy_requires_columns():
         Deduplicator(match_mode="fuzzy")(None)
     with pytest.raises(ValueError):
         Deduplicator(match_mode="nope")(None)
+
+
+def test_cc_long_chain_converges(spark):
+    """A 2000-node chain has graph diameter 1999 — pointer jumping
+    must collapse it to one component within the 20-round cap
+    (O(log n) convergence), keeping only node 0."""
+    from ai_etl_framework_spark.operators.dedup import dedup_connected_components
+
+    n = 2000
+    nodes = spark.range(n).select(F.col("id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = dedup_connected_components(nodes, "id", pairs, max_iterations=20)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].id == 0
