@@ -1492,6 +1492,17 @@ def x05_iforest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("_meta_is_anomaly")).select("event_id", "_meta_anomaly_score")
 
 
+def x06_batched_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query ANN: numpy matmul per Arrow batch
+    (functions/similarity.py topk_batch_pandas) — the high-throughput
+    path for many simultaneous queries. Rows-only."""
+    from ai_etl_framework_spark.functions.similarity import topk_batch_pandas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_ = [r[0] for r in emb.where(F.col("vec_id") < 3).select("embedding").collect()]
+    return topk_batch_pandas(emb, "embedding", "vec_id", [[float(x) for x in q] for q in queries_], k=5)
+
+
 def x03_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary blobs → Arrow-batched mapInPandas
     feature extraction (functions/multimodal.py; decode kernel is a
@@ -1559,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x03_media_features": x03_media_features,
         "x04_isolation_forest": x04_isolation_forest,
         "x05_iforest_distributed": x05_iforest_distributed,
+        "x06_batched_matmul_topk": x06_batched_matmul_topk,
     }
 
 
