@@ -1,0 +1,140 @@
+"""Property-based differential testing of the Filter compiler: ANY
+randomly-generated filter list must produce the same surviving rows
+in Spark (compiled Column predicates) and DuckDB (compiled SQL WHERE)
+— including the reference's quirks (empty-IN no-op, 2-value between
+guard, case-insensitive contains with escaped wildcards)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ai_etl_framework_spark.plans.filters import Filter, apply_filters
+
+COLUMNS = {
+    "o_orderkey": "int",
+    "o_custkey": "int",
+    "o_orderstatus": "str",
+    "o_orderpriority": "str",
+    "o_totalprice": "float",
+}
+
+_STR_VALUES = ["O", "F", "P", "1-URGENT", "2-HIGH", "3-MEDIUM", "h", "%", "_", ""]
+
+
+def _value_strategy(dtype):
+    if dtype == "int":
+        return st.integers(min_value=-10, max_value=2000)
+    if dtype == "float":
+        return st.floats(min_value=0, max_value=500000, allow_nan=False).map(
+            lambda x: round(x, 2)
+        )
+    return st.sampled_from(_STR_VALUES)
+
+
+@st.composite
+def filters(draw):
+    col = draw(st.sampled_from(sorted(COLUMNS)))
+    dtype = COLUMNS[col]
+    op = draw(
+        st.sampled_from(
+            ["eq", "neq", "in", "not_in", "between", "gt", "gte", "lt", "lte",
+             "contains", "not_contains", "is_null", "is_not_null"]
+        )
+    )
+    vs = _value_strategy(dtype)
+    if op in ("is_null", "is_not_null"):
+        value = None
+    elif op in ("in", "not_in"):
+        value = draw(st.lists(vs, min_size=0, max_size=4))
+    elif op == "between":
+        value = draw(st.lists(vs, min_size=0, max_size=3))
+    elif op in ("contains", "not_contains"):
+        value = draw(st.sampled_from(_STR_VALUES[:-1]))  # non-empty needles
+    else:
+        value = draw(vs)
+    return Filter(col, op, value)
+
+
+def _sql_literal(v):
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _to_sql(f: Filter):
+    c = f.column
+    if f.operator == "eq":
+        return f"{c} = {_sql_literal(f.value)}"
+    if f.operator == "neq":
+        return f"{c} != {_sql_literal(f.value)}"
+    if f.operator in ("in", "not_in"):
+        vals = list(f.value or [])
+        if not vals:
+            return None  # reference: silently skipped
+        lst = ", ".join(_sql_literal(v) for v in vals)
+        return f"{c} {'NOT ' if f.operator == 'not_in' else ''}IN ({lst})"
+    if f.operator == "between":
+        vals = list(f.value or [])
+        if len(vals) != 2:
+            return None
+        return f"{c} BETWEEN {_sql_literal(vals[0])} AND {_sql_literal(vals[1])}"
+    if f.operator in ("gt", "gte", "lt", "lte"):
+        sym = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}[f.operator]
+        return f"{c} {sym} {_sql_literal(f.value)}"
+    if f.operator in ("contains", "not_contains"):
+        needle = (
+            str(f.value).replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        )
+        neg = "NOT " if f.operator == "not_contains" else ""
+        return f"{neg}(CAST({c} AS VARCHAR) ILIKE '%{needle}%' ESCAPE '\\')"
+    if f.operator == "is_null":
+        return f"{c} IS NULL"
+    if f.operator == "is_not_null":
+        return f"{c} IS NOT NULL"
+    raise AssertionError(f.operator)
+
+
+@pytest.fixture(scope="module")
+def orders_cached(spark, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        *COLUMNS
+    ).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def duck_orders(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT {', '.join(COLUMNS)} "
+        f"FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(fs=st.lists(filters(), min_size=1, max_size=4))
+def test_filters_match_duckdb(fs, orders_cached, duck_orders):
+    spark_ids = {
+        r[0]
+        for r in apply_filters(orders_cached, fs).select("o_orderkey").collect()
+    }
+    clauses = [s for s in (_to_sql(f) for f in fs) if s is not None]
+    where = (" WHERE " + " AND ".join(clauses)) if clauses else ""
+    duck_ids = {
+        r[0]
+        for r in duck_orders.execute(f"SELECT o_orderkey FROM orders{where}").fetchall()
+    }
+    assert spark_ids == duck_ids, (fs, len(spark_ids), len(duck_ids))
