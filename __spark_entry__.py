@@ -1285,6 +1285,32 @@ WHERE rn <= 3
 """
 
 
+def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every 20th event acts as a
+    'rate' row; each other event picks up the most recent rate at or
+    before its timestamp per user. Oracle: DuckDB's native ASOF LEFT
+    JOIN."""
+    from ai_etl_framework_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    rates = events.where(F.col("event_id") % 20 == 0).select(
+        "user_id", "ts", F.round("value", 2).alias("rate")
+    )
+    evs = events.where(F.col("event_id") % 20 != 0).select("event_id", "user_id", "ts")
+    out = asof_join(evs, rates, on="ts", by=["user_id"], right_cols=["rate"])
+    return out.select("event_id", "rate")
+
+
+_Q34_SQL = """
+WITH rates AS (SELECT user_id, ts, ROUND(value, 2) AS rate
+               FROM events WHERE event_id % 20 = 0),
+evs AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 20 != 0)
+SELECT e.event_id, r.rate
+FROM evs e
+ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND e.ts >= r.ts
+"""
+
+
 def q32_agg_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregator 'list' function (non-null values in input order,
     aggregator.py:27), serialized to JSON so the array compares
@@ -1553,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_pie_counts": q31_pie_counts,
         "q32_agg_list": q32_agg_list,
         "q33_topk_per_group": q33_topk_per_group,
+        "q34_asof_join": q34_asof_join,
         "dd01_exact_text_dedup": dd01_exact_text_dedup,
         "dd02_minhash_sig": dd02_minhash_sig,
         "dd03_minhash_band_pairs": dd03_minhash_band_pairs,
@@ -1609,6 +1636,7 @@ def oracle_sql() -> dict[str, str]:
         "q31_pie_counts": _Q31_SQL,
         "q32_agg_list": _Q32_SQL,
         "q33_topk_per_group": _Q33_SQL,
+        "q34_asof_join": _Q34_SQL,
         "dd01_exact_text_dedup": _DD01_SQL,
         "dd02_minhash_sig": _dd02_sql(),
         "dd03_minhash_band_pairs": _dd03_sql(),

@@ -1,0 +1,76 @@
+"""As-of join: match each left row to the most recent right row at or
+before its timestamp, per key.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do — the DuckDB one is
+the test oracle). A naive theta-join `l.ts >= r.ts` explodes into a
+range join and then needs a per-left-row argmax; the classic scalable
+formulation used here is union + last-value carry-forward:
+
+1. tag right rows (carrying their payload) and left rows (payload
+   NULL) into ONE frame;
+2. sort within each key by (ts, right-before-left on ties) — a single
+   shuffle on the key, no range join, no per-row argmax;
+3. `last(payload, ignorenulls=True)` over the running window fills
+   each left row with the latest right payload at or before it;
+4. keep the left rows.
+
+Cost: one shuffle of |L|+|R| rows + one in-partition sort — the same
+shape as a sort-merge join, at any scale. Ties (equal ts) resolve to
+the right row being visible to the left row, matching DuckDB ASOF
+(`ON l.ts >= r.ts`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    right_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Left as-of join. ``on``: the ordering (timestamp) column present
+    in both frames; ``by``: equi-key columns; ``right_cols``: right
+    payload columns to carry (default: all non-key, non-ts)."""
+    by = list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != on]
+    right_cols = list(right_cols)
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+
+    l_tagged = left.select(
+        *by,
+        F.col(on),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c) for c in right_cols],
+    )
+    unioned = r_tagged.unionByName(l_tagged)
+    # right rows sort BEFORE left rows on ties so an equal-ts right row
+    # is visible to the left row (ASOF `>=` semantics)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "__is_left",
+        "__lrow",
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    return filled.where(F.col("__is_left") == 1).select("__lrow.*", *right_cols)
