@@ -1311,6 +1311,35 @@ ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND e.ts >= r.ts
 """
 
 
+def q35_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned point-in-interval range join (operators/asof.py
+    range_join_points): every 50th event spawns a 2-hour interval;
+    count events falling inside each. Oracle: DuckDB's inequality
+    join (IEJoin)."""
+    from ai_etl_framework_spark.operators.asof import range_join_points
+
+    events = load_table(spark, sf_dir, "events")
+    intervals = events.where(F.col("event_id") % 50 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    pts = events.select("event_id", "ts")
+    joined = range_join_points(pts, intervals, "ts", "start_ts", "end_ts")
+    return joined.groupBy("interval_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+_Q35_SQL = """
+WITH intervals AS (SELECT event_id AS interval_id, ts AS start_ts,
+                          ts + INTERVAL 2 HOUR AS end_ts
+                   FROM events WHERE event_id % 50 = 0)
+SELECT interval_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e
+JOIN intervals i ON e.ts >= i.start_ts AND e.ts <= i.end_ts
+GROUP BY interval_id
+"""
+
+
 def q32_agg_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregator 'list' function (non-null values in input order,
     aggregator.py:27), serialized to JSON so the array compares
@@ -1580,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_agg_list": q32_agg_list,
         "q33_topk_per_group": q33_topk_per_group,
         "q34_asof_join": q34_asof_join,
+        "q35_range_join": q35_range_join,
         "dd01_exact_text_dedup": dd01_exact_text_dedup,
         "dd02_minhash_sig": dd02_minhash_sig,
         "dd03_minhash_band_pairs": dd03_minhash_band_pairs,
@@ -1637,6 +1667,7 @@ def oracle_sql() -> dict[str, str]:
         "q32_agg_list": _Q32_SQL,
         "q33_topk_per_group": _Q33_SQL,
         "q34_asof_join": _Q34_SQL,
+        "q35_range_join": _Q35_SQL,
         "dd01_exact_text_dedup": _DD01_SQL,
         "dd02_minhash_sig": _dd02_sql(),
         "dd03_minhash_band_pairs": _dd03_sql(),

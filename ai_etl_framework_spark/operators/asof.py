@@ -28,6 +28,39 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join_points(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str] = (),
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join (`start <= point <= end`) without the
+    naive cross-product: both sides are mapped to fixed-width time
+    bins — each interval replicates once per bin it covers, each
+    point lands in one bin — then an EQUI-join on (keys…, bin)
+    followed by the exact containment filter. Catalyst gets a hash
+    join on the bin key instead of a nested-loop range join; cost
+    scales with interval-length/bin-width, not |P|×|I|.
+
+    Pick ``bin_seconds`` near the median interval length: too small
+    replicates intervals, too large packs many points per bin."""
+    by = list(by)
+    p_bin = F.floor(F.col(point_col).cast("double") / bin_seconds)
+    i_bins = F.sequence(
+        F.floor(F.col(start_col).cast("double") / bin_seconds).cast("long"),
+        F.floor(F.col(end_col).cast("double") / bin_seconds).cast("long"),
+    )
+    p = points.withColumn("__bin", p_bin.cast("long"))
+    i = intervals.withColumn("__bin", F.explode(i_bins))
+    joined = p.join(i, by + ["__bin"]).where(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("__bin")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

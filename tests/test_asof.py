@@ -7,7 +7,7 @@ import datetime as dt
 
 import pytest
 
-from ai_etl_framework_spark.operators.asof import asof_join
+from ai_etl_framework_spark.operators.asof import asof_join, range_join_points
 
 
 def _ts(s):
@@ -47,3 +47,47 @@ def test_asof_collision_guard(spark):
                                    "event_id long, user_id long, ts timestamp, value double")
     with pytest.raises(ValueError, match="collide"):
         asof_join(events, rates, on="ts", by=["user_id"], right_cols=["value"])
+
+
+def test_range_join_points(spark):
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T12:00:00")),
+            (2, _ts("2024-01-01T11:30:00"), _ts("2024-01-01T11:45:00")),
+        ],
+        "interval_id long, start_ts timestamp, end_ts timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T09:59:59")),  # just before interval 1
+            (11, _ts("2024-01-01T10:00:00")),  # inclusive start
+            (12, _ts("2024-01-01T11:40:00")),  # inside both
+            (13, _ts("2024-01-01T12:00:00")),  # inclusive end of 1
+            (14, _ts("2024-01-01T13:00:00")),  # after both
+        ],
+        "point_id long, ts timestamp",
+    )
+    got = {
+        (r.point_id, r.interval_id)
+        for r in range_join_points(points, intervals, "ts", "start_ts", "end_ts").collect()
+    }
+    assert got == {(11, 1), (12, 1), (12, 2), (13, 1)}
+
+
+def test_range_join_points_keyed_and_bins(spark):
+    # interval spanning many bins with a small bin width still matches,
+    # and the `by` key isolates groups.
+    intervals = spark.createDataFrame(
+        [("a", 0.0, 500.0), ("b", 0.0, 500.0)],
+        "grp string, lo double, hi double",
+    )
+    points = spark.createDataFrame(
+        [("a", 250.0), ("b", 600.0)], "grp string, x double"
+    )
+    got = {
+        (r.grp, r.x)
+        for r in range_join_points(
+            points, intervals, "x", "lo", "hi", by=["grp"], bin_seconds=60
+        ).collect()
+    }
+    assert got == {("a", 250.0)}
