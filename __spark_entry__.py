@@ -1340,6 +1340,93 @@ GROUP BY interval_id
 """
 
 
+def q36_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (native `df.rollup` — Catalyst
+    expands to a single Expand + one aggregation, so subtotal levels
+    share one shuffle instead of one scan per level). Beyond-reference:
+    SURVEY.md §2.6 notes the reference has no grouping sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+_Q36_SQL = """
+SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+       COALESCE(l_linestatus, '(all)') AS linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q37_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT, distinct semantics):
+    customers who placed both 1-URGENT and 5-LOW orders, minus those
+    with any open ('O') order. Spark `intersect`/`subtract` lower to
+    left-semi/left-anti joins over distinct inputs — broadcast-able
+    and AQE-planned, no driver work."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    open_ = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return urgent.intersect(low).subtract(open_)
+
+
+_Q37_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q38_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions per user ordered by time: lag,
+    running sum, and a 4-row trailing sum — one window partition,
+    one shuffle on user_id shared by all three expressions. Explicit
+    ROWS frames + a unique (ts, event_id) sort key keep row order
+    deterministic; values are rounded BEFORE summing (multiples of
+    0.01) so the oracle compare is immune to the engines' different
+    summation trees (DuckDB windows aggregate via segment tree,
+    Spark sequentially — raw-double sums differ in the last ulp)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trail = w.rowsBetween(-3, Window.currentRow)
+    v = F.round(F.col("value"), 2)
+    return events.select(
+        "event_id",
+        F.round(F.lag(v).over(w), 2).alias("prev_value"),
+        F.round(F.sum(v).over(run), 2).alias("run_sum"),
+        F.round(F.sum(v).over(trail), 2).alias("trail_sum"),
+    )
+
+
+_Q38_SQL = """
+SELECT event_id,
+       ROUND(lag(ROUND(value, 2)) OVER w, 2) AS prev_value,
+       ROUND(SUM(ROUND(value, 2)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+       ROUND(SUM(ROUND(value, 2)) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS trail_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q32_agg_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregator 'list' function (non-null values in input order,
     aggregator.py:27), serialized to JSON so the array compares
@@ -1610,6 +1697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_topk_per_group": q33_topk_per_group,
         "q34_asof_join": q34_asof_join,
         "q35_range_join": q35_range_join,
+        "q36_rollup_grouping": q36_rollup_grouping,
+        "q37_set_ops": q37_set_ops,
+        "q38_window_analytics": q38_window_analytics,
         "dd01_exact_text_dedup": dd01_exact_text_dedup,
         "dd02_minhash_sig": dd02_minhash_sig,
         "dd03_minhash_band_pairs": dd03_minhash_band_pairs,
@@ -1668,6 +1758,9 @@ def oracle_sql() -> dict[str, str]:
         "q33_topk_per_group": _Q33_SQL,
         "q34_asof_join": _Q34_SQL,
         "q35_range_join": _Q35_SQL,
+        "q36_rollup_grouping": _Q36_SQL,
+        "q37_set_ops": _Q37_SQL,
+        "q38_window_analytics": _Q38_SQL,
         "dd01_exact_text_dedup": _DD01_SQL,
         "dd02_minhash_sig": _dd02_sql(),
         "dd03_minhash_band_pairs": _dd03_sql(),

@@ -10,8 +10,10 @@ from ai_etl_framework_spark.plans.filters import Filter, compile_filters
 from ai_etl_framework_spark.plans.aggspec import AggregationSpec, Metric, compile_query
 from ai_etl_framework_spark.plans.pagination import drill_down, distinct_values
 from ai_etl_framework_spark.plans.profile import profile_schema
+from ai_etl_framework_spark.plans.service import DashboardService
 
 __all__ = [
+    "DashboardService",
     "Filter",
     "compile_filters",
     "AggregationSpec",

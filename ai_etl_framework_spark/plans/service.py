@@ -1,0 +1,149 @@
+"""Dashboard service facade — the Entry-point-C lifecycle end to end.
+
+Reference: src/database/duckdb_service.py:56-113 keeps one cached
+in-memory DuckDB connection per ``{org}/{source}`` with a view over
+the gold-layer file (Parquet preferred over CSV, lines 97-99) and an
+explicit ``invalidate_cache`` hook called after pipeline reruns
+(main.py:653-684). The Spark-native analog: one cached DataFrame per
+source — ``spark.read.parquet(...).cache()`` — with ``unpersist()``
+on invalidation. All query endpoints
+(src/api/main.py:905-1179) funnel through this object:
+
+    query         -> plans.aggspec.run_query      (dashboard/query)
+    schema        -> plans.profile.profile_schema (dashboard/schema)
+    drill_down    -> plans.pagination.drill_down  (dashboard/drill-down)
+    filter_values -> plans.pagination.distinct_values (filter-values)
+
+Scale note: the cache holds the *DataFrame handle* (a logical plan),
+not data — ``.cache()`` materializes lazily per partition on first
+action and is the direct replacement for DuckDB's per-connection
+view. On a cluster the cache is distributed across executors; at
+100 TB you would flip ``cache_data=False`` and rely on parquet scans
++ AQE, which this facade exposes as a constructor knob.
+
+The HTTP layer is optional: ``create_app`` builds the same routes as
+the reference's FastAPI service when fastapi is importable, and
+raises a clear error otherwise (the web framework is not part of the
+query engine).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ai_etl_framework_spark.errors import ReadError
+from ai_etl_framework_spark.plans.aggspec import run_query
+from ai_etl_framework_spark.plans.pagination import distinct_values, drill_down
+from ai_etl_framework_spark.plans.profile import profile_schema
+from ai_etl_framework_spark.sources.paths import slugify
+
+
+class DashboardService:
+    """Per-``{org}/{source}`` cached-DataFrame registry + the four
+    dashboard query operations (ref duckdb_service.py:56-113)."""
+
+    def __init__(self, spark: SparkSession, base_dir: str, cache_data: bool = True):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.cache_data = cache_data
+        self._cache: dict[tuple[str, str], DataFrame] = {}
+
+    # -- registry ----------------------------------------------------
+
+    def _gold_paths(self, org: str, source: str) -> tuple[str, str]:
+        ds = slugify(source)
+        root = os.path.join(self.base_dir, slugify(org), "gold", "bi", ds)
+        return os.path.join(root, f"{ds}.parquet"), os.path.join(root, f"{ds}.csv")
+
+    def get_df(self, org: str, source: str) -> DataFrame:
+        """Parquet preferred over CSV (ref duckdb_service.py:97-99);
+        cached until :meth:`invalidate`."""
+        key = (slugify(org), slugify(source))
+        if key in self._cache:
+            return self._cache[key]
+        pq, csv = self._gold_paths(org, source)
+        if os.path.exists(pq):
+            df = self.spark.read.parquet(pq)
+        elif os.path.exists(csv):
+            df = self.spark.read.csv(csv, header=True, inferSchema=True)
+        else:
+            raise ReadError(f"no gold data for {org}/{source}: {pq}")
+        if self.cache_data:
+            df = df.cache()
+        self._cache[key] = df
+        return df
+
+    def invalidate(self, org: str, source: Optional[str] = None) -> None:
+        """Drop cached entries for one source, or the whole org when
+        ``source`` is None (ref duckdb_service.py:106-113, called
+        after pipeline reruns at main.py:653-684)."""
+        org_slug = slugify(org)
+        for key in [k for k in self._cache if k[0] == org_slug]:
+            if source is None or key[1] == slugify(source):
+                df = self._cache.pop(key)
+                if self.cache_data:
+                    df.unpersist()
+
+    # -- endpoints ---------------------------------------------------
+
+    def query(
+        self,
+        org: str,
+        source: str,
+        filters: Sequence[dict] | None = None,
+        spec: dict | None = None,
+    ) -> dict[str, Any]:
+        return run_query(self.get_df(org, source), filters, spec)
+
+    def schema(self, org: str, source: str) -> dict[str, Any]:
+        return profile_schema(self.get_df(org, source))
+
+    def drill_down(self, org: str, source: str, **kwargs: Any) -> dict[str, Any]:
+        return drill_down(self.get_df(org, source), **kwargs)
+
+    def filter_values(self, org: str, source: str, column: str, **kwargs: Any) -> dict[str, Any]:
+        return distinct_values(self.get_df(org, source), column, **kwargs)
+
+
+def create_app(service: DashboardService):
+    """FastAPI app with the reference's dashboard routes
+    (src/api/main.py:905-1179). Optional — raises if fastapi is not
+    installed; the engine itself never imports it."""
+    try:
+        from fastapi import FastAPI
+    except ImportError as exc:  # pragma: no cover - fastapi absent here
+        raise ImportError(
+            "fastapi is not installed; DashboardService works without it"
+        ) from exc
+
+    app = FastAPI()  # pragma: no cover - exercised only with fastapi
+
+    @app.post("/api/analytics/dashboard/query")
+    def query(body: dict):
+        return service.query(
+            body["org"], body["source"], body.get("filters"), body.get("aggregation")
+        )
+
+    @app.get("/api/analytics/dashboard/schema/{org}/{source}")
+    def schema(org: str, source: str):
+        return service.schema(org, source)
+
+    @app.post("/api/analytics/dashboard/drill-down")
+    def drill(body: dict):
+        return service.drill_down(
+            body["org"],
+            body["source"],
+            filters=body.get("filters"),
+            columns=body.get("columns"),
+            limit=body.get("limit", 100),
+            offset=body.get("offset", 0),
+        )
+
+    @app.get("/api/analytics/dashboard/filter-values/{org}/{source}/{column}")
+    def values(org: str, source: str, column: str, search: str = "", limit: int = 100):
+        return service.filter_values(org, source, column, search=search or None, limit=limit)
+
+    return app

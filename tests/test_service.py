@@ -1,0 +1,72 @@
+"""DashboardService facade: medallion resolution, parquet-over-CSV
+preference, cache + invalidation, and the four endpoint operations
+(ref duckdb_service.py:56-113, main.py:905-1179)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ai_etl_framework_spark.errors import ReadError
+from ai_etl_framework_spark.plans import DashboardService
+
+
+@pytest.fixture
+def gold(tmp_path, spark):
+    """Write a small gold/bi parquet for org 'Acme Corp', source 'My Claims'."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0), (4, None, 40.0)],
+        "id long, grp string, amount double",
+    )
+    root = tmp_path / "acme-corp" / "gold" / "bi" / "my-claims"
+    root.mkdir(parents=True)
+    df.coalesce(1).write.mode("overwrite").parquet(str(root / "my-claims.parquet"))
+    return str(tmp_path)
+
+
+def test_query_schema_drill_values(spark, gold):
+    svc = DashboardService(spark, gold)
+    res = svc.query(
+        "Acme Corp",
+        "My Claims",
+        filters=[{"column": "grp", "operator": "is_not_null", "value": None}],
+        spec={"group_by": ["grp"], "metrics": [{"column": "amount", "agg": "sum"}]},
+    )
+    by_grp = {r["grp"]: r["amount_sum"] for r in res["records"]}
+    assert by_grp == {"a": 40.0, "b": 20.0}
+    assert res["row_count"] == 2 and "query_time_ms" in res
+
+    prof = svc.schema("Acme Corp", "My Claims")
+    assert prof["row_count"] == 4
+
+    page = svc.drill_down("Acme Corp", "My Claims", limit=2, order_by="id")
+    assert page["total_count"] == 4 and len(page["records"]) == 2
+
+    vals = svc.filter_values("Acme Corp", "My Claims", "grp")
+    assert vals["values"] == ["a", "b"]
+
+
+def test_cache_and_invalidate(spark, gold):
+    svc = DashboardService(spark, gold)
+    df1 = svc.get_df("Acme Corp", "My Claims")
+    assert svc.get_df("acme corp", "my claims") is df1  # slug-keyed cache hit
+    assert df1.storageLevel.useMemory  # cached
+
+    # overwrite the gold file, then invalidate -> fresh read sees new data
+    new = spark.createDataFrame([(99, "z", 1.0)], "id long, grp string, amount double")
+    pq = os.path.join(gold, "acme-corp", "gold", "bi", "my-claims", "my-claims.parquet")
+    new.coalesce(1).write.mode("overwrite").parquet(pq)
+    svc.invalidate("Acme Corp", "My Claims")
+    assert svc.get_df("Acme Corp", "My Claims").count() == 1
+
+
+def test_csv_fallback_and_missing(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    root = tmp_path / "org" / "gold" / "bi" / "src"
+    root.mkdir(parents=True)
+    df.coalesce(1).write.option("header", True).mode("overwrite").csv(str(root / "src.csv"))
+    svc = DashboardService(spark, str(tmp_path), cache_data=False)
+    assert svc.get_df("org", "src").count() == 1
+    with pytest.raises(ReadError):
+        svc.get_df("org", "nope")
