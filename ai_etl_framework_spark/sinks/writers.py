@@ -99,6 +99,46 @@ def write_json(
     writer.json(path)
 
 
+def write_json_array(
+    df: DataFrame,
+    path: str,
+    pretty: bool = False,
+    max_rows: int = 100_000,
+    schema_export: bool = False,
+) -> None:
+    """The reference's JSON 'array' mode (json_loader.py:17-309): one
+    file holding a single JSON array, optionally indented, with an
+    optional ``.schema.json`` sidecar. Array mode is inherently a
+    single-writer format, so this collects to the driver — guarded by
+    ``max_rows`` (the reference buffered the whole output in memory
+    too). For anything large, use :func:`write_json` (JSONL, fully
+    distributed)."""
+    import json
+    import os
+
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"array mode collects to the driver: {n} rows > max_rows={max_rows}; "
+            "use write_json (JSONL) for large outputs"
+        )
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rows, f, indent=2 if pretty else None, default=str)
+    os.replace(tmp, path)  # temp-file + atomic rename (ref json_loader commit)
+    if schema_export:
+        sidecar = {
+            "fields": [
+                {"name": fld.name, "type": fld.dataType.simpleString(), "nullable": fld.nullable}
+                for fld in df.schema.fields
+            ]
+        }
+        with open(path + ".schema.json", "w") as f:
+            json.dump(sidecar, f, indent=2)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

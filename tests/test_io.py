@@ -183,3 +183,18 @@ def test_generate_outputs():
     assert out["rag_path"] == "/data/acme-corp/gold/rag/claims-feed/claims-feed.csv"
     assert out["quarantine_path"] == "/data/acme-corp/quarantine/claims-feed_anomalies.csv"
     assert out["bronze_dir"] == "/data/acme-corp/bronze"
+
+
+def test_write_json_array(spark, tmp_path):
+    from ai_etl_framework_spark.sinks.writers import write_json_array
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    out = str(tmp_path / "out.json")
+    write_json_array(df.orderBy("id"), out, pretty=True, schema_export=True)
+    data = json.load(open(out))
+    assert data == [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+    sidecar = json.load(open(out + ".schema.json"))
+    assert sidecar["fields"][0] == {"name": "id", "type": "bigint", "nullable": True}
+
+    with pytest.raises(ValueError, match="max_rows"):
+        write_json_array(df, out, max_rows=1)
