@@ -1427,6 +1427,38 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q39_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column query (SURVEY §1.2 JSON type): extract a
+    typed field from the events.props JSON string and aggregate on it.
+    `get_json_object` is JVM-side (codegen'd Jackson path eval), so the
+    extraction runs inside the scan stage — no UDF, no extra pass."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_Q39_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def q32_agg_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregator 'list' function (non-null values in input order,
     aggregator.py:27), serialized to JSON so the array compares
@@ -1700,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_rollup_grouping": q36_rollup_grouping,
         "q37_set_ops": q37_set_ops,
         "q38_window_analytics": q38_window_analytics,
+        "q39_json_extract": q39_json_extract,
         "dd01_exact_text_dedup": dd01_exact_text_dedup,
         "dd02_minhash_sig": dd02_minhash_sig,
         "dd03_minhash_band_pairs": dd03_minhash_band_pairs,
@@ -1761,6 +1794,7 @@ def oracle_sql() -> dict[str, str]:
         "q36_rollup_grouping": _Q36_SQL,
         "q37_set_ops": _Q37_SQL,
         "q38_window_analytics": _Q38_SQL,
+        "q39_json_extract": _Q39_SQL,
         "dd01_exact_text_dedup": _DD01_SQL,
         "dd02_minhash_sig": _dd02_sql(),
         "dd03_minhash_band_pairs": _dd03_sql(),
