@@ -1,0 +1,60 @@
+"""Mirror of the reference's dashboard query lifecycle (Entry-point C):
+write a gold-layer parquet through the medallion path generator, then
+answer filtered-aggregation / schema / drill-down / distinct-values
+requests through DashboardService — the same four endpoints as
+POST /api/analytics/dashboard/*.
+
+Run: python examples/dashboard_query.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ai_etl_framework_spark.plans import DashboardService
+from ai_etl_framework_spark.session import get_spark, load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark(app_name="example-dashboard")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = tempfile.mkdtemp(prefix="medallion_")
+
+    # pipeline side: land orders as the gold/bi dataset for org "acme"
+    from ai_etl_framework_spark.sources.paths import generate_outputs
+
+    paths = generate_outputs(base, "Acme Corp", "Orders Feed")
+    load_table(spark, SF_DIR, "orders").write.parquet(paths["bi_path"])
+
+    # dashboard side: same request shapes as the REST endpoints
+    svc = DashboardService(spark, base)
+    res = svc.query(
+        "Acme Corp",
+        "Orders Feed",
+        filters=[{"column": "o_orderstatus", "operator": "neq", "value": "P"}],
+        spec={
+            "group_by": ["o_orderpriority"],
+            "metrics": [
+                {"column": "o_totalprice", "agg": "sum", "alias": "revenue"},
+                {"column": "o_orderkey", "agg": "count", "alias": "orders"},
+            ],
+            "limit": 10,
+        },
+    )
+    for rec in res["records"]:
+        print(rec)
+    print(f"({res['row_count']} rows in {res['query_time_ms']} ms)")
+
+    prof = svc.schema("Acme Corp", "Orders Feed")
+    print("schema buckets:", {n: c["type"] for n, c in list(prof["columns"].items())[:3]})
+    print("priorities:", svc.filter_values("Acme Corp", "Orders Feed", "o_orderpriority")["values"])
+
+
+if __name__ == "__main__":
+    main()
