@@ -1459,6 +1459,33 @@ GROUP BY event_type
 """
 
 
+def q40_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS expressed as a left-semi join (what Catalyst
+    decorrelates EXISTS subqueries into): orders having at least one
+    lineitem shipped after 2000-01-01, counted by status. The semi
+    join never materializes lineitem columns and short-circuits per
+    key — at 100 TB the filtered build side stays far smaller than an
+    inner-join + distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = li.where(F.col("l_shipdate") > F.lit("2000-01-01")).select("l_orderkey")
+    return (
+        orders.join(shipped, orders.o_orderkey == shipped.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_Q40_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > TIMESTAMP '2000-01-01')
+GROUP BY o_orderstatus
+"""
+
+
 def q32_agg_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregator 'list' function (non-null values in input order,
     aggregator.py:27), serialized to JSON so the array compares
@@ -1733,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_set_ops": q37_set_ops,
         "q38_window_analytics": q38_window_analytics,
         "q39_json_extract": q39_json_extract,
+        "q40_exists_semijoin": q40_exists_semijoin,
         "dd01_exact_text_dedup": dd01_exact_text_dedup,
         "dd02_minhash_sig": dd02_minhash_sig,
         "dd03_minhash_band_pairs": dd03_minhash_band_pairs,
@@ -1795,6 +1823,7 @@ def oracle_sql() -> dict[str, str]:
         "q37_set_ops": _Q37_SQL,
         "q38_window_analytics": _Q38_SQL,
         "q39_json_extract": _Q39_SQL,
+        "q40_exists_semijoin": _Q40_SQL,
         "dd01_exact_text_dedup": _DD01_SQL,
         "dd02_minhash_sig": _dd02_sql(),
         "dd03_minhash_band_pairs": _dd03_sql(),
