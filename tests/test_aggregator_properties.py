@@ -1,0 +1,102 @@
+"""Property-based differential testing of the Aggregator: ANY random
+small batch must produce the same per-group results from the Spark
+expression compiler and from a direct Python model of the reference
+semantics (SURVEY.md §2.6a / ref aggregator.py:17-28):
+
+- count includes NULLs (== COUNT(*))
+- sum over numeric non-null, 0.0 for empty/all-null groups
+- avg/min/max over numeric non-null, None if none
+- count_distinct over str(v) of non-null values
+- first/last positional in input order, NULLs included, cast to string
+- concat = ", ".join(str(v)) over non-null, in input order
+- list = non-null values in input order
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ai_etl_framework_spark.operators import Aggregator
+
+GROUPS = ["a", "b", None]
+STRINGS = ["x", "y", "", "x, y", None]
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(GROUPS),
+        st.one_of(st.none(), st.floats(min_value=-100, max_value=100,
+                                       allow_nan=False).map(lambda x: round(x, 3))),
+        st.sampled_from(STRINGS),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _model(rows):
+    """The reference Aggregator semantics, straight from SURVEY §2.6a."""
+    groups: dict = {}
+    for g, v, s in rows:
+        groups.setdefault(g, []).append((v, s))
+    out = {}
+    for g, vals in groups.items():
+        vs = [v for v, _ in vals]
+        ss = [s for _, s in vals]
+        nums = [v for v in vs if v is not None]
+        non_null_s = [s for s in ss if s is not None]
+        out[g] = {
+            "n": len(vs),  # count incl. NULLs
+            "total": float(sum(nums)) if nums else 0.0,  # empty -> 0
+            "mean": (sum(nums) / len(nums)) if nums else None,
+            "lo": min(nums) if nums else None,
+            "hi": max(nums) if nums else None,
+            "cd": len({str(s) for s in non_null_s}),
+            "first_s": None if ss[0] is None else str(ss[0]),
+            "last_s": None if ss[-1] is None else str(ss[-1]),
+            "cat": ", ".join(str(s) for s in non_null_s),
+            "lst": non_null_s,
+        }
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_strategy)
+def test_aggregator_matches_reference_model(spark, rows):
+    df = spark.createDataFrame(
+        [(i, g, v, s) for i, (g, v, s) in enumerate(rows)],
+        "ord long, g string, v double, s string",
+    )
+    agg = Aggregator(
+        group_by=["g"],
+        aggregations={
+            "n": {"field": "v", "function": "count"},
+            "total": {"field": "v", "function": "sum"},
+            "mean": {"field": "v", "function": "avg"},
+            "lo": {"field": "v", "function": "min"},
+            "hi": {"field": "v", "function": "max"},
+            "cd": {"field": "s", "function": "count_distinct"},
+            "first_s": {"field": "s", "function": "first"},
+            "last_s": {"field": "s", "function": "last"},
+            "cat": {"field": "s", "function": "concat"},
+            "lst": {"field": "s", "function": "list"},
+        },
+        order_col="ord",
+    )
+    got = {r["g"]: r.asDict() for r in agg(df).collect()}
+    want = _model(rows)
+    assert set(got) == set(want)
+    for g, w in want.items():
+        r = got[g]
+        for k in ("n", "cd", "first_s", "last_s", "cat", "lst"):
+            assert r[k] == w[k], (g, k, r[k], w[k])
+        for k in ("total", "mean", "lo", "hi"):
+            if w[k] is None:
+                assert r[k] is None, (g, k, r[k])
+            else:
+                assert r[k] == pytest.approx(w[k], rel=1e-9, abs=1e-9), (g, k)
+        assert not isinstance(w["mean"], float) or not math.isnan(w["mean"])
