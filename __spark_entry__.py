@@ -1486,6 +1486,30 @@ GROUP BY o_orderstatus
 """
 
 
+def q41_not_exists_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (q40's complement): orders whose
+    lineitems all shipped on/before 2000-01-01 — plus orders with no
+    lineitems at all, matching SQL NOT EXISTS semantics exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = li.where(F.col("l_shipdate") > F.lit("2000-01-01")).select("l_orderkey")
+    return (
+        orders.join(shipped, orders.o_orderkey == shipped.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_Q41_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > TIMESTAMP '2000-01-01')
+GROUP BY o_orderpriority
+"""
+
+
 def q32_agg_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregator 'list' function (non-null values in input order,
     aggregator.py:27), serialized to JSON so the array compares
@@ -1761,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_window_analytics": q38_window_analytics,
         "q39_json_extract": q39_json_extract,
         "q40_exists_semijoin": q40_exists_semijoin,
+        "q41_not_exists_antijoin": q41_not_exists_antijoin,
         "dd01_exact_text_dedup": dd01_exact_text_dedup,
         "dd02_minhash_sig": dd02_minhash_sig,
         "dd03_minhash_band_pairs": dd03_minhash_band_pairs,
@@ -1824,6 +1849,7 @@ def oracle_sql() -> dict[str, str]:
         "q38_window_analytics": _Q38_SQL,
         "q39_json_extract": _Q39_SQL,
         "q40_exists_semijoin": _Q40_SQL,
+        "q41_not_exists_antijoin": _Q41_SQL,
         "dd01_exact_text_dedup": _DD01_SQL,
         "dd02_minhash_sig": _dd02_sql(),
         "dd03_minhash_band_pairs": _dd03_sql(),

@@ -1,0 +1,61 @@
+"""Physical-plan assertions for the newer operators: the point is not
+that the query returns the right rows (the oracle gate covers that)
+but that Catalyst picks the execution shape we designed for —
+hash/broadcast joins instead of nested loops, a single Expand for
+rollup, semi/anti joins that never materialize the probe side.
+"""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE toString appends the pre-adaptive plan after this marker —
+    # keep only the final plan so node counts aren't doubled
+    return plan.split("== Initial Plan ==")[0]
+
+
+def _count_nodes(plan: str, node: str) -> int:
+    return len(re.findall(rf"\b{node}", plan))
+
+
+def test_range_join_is_hash_join_on_bins(spark):
+    plan = _executed_plan(entry.q35_range_join(spark, SF))
+    # the binned rewrite must produce an equi-join (hash or broadcast),
+    # never BroadcastNestedLoopJoin — that's the naive |P|x|I| shape
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan
+    assert "__bin" in plan
+
+
+def test_rollup_is_single_expand(spark):
+    plan = _executed_plan(entry.q36_rollup_grouping(spark, SF))
+    # df.rollup compiles to ONE Expand feeding one aggregation - not
+    # one scan+agg per subtotal level
+    assert _count_nodes(plan, "Expand") == 1
+    assert "HashAggregate" in plan
+
+
+def test_exists_is_semi_join(spark):
+    plan = _executed_plan(entry.q40_exists_semijoin(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_not_exists_is_anti_join(spark):
+    plan = _executed_plan(entry.q41_not_exists_antijoin(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_window_analytics_single_shuffle(spark):
+    df = entry.q38_window_analytics(spark, SF)
+    plan = _executed_plan(df)
+    # all three window expressions share one partitioning: exactly one
+    # shuffle exchange (on user_id) in the whole plan
+    assert _count_nodes(plan, "Exchange hashpartitioning") == 1
