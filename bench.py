@@ -48,8 +48,14 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup (not timed)
+    # JVM/codegen warmup (not timed) + touch every input table once so
+    # the timed runs measure engine work, not first-read page-cache
+    # misses (the DuckDB oracle comparison gets the same warm files)
     qs[BENCH_QUERIES[0]](spark, SF_DIR).collect()
+    from ai_etl_framework_spark.session import load_table
+
+    for t in ("events", "documents", "embeddings", "customer", "orders"):
+        load_table(spark, SF_DIR, t).count()
 
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
