@@ -59,3 +59,10 @@ def test_window_analytics_single_shuffle(spark):
     # all three window expressions share one partitioning: exactly one
     # shuffle exchange (on user_id) in the whole plan
     assert _count_nodes(plan, "Exchange hashpartitioning") == 1
+
+
+def test_q5_star_join_broadcasts_dims(spark):
+    plan = _executed_plan(entry.q42_local_supplier_revenue(spark, SF))
+    # every dim side must broadcast; no nested-loop fallback anywhere
+    assert "NestedLoop" not in plan
+    assert _count_nodes(plan, "BroadcastHashJoin") >= 3
