@@ -70,3 +70,49 @@ def test_csv_fallback_and_missing(spark, tmp_path):
     assert svc.get_df("org", "src").count() == 1
     with pytest.raises(ReadError):
         svc.get_df("org", "nope")
+
+
+def test_streaming_refresh_loop(spark, tmp_path):
+    """The living-pipeline loop: streaming micro-batches land in the
+    gold layer (foreachBatch append), the dashboard cache is
+    invalidated per batch, and the next query sees the new rows —
+    streaming ingest and the Entry-point-C surface working together."""
+    from ai_etl_framework_spark.sources.paths import generate_outputs
+    from ai_etl_framework_spark.streaming.events import read_stream
+
+    base = str(tmp_path / "medallion")
+    paths = generate_outputs(base, "Acme", "Live Events")
+    bronze = str(tmp_path / "bronze")
+    svc = DashboardService(spark, base)
+
+    schema = "id long, v double"
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], schema).write.mode(
+        "append"
+    ).parquet(bronze)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(paths["bi_path"])
+        svc.invalidate("Acme", "Live Events")
+
+    stream = read_stream(spark, bronze, fmt="parquet", schema=schema)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert svc.query("Acme", "Live Events")["row_count"] == 2
+
+    # second wave of files: incremental, exactly-once, cache refreshed
+    spark.createDataFrame([(3, 30.0)], schema).write.mode("append").parquet(bronze)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = svc.query("Acme", "Live Events")
+    assert res["row_count"] == 3
+    assert sorted(r["id"] for r in res["records"]) == [1, 2, 3]
