@@ -26,6 +26,27 @@ from ai_etl_framework_spark.session import load_table
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def _money_exprs(total_col: str, n_col: str, dialect: str) -> tuple[str, str]:
+    """Deterministic ``ROUND(total, 2)`` / ``ROUND(total / n, 4)`` SQL.
+
+    ``total_col`` must hold an exact decimal(·,4) sum cast to double
+    (DashboardAggregator guarantees this). Recover the integer sum in
+    1e-4 units, then round by integer half-away-from-zero division —
+    bit-identical in Spark and DuckDB, immune to double summation
+    order and to the engines' different double-round() behavior at
+    .xxx5 boundaries (the q13 round-1 hash failure).
+    """
+    div = "div" if dialect == "spark" else "//"
+    s4 = f"CAST(round({total_col} * 10000) AS BIGINT)"
+    sign = f"(CASE WHEN {s4} < 0 THEN -1 ELSE 1 END)"
+    total = f"CAST({sign} * ((abs({s4}) * 2 + 100) {div} 200) AS DOUBLE) / 100.0"
+    avg = (
+        f"CAST({sign} * ((abs({s4}) * 2 + {n_col}) {div} (2 * {n_col})) AS DOUBLE)"
+        " / 10000.0"
+    )
+    return total, avg
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -451,24 +472,30 @@ def q13_rollup_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     out = DashboardAggregator(orders).by_date()
-    return out.select(
+    t, a = _money_exprs("total_billed", "total_claims", "spark")
+    return out.selectExpr(
         "date",
         "total_claims",
-        F.round("total_billed", 2).alias("total_billed"),
-        F.round("avg_billed", 4).alias("avg_billed"),
+        f"{t} AS total_billed",
+        f"{a} AS avg_billed",
     )
 
 
 # detected: date col = o_orderdate ('date'), amount = o_totalprice
 # ('price'), claim col falls back to the date col → COUNT(date)
-_Q13_SQL = """
-SELECT CAST(o_orderdate AS DATE)            AS date,
-       CAST(COUNT(o_orderdate) AS BIGINT)   AS total_claims,
-       ROUND(SUM(o_totalprice), 2)          AS total_billed,
-       ROUND(AVG(o_totalprice), 4)          AS avg_billed
-FROM orders
-WHERE o_orderdate IS NOT NULL
-GROUP BY CAST(o_orderdate AS DATE)
+def _q13_sql() -> str:
+    t, a = _money_exprs("total_billed", "total_claims", "duckdb")
+    return f"""
+WITH g AS (
+  SELECT CAST(o_orderdate AS DATE)                                AS date,
+         CAST(COUNT(o_orderdate) AS BIGINT)                       AS total_claims,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_billed
+  FROM orders
+  WHERE o_orderdate IS NOT NULL
+  GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT date, total_claims, {t} AS total_billed, {a} AS avg_billed
+FROM g
 """
 
 
@@ -479,22 +506,28 @@ def q14_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     out = DashboardAggregator(orders).summary()
-    return out.select(
+    t, a = _money_exprs("total_billed", "total_claims", "spark")
+    return out.selectExpr(
         "total_claims",
-        F.round("total_billed", 2).alias("total_billed"),
-        F.round("avg_billed", 4).alias("avg_billed"),
-        F.round("min_billed", 2).alias("min_billed"),
-        F.round("max_billed", 2).alias("max_billed"),
+        f"{t} AS total_billed",
+        f"{a} AS avg_billed",
+        "round(min_billed, 2) AS min_billed",
+        "round(max_billed, 2) AS max_billed",
     )
 
 
-_Q14_SQL = """
-SELECT CAST(COUNT(*) AS BIGINT)     AS total_claims,
-       ROUND(SUM(o_totalprice), 2)  AS total_billed,
-       ROUND(AVG(o_totalprice), 4)  AS avg_billed,
-       ROUND(MIN(o_totalprice), 2)  AS min_billed,
-       ROUND(MAX(o_totalprice), 2)  AS max_billed
-FROM orders
+def _q14_sql() -> str:
+    t, a = _money_exprs("total_billed", "total_claims", "duckdb")
+    return f"""
+WITH g AS (
+  SELECT CAST(COUNT(*) AS BIGINT)                                 AS total_claims,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_billed,
+         ROUND(MIN(o_totalprice), 2)                              AS min_billed,
+         ROUND(MAX(o_totalprice), 2)                              AS max_billed
+  FROM orders
+)
+SELECT total_claims, {t} AS total_billed, {a} AS avg_billed, min_billed, max_billed
+FROM g
 """
 
 
@@ -1012,27 +1045,34 @@ def q21_rollup_by_provider(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_suppkey") % 100) / 100.0).alias("_meta_quality_score"),
     )
     out = DashboardAggregator(derived).by_provider()
-    return out.select(
+    t, a = _money_exprs("total_billed", "total_claims", "spark")
+    return out.selectExpr(
         "provider_region",
         "total_claims",
-        F.round("total_billed", 2).alias("total_billed"),
-        F.round("avg_billed", 4).alias("avg_billed"),
-        F.round("min_billed", 2).alias("min_billed"),
-        F.round("max_billed", 2).alias("max_billed"),
-        F.round("avg_quality_score", 6).alias("avg_quality_score"),
+        f"{t} AS total_billed",
+        f"{a} AS avg_billed",
+        "round(min_billed, 2) AS min_billed",
+        "round(max_billed, 2) AS max_billed",
+        "round(avg_quality_score, 6) AS avg_quality_score",
     )
 
 
-_Q21_SQL = """
-SELECT s_nationkey                                   AS provider_region,
-       CAST(COUNT(s_suppkey) AS BIGINT)              AS total_claims,
-       ROUND(SUM(s_acctbal), 2)                      AS total_billed,
-       ROUND(AVG(s_acctbal), 4)                      AS avg_billed,
-       ROUND(MIN(s_acctbal), 2)                      AS min_billed,
-       ROUND(MAX(s_acctbal), 2)                      AS max_billed,
-       ROUND(AVG((s_suppkey % 100) / 100.0), 6)      AS avg_quality_score
-FROM supplier
-GROUP BY s_nationkey
+def _q21_sql() -> str:
+    t, a = _money_exprs("total_billed", "total_claims", "duckdb")
+    return f"""
+WITH g AS (
+  SELECT s_nationkey                                            AS provider_region,
+         CAST(COUNT(s_suppkey) AS BIGINT)                       AS total_claims,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(20,4))) AS DOUBLE)  AS total_billed,
+         ROUND(MIN(s_acctbal), 2)                               AS min_billed,
+         ROUND(MAX(s_acctbal), 2)                               AS max_billed,
+         ROUND(AVG((s_suppkey % 100) / 100.0), 6)               AS avg_quality_score
+  FROM supplier
+  GROUP BY s_nationkey
+)
+SELECT provider_region, total_claims, {t} AS total_billed, {a} AS avg_billed,
+       min_billed, max_billed, avg_quality_score
+FROM g
 """
 
 
@@ -1048,21 +1088,27 @@ def q22_rollup_by_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("record_id"),     # 'id' claim pattern
     )
     out = DashboardAggregator(derived).by_diagnosis()
-    return out.select(
+    t, a = _money_exprs("total_billed", "total_claims", "spark")
+    return out.selectExpr(
         "diagnosis_code",
         "total_claims",
-        F.round("total_billed", 2).alias("total_billed"),
-        F.round("avg_billed", 4).alias("avg_billed"),
+        f"{t} AS total_billed",
+        f"{a} AS avg_billed",
     )
 
 
-_Q22_SQL = """
-SELECT p_type                              AS diagnosis_code,
-       CAST(COUNT(p_partkey) AS BIGINT)    AS total_claims,
-       ROUND(SUM(p_retailprice), 2)        AS total_billed,
-       ROUND(AVG(p_retailprice), 4)        AS avg_billed
-FROM part
-GROUP BY p_type
+def _q22_sql() -> str:
+    t, a = _money_exprs("total_billed", "total_claims", "duckdb")
+    return f"""
+WITH g AS (
+  SELECT p_type                                                     AS diagnosis_code,
+         CAST(COUNT(p_partkey) AS BIGINT)                           AS total_claims,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(20,4))) AS DOUBLE)  AS total_billed
+  FROM part
+  GROUP BY p_type
+)
+SELECT diagnosis_code, total_claims, {t} AS total_billed, {a} AS avg_billed
+FROM g
 """
 
 
@@ -1450,7 +1496,7 @@ def q39_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q39_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
@@ -1871,16 +1917,16 @@ def oracle_sql() -> dict[str, str]:
         "q10_anomaly_zscore": _Q10_SQL,
         "q11_anomaly_iqr": _Q11_SQL,
         "q12_dedup_exact": _Q12_SQL,
-        "q13_rollup_by_date": _Q13_SQL,
-        "q14_rollup_summary": _Q14_SQL,
+        "q13_rollup_by_date": _q13_sql(),
+        "q14_rollup_summary": _q14_sql(),
         "q15_profile_stats": _Q15_SQL,
         "q16_pivot_flag_qty": _Q16_SQL,
         "q17_window_events": _Q17_SQL,
         "q18_anomaly_combined": _Q18_SQL,
         "q19_null_handling": _Q19_SQL,
         "q20_column_remover": _Q20_SQL,
-        "q21_rollup_by_provider": _Q21_SQL,
-        "q22_rollup_by_diagnosis": _Q22_SQL,
+        "q21_rollup_by_provider": _q21_sql(),
+        "q22_rollup_by_diagnosis": _q22_sql(),
         "q23_schema_infer": _Q23_SQL,
         "q24_dedup_cc": _Q24_SQL,
         "q25_distinct_search": _Q25_SQL,

@@ -23,6 +23,12 @@ every record in driver memory — here nothing materializes):
 
 Note: pandas ``count`` counts NON-NULL values of the claim column —
 F.count(col), not COUNT(*).
+
+Money sums run over DECIMAL(20,4): a decimal sum is exact and
+association-independent, so the result is identical no matter how
+partitions are combined — at 100 TB a raw double sum drifts with the
+merge tree (and disagrees with any reference engine at rounding
+boundaries). The exposed columns stay DOUBLE for API compatibility.
 """
 
 from __future__ import annotations
@@ -64,9 +70,11 @@ class DashboardAggregator:
         aggs = [F.count(F.lit(1)).alias("total_claims")]
         if amount:
             c = F.col(amount)
+            dec = c.cast("decimal(20,4)")  # exact money sum (see module doc)
+            sum_dec = F.sum(dec)
             aggs += [
-                F.sum(c).alias("total_billed"),
-                F.avg(c).alias("avg_billed"),
+                sum_dec.cast("double").alias("total_billed"),
+                (sum_dec.cast("double") / F.count(dec)).alias("avg_billed"),
                 F.min(c).alias("min_billed"),
                 F.max(c).alias("max_billed"),
             ]
@@ -82,7 +90,12 @@ class DashboardAggregator:
         aggs = [F.count(F.col(claim)).alias("total_claims")]  # non-null count (pandas 'count')
         if amount:
             c = F.col(amount)
-            aggs += [F.sum(c).alias("total_billed"), F.avg(c).alias("avg_billed")]
+            dec = c.cast("decimal(20,4)")  # exact money sum (see module doc)
+            sum_dec = F.sum(dec)
+            aggs += [
+                sum_dec.cast("double").alias("total_billed"),
+                (sum_dec.cast("double") / F.count(dec)).alias("avg_billed"),
+            ]
             if full_stats:
                 aggs += [F.min(c).alias("min_billed"), F.max(c).alias("max_billed")]
         return self.df.groupBy(group_col).agg(*aggs)
