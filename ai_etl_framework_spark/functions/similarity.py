@@ -128,6 +128,12 @@ def lsh_topk(
     probe = [qb]
     if probe_hamming >= 1:
         probe += [qb ^ (1 << i) for i in range(n_planes)]
+    if probe_hamming >= 2:
+        probe += [
+            qb ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
     bcol = F.col(bucket_col) if bucket_col else hyperplane_bucket(F.col(vec_col), dim, n_planes)
     pruned = df.withColumn("__bucket", bcol).where(F.col("__bucket").isin(probe))
     return brute_force_topk(pruned, vec_col, id_col, query, k, round_to)
@@ -163,6 +169,78 @@ def ivf_topk(
     probe_cells = [c for c, _ in sorted(scored, key=lambda t: t[1])[:nprobe]]
     pruned = df.where(F.col(cell_col).isin(probe_cells))
     return brute_force_topk(pruned, vec_col, id_col, query, k, round_to)
+
+
+# ---------------------------------------------------------------------------
+# k-means coarse quantizer for IVF (when no meaningful cell column exists)
+# ---------------------------------------------------------------------------
+
+def kmeans_cells(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 8,
+    sample_rows: int = 100_000,
+) -> list[list[float]]:
+    """Deterministic Lloyd centroids fit on a bounded driver sample.
+
+    Scale path: only ``sample_rows`` vectors ever reach the driver (a
+    k×dim centroid matrix is broadcast back); the full-table cell
+    assignment stays distributed in :func:`assign_cells`. Seeding is
+    md5-based so repeated runs agree.
+    """
+    import hashlib
+
+    import numpy as np
+
+    sample = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(sample_rows).collect()
+    )
+    ids = [r[0] for r in sample]
+    V = np.asarray([list(r[1]) for r in sample], dtype=np.float64)
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    seed_order = np.argsort(
+        [int(hashlib.md5(f"ivf:{i}".encode()).hexdigest(), 16) for i in ids]
+    )[:k]
+    C = V[seed_order]
+    for _ in range(iters):
+        assign = np.argmax(V @ C.T, axis=1)
+        C = np.stack(
+            [V[assign == c].mean(axis=0) if (assign == c).any() else C[c] for c in range(k)]
+        )
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return [[float(x) for x in row] for row in C]
+
+
+def assign_cells(
+    df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    cell_col: str = "__cell",
+) -> DataFrame:
+    """Nearest-centroid (max cosine) cell id per row — one Arrow-batched
+    matmul per partition, centroid matrix broadcast via closure.
+    At ingest time this is the "bucket once, partition by cell" column
+    that turns IVF probes into partition-pruned scans."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def _cell_fn(vecs):
+        M = np.stack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype("int32"))
+
+    # real-class annotations: `from __future__ import annotations` would
+    # stringify inline hints beyond pyspark's type-hint resolver
+    _cell_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    _cell = pandas_udf(_cell_fn, "int")
+
+    return df.withColumn(cell_col, _cell(F.col(vec_col)))
 
 
 # ---------------------------------------------------------------------------

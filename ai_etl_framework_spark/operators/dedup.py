@@ -536,9 +536,22 @@ class Deduplicator:
         pairs = embedding_dup_pairs(
             df, self.order_col, self.vec_col, self.block_col, self.similarity_threshold
         )
-        keep_ids = greedy_group_representatives(
-            [(r["id_a"], r["id_b"]) for r in pairs.limit(self.max_pairs).collect()]
-        )
+        # The greedy reference semantics need every candidate pair on the
+        # driver. Past max_pairs that is no longer a bounded collect, and
+        # truncating would silently drop duplicate groups — fail loudly
+        # and point at the distributed path instead.
+        collected = [
+            (r["id_a"], r["id_b"]) for r in pairs.limit(self.max_pairs + 1).collect()
+        ]
+        if len(collected) > self.max_pairs:
+            raise RuntimeError(
+                f"fuzzy dedup produced more than max_pairs={self.max_pairs} "
+                "candidate pairs; a truncated greedy pass would silently "
+                "drop duplicates. Raise max_pairs if the driver can hold "
+                "them, or use dedup_connected_components for the fully "
+                "distributed (pointer-jumping) grouping."
+            )
+        keep_ids = greedy_group_representatives(collected)
         drop = [b for a, b in keep_ids.items() if a != b]  # members absorbed into another rep
         if not drop:
             return df
