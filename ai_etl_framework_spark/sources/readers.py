@@ -28,7 +28,7 @@ import json
 import os
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -36,16 +36,37 @@ def with_row_id(df: DataFrame, name: str = "_row_id") -> DataFrame:
     """Stable 0-based input-order id: file name + in-file position.
 
     monotonically_increasing_id alone is not contiguous across files
-    (SURVEY §7.4.1); ranking (file, mono_id) gives the total order of
-    the input as listed. One window pass; only used when an operator
-    actually needs input order.
+    (SURVEY §7.4.1). Round 1 ranked (file, mono) with an unpartitioned
+    window — a single-task bottleneck at scale. Now: aggregate one
+    (count, min_mono) row per file-chunk (file × scan partition), rank
+    the chunk manifest on the driver (it is tiny — one row per ~128 MB
+    split), broadcast cumulative offsets back, and add the in-chunk
+    delta. Two narrow scans, no global shuffle, no single-task stage;
+    the output order is identical to the round-1 window version.
     """
-    w = Window.orderBy(F.col("__file"), F.col("__mono"))
-    return (
+    base = (
         df.withColumn("__file", F.input_file_name())
+        .withColumn("__pid", F.spark_partition_id())
         .withColumn("__mono", F.monotonically_increasing_id())
-        .withColumn(name, F.row_number().over(w) - 1)
-        .drop("__file", "__mono")
+    )
+    chunks = sorted(
+        base.groupBy("__file", "__pid")
+        .agg(F.count(F.lit(1)).alias("__n"), F.min("__mono").alias("__lo"))
+        .collect(),
+        # within one file, scan-chunk order == partition order == mono order
+        key=lambda r: (r["__file"], r["__lo"]),
+    )
+    offsets, acc = [], 0
+    for r in chunks:
+        offsets.append((r["__file"], r["__pid"], r["__lo"], acc))
+        acc += r["__n"]
+    off = df.sparkSession.createDataFrame(
+        offsets, "__file string, __pid int, __lo long, __off long"
+    )
+    return (
+        base.join(F.broadcast(off), ["__file", "__pid"])
+        .withColumn(name, F.col("__off") + (F.col("__mono") - F.col("__lo")))
+        .drop("__file", "__pid", "__mono", "__lo", "__off")
     )
 
 

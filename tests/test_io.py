@@ -82,6 +82,32 @@ def test_with_row_id_is_contiguous(spark, small):
     assert ids == [0, 1, 2]
 
 
+def test_with_row_id_matches_global_window_order(spark, tmp_path):
+    """Property: the offset-based row id (no global window) assigns
+    exactly the ids the round-1 unpartitioned-window version did —
+    rank of (input_file_name, monotonically_increasing_id) — on
+    multi-file input with multiple rows per file."""
+    from pyspark.sql import Window
+
+    for i in range(4):
+        (tmp_path / f"part{i}.csv").write_text(
+            "v\n" + "\n".join(str(i * 100 + j) for j in range(25)) + "\n"
+        )
+    df = spark.read.option("header", True).csv(str(tmp_path))
+    got = {r["v"]: r["_row_id"] for r in with_row_id(df).collect()}
+
+    w = Window.orderBy(F.col("__file"), F.col("__mono"))
+    expected = {
+        r["v"]: r["_rid"]
+        for r in df.withColumn("__file", F.input_file_name())
+        .withColumn("__mono", F.monotonically_increasing_id())
+        .withColumn("_rid", F.row_number().over(w) - 1)
+        .collect()
+    }
+    assert got == expected
+    assert sorted(got.values()) == list(range(100))
+
+
 # -- writers ----------------------------------------------------------
 
 
