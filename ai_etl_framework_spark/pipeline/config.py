@@ -78,6 +78,7 @@ def _dashboard_rollups(cfg: dict[str, Any]) -> Callable[[DataFrame], DataFrame]:
 TRANSFORMER_FACTORIES: dict[str, Callable[[dict], Callable[[DataFrame], DataFrame]]] = {
     # the 10 string keys of the reference's _build_transformer
     "null_remover": lambda cfg: NullRemover(**cfg),
+    "dedup": lambda cfg: Deduplicator(**cfg),  # ref models.py:43 spells it "dedup"
     "column_remover": lambda cfg: ColumnRemover(**cfg),
     "aggregator": lambda cfg: Aggregator(**cfg),
     "deduplicator": lambda cfg: Deduplicator(**cfg),
@@ -94,12 +95,19 @@ TRANSFORMER_FACTORIES: dict[str, Callable[[dict], Callable[[DataFrame], DataFram
 
 
 def build_transformer(cfg: dict[str, Any]) -> Callable[[DataFrame], DataFrame]:
+    """Accepts both flat params and the reference's nested shape
+    ``{"type": ..., "config": {...}}`` (src/api/models.py:40-56);
+    flat keys win so injected values (e.g. quarantine_path from the
+    API layer) override nested ones."""
     cfg = dict(cfg)
     kind = cfg.pop("type")
+    nested = cfg.pop("config", None) or {}
+    params = {**nested, **cfg}
     try:
-        return TRANSFORMER_FACTORIES[kind](cfg)
+        factory = TRANSFORMER_FACTORIES[kind]
     except KeyError:
         raise ConfigurationError(f"unknown transformer type: {kind!r}") from None
+    return factory(params)
 
 
 def build_destination(cfg: dict[str, Any]) -> Callable[[DataFrame], None]:

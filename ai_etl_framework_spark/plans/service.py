@@ -108,12 +108,16 @@ class DashboardService:
         return distinct_values(self.get_df(org, source), column, **kwargs)
 
 
-def create_app(service: DashboardService):
+def create_app(service: DashboardService, pipeline_api=None):
     """FastAPI app with the reference's dashboard routes
-    (src/api/main.py:905-1179). Optional — raises if fastapi is not
-    installed; the engine itself never imports it."""
+    (src/api/main.py:905-1179) and, when ``pipeline_api`` (a
+    ``PipelineApiService``) is given, the unified + staged pipeline
+    routes (main.py:102-304). Optional — raises if fastapi is not
+    installed; the engine itself never imports it. The handlers are
+    plain methods, tested framework-free in
+    tests/test_api_handlers.py."""
     try:
-        from fastapi import FastAPI
+        from fastapi import FastAPI, HTTPException
     except ImportError as exc:  # pragma: no cover - fastapi absent here
         raise ImportError(
             "fastapi is not installed; DashboardService works without it"
@@ -145,5 +149,49 @@ def create_app(service: DashboardService):
     @app.get("/api/analytics/dashboard/filter-values/{org}/{source}/{column}")
     def values(org: str, source: str, column: str, search: str = "", limit: int = 100):
         return service.filter_values(org, source, column, search=search or None, limit=limit)
+
+    if pipeline_api is not None:  # pragma: no cover - exercised only with fastapi
+        # unified + staged pipeline surface (ref main.py:102-304)
+        @app.post("/api/pipeline/unified")
+        def unified(body: dict):
+            return pipeline_api.run_unified(body)
+
+        @app.post("/api/pipeline/staged/init")
+        def staged_init(body: dict):
+            return pipeline_api.init_staged(body)
+
+        @app.post("/api/pipeline/staged/{pipeline_id}/extract")
+        def staged_extract(pipeline_id: str):
+            return pipeline_api.run_extract(pipeline_id)
+
+        @app.post("/api/pipeline/staged/{pipeline_id}/transform")
+        def staged_transform(pipeline_id: str):
+            return pipeline_api.run_transform(pipeline_id)
+
+        @app.post("/api/pipeline/staged/{pipeline_id}/load")
+        def staged_load(pipeline_id: str):
+            return pipeline_api.run_load(pipeline_id)
+
+        @app.get("/api/pipeline/{pipeline_id}/status")
+        def status(pipeline_id: str):
+            out = pipeline_api.get_status(pipeline_id)
+            if out is None:
+                raise HTTPException(status_code=404, detail="Pipeline not found")
+            return out
+
+        @app.get("/api/pipelines")
+        def list_pipelines(limit: int = 50, offset: int = 0, mode: str = None):
+            return pipeline_api.list_pipelines(limit=limit, offset=offset, mode=mode)
+
+        @app.delete("/api/pipeline/{pipeline_id}")
+        def delete(pipeline_id: str):
+            return pipeline_api.delete_pipeline(pipeline_id)
+
+        @app.get("/api/pipeline/{pipeline_id}/data/preview")
+        def preview(pipeline_id: str, stage: str = "transformed", limit: int = 100):
+            out = pipeline_api.preview_data(pipeline_id, stage=stage, limit=limit)
+            if out is None:
+                raise HTTPException(status_code=404, detail=f"No data found for stage '{stage}'")
+            return out
 
     return app

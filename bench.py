@@ -44,7 +44,12 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from ai_etl_framework_spark.session import get_spark
 
-    qs = entrymod.queries()
+    # registry first; fall back to module-level functions so the
+    # headline set stays identical across rounds even when the
+    # 50-slot driver registry consolidates names (q12_dedup_exact
+    # lives on as a function inside q12_dedup_modes)
+    reg = entrymod.queries()
+    qs = {n: reg.get(n) or getattr(entrymod, n) for n in BENCH_QUERIES}
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
