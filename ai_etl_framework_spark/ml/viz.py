@@ -115,27 +115,33 @@ def rank_charts(profile: dict[str, Any], max_charts: int = 8) -> list[dict[str, 
 
 
 def echarts_config(chart: dict[str, Any], records: list[dict[str, Any]]) -> dict[str, Any]:
-    """Minimal ECharts option dict from a chart spec + query result
-    records (ref echarts_generator.py:14-24 chart types)."""
+    """ECharts option dict from a rank_charts spec + query result
+    records. Full-parity builders live in ml.echarts
+    (ref echarts_generator.py:14-24 chart types); this adapter maps
+    the spec vocabulary (histogram→bar over bin counts, box→boxplot)
+    onto them."""
+    from ai_etl_framework_spark.ml.echarts import generate_echarts_config
+
     ctype = chart["type"]
+    x = chart.get("x")
+    y = chart.get("y") or ("count" if ctype in ("histogram", "pie") else None)
     if ctype == "pie":
+        # rank_charts pies are count-per-category; tolerate either key
+        recs = [
+            {x: r[x], "value": r.get("count", r.get(chart.get("y", ""), 0))}
+            for r in records
+        ]
+        return generate_echarts_config(recs, "pie", x, "value")
+    if ctype == "heatmap":
+        return generate_echarts_config(
+            records, "heatmap", x, chart["y"], value_field=chart.get("z", "value")
+        )
+    if ctype == "box":
+        # no reference builder for boxplot — keep the minimal shape
         return {
-            "series": [
-                {
-                    "type": "pie",
-                    "data": [
-                        {"name": str(r[chart["x"]]), "value": r.get("count", r.get(chart.get("y", ""), 0))}
-                        for r in records
-                    ],
-                }
-            ]
+            "xAxis": {"type": "category", "data": [str(r[x]) for r in records]},
+            "yAxis": {"type": "value"},
+            "series": [{"type": "boxplot", "data": [r.get(chart["y"]) for r in records]}],
         }
-    x_axis = [str(r[chart["x"]]) for r in records]
-    y_key = chart.get("y") or ("count" if ctype == "histogram" else None)
-    series = [r.get(y_key) for r in records] if y_key else []
-    kind = {"histogram": "bar", "box": "boxplot"}.get(ctype, ctype)
-    return {
-        "xAxis": {"type": "category", "data": x_axis},
-        "yAxis": {"type": "value"},
-        "series": [{"type": kind, "data": series}],
-    }
+    kind = "bar" if ctype == "histogram" else ctype
+    return generate_echarts_config(records, kind, x, y)
