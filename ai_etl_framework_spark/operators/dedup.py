@@ -29,8 +29,9 @@ Design notes
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -500,11 +501,121 @@ def embedding_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# embedder seam (pluggable text → vector)
+# ---------------------------------------------------------------------------
+
+def record_text(df: DataFrame, match_fields: Optional[Sequence[str]] = None) -> Column:
+    """Text canonicalization for embedding — the reference's
+    ``_record_to_text`` (deduplicator.py:236-257): ``"field: value"``
+    for each non-null, non-empty field in sorted name order, joined
+    with ``" | "``. concat_ws drops the NULL parts, matching the
+    reference's skip of None/empty values."""
+    fields = sorted(match_fields or df.columns)
+    parts = [
+        F.when(
+            F.col(c).isNotNull() & (F.col(c).cast("string") != ""),
+            F.concat(F.lit(f"{c}: "), F.col(c).cast("string")),
+        )
+        for c in fields
+    ]
+    return F.concat_ws(" | ", *parts)
+
+
+def hashing_embedder(dim: int = 64):
+    """Deterministic feature-hashing embedder — the default seam
+    filler where sentence-transformers isn't installed (this
+    container). Hashing-trick bag-of-words: each lowercase token is
+    crc32-hashed to a coordinate in [0, dim) with a ±1 sign bit,
+    counts accumulate, the vector is L2-normalized. Token overlap →
+    cosine similarity, so fuzzy dedup behaves sensibly (near-identical
+    records score ≈1) and every run is reproducible with no model
+    artifact. Arrow-batched pandas_udf; pure numpy per batch.
+
+    Returns a ``Column -> Column`` function, the shape every
+    ``embed_fn`` plug-in must have."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, FloatType
+
+    @pandas_udf(ArrayType(FloatType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        import re
+        import zlib
+
+        import numpy as np
+
+        token_re = re.compile(r"\w+")
+
+        def one(text):
+            vec = np.zeros(dim, dtype=np.float64)
+            for tok in token_re.findall((text or "").lower()):
+                h = zlib.crc32(tok.encode("utf-8"))
+                vec[h % dim] += 1.0 if (h >> 31) & 1 else -1.0
+            norm = np.linalg.norm(vec)
+            return (vec / norm if norm else vec).astype(np.float32).tolist()
+
+        return texts.map(one)
+
+    return _embed
+
+
+def sentence_transformer_embedder(
+    model_name: str = "all-MiniLM-L6-v2",
+):
+    """The reference's embedder (deduplicator.py:84-97 lazy model
+    load, :190 ``model.encode``) as a Spark seam: an Arrow-batched
+    iterator pandas_udf that loads the model ONCE per python worker
+    (not per batch) and encodes each Arrow batch in one
+    ``model.encode`` call. Import-gated — raises the reference's
+    install hint when sentence-transformers is absent (it is absent
+    from this container, so this path is exercised only by the
+    ImportError test; the plumbing mirrors hashing_embedder, which
+    is fully tested)."""
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "sentence-transformers is required for model-based fuzzy "
+            "matching. Install it with: pip install sentence-transformers "
+            "— or pass embed_fn=hashing_embedder() for the deterministic "
+            "built-in embedding."
+        ) from exc
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, FloatType
+
+    @pandas_udf(ArrayType(FloatType()))
+    def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from sentence_transformers import SentenceTransformer
+
+        model = SentenceTransformer(model_name)  # once per worker
+        for texts in batches:
+            vecs = model.encode(texts.fillna("").tolist(), convert_to_numpy=True)
+            yield pd.Series([v.astype("float32").tolist() for v in vecs])
+
+    return _embed
+
+
+# ---------------------------------------------------------------------------
 # reference-parity Deduplicator facade + greedy fuzzy grouping
 # ---------------------------------------------------------------------------
 
 class Deduplicator:
-    """Reference facade (ref :14-60): match_mode exact|fuzzy."""
+    """Reference facade (ref :14-60): match_mode exact|fuzzy.
+
+    Fuzzy mode embeds, blocks, pairs, and greedily groups. The
+    embedding comes from (first match wins):
+
+    1. ``vec_col`` — a precomputed embedding column;
+    2. ``embed_fn`` — any ``Column -> Column`` producing
+       ``array<float>`` (e.g. ``sentence_transformer_embedder()``,
+       matching reference deduplicator.py:235-257);
+    3. the deterministic ``hashing_embedder(embed_dim)`` default.
+
+    Likewise ``block_col`` defaults to a random-hyperplane LSH bucket
+    over the embedding (``n_planes`` bits) so the candidate-pair join
+    never goes O(n²) — at 100 TB, blocking is what keeps this
+    tractable, and a precomputed at-ingest bucket column can be passed
+    straight in."""
 
     def __init__(
         self,
@@ -516,6 +627,9 @@ class Deduplicator:
         vec_col: Optional[str] = None,
         block_col: Optional[str] = None,
         max_pairs: int = 1_000_000,
+        embed_fn=None,
+        embed_dim: int = 64,
+        n_planes: int = 8,
     ) -> None:
         self.match_mode = match_mode
         self.match_fields = match_fields
@@ -525,16 +639,42 @@ class Deduplicator:
         self.vec_col = vec_col
         self.block_col = block_col
         self.max_pairs = max_pairs
+        self.embed_fn = embed_fn
+        self.embed_dim = embed_dim
+        self.n_planes = n_planes
 
     def __call__(self, df: DataFrame) -> DataFrame:
         if self.match_mode == "exact":
             return exact_dedup(df, self.match_fields, self.merge_strategy, self.order_col)
         if self.match_mode != "fuzzy":
             raise ValueError(f"unknown match_mode: {self.match_mode!r}")
-        if not (self.vec_col and self.block_col and self.order_col):
-            raise ValueError("fuzzy mode needs vec_col, block_col and order_col")
+        if not self.order_col:
+            raise ValueError("fuzzy mode needs order_col (a unique numeric id)")
+        from ai_etl_framework_spark.functions.similarity import hyperplane_bucket
+
+        work = df
+        vec_col, block_col = self.vec_col, self.block_col
+        if vec_col is None:
+            embed = self.embed_fn or hashing_embedder(self.embed_dim)
+            vec_col = "__fuzzy_vec"
+            work = work.withColumn(
+                vec_col, embed(record_text(df, self.match_fields))
+            )
+        if block_col is None:
+            dim = self.embed_dim if self.vec_col is None else len(
+                work.select(vec_col).first()[0]
+            )
+            block_col = "__fuzzy_block"
+            work = work.withColumn(
+                block_col, hyperplane_bucket(F.col(vec_col), dim, self.n_planes)
+            )
+        # the derived embedding feeds both sides of the pair self-join
+        # (and the bucket column); persist so the UDF runs once per row
+        materialized = work is not df
+        if materialized:
+            work = work.persist()
         pairs = embedding_dup_pairs(
-            df, self.order_col, self.vec_col, self.block_col, self.similarity_threshold
+            work, self.order_col, vec_col, block_col, self.similarity_threshold
         )
         # The greedy reference semantics need every candidate pair on the
         # driver. Past max_pairs that is no longer a bounded collect, and
@@ -543,6 +683,8 @@ class Deduplicator:
         collected = [
             (r["id_a"], r["id_b"]) for r in pairs.limit(self.max_pairs + 1).collect()
         ]
+        if materialized:
+            work.unpersist()
         if len(collected) > self.max_pairs:
             raise RuntimeError(
                 f"fuzzy dedup produced more than max_pairs={self.max_pairs} "
@@ -551,8 +693,10 @@ class Deduplicator:
                 "them, or use dedup_connected_components for the fully "
                 "distributed (pointer-jumping) grouping."
             )
-        keep_ids = greedy_group_representatives(collected)
-        drop = [b for a, b in keep_ids.items() if a != b]  # members absorbed into another rep
+        assignment = greedy_group_representatives(collected)
+        # {member: representative} — drop every member absorbed into a
+        # different representative, keep the representatives themselves
+        drop = [m for m, r in assignment.items() if m != r]
         if not drop:
             return df
         spark = df.sparkSession

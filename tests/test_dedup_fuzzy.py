@@ -88,6 +88,88 @@ def test_fuzzy_requires_columns():
         Deduplicator(match_mode="nope")(None)
 
 
+def test_record_text_matches_reference_format(spark):
+    """ref _record_to_text (deduplicator.py:236-257): sorted fields,
+    'k: v' joined by ' | ', None/empty skipped."""
+    from ai_etl_framework_spark.operators.dedup import record_text
+
+    df = spark.createDataFrame(
+        [("bob", 42, None), ("", 7, "x")], ["name", "n", "note"]
+    )
+    out = [r[0] for r in df.select(record_text(df)).collect()]
+    assert out == ["n: 42 | name: bob", "n: 7 | note: x"]
+    sub = [r[0] for r in df.select(record_text(df, ["name", "n"])).collect()]
+    assert sub == ["n: 42 | name: bob", "n: 7"]
+
+
+def test_hashing_embedder_deterministic_and_normalized(spark):
+    from ai_etl_framework_spark.functions.similarity import cosine
+    from ai_etl_framework_spark.operators.dedup import hashing_embedder
+
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps",),
+         ("the quick brown fox jumps",),
+         ("completely different words entirely",)],
+        ["t"],
+    )
+    embed = hashing_embedder(dim=32)
+    vecs = df.withColumn("v", embed(F.col("t")))
+    rows = vecs.collect()
+    assert rows[0]["v"] == rows[1]["v"], "same text → identical vector"
+    assert len(rows[0]["v"]) == 32
+    norm = sum(x * x for x in rows[0]["v"]) ** 0.5
+    assert abs(norm - 1.0) < 1e-5
+    # identical texts cosine 1, unrelated texts well below
+    a, b = vecs.limit(2).alias("a"), vecs.alias("b")
+    sims = (
+        vecs.withColumnRenamed("v", "va").crossJoin(
+            vecs.select(F.col("t").alias("t2"), F.col("v").alias("vb"))
+        )
+        .select("t", "t2", cosine(F.col("va"), F.col("vb")).alias("s"))
+        .collect()
+    )
+    by_pair = {(r["t"][:9], r["t2"][:9]): r["s"] for r in sims}
+    assert by_pair[("the quick", "the quick")] > 0.999
+    assert by_pair[("the quick", "completel")] < 0.5
+
+
+def test_fuzzy_auto_embedding_dedups_exact_clones(spark):
+    """No vec_col/block_col: the seam derives text → hash embedding →
+    hyperplane block automatically; cloned records (cosine 1.0) land
+    in the same block and dedup to one survivor."""
+    rows = [
+        (1, "alpha beta gamma delta", "x"),
+        (2, "alpha beta gamma delta", "x"),      # clone of 1
+        (3, "epsilon zeta eta theta", "y"),
+        (4, "epsilon zeta eta theta", "y"),      # clone of 3
+        (5, "unrelated totally different text here", "z"),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "body", "tag"])
+    out = Deduplicator(
+        match_mode="fuzzy",
+        match_fields=["body", "tag"],
+        similarity_threshold=0.99,
+        order_col="rid",
+    )(df)
+    kept = sorted(r["rid"] for r in out.collect())
+    assert kept == [1, 3, 5]
+    assert out.columns == df.columns, "derived temp columns must not leak"
+
+
+def test_sentence_transformer_embedder_import_gate():
+    """Container has no sentence-transformers: the seam must raise the
+    reference's install hint (deduplicator.py:91-95), not crash later."""
+    from ai_etl_framework_spark.operators.dedup import sentence_transformer_embedder
+
+    try:
+        import sentence_transformers  # noqa: F401
+        pytest.skip("sentence-transformers installed; gate not testable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="pip install sentence-transformers"):
+        sentence_transformer_embedder()
+
+
 def test_cc_long_chain_converges(spark):
     """A 2000-node chain has graph diameter 1999 — pointer jumping
     must collapse it to one component within the 20-round cap
