@@ -145,8 +145,31 @@ def read_jdbc(
     upper_bound: Optional[int] = None,
     **properties,
 ) -> DataFrame:
+    """Table or wrapped-query JDBC scan (ref postgres_source.py:19-284).
+
+    Parallel-ingest conveniences (the 100 TB path — a single-connection
+    JDBC read is one task no matter the cluster size):
+
+    - ``partition_column="auto"`` resolves to the table's first
+      integer-typed primary-key column via ``jdbc_table_info``;
+    - when bounds are omitted, min/max of the partition column are
+      fetched with one scalar query, so a partitioned read needs
+      nothing beyond ``partition_column=...``.
+    """
     if (table is None) == (query is None):
         raise ValueError("exactly one of table/query")
+    if partition_column == "auto":
+        if table is None:
+            raise ValueError("partition_column='auto' needs a table (pk lookup)")
+        info = jdbc_table_info(spark, url, table, user=user, password=password)
+        pk_types = {f["name"]: f["type"] for f in info["fields"]}
+        candidates = [c for c in (info["primary_key"] or []) if pk_types.get(c) == "integer"]
+        if not candidates:
+            raise ValueError(
+                f"partition_column='auto': table {table!r} has no integer "
+                f"primary-key column (pk={info['primary_key']!r})"
+            )
+        partition_column = candidates[0]
     reader = spark.read.format("jdbc").option("url", url)
     reader = reader.option("dbtable", table if table else f"({query}) q")
     if user:
@@ -154,6 +177,13 @@ def read_jdbc(
     if password:
         reader = reader.option("password", password)
     if partition_column:
+        if lower_bound is None or upper_bound is None:
+            lo, hi = _jdbc_minmax(
+                spark, url, table if table else f"({query}) q",
+                partition_column, user, password,
+            )
+            lower_bound = lo if lower_bound is None else lower_bound
+            upper_bound = hi if upper_bound is None else upper_bound
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", num_partitions)
@@ -163,6 +193,108 @@ def read_jdbc(
     for k, v in properties.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def _jdbc_connection(spark: SparkSession, url: str, user, password):
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    if user:
+        props.setProperty("user", user)
+    if password:
+        props.setProperty("password", password)
+    return jvm.java.sql.DriverManager.getConnection(url, props)
+
+
+def _jdbc_minmax(spark, url, dbtable, column, user, password) -> tuple:
+    """One scalar round-trip for partition bounds."""
+    conn = _jdbc_connection(spark, url, user, password)
+    try:
+        st = conn.createStatement()
+        rs = st.executeQuery(f"SELECT MIN({column}), MAX({column}) FROM {dbtable}")
+        rs.next()
+        return rs.getLong(1), rs.getLong(2)
+    finally:
+        conn.close()
+
+
+def jdbc_table_info(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: Optional[str] = None,
+    password: Optional[str] = None,
+    db_schema: Optional[str] = None,
+) -> dict:
+    """Authoritative schema + primary key from JDBC metadata — the
+    reference's information_schema/pg_index introspection
+    (postgres_source.py:177-236) made engine-portable: java.sql
+    ``DatabaseMetaData.getColumns`` / ``getPrimaryKeys`` speak every
+    JDBC dialect, so the same call serves Postgres, Derby, SQLite...
+
+    Returns the reference's Schema shape (models.py Schema/Field):
+    ``{"name", "fields": [{name, type, nullable, default, position}],
+    "primary_key": [...] | None, "inferred": False}`` with ``type``
+    in the reference FieldType vocabulary (common/models.py:10-20);
+    pk columns come back in key-sequence order."""
+    conn = _jdbc_connection(spark, url, user, password)
+    try:
+        md = conn.getMetaData()
+        # unquoted identifiers are case-folded per engine (Derby/Oracle
+        # upper, Postgres lower) — probe the spellings in order
+        for probe in (table, table.upper(), table.lower()):
+            fields = _read_columns(spark, md, db_schema, probe)
+            if fields:
+                table = probe
+                break
+        else:
+            raise ValueError(f"table not found via JDBC metadata: {table!r}")
+        rs = md.getPrimaryKeys(None, db_schema, table)
+        pk = []
+        while rs.next():
+            pk.append((rs.getInt("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+        rs.close()
+        return {
+            "name": table,
+            "fields": fields,
+            "primary_key": [c for _, c in sorted(pk)] or None,
+            "inferred": False,
+        }
+    finally:
+        conn.close()
+
+
+def _read_columns(spark, md, db_schema, table) -> list:
+    """getColumns → reference Field dicts, typed via java.sql.Types
+    codes (not name strings — ref postgres_source.py:238-257 maps
+    pg-specific names; Types codes are dialect-independent)."""
+    T = spark._jvm.java.sql.Types
+    to_field_type = {
+        **dict.fromkeys(
+            (T.TINYINT, T.SMALLINT, T.INTEGER, T.BIGINT), "integer"),
+        **dict.fromkeys(
+            (T.NUMERIC, T.DECIMAL, T.REAL, T.FLOAT, T.DOUBLE), "float"),
+        **dict.fromkeys((T.BOOLEAN, T.BIT), "boolean"),
+        T.DATE: "date",
+        T.TIMESTAMP: "datetime",
+        T.TIMESTAMP_WITH_TIMEZONE: "datetime",
+        T.ARRAY: "array",
+    }
+    rs = md.getColumns(None, db_schema, table, None)
+    fields = []
+    while rs.next():
+        type_name = (rs.getString("TYPE_NAME") or "").lower()
+        ftype = to_field_type.get(rs.getInt("DATA_TYPE"), "string")
+        if "json" in type_name:  # pg json/jsonb surface as OTHER
+            ftype = "json"
+        fields.append({
+            "name": rs.getString("COLUMN_NAME"),
+            "type": ftype,
+            "nullable": rs.getInt("NULLABLE") == 1,
+            "default": rs.getString("COLUMN_DEF"),
+            "position": rs.getInt("ORDINAL_POSITION"),
+        })
+    rs.close()
+    return sorted(fields, key=lambda f: f["position"])
 
 
 def _first_file(path: str) -> str:
