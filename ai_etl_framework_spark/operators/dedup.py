@@ -236,6 +236,17 @@ def ngram_jaccard_pairs(
 
     When ``candidates`` (e.g. LSH bands) is supplied, step 1 is
     skipped and those pairs are verified instead.
+
+    Scale crossover: prefix filtering keeps *exact* mode linear-ish in
+    ordinary corpora, but worst-case candidate count is still
+    quadratic in the frequency of the hottest prefix shingle —
+    boilerplate-heavy corpora (license headers, templated pages) hit
+    it. Past ~10⁷ docs, or whenever a shingle's document frequency
+    rivals the partition size, switch to the approximate path:
+    ``minhash_candidates`` (dd03) for candidate generation, then
+    verify those pairs HERE via ``candidates=`` — banded MinHash
+    bounds per-bucket fan-out by construction and loses only pairs
+    below the band false-negative curve (tunable via bands×rows).
     """
     from ai_etl_framework_spark.session import widen
 
