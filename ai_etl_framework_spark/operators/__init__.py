@@ -15,8 +15,20 @@ from ai_etl_framework_spark.operators.anomaly import AnomalyDetector, AnomalySpl
 from ai_etl_framework_spark.operators.rollups import DashboardAggregator
 from ai_etl_framework_spark.operators.schema_inferrer import SchemaInferrer
 from ai_etl_framework_spark.operators.metadata_columns import MetadataToColumns
+from ai_etl_framework_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    pack_documents,
+    stratified_quota,
+    weighted_mixture,
+)
 
 __all__ = [
+    "deterministic_sample",
+    "hash_split",
+    "pack_documents",
+    "stratified_quota",
+    "weighted_mixture",
     "MetadataToColumns",
     "NullRemover",
     "ColumnRemover",

@@ -1,0 +1,225 @@
+"""Deterministic sampling, splitting, mixing and packing for
+training-data pipelines.
+
+Everything here is **hash-deterministic**: membership decisions derive
+from ``md5(id)`` rather than an RNG, so results are identical across
+engines (the DuckDB oracle computes the same bytes), across cluster
+sizes, and across reruns — the property that matters when a 100 TB
+corpus is sampled incrementally and yesterday's decisions must not
+flip. ``Sample``/``rand()`` cannot give you that: Spark's rand() is
+seeded per-partition, so a repartition changes the sample.
+
+No reference counterpart (the reference has no sampling surface);
+these extend the LLM-training-data operator family (SURVEY §7 phase 7)
+alongside dedup/similarity/text.
+
+Ops:
+- ``hash_uniform``      — md5-derived U[0,1) column, the shared primitive
+- ``deterministic_sample`` — keep fraction f, reproducibly
+- ``hash_split``        — disjoint train/val/test by hash ranges
+- ``stratified_quota``  — per-class cap via hash-ranked row_number
+- ``weighted_mixture``  — combine corpora to target proportions
+  (driver-side waterfilling over counts; per-source hash sampling)
+- ``pack_documents``    — greedy sequence packing into token bins,
+  bucket-parallel (applyInPandas; no global state)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_uniform",
+    "deterministic_sample",
+    "hash_split",
+    "stratified_quota",
+    "weighted_mixture",
+    "pack_documents",
+]
+
+
+def hash_uniform(id_col: Column, salt: str = "") -> Column:
+    """U[0,1) from the first 8 hex chars of md5(id || salt) — 32 bits
+    of uniformity, byte-identical in any engine with md5 + string
+    concat (DuckDB twin:
+    ``('0x' || substr(md5(id || salt), 1, 8))::BIGINT / 4294967296.0``).
+    Change ``salt`` to draw an independent sample from the same ids."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, membership decided per-id by hash —
+    stable under repartitioning, engine-portable, and monotone: the
+    10% sample is a subset of the 20% sample (same salt), so scaling
+    a corpus subset up never discards previously selected documents."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(hash_uniform(F.col(id_col), salt) < fraction)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Optional[Sequence[str]] = None,
+    salt: str = "",
+) -> DataFrame:
+    """Disjoint, exhaustive split by hash ranges: adds a ``split``
+    column. fractions must sum to 1 (±1e-9). Deterministic, so a
+    document can never migrate between train and test across runs —
+    the leakage guarantee a training pipeline actually needs."""
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
+    names = list(names) if names else [f"split_{i}" for i in range(len(fractions))]
+    if len(names) != len(fractions):
+        raise ValueError("names and fractions length mismatch")
+    u = hash_uniform(F.col(id_col), salt)
+    edges, acc = [], 0.0
+    for frac in fractions:
+        acc += frac
+        edges.append(acc)
+    expr = F.lit(names[-1])  # top range catches u in [last_edge, 1)
+    for name, hi in zip(reversed(names[:-1]), reversed(edges[:-1])):
+        expr = F.when(u < hi, name).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_quota(
+    df: DataFrame, class_col: str, id_col: str, quota: int
+) -> DataFrame:
+    """At most ``quota`` rows per class, selected by hash rank (the
+    deterministic analog of uniform within-class sampling). One
+    shuffle on class; rank is md5-ordered so the survivors are a
+    stable pseudo-random subset, not head-of-file bias. Classes hot
+    enough to skew the shuffle are exactly the ones being capped —
+    AQE's skew handling covers the interim; for pathological single
+    classes pre-salt with a two-phase rank."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(class_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
+
+
+def weighted_mixture(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    id_col: str,
+    salt: str = "",
+    source_col: str = "source",
+) -> DataFrame:
+    """Combine corpora into a mixture matching target ``weights`` as
+    closely as the data allows, tagged with ``source_col``.
+
+    Waterfilling over driver-side counts (K scalars, one count() per
+    source): find the largest total C such that every source i can
+    supply C·w_i rows, i.e. C = min(n_i / w_i); then hash-sample each
+    source down to C·w_i. Undersupplied sources are taken whole (the
+    binding constraint); oversupplied ones are thinned
+    deterministically. Columns are unified by name (missing → NULL).
+    """
+    if set(sources) != set(weights):
+        raise ValueError("sources and weights must have identical keys")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {k: w / total_w for k, w in weights.items()}
+    counts = {k: df.count() for k, df in sources.items()}
+    cap = min(
+        counts[k] / norm[k] for k in sources if norm[k] > 0
+    )
+    all_cols: list[str] = []
+    for df in sources.values():
+        for c in df.columns:
+            if c not in all_cols:
+                all_cols.append(c)
+    parts = []
+    for name, df in sources.items():
+        if norm[name] == 0:
+            continue
+        want = cap * norm[name]
+        frac = min(1.0, want / counts[name]) if counts[name] else 0.0
+        picked = deterministic_sample(df, id_col, frac, salt=f"{salt}|{name}")
+        aligned = picked.select(
+            *[
+                F.col(c) if c in picked.columns else F.lit(None).alias(c)
+                for c in all_cols
+            ],
+            F.lit(name).alias(source_col),
+        )
+        parts.append(aligned)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    max_tokens: int,
+    num_buckets: int = 0,
+) -> DataFrame:
+    """Greedy sequence packing: assign each document to a ``pack_id``
+    such that a pack's token total stays ≤ ``max_tokens`` (a document
+    alone above the cap gets its own pack). Returns
+    (id, tokens, bucket, pack_id, pack_tokens, pack_size).
+
+    Scale shape: documents are hash-bucketed (``num_buckets``,
+    default = current shuffle partitions), each bucket packs
+    independently in one applyInPandas group scanning its docs in
+    hash-of-id order (deterministic; order-invariant to input
+    partitioning). Packing is embarrassingly parallel across buckets —
+    no global sequential state, so 100 TB packs as width allows; the
+    only cost vs a single global greedy pass is ≤1 underfilled pack
+    per bucket. pack_id is globally unique as (bucket, seq).
+    """
+    if num_buckets <= 0:
+        num_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(token_col).cast("long").alias("tokens"),
+        (F.abs(F.xxhash64(F.col(id_col).cast("string"))) % num_buckets).alias("bucket"),
+        F.md5(F.col(id_col).cast("string")).alias("__ord"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ord", kind="mergesort").reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0])
+        pack_ids, fill, seq = [], 0, -1
+        for t in pdf["tokens"]:
+            t = int(t)
+            if seq < 0 or fill + t > max_tokens:
+                seq += 1
+                fill = 0
+            fill += t
+            pack_ids.append(bucket * 1_000_000_000 + seq)
+        out = pdf.assign(pack_id=pack_ids)
+        totals = out.groupby("pack_id")["tokens"].agg(["sum", "count"]).reset_index()
+        totals.columns = ["pack_id", "pack_tokens", "pack_size"]
+        return out.merge(totals, on="pack_id").drop(columns=["__ord"])
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in base.schema.fields if f.name != "__ord"]
+        + [
+            StructField("pack_id", LongType()),
+            StructField("pack_tokens", LongType()),
+            StructField("pack_size", LongType()),
+        ]
+    )
+    return base.groupBy("bucket").applyInPandas(pack, schema=out_schema)

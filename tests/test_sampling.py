@@ -1,0 +1,186 @@
+"""Deterministic sampling / splitting / mixture / packing.
+
+The hash-membership ops are verified against DuckDB running the
+equivalent SQL on the same parquet (same md5-prefix arithmetic) — the
+engine-portability claim is the whole point of hash determinism."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_framework_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    hash_uniform,
+    pack_documents,
+    stratified_quota,
+    weighted_mixture,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    )
+    return con
+
+
+def test_deterministic_sample_matches_duckdb(docs, sf_dir):
+    got = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(docs, "doc_id", 0.25, salt="s1").collect()
+    )
+    want = [
+        r[0]
+        for r in _duck(sf_dir).execute(
+            "SELECT doc_id FROM documents WHERE "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8))::BIGINT"
+            " / 4294967296.0 < 0.25 ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
+    # ≈fraction within sampling noise on 500 docs
+    assert 0.15 < len(got) / docs.count() < 0.35
+
+
+def test_sample_stable_under_repartition(docs):
+    a = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(17), "doc_id", 0.3).collect()
+    }
+    assert a == b, "membership must not depend on physical partitioning"
+
+
+def test_sample_monotone_in_fraction(docs):
+    small = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
+    large = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.4).collect()}
+    assert small <= large, "10% sample must be a subset of the 40% sample"
+
+
+def test_hash_split_disjoint_exhaustive_and_duckdb_parity(docs, sf_dir):
+    out = hash_split(docs, "doc_id", (0.6, 0.2, 0.2), names=("train", "val", "test"))
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count(), "exhaustive"
+    got_test = sorted(
+        r["doc_id"] for r in out.where(F.col("split") == "test").collect()
+    )
+    want_test = [
+        r[0]
+        for r in _duck(sf_dir).execute(
+            "SELECT doc_id FROM documents WHERE "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+            " / 4294967296.0 >= 0.8 ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got_test == want_test
+    assert counts["train"] > counts["val"]  # 0.6 vs 0.2 at n=500
+
+
+def test_stratified_quota_caps_every_class(docs):
+    out = stratified_quota(docs, "lang", "doc_id", quota=30)
+    per = out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    orig = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for r in per:
+        assert r["n"] == min(30, orig[r["lang"]])
+    # deterministic: same survivors twice
+    again = stratified_quota(docs, "lang", "doc_id", quota=30)
+    assert {x["doc_id"] for x in out.collect()} == {x["doc_id"] for x in again.collect()}
+
+
+def test_weighted_mixture_proportions_and_tagging(spark):
+    a = spark.range(1000).select(F.col("id"), F.lit("A").alias("payload"))
+    b = spark.range(4000, 4500).select(F.col("id"), F.lit("B").alias("payload"))
+    out = weighted_mixture(
+        {"big": a, "small": b}, {"big": 3.0, "small": 1.0}, "id"
+    )
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # big binds: C = min(1000/0.75, 500/0.25) = 1333 → big taken whole,
+    # small thinned to ≈ 333 for a 3:1 mixture
+    assert counts["big"] == 1000
+    assert 280 < counts["small"] < 390
+    assert set(out.columns) == {"id", "payload", "source"}
+    ratio = counts["big"] / counts["small"]
+    assert 2.5 < ratio < 3.6
+
+
+def test_weighted_mixture_aligns_disjoint_schemas(spark):
+    a = spark.range(100).select(F.col("id"), F.lit("x").alias("only_a"))
+    b = spark.range(100).select(F.col("id"), F.lit(7).alias("only_b"))
+    out = weighted_mixture({"a": a, "b": b}, {"a": 1.0, "b": 1.0}, "id")
+    assert set(out.columns) == {"id", "only_a", "only_b", "source"}
+    row_b = out.where(F.col("source") == "b").first()
+    assert row_b["only_a"] is None and row_b["only_b"] == 7
+
+
+def test_pack_documents_invariants(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randint(50, 900)) for i in range(2000)] + [(9999, 5000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = pack_documents(df, "doc_id", "n_tokens", max_tokens=2048, num_buckets=8).cache()
+    assert out.count() == 2001, "every document packed exactly once"
+    packs = out.groupBy("pack_id").agg(
+        F.sum("tokens").alias("t"), F.count("*").alias("c"),
+        F.first("pack_tokens").alias("pt"), F.first("pack_size").alias("ps"),
+    )
+    over = packs.where((F.col("t") > 2048) & (F.col("c") > 1)).count()
+    assert over == 0, "multi-doc packs never exceed the cap"
+    bad = packs.where((F.col("t") != F.col("pt")) | (F.col("c") != F.col("ps"))).count()
+    assert bad == 0, "pack_tokens/pack_size annotations are consistent"
+    # the oversized single doc gets a solo pack
+    solo = out.where(F.col("id") == 9999).first()
+    assert solo["pack_size"] == 1 and solo["pack_tokens"] == 5000
+    # efficiency: average multi-pack fill ≥ 70% of capacity (greedy on
+    # 50-900 token docs packs tightly)
+    avg_fill = packs.where(F.col("c") > 1).agg(F.avg("t")).first()[0]
+    assert avg_fill > 0.7 * 2048
+    # deterministic under repartitioning
+    again = pack_documents(
+        df.repartition(13), "doc_id", "n_tokens", max_tokens=2048, num_buckets=8
+    )
+    assert sorted(map(tuple, out.select("id", "pack_id").collect())) == sorted(
+        map(tuple, again.select("id", "pack_id").collect())
+    )
+    out.unpersist()
+
+
+def test_pack_documents_matches_greedy_model(spark):
+    """Single bucket vs a literal pandas greedy model — the kernel is
+    exactly first-fit-in-hash-order."""
+    import hashlib
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = pack_documents(df, "doc_id", "n_tokens", max_tokens=1000, num_buckets=1)
+    got = {r["id"]: r["pack_id"] for r in out.collect()}
+    ordered = sorted(rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+    want, fill, seq = {}, 0, -1
+    for i, t in ordered:
+        if seq < 0 or fill + t > 1000:
+            seq += 1
+            fill = 0
+        fill += t
+        want[i] = seq
+    assert got == want
+
+
+def test_invalid_args():
+    with pytest.raises(ValueError):
+        deterministic_sample(None, "id", 1.5)
+    with pytest.raises(ValueError):
+        hash_split(None, "id", (0.5, 0.2))
+    with pytest.raises(ValueError):
+        weighted_mixture({"a": None}, {"b": 1.0}, "id")
