@@ -942,6 +942,50 @@ def txt04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TXT04_SQL = f"SELECT doc_id, md5({_NORM}) AS fp FROM documents"
 
 
+def smp01_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling + train/val/test split
+    (operators/sampling.py): md5-derived membership is byte-identical
+    across engines, so split sizes AND the overlap with an independent
+    25% sample hash-match the DuckDB oracle exactly — the
+    reproducibility contract a 100 TB corpus pipeline needs."""
+    from ai_etl_framework_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", (0.8, 0.1, 0.1), names=("train", "val", "test"))
+    sampled = deterministic_sample(docs, "doc_id", 0.25, salt="s1").select(
+        "doc_id", F.lit(1).alias("in_sample")
+    )
+    return (
+        split.join(sampled, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("in_sample"), F.lit(0))).cast("long").alias("n_sampled"),
+        )
+    )
+
+
+_SMP01_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0 AS u_split,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8))::BIGINT
+             / 4294967296.0 AS u_sample
+  FROM documents)
+SELECT CASE WHEN u_split < 0.8 THEN 'train'
+            WHEN u_split < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN u_sample < 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM u
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # q18-q27: second coverage wave (anomaly vote, null fill, column ops,
 # provider/diagnosis rollups, schema inference, CC dedup, search,
@@ -2109,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt02_lang_id": txt02_lang_id,
         "txt03_doc_quality": txt03_doc_quality,
         "txt04_fingerprint": txt04_fingerprint,
+        "smp01_hash_sampling": smp01_hash_sampling,
         "x01_ann_recall": x01_ann_recall,
         "x03_media_features": x03_media_features,
         "x04_iforest": x04_iforest,
@@ -2163,6 +2208,7 @@ def oracle_sql() -> dict[str, str]:
         "txt02_lang_id": _txt02_sql(),
         "txt03_doc_quality": _txt03_sql(),
         "txt04_fingerprint": _TXT04_SQL,
+        "smp01_hash_sampling": _SMP01_SQL,
         # x01_ann_recall / x03_media_features / x04_iforest: approximate
         # / Pandas-UDF ops -> rows-only check by design
     }
