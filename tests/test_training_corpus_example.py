@@ -1,0 +1,48 @@
+"""The end-to-end training-corpus pipeline example: quality gate →
+exact dedup → near-dedup → per-lang cap → leak-proof split → packing,
+as one lazy plan. Guards the example against API drift and pins the
+pipeline-level invariants the individual operator tests can't see."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
+
+from training_corpus_pipeline import build_corpus  # noqa: E402
+
+
+def test_training_corpus_pipeline(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = build_corpus(docs, per_lang_cap=100, max_pack_tokens=2048)
+
+    packs = out["train_packs"].cache()
+    val_ids = {r["doc_id"] for r in out["val"].select("doc_id").collect()}
+    test_ids = {r["doc_id"] for r in out["test"].select("doc_id").collect()}
+    train_ids = {r["id"] for r in packs.select("id").collect()}
+
+    # split is disjoint — the leakage guarantee
+    assert not (train_ids & val_ids) and not (train_ids & test_ids) and not (val_ids & test_ids)
+    assert len(train_ids) > len(val_ids) and len(train_ids) > len(test_ids)
+
+    # per-language cap respected downstream of dedup
+    per_lang = out["val"].unionByName(out["test"]).groupBy("lang").count().collect()
+    assert all(r["count"] <= 100 for r in per_lang)
+
+    # every multi-doc pack within budget
+    over = (
+        packs.groupBy("pack_id")
+        .agg(F.sum("tokens").alias("t"), F.count("*").alias("c"))
+        .where((F.col("t") > 2048) & (F.col("c") > 1))
+        .count()
+    )
+    assert over == 0
+
+    # deterministic end-to-end: rebuilding yields identical membership
+    out2 = build_corpus(docs, per_lang_cap=100, max_pack_tokens=2048)
+    train_ids2 = {r["id"] for r in out2["train_packs"].select("id").collect()}
+    assert train_ids == train_ids2
+    packs.unpersist()
