@@ -66,3 +66,43 @@ def test_q5_star_join_broadcasts_dims(spark):
     # every dim side must broadcast; no nested-loop fallback anywhere
     assert "NestedLoop" not in plan
     assert _count_nodes(plan, "BroadcastHashJoin") >= 3
+
+
+def test_sampling_filter_is_scan_level_no_shuffle(spark):
+    """deterministic_sample is a pure filter: the executed plan must be
+    scan -> filter with NO exchange (membership needs no data movement,
+    the property that lets 100 TB be sampled at scan speed)."""
+    from ai_etl_framework_spark.operators.sampling import deterministic_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = deterministic_sample(docs, "doc_id", 0.5).select("doc_id")
+    plan = _executed_plan(df)
+    assert _count_nodes(plan, "Exchange") == 0
+    assert "Filter" in plan
+
+
+def test_stratified_quota_single_shuffle(spark):
+    from ai_etl_framework_spark.operators.sampling import stratified_quota
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = stratified_quota(docs, "lang", "doc_id", 10).select("doc_id", "lang")
+    plan = _executed_plan(df)
+    # one hash partitioning on the class column feeds the ranked window
+    assert _count_nodes(plan, "Exchange") == 1
+    assert "Window" in plan
+
+
+def test_pack_documents_single_shuffle(spark):
+    from ai_etl_framework_spark.operators.sampling import pack_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    df = pack_documents(
+        docs.withColumn("n", F.length("text")), "doc_id", "n", 4096, num_buckets=8
+    )
+    plan = _executed_plan(df)
+    # bucket-parallel packing: exactly the one exchange onto buckets,
+    # then FlatMapGroupsInPandas does the per-bucket greedy fill
+    assert _count_nodes(plan, "Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
