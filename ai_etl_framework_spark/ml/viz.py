@@ -54,19 +54,21 @@ def analyze_column(name: str, info: dict[str, Any], rows: int) -> dict[str, Any]
 def suggest_chart_type(
     x_info: dict[str, Any], y_info: Optional[dict[str, Any]] = None
 ) -> str:
-    """dtype/cardinality suggestion (ref echarts_generator.py:446-487)."""
+    """dtype/cardinality suggestion, reference rule ORDER preserved
+    (echarts_generator.py:446-485): temporal → line; 2-6 distinct →
+    pie; ≤20 → bar; numeric×numeric → scatter; then the
+    profile-driven refinement (high-cardinality single column →
+    histogram) the reference defaults to bar."""
     if x_info["type"] == "datetime":
         return "line"
+    n = x_info.get("distinct_count") or 0
+    if 2 <= n <= 6:
+        return "pie"
+    if n <= 20:
+        return "bar"
     if y_info and x_info["type"] == "numeric" and y_info["type"] == "numeric":
         return "scatter"
-    if x_info["type"] == "categorical":
-        n = x_info.get("distinct_count") or 0
-        if 2 <= n <= 6:
-            return "pie"
-        if n <= 20:
-            return "bar"
-        return "histogram"
-    if x_info["type"] == "numeric":
+    if x_info["type"] in ("numeric", "categorical"):
         return "histogram"
     return "bar"
 
@@ -98,6 +100,11 @@ def rank_charts(profile: dict[str, Any], max_charts: int = 8) -> list[dict[str, 
     for t in dates[:1]:
         for m in metrics[:2]:
             charts.append({"type": "line", "x": t, "y": m, "agg": "sum"})
+        if len(metrics) >= 2:
+            # one multi-series trend (ref generate_multi_series_config)
+            charts.append(
+                {"type": "line", "x": t, "y_fields": metrics[:3], "agg": "sum"}
+            )
     if len(metrics) >= 2:
         charts.append({"type": "scatter", "x": metrics[0], "y": metrics[1], "sample": 1000})
     for d in dims:
@@ -120,10 +127,15 @@ def echarts_config(chart: dict[str, Any], records: list[dict[str, Any]]) -> dict
     (ref echarts_generator.py:14-24 chart types); this adapter maps
     the spec vocabulary (histogram→bar over bin counts, box→boxplot)
     onto them."""
-    from ai_etl_framework_spark.ml.echarts import generate_echarts_config
+    from ai_etl_framework_spark.ml.echarts import (
+        generate_echarts_config,
+        generate_multi_series_config,
+    )
 
     ctype = chart["type"]
     x = chart.get("x")
+    if chart.get("y_fields"):
+        return generate_multi_series_config(records, x, chart["y_fields"], ctype)
     y = chart.get("y") or ("count" if ctype in ("histogram", "pie") else None)
     if ctype == "pie":
         # rank_charts pies are count-per-category; tolerate either key

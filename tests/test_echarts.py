@@ -203,3 +203,27 @@ def test_viz_adapter_routes_through_full_builders():
         [{"g": "a", "stats": [1, 2, 3, 4, 5]}],
     )
     assert box["series"][0]["type"] == "boxplot"
+
+
+def test_rank_charts_proposes_multi_series_and_adapter_routes_it():
+    from ai_etl_framework_spark.ml.viz import echarts_config, rank_charts
+
+    prof = {
+        "row_count": 1000,
+        "columns": {
+            "day": {"type": "datetime", "distinct_count": 300},
+            "revenue": {"type": "numeric", "distinct_count": 900},
+            "cost": {"type": "numeric", "distinct_count": 880},
+            "regioncat": {"type": "categorical", "distinct_count": 4},
+        },
+    }
+    charts = rank_charts(prof, max_charts=12)
+    multi = [c for c in charts if c.get("y_fields")]
+    assert multi and multi[0]["y_fields"] == ["revenue", "cost"]
+    cfg = echarts_config(
+        multi[0],
+        [{"day": "2024-01-01", "revenue": 5, "cost": 2},
+         {"day": "2024-01-02", "revenue": 7, "cost": 3}],
+    )
+    assert [s["name"] for s in cfg["series"]] == ["revenue", "cost"]
+    assert cfg["series"][1]["data"] == [2, 3]
