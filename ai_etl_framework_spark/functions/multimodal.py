@@ -5,12 +5,19 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched Pandas iterators (mapInPandas) so each Python worker
 touches a whole batch of blobs at once.
 
-The image/audio codec libraries are NOT in this container, so the
-decode kernels are STUBBED: ``fake=True`` (default) produces
-deterministic md5-derived pseudo-decodes so the Spark-side plumbing —
-schema, partitioning, UDF signature, batch shape — is real and
-testable; ``fake=False`` raises NotImplementedError where PIL/librosa
-would be called.
+Decode status (two tiers, honestly separated):
+
+- ``fake=True`` (default; what the x03 gate query runs) produces
+  deterministic md5-derived pseudo-decodes so the Spark-side plumbing
+  — schema, partitioning, UDF signature, batch shape — is exercised
+  independent of any codec.
+- ``fake=False`` REALLY decodes the codec-free container formats via
+  ``functions.codecs`` (pure numpy/struct): WAV/PCM audio, BMP and
+  PPM images, nearest-neighbor resize with BMP re-encode, and
+  header-only metadata sniffing (PNG/JPEG/GIF/WAV dimensions and
+  rates without touching compressed payload). Only formats whose
+  *payload* requires a codec library (PNG IDAT, JPEG scans, MP3,
+  video) raise NotImplementedError pointing at PIL/librosa/ffmpeg.
 
 Scale notes: blobs never pass through the driver; binary columns are
 read straight from parquet; per-batch decode keeps Arrow transfers
@@ -23,6 +30,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -56,17 +64,27 @@ def image_features(
     dim: int = 8,
     fake: bool = True,
 ) -> DataFrame:
-    """blob → feature vector. Real implementation would PIL-decode and
-    run a vision encoder; stubbed per module doc."""
+    """blob → feature vector. ``fake=False`` decodes BMP/PPM for real
+    (per-channel mean/std + aspect + fill, zero-padded to ``dim``);
+    compressed formats raise toward PIL."""
 
     def run(batches) -> Iterator:
         import pandas as pd
 
+        def real_feat(b: bytes) -> list[float]:
+            from ai_etl_framework_spark.functions.codecs import decode_image
+
+            img = decode_image(b or b"").astype("float64") / 255.0
+            h, w = img.shape[:2]
+            feat = (
+                list(img.mean(axis=(0, 1)))           # mean R,G,B
+                + list(img.std(axis=(0, 1)))          # std  R,G,B
+                + [h / max(w, 1), img.mean()]         # aspect, fill
+            )
+            return (feat + [0.0] * dim)[:dim]
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode needs PIL/torchvision (not in this container)"
-                )
+            decode = (lambda b: _fake_decode(b, dim)) if fake else real_feat
             out = pd.DataFrame(
                 {
                     "id": pdf[id_col],
@@ -74,7 +92,7 @@ def image_features(
                     "sha": pdf[blob_col].apply(
                         lambda b: int.from_bytes(hashlib.md5(b or b"").digest()[:8], "big") >> 1
                     ),
-                    "feat": pdf[blob_col].apply(lambda b: _fake_decode(b, dim)),
+                    "feat": pdf[blob_col].apply(decode),
                 }
             )
             yield out
@@ -133,26 +151,40 @@ def audio_features(
     max_windows: int = 16,
     fake: bool = True,
 ) -> DataFrame:
-    """audio blob → per-window energy vector. Real implementation
-    would librosa-decode and compute RMS/MFCC; the fake kernel sums
-    byte values per window (same shape: one row per blob, one float
-    per window), so batching and schema are exercised for real."""
+    """audio blob → per-window energy vector. ``fake=False`` decodes
+    PCM WAV for real and emits per-window RMS over samples (window =
+    ``window_bytes`` samples there); compressed audio raises toward
+    librosa. The fake kernel sums byte values per window — same shape
+    either way: one row per blob, one float per window."""
 
     def run(batches) -> Iterator:
+        import numpy as np
         import pandas as pd
 
+        def real_energy(blob: bytes) -> list[float]:
+            from ai_etl_framework_spark.functions.codecs import decode_wav
+
+            samples, _ = decode_wav(blob or b"")
+            mono = samples.mean(axis=1)
+            n = min(max_windows, max(1, len(mono) // window_bytes))
+            return [
+                float(np.sqrt(np.mean(np.square(mono[i * window_bytes:(i + 1) * window_bytes]))))
+                for i in range(n)
+            ]
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real audio decode needs librosa/soundfile")
             rows = []
             for _, r in pdf.iterrows():
                 blob = r[blob_col] or b""
-                n = min(max_windows, max(1, len(blob) // window_bytes))
-                energy = [
-                    sum(blob[i * window_bytes : (i + 1) * window_bytes]) / max(window_bytes, 1)
-                    for i in range(n)
-                ]
-                rows.append({"id": r[id_col], "n_windows": n, "energy": energy})
+                if fake:
+                    n = min(max_windows, max(1, len(blob) // window_bytes))
+                    energy = [
+                        sum(blob[i * window_bytes : (i + 1) * window_bytes]) / max(window_bytes, 1)
+                        for i in range(n)
+                    ]
+                else:
+                    energy = real_energy(blob)
+                rows.append({"id": r[id_col], "n_windows": len(energy), "energy": energy})
             yield pd.DataFrame(rows, columns=["id", "n_windows", "energy"])
 
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
@@ -167,19 +199,28 @@ def image_resize(
     fake: bool = True,
 ) -> DataFrame:
     """blob → resized blob (binary in, binary out — the common
-    preprocessing shape). The fake kernel emits a deterministic
-    md5-seeded byte string of width*height/64 bytes so downstream
-    operators see realistic binary output sizes."""
+    preprocessing shape). ``fake=False`` really decodes BMP/PPM,
+    nearest-neighbor resizes, and re-encodes as 24-bit BMP; the fake
+    kernel emits a deterministic md5-seeded byte string of
+    width*height/64 bytes so downstream operators see realistic
+    binary output sizes."""
 
     def run(batches) -> Iterator:
         import pandas as pd
 
+        def real_resize(b: bytes) -> bytes:
+            from ai_etl_framework_spark.functions.codecs import (
+                decode_image,
+                encode_bmp,
+                resize_nearest,
+            )
+
+            return encode_bmp(resize_nearest(decode_image(b or b""), width, height))
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real image resize needs PIL")
             out_len = max(16, width * height // 64)
 
-            def resize(b: bytes) -> bytes:
+            def fake_resize(b: bytes) -> bytes:
                 seed = hashlib.md5(b or b"").digest()
                 reps = out_len // len(seed) + 1
                 return (seed * reps)[:out_len]
@@ -187,7 +228,7 @@ def image_resize(
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
-                    "blob": pdf[blob_col].apply(resize),
+                    "blob": pdf[blob_col].apply(fake_resize if fake else real_resize),
                     "width": width,
                     "height": height,
                 }
@@ -196,17 +237,51 @@ def image_resize(
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(run, RESIZE_SCHEMA)
 
 
-def attach_media_meta(df: DataFrame, blob_col: str, media_type: str, fmt: str) -> DataFrame:
-    """Typed metadata struct next to the blob (sniffing stubbed:
-    width/height/duration are NULL until real codecs are wired)."""
-    return df.withColumn(
-        "media_meta",
-        F.struct(
-            F.lit(media_type).alias("media_type"),
-            F.lit(fmt).alias("format"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
-            F.lit(None).cast("int").alias("sample_rate"),
-        ),
-    )
+def attach_media_meta(
+    df: DataFrame,
+    blob_col: str,
+    media_type: str,
+    fmt: str,
+    sniff: bool = False,
+) -> DataFrame:
+    """Typed metadata struct next to the blob. With ``sniff=True`` the
+    struct is REALLY populated from container headers (pandas_udf over
+    functions.codecs.sniff_media_meta — PNG/JPEG/GIF/BMP/PPM
+    dimensions, WAV rate/duration) without decoding any compressed
+    payload; declared ``fmt`` is overridden by the sniffed one when
+    recognized. Default keeps the declared-only struct (no per-blob
+    work at plan time)."""
+    if not sniff:
+        return df.withColumn(
+            "media_meta",
+            F.struct(
+                F.lit(media_type).alias("media_type"),
+                F.lit(fmt).alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+                F.lit(None).cast("int").alias("sample_rate"),
+            ),
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(MEDIA_META)
+    def sniff_udf(blobs: pd.Series) -> pd.DataFrame:
+        from ai_etl_framework_spark.functions.codecs import sniff_media_meta
+
+        rows = []
+        for b in blobs:
+            meta = sniff_media_meta(bytes(b) if b is not None else b"")
+            rows.append(
+                {
+                    "media_type": media_type,
+                    "format": meta["format"] or fmt,
+                    "width": meta["width"],
+                    "height": meta["height"],
+                    "duration_ms": meta["duration_ms"],
+                    "sample_rate": meta["sample_rate"],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return df.withColumn("media_meta", sniff_udf(F.col(blob_col)))
