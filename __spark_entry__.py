@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ai_etl_framework_spark.session import load_table
@@ -1886,14 +1887,44 @@ def x06_batched_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x03_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary blobs → Arrow-batched mapInPandas
-    feature extraction (functions/multimodal.py; decode kernel is a
-    deterministic fake — real codecs absent in this container)."""
+    """Multimodal columns, both tiers (functions/multimodal.py +
+    functions/codecs.py): 'fake_plumbing' rows push raw text bytes
+    through the md5 stand-in kernel (schema/batching exercised with no
+    codec assumptions); 'real_bmp_decode' rows synthesize a VALID 4x4
+    24-bit BMP per document and run the actual pure-numpy decoder +
+    feature extraction (fake=False). Deterministic end to end."""
+    from pyspark.sql.functions import pandas_udf
+
     from ai_etl_framework_spark.functions.multimodal import image_features
 
     docs = load_table(spark, sf_dir, "documents")
     blobs = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
-    return image_features(blobs, "doc_id", "blob", dim=8, fake=True)
+    fake = image_features(blobs, "doc_id", "blob", dim=8, fake=True)
+
+    @pandas_udf("binary")
+    def synth_bmp(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        from ai_etl_framework_spark.functions.codecs import encode_bmp
+
+        def one(t):
+            seed = hashlib.md5((t or "").encode("utf-8")).digest() * 3
+            img = np.frombuffer(seed, dtype="u1")[:48].reshape(4, 4, 3)
+            return encode_bmp(img)
+
+        return texts.map(one)
+
+    real = image_features(
+        docs.select("doc_id", synth_bmp(F.col("text")).alias("blob")),
+        "doc_id", "blob", dim=8, fake=False,
+    )
+    tag = lambda df, mode: df.select(  # noqa: E731
+        F.lit(mode).alias("mode"), "id", "n_bytes", "sha",
+        F.round(F.element_at("feat", 1), 6).alias("feat0"),
+    )
+    return tag(fake, "fake_plumbing").unionByName(tag(real, "real_bmp_decode"))
 
 
 # ---------------------------------------------------------------------------
