@@ -2129,6 +2129,165 @@ def x04_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def q43_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE (operators/merge.py merge_upsert): all three
+    when_matched modes over one CDC scenario — target = customers with
+    custkey%4!=0, source batch = custkey%3==0 with +1000.00 balance.
+    Money kept as integer cents end-to-end so the aggregate is exact
+    and association-independent (the q13 lesson). The union+row_number
+    plan is ONE hash exchange on the merge key; delete lowers to a
+    LEFT ANTI join AQE can broadcast. Beyond-reference: the reference's
+    incremental load is append-only manifests (file_source.py:236-268,
+    no keyed upsert)."""
+    from ai_etl_framework_spark.operators.merge import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    target = base.where(F.col("c_custkey") % 4 != 0)
+    source = base.where(F.col("c_custkey") % 3 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(100000)
+    )
+    out = None
+    for mode in ("update", "ignore", "delete"):
+        m = merge_upsert(target, source, ["c_custkey"], when_matched=mode)
+        g = (
+            m.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+            .withColumn("mode", F.lit(mode))
+        )
+        out = g if out is None else out.unionByName(g)
+    return out.select(
+        "mode",
+        "c_mktsegment",
+        "n",
+        (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sum_bal"),
+    )
+
+
+_Q43_SQL = """
+WITH base AS (SELECT c_custkey, c_mktsegment,
+                     CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer),
+t AS (SELECT * FROM base WHERE c_custkey % 4 <> 0),
+s AS (SELECT c_custkey, c_mktsegment, cents + 100000 AS cents
+      FROM base WHERE c_custkey % 3 = 0),
+upd AS (SELECT c_custkey, c_mktsegment, cents FROM (
+          SELECT u.*, row_number() OVER (PARTITION BY c_custkey ORDER BY pri) AS rn
+          FROM (SELECT s.*, 0 AS pri FROM s
+                UNION ALL
+                SELECT t.*, 1 AS pri FROM t) u)
+        WHERE rn = 1),
+ign AS (SELECT c_custkey, c_mktsegment, cents FROM (
+          SELECT u.*, row_number() OVER (PARTITION BY c_custkey ORDER BY pri) AS rn
+          FROM (SELECT s.*, 1 AS pri FROM s
+                UNION ALL
+                SELECT t.*, 0 AS pri FROM t) u)
+        WHERE rn = 1),
+del AS (SELECT * FROM t WHERE c_custkey NOT IN (SELECT c_custkey FROM s)
+        UNION ALL
+        SELECT * FROM s WHERE c_custkey NOT IN (SELECT c_custkey FROM t)),
+lab AS (SELECT 'update' AS mode, * FROM upd
+        UNION ALL SELECT 'ignore' AS mode, * FROM ign
+        UNION ALL SELECT 'delete' AS mode, * FROM del)
+SELECT mode, c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS sum_bal
+FROM lab
+GROUP BY mode, c_mktsegment
+"""
+
+
+def q44_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 historization (operators/merge.py scd2_apply): a
+    customer-segment dimension absorbs one update batch — ~20% of even
+    keys change segment, the rest arrive unchanged (must NOT spawn a
+    version), and custkey%100==0 spawns brand-new keys. Grouped
+    summary over the resulting history snapshot. Only the active slice
+    joins the batch; closed history streams through untouched — the
+    shape that holds when the dimension's history is 100× its active
+    set."""
+    from ai_etl_framework_spark.operators.merge import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    eff = F.lit("2021-06-01").cast("date")
+    u1 = cust.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.when(
+            (F.col("c_custkey") % 10).isin(0, 4),
+            F.concat(F.lit("SEG-"), F.col("c_mktsegment")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        eff.alias("eff"),
+    )
+    u2 = cust.where(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.lit("BRAND-NEW").alias("seg"),
+        eff.alias("eff"),
+    )
+    snap = scd2_apply(dim, u1.unionByName(u2), ["k"], "eff")
+    seg_class = (
+        F.when(F.col("seg").startswith("SEG-"), F.lit("changed"))
+        .when(F.col("seg") == "BRAND-NEW", F.lit("new"))
+        .otherwise(F.lit("base"))
+    )
+    return snap.groupBy(seg_class.alias("seg_class"), "is_current").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("k").alias("n_keys"),
+        F.min("valid_from").alias("first_from"),
+        F.max("valid_from").alias("last_from"),
+        F.count("valid_to").alias("n_closed"),
+    )
+
+
+_Q44_SQL = """
+WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+u1 AS (SELECT c_custkey AS k,
+              CASE WHEN c_custkey % 10 IN (0, 4)
+                   THEN 'SEG-' || c_mktsegment
+                   ELSE c_mktsegment END AS seg
+       FROM customer WHERE c_custkey % 2 = 0),
+u2 AS (SELECT c_custkey + 1000000 AS k, 'BRAND-NEW' AS seg
+       FROM customer WHERE c_custkey % 100 = 0),
+upd AS (SELECT * FROM u1 UNION ALL SELECT * FROM u2),
+chg AS (SELECT d.k, d.seg AS old_seg, u.seg AS new_seg
+        FROM dim d JOIN upd u ON d.k = u.k AND d.seg <> u.seg),
+snap AS (
+  SELECT k, seg, DATE '2020-01-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+  FROM dim WHERE k NOT IN (SELECT k FROM chg)
+  UNION ALL
+  SELECT k, old_seg, DATE '2020-01-01', DATE '2021-06-01', FALSE FROM chg
+  UNION ALL
+  SELECT k, new_seg, DATE '2021-06-01', CAST(NULL AS DATE), TRUE FROM chg
+  UNION ALL
+  SELECT k, seg, DATE '2021-06-01', CAST(NULL AS DATE), TRUE
+  FROM upd WHERE k NOT IN (SELECT k FROM dim)
+)
+SELECT CASE WHEN seg LIKE 'SEG-%' THEN 'changed'
+            WHEN seg = 'BRAND-NEW' THEN 'new'
+            ELSE 'base' END AS seg_class,
+       is_current,
+       COUNT(*) AS n,
+       COUNT(DISTINCT k) AS n_keys,
+       MIN(valid_from) AS first_from,
+       MAX(valid_from) AS last_from,
+       COUNT(valid_to) AS n_closed
+FROM snap
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2188,6 +2347,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x01_ann_recall": x01_ann_recall,
         "x03_media_features": x03_media_features,
         "x04_iforest": x04_iforest,
+        # slots 51+: bonus beyond the driver's 50-entry gate window;
+        # still oracle-gated locally by tests/test_oracle_parity.py
+        "q43_merge_upsert": q43_merge_upsert,
+        "q44_scd2_history": q44_scd2_history,
     }
 
 
@@ -2240,6 +2403,8 @@ def oracle_sql() -> dict[str, str]:
         "txt03_doc_quality": _txt03_sql(),
         "txt04_fingerprint": _TXT04_SQL,
         "smp01_hash_sampling": _SMP01_SQL,
+        "q43_merge_upsert": _Q43_SQL,
+        "q44_scd2_history": _Q44_SQL,
         # x01_ann_recall / x03_media_features / x04_iforest: approximate
         # / Pandas-UDF ops -> rows-only check by design
     }

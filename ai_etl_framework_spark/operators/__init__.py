@@ -15,6 +15,7 @@ from ai_etl_framework_spark.operators.anomaly import AnomalyDetector, AnomalySpl
 from ai_etl_framework_spark.operators.rollups import DashboardAggregator
 from ai_etl_framework_spark.operators.schema_inferrer import SchemaInferrer
 from ai_etl_framework_spark.operators.metadata_columns import MetadataToColumns
+from ai_etl_framework_spark.operators.merge import merge_upsert, scd2_apply
 from ai_etl_framework_spark.operators.sampling import (
     deterministic_sample,
     hash_split,
@@ -26,6 +27,8 @@ from ai_etl_framework_spark.operators.sampling import (
 __all__ = [
     "deterministic_sample",
     "hash_split",
+    "merge_upsert",
+    "scd2_apply",
     "pack_documents",
     "stratified_quota",
     "weighted_mixture",

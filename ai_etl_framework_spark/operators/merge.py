@@ -1,0 +1,193 @@
+"""Keyed MERGE / upsert and SCD2 historization.
+
+The reference's incremental story is file-state manifests + append
+(``src/adapters/sources/file_source.py:236-268`` tracks which files
+were consumed; every load is insert-only).  A production pipeline
+refreshing dimensions or absorbing late-arriving facts also needs the
+*keyed* path — MERGE (upsert) and slowly-changing-dimension history —
+so these are provided as first-class operators.
+
+Scale shapes:
+
+- ``merge_upsert`` is ONE hash shuffle on the merge keys (union +
+  per-key ``row_number``), not a full-outer join — no wide COALESCE
+  per column, schema evolution free via ``unionByName``.  At 100 TB
+  the cost is the same exchange a keyed write would need anyway.
+- ``when_matched="delete"`` lowers to a LEFT ANTI join, which AQE
+  broadcasts when the source fits (the usual case: a small CDC
+  batch against a large snapshot).
+- ``scd2_apply`` joins the *active slice* of the dimension (not its
+  full history) against the update batch — one shuffle over current
+  rows; closed-out history is untouched and streams through.
+
+Everything is Column expressions: pushdown/pruning/codegen all apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_MATCHED_MODES = ("update", "ignore", "delete")
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str = "update",
+    insert_unmatched: bool = True,
+) -> DataFrame:
+    """Delta-style MERGE of ``source`` into ``target`` on ``keys``.
+
+    ``when_matched``:
+      - ``"update"``  — source row replaces the matched target row
+      - ``"ignore"``  — matched target row is kept unchanged
+      - ``"delete"``  — matched target rows are removed
+    ``insert_unmatched`` — source rows whose key is absent from the
+    target are inserted (set False for update/delete-only merges).
+
+    Source must be unique per key (the caller's CDC batch contract);
+    duplicate source keys raise to avoid a nondeterministic pick.
+    """
+    if when_matched not in _MATCHED_MODES:
+        raise ValueError(f"when_matched must be one of {_MATCHED_MODES}")
+    missing = [k for k in keys if k not in source.columns or k not in target.columns]
+    if missing:
+        raise ValueError(f"merge keys missing from input: {missing}")
+
+    if when_matched == "delete":
+        kept = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
+        if not insert_unmatched:
+            return kept
+        inserts = source.join(target.select(*keys).distinct(), on=keys, how="left_anti")
+        return kept.unionByName(inserts, allowMissingColumns=True)
+
+    # update/ignore: tag priority, one shuffle, keep best row per key.
+    src_pri, tgt_pri = (0, 1) if when_matched == "update" else (1, 0)
+    src = source if insert_unmatched else source.join(
+        target.select(*keys).distinct(), on=keys, how="left_semi"
+    )
+    tagged = src.withColumn("__pri", F.lit(src_pri)).unionByName(
+        target.withColumn("__pri", F.lit(tgt_pri)), allowMissingColumns=True
+    )
+    w = Window.partitionBy(*keys).orderBy("__pri")
+    picked = (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__nsrc", F.sum(F.lit(1) - F.col("__pri")).over(
+            Window.partitionBy(*keys)
+        ))
+    )
+    # >1 source row for one key ⇒ the merge is ill-defined; surface it
+    # as a row-level error (checked lazily, no extra action needed).
+    guarded = picked.withColumn(
+        "__rn",
+        F.when(F.col("__nsrc") > 1, F.assert_true(
+            F.lit(False), F.lit("merge_upsert: duplicate source keys")
+        ).cast("int")).otherwise(F.col("__rn")),
+    )
+    return guarded.where(F.col("__rn") == 1).drop("__pri", "__rn", "__nsrc")
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    effective_col: str,
+    change_cols: list[str] | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Apply an update batch to an SCD-type-2 dimension snapshot.
+
+    ``dim`` holds full history: active rows have ``valid_to IS NULL``
+    and ``current_flag = true``.  ``updates`` carries the key columns,
+    the tracked attribute columns, and ``effective_col`` (the change
+    timestamp that closes the prior version).  Per key, only the
+    latest update (max ``effective_col``) is applied.
+
+    Returns the new full-history snapshot:
+      - closed-out history rows pass through untouched,
+      - active rows whose tracked attributes changed get
+        ``valid_to = effective``, ``current_flag = false``,
+      - a new active version is inserted for changed/new keys,
+      - active rows matching an identical update are left alone.
+    """
+    change_cols = change_cols or [
+        c for c in updates.columns if c not in keys and c != effective_col
+    ]
+    attr_cols = [c for c in dim.columns if c not in (valid_from, valid_to, current_flag)]
+
+    # latest update per key
+    w = Window.partitionBy(*keys).orderBy(F.col(effective_col).desc())
+    latest = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upd = latest.select(
+        *[F.col(k) for k in keys],
+        F.col(effective_col).alias("__eff"),
+        *[F.col(c).alias(f"__u_{c}") for c in change_cols],
+    )
+
+    history = dim.where(F.col(valid_to).isNotNull())
+    active = dim.where(F.col(valid_to).isNull())
+
+    joined = active.join(upd, on=keys, how="left")
+    # any tracked column differs (null-safe)
+    diff = F.lit(False)
+    for c in change_cols:
+        diff = diff | ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    has_upd = F.col("__eff").isNotNull()
+
+    closed = (
+        joined.where(has_upd & diff)
+        .select(
+            *[F.col(c) for c in attr_cols],
+            F.col(valid_from),
+            F.col("__eff").alias(valid_to),
+            F.lit(False).alias(current_flag),
+        )
+    )
+    untouched_active = joined.where(~has_upd | ~diff).select(
+        *[F.col(c) for c in attr_cols],
+        F.col(valid_from),
+        F.col(valid_to),
+        F.col(current_flag),
+    )
+
+    # new versions: changed keys (attrs from update) + brand-new keys
+    changed_new = (
+        joined.where(has_upd & diff)
+        .select(
+            *[F.col(k) for k in keys],
+            *[
+                F.col(f"__u_{c}").alias(c) if c in change_cols else F.col(c)
+                for c in attr_cols
+                if c not in keys
+            ],
+            F.col("__eff").alias(valid_from),
+            F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+            F.lit(True).alias(current_flag),
+        )
+    )
+    brand_new = (
+        upd.join(active.select(*keys).distinct(), on=keys, how="left_anti")
+        .select(
+            *[F.col(k) for k in keys],
+            *[F.col(f"__u_{c}").alias(c) for c in change_cols],
+            F.col("__eff").alias(valid_from),
+            F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+            F.lit(True).alias(current_flag),
+        )
+    )
+
+    ordered = [*attr_cols, valid_from, valid_to, current_flag]
+    out = history.select(*ordered)
+    for part in (untouched_active, closed, changed_new):
+        out = out.unionByName(part.select(*[c for c in ordered if c in part.columns]),
+                              allowMissingColumns=True)
+    # brand_new lacks non-tracked attr cols (if any) — union last with
+    # missing columns as NULL, the standard SCD2 late-key behavior.
+    return out.unionByName(brand_new, allowMissingColumns=True).select(*ordered)

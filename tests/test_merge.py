@@ -1,0 +1,132 @@
+"""merge_upsert / scd2_apply semantics (operators/merge.py).
+
+The oracle-parity twin lives in test_oracle_parity.py via
+q43_merge_upsert / q44_scd2_history; these tests pin the row-level
+contracts the aggregated gate queries can't see (exact picked rows,
+duplicate-source failure, SCD2 version lifecycle)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_framework_spark.operators.merge import merge_upsert, scd2_apply
+
+
+@pytest.fixture(scope="module")
+def tgt_src(spark):
+    t = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, v string, x double"
+    )
+    s = spark.createDataFrame([(2, "B", 99.0), (4, "d", 40.0)], "k int, v string, x double")
+    return t, s
+
+
+def _rows(df):
+    return sorted((r.k, r.v, r.x) for r in df.collect())
+
+
+def test_matched_update_inserts_unmatched(tgt_src):
+    t, s = tgt_src
+    assert _rows(merge_upsert(t, s, ["k"])) == [
+        (1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0), (4, "d", 40.0)
+    ]
+
+
+def test_matched_ignore_keeps_target(tgt_src):
+    t, s = tgt_src
+    assert _rows(merge_upsert(t, s, ["k"], when_matched="ignore")) == [
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)
+    ]
+
+
+def test_matched_delete(tgt_src):
+    t, s = tgt_src
+    assert _rows(merge_upsert(t, s, ["k"], when_matched="delete")) == [
+        (1, "a", 10.0), (3, "c", 30.0), (4, "d", 40.0)
+    ]
+    assert _rows(
+        merge_upsert(t, s, ["k"], when_matched="delete", insert_unmatched=False)
+    ) == [(1, "a", 10.0), (3, "c", 30.0)]
+
+
+def test_update_only_no_insert(tgt_src):
+    t, s = tgt_src
+    assert _rows(merge_upsert(t, s, ["k"], insert_unmatched=False)) == [
+        (1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0)
+    ]
+
+
+def test_duplicate_source_keys_raise(spark, tgt_src):
+    t, _ = tgt_src
+    dup = spark.createDataFrame(
+        [(2, "B", 1.0), (2, "C", 2.0)], "k int, v string, x double"
+    )
+    with pytest.raises(Exception, match="duplicate source keys"):
+        merge_upsert(t, dup, ["k"]).collect()
+
+
+def test_bad_mode_and_missing_key_raise(tgt_src):
+    t, s = tgt_src
+    with pytest.raises(ValueError, match="when_matched"):
+        merge_upsert(t, s, ["k"], when_matched="upsert")
+    with pytest.raises(ValueError, match="missing"):
+        merge_upsert(t, s, ["nope"])
+
+
+def test_schema_evolution_union_missing_columns(spark, tgt_src):
+    t, _ = tgt_src
+    s2 = spark.createDataFrame([(5, "e")], "k int, v string")  # no x column
+    out = merge_upsert(t, s2, ["k"])
+    got = {(r.k, r.v, r.x) for r in out.collect()}
+    assert (5, "e", None) in got and len(got) == 4
+
+
+@pytest.fixture(scope="module")
+def scd2_out(spark):
+    dim = spark.createDataFrame(
+        [
+            (1, "seg-a", dt.date(2020, 1, 1), None, True),
+            (2, "seg-b", dt.date(2020, 1, 1), None, True),
+            (2, "seg-old", dt.date(2019, 1, 1), dt.date(2020, 1, 1), False),
+        ],
+        "k int, seg string, valid_from date, valid_to date, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "seg-a", dt.date(2021, 6, 1)),    # unchanged -> no new version
+            (2, "seg-NEW", dt.date(2021, 6, 1)),  # changed -> close + insert
+            (2, "seg-MID", dt.date(2021, 1, 1)),  # older dup -> ignored (latest wins)
+            (9, "seg-z", dt.date(2021, 6, 1)),    # brand-new key
+        ],
+        "k int, seg string, eff date",
+    )
+    return scd2_apply(dim, upd, ["k"], "eff")
+
+
+def test_scd2_versions(scd2_out):
+    rows = {(r.k, r.seg, str(r.valid_from), str(r.valid_to), r.is_current)
+            for r in scd2_out.collect()}
+    assert rows == {
+        (1, "seg-a", "2020-01-01", "None", True),            # untouched
+        (2, "seg-old", "2019-01-01", "2020-01-01", False),   # history passthrough
+        (2, "seg-b", "2020-01-01", "2021-06-01", False),     # closed by latest update
+        (2, "seg-NEW", "2021-06-01", "None", True),          # new current version
+        (9, "seg-z", "2021-06-01", "None", True),            # brand-new key
+    }
+
+
+def test_scd2_one_current_row_per_key(scd2_out):
+    cur = scd2_out.where(F.col("is_current")).groupBy("k").count()
+    assert cur.where(F.col("count") > 1).count() == 0
+
+
+def test_scd2_idempotent_on_identical_batch(spark, scd2_out):
+    upd_again = scd2_out.where(F.col("is_current")).select(
+        "k", "seg", F.lit(dt.date(2022, 1, 1)).alias("eff")
+    )
+    again = scd2_apply(scd2_out, upd_again, ["k"], "eff")
+    assert again.count() == scd2_out.count()
+    assert again.where(F.col("valid_from") == "2022-01-01").count() == 0
