@@ -2288,6 +2288,69 @@ GROUP BY 1, 2
 """
 
 
+def sk01_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch family with measured error bounds (functions/sketches.py)
+    — same shape as x01_ann_recall: each row carries an exact anchor
+    value (oracle-checkable) plus an ``ok`` verdict that the sketch met
+    its bound, so a drifting sketch turns the row red. HLL++ distinct
+    (rsd 5%, bound 15%), lossless daily→global sketch merge, GK
+    quantile rank bound, and heavy hitters (sketch candidates + exact
+    recount ≡ exact answer). All JVM built-ins, map-side partials."""
+    from ai_etl_framework_spark.functions.sketches import (
+        approx_distinct,
+        heavy_hitters,
+        hll_sketch_merge,
+        hll_sketch_rollup,
+        quantile_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    n_rows = ev.count()
+    exact_users = ev.select(F.countDistinct("user_id")).first()[0]
+    n_types = ev.select(F.countDistinct("event_type")).first()[0]
+
+    apx = approx_distinct(ev, "user_id", rsd=0.05).first()[0]
+    hll_ok = abs(apx - exact_users) / float(exact_users) <= 0.15
+
+    daily = hll_sketch_rollup(ev.withColumn("day", F.to_date("ts")), ["day"], "user_id")
+    merged = hll_sketch_merge(daily, []).first()["estimate"]
+    glob = hll_sketch_rollup(ev.withColumn("g", F.lit(1)), ["g"], "user_id").first()[
+        "estimate"
+    ]
+    merge_ok = bool(merged == glob)
+
+    p50 = quantile_sketch(ev, "value", [0.5]).first()["p50"]
+    rank = ev.where(F.col("value") <= F.lit(float(p50))).count()
+    q_ok = 0.45 * n_rows <= rank <= 0.55 * n_rows
+
+    hh = {(r[0], r["n"]) for r in heavy_hitters(ev, "event_type", 0.1).collect()}
+    exact_hh = {
+        (r[0], r["count"])
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] >= 0.1 * n_rows
+    }
+    hh_ok = hh == exact_hh
+
+    rows = [
+        ("hll_user_id", int(exact_users), bool(hll_ok)),
+        ("hll_merge_daily", int(exact_users), merge_ok),
+        ("quantile_p50_rank", int(n_rows), bool(q_ok)),
+        ("heavy_hitters", int(n_types), bool(hh_ok)),
+    ]
+    return spark.createDataFrame(rows, "metric string, n bigint, ok boolean")
+
+
+_SK01_SQL = """
+SELECT 'hll_user_id' AS metric, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n, TRUE AS ok FROM events
+UNION ALL
+SELECT 'hll_merge_daily', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+UNION ALL
+SELECT 'quantile_p50_rank', CAST(COUNT(*) AS BIGINT), TRUE FROM events
+UNION ALL
+SELECT 'heavy_hitters', CAST(COUNT(DISTINCT event_type) AS BIGINT), TRUE FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2351,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still oracle-gated locally by tests/test_oracle_parity.py
         "q43_merge_upsert": q43_merge_upsert,
         "q44_scd2_history": q44_scd2_history,
+        "sk01_sketch_bounds": sk01_sketch_bounds,
     }
 
 
@@ -2405,6 +2469,7 @@ def oracle_sql() -> dict[str, str]:
         "smp01_hash_sampling": _SMP01_SQL,
         "q43_merge_upsert": _Q43_SQL,
         "q44_scd2_history": _Q44_SQL,
+        "sk01_sketch_bounds": _SK01_SQL,
         # x01_ann_recall / x03_media_features / x04_iforest: approximate
         # / Pandas-UDF ops -> rows-only check by design
     }

@@ -1,0 +1,124 @@
+"""Approximate sketches: cardinality, quantiles, heavy hitters.
+
+At 100 TB, exact COUNT(DISTINCT) and exact percentiles are shuffle
+monsters (every distinct value / every row crosses the wire).  The
+sketch family trades bounded error for one-pass, mergeable,
+constant-size state — the standard toolkit for cardinality dashboards
+and data-quality profiling over training corpora.
+
+Everything here is JVM-side built-ins (Datasketches HLL, Greenwald-
+Khanna quantiles) — no UDFs, map-side partial aggregation throughout:
+
+- ``approx_distinct``       — HyperLogLog++ count, ~rsd relative error
+- ``hll_sketch_rollup``     — *mergeable* binary HLL sketches per group
+- ``hll_sketch_merge``      — re-aggregate stored sketches (the
+  incremental path: sketch per day/partition once, union forever —
+  no re-scan of history)
+- ``quantile_sketch``       — approx percentiles with rank-error bound
+- ``heavy_hitters``         — candidates via a single-pass frequent-
+  items sketch, then an exact recount of only the candidate values
+  (scan-pruned IN filter), so the output has exact counts and no
+  false positives.
+
+The reference has no sketch surface (its profiling is exact SQL over
+DuckDB — ``src/services/data_profiler.py``); this is the scale path
+for the same questions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def approx_distinct(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """HyperLogLog++ approximate distinct count, per group if given.
+
+    One pass, map-side partials, O(1/rsd²) bytes of state per group —
+    vs exact distinct's full shuffle of every distinct value.
+    """
+    agg = F.approx_count_distinct(col, rsd=rsd).alias(f"approx_distinct_{col}")
+    return df.groupBy(*(group_cols or [])).agg(agg)
+
+
+def hll_sketch_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-group *mergeable* Datasketches HLL sketch + point estimate.
+
+    Persist the ``sketch`` binary alongside each rollup (e.g. one row
+    per day): future totals union the stored sketches instead of
+    re-scanning history.  Union is lossless at equal lgK, so
+    incremental totals equal the from-scratch sketch exactly.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(col, F.lit(lgk)).alias("sketch"),
+    ).withColumn("estimate", F.hll_sketch_estimate("sketch").cast("long"))
+
+
+def hll_sketch_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Union stored HLL sketches up to a coarser grouping."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_union_agg(sketch_col).alias("sketch"),
+    ).withColumn("estimate", F.hll_sketch_estimate("sketch").cast("long"))
+
+
+def quantile_sketch(
+    df: DataFrame,
+    col: str,
+    probabilities: list[float],
+    group_cols: list[str] | None = None,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna): rank error bounded
+    by 1/accuracy of the row count, one pass, no sort, no full shuffle
+    (exact percentiles need a global sort or per-group collect)."""
+    agg = F.percentile_approx(col, probabilities, accuracy).alias("quantiles")
+    out = df.groupBy(*(group_cols or [])).agg(agg)
+    for i, p in enumerate(probabilities):
+        out = out.withColumn(f"p{int(round(p * 100)):02d}", F.col("quantiles")[i])
+    return out.drop("quantiles")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_share: float = 0.01,
+) -> DataFrame:
+    """Values occurring in ≥ ``min_share`` of rows, with EXACT counts.
+
+    Pass 1: single-pass frequent-items sketch (``df.stat.freqItems``,
+    over-reports: may include false positives, never false negatives
+    at support ≥ min_share) produces a driver-side candidate list —
+    bounded by 1/min_share values, so the collect is O(1/min_share),
+    never O(distinct).
+    Pass 2: exact recount of ONLY the candidates; the ``IN`` filter is
+    pushed into the scan, so the shuffle carries at most 1/min_share
+    keys.  False positives fall out of the final share filter.
+    """
+    if not 0 < min_share <= 1:
+        raise ValueError("min_share must be in (0, 1]")
+    candidates = df.stat.freqItems([col], support=min_share).first()[0]
+    if not candidates:
+        return df.limit(0).groupBy(col).agg(
+            F.count(F.lit(1)).alias("n"), F.lit(0.0).alias("share")
+        )
+    total = df.count()
+    return (
+        df.where(F.col(col).isin([c for c in candidates]))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("share", F.col("n").cast("double") / F.lit(float(total)))
+        .where(F.col("share") >= min_share)
+    )

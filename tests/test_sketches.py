@@ -1,0 +1,79 @@
+"""Sketch family (functions/sketches.py): error bounds, mergeability,
+heavy-hitter exactness. The gate twin is sk01_sketch_bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_framework_spark.functions.sketches import (
+    approx_distinct,
+    heavy_hitters,
+    hll_sketch_merge,
+    hll_sketch_rollup,
+    quantile_sketch,
+)
+from ai_etl_framework_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_approx_distinct_within_rsd_bound(events):
+    exact = events.select(F.countDistinct("user_id")).first()[0]
+    apx = approx_distinct(events, "user_id", rsd=0.05).first()[0]
+    assert abs(apx - exact) / exact <= 0.15  # 3x the requested rsd
+
+
+def test_approx_distinct_grouped(events):
+    out = approx_distinct(events, "user_id", group_cols=["event_type"], rsd=0.1)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in out.collect():
+        assert abs(r[1] - exact[r["event_type"]]) / exact[r["event_type"]] <= 0.3
+
+
+def test_hll_merge_of_partials_equals_global(events):
+    daily = hll_sketch_rollup(events.withColumn("day", F.to_date("ts")), ["day"], "user_id")
+    merged = hll_sketch_merge(daily, []).first()["estimate"]
+    glob = (
+        hll_sketch_rollup(events.withColumn("g", F.lit(1)), ["g"], "user_id")
+        .first()["estimate"]
+    )
+    assert merged == glob  # union at equal lgK is lossless
+
+
+def test_quantile_rank_bound(events):
+    n = events.count()
+    row = quantile_sketch(events, "value", [0.5, 0.9]).first()
+    for p, v in ((0.5, row["p50"]), (0.9, row["p90"])):
+        rank = events.where(F.col("value") <= F.lit(float(v))).count()
+        assert abs(rank - p * n) <= 0.02 * n
+
+
+def test_heavy_hitters_exact_counts_no_false_positives(events):
+    n = events.count()
+    got = {(r[0], r["n"]) for r in heavy_hitters(events, "event_type", 0.1).collect()}
+    exact = {
+        (r[0], r["count"])
+        for r in events.groupBy("event_type").count().collect()
+        if r["count"] >= 0.1 * n
+    }
+    assert got == exact
+
+
+def test_heavy_hitters_high_threshold_empty(events):
+    out = heavy_hitters(events, "event_type", min_share=0.99)
+    assert out.count() == 0
+    assert out.columns == ["event_type", "n", "share"]
+
+
+def test_heavy_hitters_bad_share_raises(events):
+    with pytest.raises(ValueError):
+        heavy_hitters(events, "event_type", min_share=0.0)
