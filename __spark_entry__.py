@@ -2351,6 +2351,99 @@ SELECT 'heavy_hitters', CAST(COUNT(DISTINCT event_type) AS BIGINT), TRUE FROM ev
 """
 
 
+def txt05_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/text.py redact_pii / pii_counts): the
+    synthetic corpus has no PII, so each doc is salted with a
+    deterministic email / card / SSN / phone / IPv4 built from its
+    doc_id — both engines construct the identical string, Spark
+    redacts with the JVM regexp chain, and the md5 of the redacted
+    text proves byte-exact replacement parity."""
+    from ai_etl_framework_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    d4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-"), d4,
+            F.lit(" ssn 123-45-"), d4,
+            F.lit(" card 1234-5678-9012-"), d4,
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".17"),
+        ).alias("t"),
+    )
+    cnts = X.pii_counts(F.col("t"))
+    red = X.redact_pii(F.col("t"))
+    return salted.select(
+        "doc_id",
+        *[c.cast("long").alias(f"n_{k}") for k, c in cnts.items()],
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+def _txt05_sql() -> str:
+    from ai_etl_framework_spark.functions.text import PII_PATTERNS
+
+    salt = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or 555-867-' || d4"
+        " || ' ssn 123-45-' || d4"
+        " || ' card 1234-5678-9012-' || d4"
+        " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'"
+    )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "t"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH s AS (SELECT doc_id, lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS d4, text
+           FROM documents WHERE doc_id < 200),
+sal AS (SELECT doc_id, {salt} AS t FROM s)
+SELECT doc_id, {counts},
+       CAST(length({red}) AS BIGINT) AS redacted_len,
+       md5({red}) AS redacted_md5
+FROM sal
+"""
+
+
+def txt06_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (functions/text.py
+    chunk_text): sequence + posexplode, no UDF — the explode fans out
+    AFTER scan pruning so only (doc_id, text) multiplies. chunk=400,
+    overlap=80; md5 per chunk proves exact offsets/lengths."""
+    from ai_etl_framework_spark.functions.text import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    ch = chunk_text(docs, "text", ["doc_id"], chunk_chars=400, overlap_chars=80)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").cast("long").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+_TXT06_SQL = """
+WITH d AS (SELECT doc_id, text, length(text) AS L
+           FROM documents WHERE doc_id < 300),
+n AS (SELECT doc_id, text,
+             CAST(CEIL(GREATEST(L - 80, 1) / 320.0) AS BIGINT) AS n_chunks
+      FROM d),
+i AS (SELECT doc_id, text, unnest(range(0, n_chunks)) AS chunk_idx FROM n),
+c AS (SELECT doc_id, chunk_idx,
+             substr(text, CAST(chunk_idx * 320 + 1 AS BIGINT), 400) AS chunk
+      FROM i)
+SELECT doc_id, chunk_idx, CAST(length(chunk) AS BIGINT) AS chunk_len,
+       md5(chunk) AS chunk_md5
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2415,6 +2508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_merge_upsert": q43_merge_upsert,
         "q44_scd2_history": q44_scd2_history,
         "sk01_sketch_bounds": sk01_sketch_bounds,
+        "txt05_pii_redact": txt05_pii_redact,
+        "txt06_chunking": txt06_chunking,
     }
 
 
@@ -2470,6 +2565,8 @@ def oracle_sql() -> dict[str, str]:
         "q43_merge_upsert": _Q43_SQL,
         "q44_scd2_history": _Q44_SQL,
         "sk01_sketch_bounds": _SK01_SQL,
+        "txt05_pii_redact": _txt05_sql(),
+        "txt06_chunking": _TXT06_SQL,
         # x01_ann_recall / x03_media_features / x04_iforest: approximate
         # / Pandas-UDF ops -> rows-only check by design
     }

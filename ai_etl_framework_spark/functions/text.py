@@ -143,3 +143,78 @@ def window_fingerprints(text: Column, window: int = 5) -> Column:
         F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window), " "))),
     ).otherwise(F.when(n > 0, F.array(F.md5(F.array_join(toks, " ")))).otherwise(F.array()))
     return F.array_distinct(spans)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + document chunking
+# ---------------------------------------------------------------------------
+
+# Patterns stay inside the Java-regex ∩ RE2 common subset so the
+# DuckDB oracle replicates them byte-for-byte. Order matters: longer
+# number shapes (credit card, SSN) are replaced before the shorter
+# phone shape so a prefix never double-matches.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("credit_card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "[CC]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / card numbers / SSNs / phones / IPv4s with
+    typed placeholder tokens — a chain of JVM ``regexp_replace``
+    expressions, one projection pass, codegen'd (the standard scrub
+    before a corpus leaves the curation pipeline)."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts (for audit reports / gating a
+    document on residual-PII density)."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def chunk_text(
+    df,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    chunk_chars: int = 1000,
+    overlap_chars: int = 200,
+):
+    """Split documents into fixed-size overlapping character windows
+    (the context-window prep step for embedding / training).
+
+    Pure expressions: chunk count is computed per row, offsets come
+    from ``sequence`` + ``posexplode`` — no UDF, no driver loop, and
+    the explode multiplies rows *after* scan pruning so only the
+    text column fans out. Step = chunk - overlap; a document shorter
+    than one chunk yields exactly one chunk.
+    """
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be < chunk_chars")
+    step = chunk_chars - overlap_chars
+    ids = id_cols or ["doc_id"]
+    t = F.col(text_col)
+    n_chunks = F.ceil(
+        F.greatest(F.length(t) - F.lit(overlap_chars), F.lit(1)) / F.lit(float(step))
+    ).cast("int")
+    exploded = df.select(
+        *ids,
+        t.alias("__text"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "__i"),
+    )
+    return exploded.select(
+        *ids,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.substring(
+            F.col("__text"), F.col("__i") * step + 1, chunk_chars
+        ).alias("chunk"),
+    )
