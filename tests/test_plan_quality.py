@@ -106,3 +106,45 @@ def test_pack_documents_single_shuffle(spark):
     # then FlatMapGroupsInPandas does the per-bucket greedy fill
     assert _count_nodes(plan, "Exchange") == 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_merge_upsert_single_shuffle(spark):
+    """merge_upsert (union + per-key row_number) must cost ONE hash
+    exchange on the merge key — not a join's two-sided shuffle."""
+    from ai_etl_framework_spark.operators.merge import merge_upsert
+    from ai_etl_framework_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_name", "c_acctbal")
+    target = cust.where(F.col("c_custkey") % 4 != 0)
+    source = cust.where(F.col("c_custkey") % 3 == 0)
+    plan = _executed_plan(merge_upsert(target, source, ["c_custkey"]))
+    assert _count_nodes(plan, "Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # pure union+window, no join operator
+
+
+def test_merge_delete_is_anti_join(spark):
+    from ai_etl_framework_spark.operators.merge import merge_upsert
+    from ai_etl_framework_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_name")
+    target = cust.where(F.col("c_custkey") % 4 != 0)
+    source = cust.where(F.col("c_custkey") % 3 == 0)
+    plan = _executed_plan(
+        merge_upsert(target, source, ["c_custkey"], when_matched="delete",
+                     insert_unmatched=False)
+    )
+    assert "LeftAnti" in plan
+
+
+def test_chunk_text_no_shuffle(spark):
+    """Chunking is a pure projection + generate (explode) — zero
+    exchanges; the fan-out happens after scan pruning."""
+    from ai_etl_framework_spark.functions.text import chunk_text
+    from ai_etl_framework_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = _executed_plan(chunk_text(docs, "text", ["doc_id"]))
+    assert _count_nodes(plan, "Exchange") == 0
+    assert "Generate" in plan
