@@ -2444,6 +2444,101 @@ FROM c
 """
 
 
+def txt07_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule corpus quality metrics (operators/corpus.py
+    corpus_quality): six rule metrics + keep flag as one pure-codegen
+    projection — word/bigram/5-gram math entirely in Catalyst array
+    expressions, no shuffle, no Python."""
+    from ai_etl_framework_spark.operators import corpus_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_quality(docs, "text", min_words=30, max_top_bigram_frac=0.6,
+                         max_dup_ngram_frac=0.6)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_frac",
+        "symbol_word_ratio", "top_bigram_frac", "dup_ngram_frac",
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+_TXT07_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents),
+m AS (
+  SELECT doc_id, text, w, len(w) AS n,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+              ELSE [] END AS bg,
+         CASE WHEN len(w) >= 5
+              THEN list_transform(range(1, len(w) - 3),
+                                  i -> array_to_string(list_slice(w, i, i + 4), ' '))
+              ELSE [] END AS ng
+  FROM t),
+x AS (
+  SELECT doc_id,
+         CAST(n AS BIGINT) AS n_words,
+         CASE WHEN n > 0 THEN ROUND(list_sum(list_transform(w, x -> length(x))) / CAST(n AS DOUBLE), 6) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n > 0 THEN ROUND(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / CAST(n AS DOUBLE), 6) ELSE 0.0 END AS alpha_word_frac,
+         CASE WHEN n > 0 THEN ROUND(((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3) / CAST(n AS DOUBLE), 6) ELSE 0.0 END AS symbol_word_ratio,
+         CASE WHEN len(bg) > 0
+              THEN LEAST(1.0, ROUND(list_max(list_transform(list_distinct(bg),
+                       b -> len(list_filter(bg, x -> x = b)))) * 2 / CAST(n AS DOUBLE), 6))
+              ELSE 0.0 END AS top_bigram_frac,
+         CASE WHEN len(ng) > 0
+              THEN ROUND(1.0 - len(list_distinct(ng)) / CAST(len(ng) AS DOUBLE), 6)
+              ELSE 0.0 END AS dup_ngram_frac
+  FROM m)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_ratio,
+       top_bigram_frac, dup_ngram_frac,
+       CAST(n_words >= 30 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND alpha_word_frac >= 0.80 AND symbol_word_ratio <= 0.10
+            AND top_bigram_frac <= 0.6 AND dup_ngram_frac <= 0.6 AS INT) AS keep
+FROM x
+"""
+
+
+def dc01_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/corpus.py
+    contamination_pairs): distinct 4-gram shingles of the 'benchmark'
+    slice (doc_id % 37 == 0) broadcast against the corpus — map-side
+    semi-join, zero corpus shuffle before the per-doc hit count."""
+    from ai_etl_framework_spark.operators import contamination_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return contamination_pairs(corpus, bench, "doc_id", "text", ngram=4)
+
+
+_DC01_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 4
+              THEN list_transform(range(1, len(w) - 2),
+                                  i -> array_to_string(list_slice(w, i, i + 3), ' '))
+              WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+              ELSE [] END) AS sh
+  FROM t),
+bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 37 = 0),
+corp AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g
+         FROM s WHERE doc_id % 37 <> 0)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       ROUND(COUNT(*) / CAST(n_shingles AS DOUBLE), 6) AS hit_frac
+FROM corp JOIN bench USING (g)
+GROUP BY doc_id, n_shingles
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2510,6 +2605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk01_sketch_bounds": sk01_sketch_bounds,
         "txt05_pii_redact": txt05_pii_redact,
         "txt06_chunking": txt06_chunking,
+        "txt07_gopher_quality": txt07_gopher_quality,
+        "dc01_decontaminate": dc01_decontaminate,
     }
 
 
@@ -2567,6 +2664,8 @@ def oracle_sql() -> dict[str, str]:
         "sk01_sketch_bounds": _SK01_SQL,
         "txt05_pii_redact": _txt05_sql(),
         "txt06_chunking": _TXT06_SQL,
+        "txt07_gopher_quality": _TXT07_SQL,
+        "dc01_decontaminate": _DC01_SQL,
         # x01_ann_recall / x03_media_features / x04_iforest: approximate
         # / Pandas-UDF ops -> rows-only check by design
     }

@@ -16,6 +16,11 @@ from ai_etl_framework_spark.operators.rollups import DashboardAggregator
 from ai_etl_framework_spark.operators.schema_inferrer import SchemaInferrer
 from ai_etl_framework_spark.operators.metadata_columns import MetadataToColumns
 from ai_etl_framework_spark.operators.merge import merge_upsert, scd2_apply
+from ai_etl_framework_spark.operators.corpus import (
+    contamination_pairs,
+    corpus_quality,
+    decontaminate,
+)
 from ai_etl_framework_spark.operators.sampling import (
     deterministic_sample,
     hash_split,
@@ -25,6 +30,9 @@ from ai_etl_framework_spark.operators.sampling import (
 )
 
 __all__ = [
+    "contamination_pairs",
+    "corpus_quality",
+    "decontaminate",
     "deterministic_sample",
     "hash_split",
     "merge_upsert",
