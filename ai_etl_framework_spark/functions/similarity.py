@@ -44,6 +44,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-norm copy of the vector (zero vectors pass through)."""
+    n = norm(a)
+    return F.when(
+        n > 0, F.transform(a, lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(a, lambda x: x.cast("double")))
+
+
 def lit_vec(v: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
@@ -210,6 +218,36 @@ def kmeans_cells(
             [V[assign == c].mean(axis=0) if (assign == c).any() else C[c] for c in range(k)]
         )
         C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return [[float(x) for x in row] for row in C]
+
+
+def kmeans_cells_ml(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 8,
+    max_iter: int = 20,
+    seed: int = 13,
+) -> list[list[float]]:
+    """Fully-distributed k-means coarse quantizer via Spark MLlib.
+
+    The scale path past :func:`kmeans_cells`'s bounded driver sample:
+    MLlib's KMeans trains on EVERY vector (k-means|| init, per-
+    partition partial aggregation per iteration), so centroid quality
+    doesn't degrade when the corpus far exceeds what a driver sample
+    can represent. Vectors are L2-normalized first (spherical
+    k-means — matches the cosine geometry of :func:`assign_cells` and
+    :func:`ivf_topk`); only the k×dim centroid matrix comes back to
+    the driver. Fixed ``seed`` keeps runs reproducible.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = l2_normalize(F.col(vec_col))
+    feats = df.select(array_to_vector(unit.cast("array<double>")).alias("features"))
+    model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(feats)
+    C = np.asarray([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     return [[float(x) for x in row] for row in C]
 
 

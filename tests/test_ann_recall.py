@@ -42,3 +42,38 @@ def test_recall_floor(recalls, method):
     assert recalls[method] >= FLOORS[method], (
         f"{method} recall@10 {recalls[method]} under floor {FLOORS[method]}"
     )
+
+
+def test_kmeans_ml_matches_sample_kmeans_quality(spark):
+    """The distributed MLlib quantizer must cluster at least as well
+    as the driver-sample Lloyd fit (same k), measured by mean max-
+    cosine to the nearest centroid over all vectors — the quantity
+    IVF probe quality depends on."""
+    from ai_etl_framework_spark.functions.similarity import (
+        assign_cells,
+        cosine,
+        kmeans_cells,
+        kmeans_cells_ml,
+        lit_vec,
+    )
+    from ai_etl_framework_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    k = 8
+
+    def mean_best_cos(cents):
+        best = F.greatest(
+            *[cosine(F.col("embedding"), lit_vec(c)) for c in cents]
+        )
+        return emb.select(F.avg(best).alias("m")).collect()[0]["m"]
+
+    c_ml = kmeans_cells_ml(emb, "embedding", k=k, max_iter=10)
+    c_smp = kmeans_cells(emb, "embedding", "vec_id", k=k, iters=8)
+    assert len(c_ml) == k and len(c_ml[0]) == len(c_smp[0])
+    q_ml, q_smp = mean_best_cos(c_ml), mean_best_cos(c_smp)
+    assert q_ml >= q_smp - 0.02, (q_ml, q_smp)
+    # centroids feed the standard assignment path
+    cells = assign_cells(emb, "embedding", c_ml)
+    n_cells = cells.select("__cell").distinct().count()
+    assert 1 < n_cells <= k
