@@ -987,6 +987,55 @@ GROUP BY 1
 """
 
 
+def smp02_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted upsampling for epoch mixing
+    (operators/sampling.py upsample): per-language mixing weights
+    (en×2.5, zh×1.4, rest×0.75) replicate rows floor(w) times plus a
+    hash-decided extra — fractional weights land exactly, copies are
+    reproducible, and the whole thing is one narrow explode (no
+    shuffle before the verification groupBy)."""
+    from ai_etl_framework_spark.operators.sampling import upsample
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("lang") == "en", F.lit(2.5))
+        .when(F.col("lang") == "zh", F.lit(1.4))
+        .otherwise(F.lit(0.75))
+    )
+    up = upsample(docs, w, "doc_id", salt="ep0")
+    return up.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.max("copy_idx").cast("long").alias("max_copies"),
+    )
+
+
+_SMP02_SQL = """
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 2.5
+              WHEN lang = 'zh' THEN 1.4
+              ELSE 0.75 END AS wt,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ep0'), 1, 8))::BIGINT
+             / 4294967296.0 AS u
+  FROM documents),
+n AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(wt) AS BIGINT)
+           + CASE WHEN u < wt - FLOOR(wt) THEN 1 ELSE 0 END AS n_copies
+  FROM w),
+e AS (
+  SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_idx
+  FROM n WHERE n_copies > 0)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MAX(copy_idx) AS BIGINT) AS max_copies
+FROM e
+GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # q18-q27: second coverage wave (anomaly vote, null fill, column ops,
 # provider/diagnosis rollups, schema inference, CC dedup, search,
@@ -2607,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt06_chunking": txt06_chunking,
         "txt07_gopher_quality": txt07_gopher_quality,
         "dc01_decontaminate": dc01_decontaminate,
+        "smp02_upsample": smp02_upsample,
     }
 
 
@@ -2666,6 +2716,7 @@ def oracle_sql() -> dict[str, str]:
         "txt06_chunking": _TXT06_SQL,
         "txt07_gopher_quality": _TXT07_SQL,
         "dc01_decontaminate": _DC01_SQL,
+        "smp02_upsample": _SMP02_SQL,
         # x01_ann_recall / x03_media_features / x04_iforest: approximate
         # / Pandas-UDF ops -> rows-only check by design
     }

@@ -25,7 +25,9 @@ from ai_etl_framework_spark.operators.sampling import (
     deterministic_sample,
     hash_split,
     pack_documents,
+    shuffle_deterministic,
     stratified_quota,
+    upsample,
     weighted_mixture,
 )
 
@@ -38,7 +40,9 @@ __all__ = [
     "merge_upsert",
     "scd2_apply",
     "pack_documents",
+    "shuffle_deterministic",
     "stratified_quota",
+    "upsample",
     "weighted_mixture",
     "MetadataToColumns",
     "NullRemover",

@@ -39,6 +39,8 @@ __all__ = [
     "stratified_quota",
     "weighted_mixture",
     "pack_documents",
+    "shuffle_deterministic",
+    "upsample",
 ]
 
 
@@ -89,6 +91,57 @@ def hash_split(
     for name, hi in zip(reversed(names[:-1]), reversed(edges[:-1])):
         expr = F.when(u < hi, name).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def shuffle_deterministic(df: DataFrame, id_col: str, salt: str = "") -> DataFrame:
+    """Reproducible global pseudo-random order: sort by
+    ``md5(id || salt)`` (ties broken by id). The shuffle every
+    training run needs before sequence packing/sharding, without an
+    RNG — same salt ⇒ same order on any cluster size; bump the salt
+    per epoch for a fresh permutation.
+
+    Scale shape: one range-partitioned sort (Spark samples hash
+    boundaries, partitions sort independently) — the standard
+    distributed sort, no single-task stage. To materialize positions,
+    follow with ``sources.readers.with_row_id`` after writing, or
+    pack directly: ``pack_documents`` already orders by the same
+    md5-of-id inside each bucket."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return df.orderBy(h.asc(), F.col(id_col).asc())
+
+
+def upsample(
+    df: DataFrame,
+    weight,
+    id_col: str,
+    salt: str = "",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic weighted upsampling (epoch mixing): each row is
+    replicated ``floor(w)`` times plus one more with probability
+    ``frac(w)``, decided by the id hash — the standard way to hit
+    fractional dataset mixing weights (e.g. wiki×2.5) exactly in
+    expectation while staying reproducible. ``weight`` is a column
+    name, Column expression, or scalar. Rows with effective weight 0
+    drop out; ``copy_col`` numbers the copies 1..n so downstream
+    shuffling can spread them across shards.
+
+    Pure narrow explode — no shuffle; output size = Σ n_copies."""
+    if isinstance(weight, str):
+        w = F.col(weight).cast("double")
+    elif isinstance(weight, Column):
+        w = weight.cast("double")
+    else:
+        w = F.lit(float(weight))
+    base = F.floor(w).cast("long")
+    extra = (hash_uniform(F.col(id_col), salt) < (w - F.floor(w))).cast("long")
+    n = (base + extra).alias("__n_copies")
+    return (
+        df.withColumn("__n_copies", n)
+        .where(F.col("__n_copies") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__n_copies"))))
+        .drop("__n_copies")
+    )
 
 
 def stratified_quota(

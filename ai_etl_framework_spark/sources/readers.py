@@ -132,6 +132,52 @@ def read_parquet(spark: SparkSession, path: str, row_id: bool = False) -> DataFr
     return with_row_id(df) if row_id else df
 
 
+def read_orc(spark: SparkSession, path: str, row_id: bool = False, **options) -> DataFrame:
+    """Columnar ORC scan — same pushdown/pruning guarantees as parquet
+    (Spark-native vectorized reader; no reference counterpart, added
+    for lakehouse interop)."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.orc(path)
+    return with_row_id(df) if row_id else df
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    row_id: bool = False,
+) -> DataFrame:
+    """Raw text ingestion for document corpora: one row per line
+    (``value``), or one row per file (``wholetext`` — each file
+    becomes a document; pair with ``F.input_file_name()`` for the
+    doc id). Line mode splits on newlines at block boundaries, so a
+    100 TB dump parallelizes without any pre-splitting."""
+    df = spark.read.text(path, wholetext=whole_file)
+    if whole_file:
+        df = df.withColumn("path", F.input_file_name())
+    return with_row_id(df) if row_id else df
+
+
+def read_binary(
+    spark: SparkSession,
+    path: str,
+    glob: Optional[str] = None,
+    row_id: bool = False,
+) -> DataFrame:
+    """Opaque media blobs via Spark's binaryFile source:
+    (path, modificationTime, length, content). The scan carries
+    length/path metadata columns so size/type filters prune before
+    any content byte moves — feed ``content`` to the
+    functions.multimodal decode kernels."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    return with_row_id(df) if row_id else df
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -119,6 +119,30 @@ def test_decontaminate_drops_only_hits(spark):
     assert sorted(r["doc_id"] for r in left_all.collect()) == [1, 2]
 
 
+def test_corpus_quality_runs_on_a_stream(spark, tmp_path):
+    """The rule set is a stateless projection, so the exact same
+    operator must run inside Structured Streaming (the shape a
+    continuously-ingesting corpus pipeline uses) — no code fork
+    between batch and stream."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch = _docs(spark, [(1, "aaa bbb ccc " * 20), (2, "x")])
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    scored = corpus_quality(stream, "text")
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["keep"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2} and got[2] is False
+
+
 def test_contamination_broadcasts_benchmark(spark):
     corpus = _docs(spark, [(i, f"w{i} x y z q r") for i in range(20)])
     bench = _docs(spark, [(100, "x y z q")])

@@ -23,8 +23,11 @@ from ai_etl_framework_spark.sinks.writers import (
 from ai_etl_framework_spark.sources.paths import generate_outputs, slugify
 from ai_etl_framework_spark.sources.readers import (
     incremental_manifest,
+    read_binary,
     read_csv,
     read_json,
+    read_orc,
+    read_text,
     with_row_id,
 )
 
@@ -46,6 +49,34 @@ def test_read_csv_roundtrip(spark, small, tmp_path):
     assert back.count() == 3
     assert set(back.columns) == {"id", "name", "v"}
     assert dict(back.dtypes)["id"] == "int"  # inferSchema on
+
+
+def test_read_orc_roundtrip(spark, small, tmp_path):
+    p = str(tmp_path / "orc")
+    small.write.orc(p)
+    back = read_orc(spark, p)
+    assert back.count() == 3
+    assert set(back.columns) == {"id", "name", "v"}
+    assert dict(back.dtypes)["id"] == "int"  # ORC keeps types exactly
+
+
+def test_read_text_lines_and_wholefile(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("one\ntwo\n")
+    (tmp_path / "b.txt").write_text("three\n")
+    lines = read_text(spark, str(tmp_path))
+    assert sorted(r["value"] for r in lines.collect()) == ["one", "three", "two"]
+    whole = read_text(spark, str(tmp_path), whole_file=True)
+    rows = {os.path.basename(r["path"]): r["value"] for r in whole.collect()}
+    assert rows == {"a.txt": "one\ntwo\n", "b.txt": "three\n"}
+
+
+def test_read_binary_glob_and_metadata(spark, tmp_path):
+    (tmp_path / "x.bin").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "y.dat").write_bytes(b"zz")
+    df = read_binary(spark, str(tmp_path), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["length"] == 3 and bytes(rows[0]["content"]) == b"\x00\x01\x02"
 
 
 def test_read_json_lines_and_array(spark, tmp_path):

@@ -184,3 +184,51 @@ def test_invalid_args():
         hash_split(None, "id", (0.5, 0.2))
     with pytest.raises(ValueError):
         weighted_mixture({"a": None}, {"b": 1.0}, "id")
+
+
+def test_shuffle_deterministic_is_stable_permutation(docs):
+    from ai_etl_framework_spark.operators.sampling import shuffle_deterministic
+
+    a = [r["doc_id"] for r in shuffle_deterministic(docs, "doc_id", "e1").collect()]
+    b = [
+        r["doc_id"]
+        for r in shuffle_deterministic(docs.repartition(7), "doc_id", "e1").collect()
+    ]
+    assert a == b  # same salt -> same order, regardless of partitioning
+    assert sorted(a) == sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    c = [r["doc_id"] for r in shuffle_deterministic(docs, "doc_id", "e2").collect()]
+    assert a != c  # new salt -> new permutation
+    assert sorted(a) == sorted(c)
+
+
+def test_upsample_copies_and_determinism(spark):
+    from ai_etl_framework_spark.operators.sampling import upsample
+
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    up = upsample(df, 2.5, "doc_id", salt="ep0")
+    rows = up.groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in rows}
+    assert set(counts.values()) <= {2, 3}
+    # fractional part lands near 0.5 in expectation
+    n3 = sum(1 for v in counts.values() if v == 3)
+    assert 120 <= n3 <= 280
+    # reproducible: second run identical
+    again = {
+        r["doc_id"]: r["count"]
+        for r in upsample(df, 2.5, "doc_id", salt="ep0").groupBy("doc_id").count().collect()
+    }
+    assert counts == again
+    # copy_idx numbers copies 1..n
+    one = upsample(df.where(F.col("doc_id") == 0), 3.0, "doc_id")
+    assert sorted(r["copy_idx"] for r in one.collect()) == [1, 2, 3]
+
+
+def test_upsample_zero_and_subunit_weights(spark):
+    from ai_etl_framework_spark.operators.sampling import upsample
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    assert upsample(df, 0.0, "doc_id").count() == 0
+    kept = upsample(df, 0.3, "doc_id", salt="s")
+    n = kept.count()
+    assert 200 <= n <= 400  # ≈0.3 of 1000, hash-decided
+    assert kept.select(F.max("copy_idx")).collect()[0][0] == 1
