@@ -47,11 +47,13 @@ def range_join_points(
 
     Pick ``bin_seconds`` near the median interval length: too small
     replicates intervals, too large packs many points per bin."""
+    from ai_etl_framework_spark.session import epoch_seconds
+
     by = list(by)
-    p_bin = F.floor(F.col(point_col).cast("double") / bin_seconds)
+    p_bin = F.floor(epoch_seconds(point_col) / bin_seconds)
     i_bins = F.sequence(
-        F.floor(F.col(start_col).cast("double") / bin_seconds).cast("long"),
-        F.floor(F.col(end_col).cast("double") / bin_seconds).cast("long"),
+        F.floor(epoch_seconds(start_col) / bin_seconds).cast("long"),
+        F.floor(epoch_seconds(end_col) / bin_seconds).cast("long"),
     )
     p = points.withColumn("__bin", p_bin.cast("long"))
     i = intervals.withColumn("__bin", F.explode(i_bins))

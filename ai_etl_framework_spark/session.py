@@ -87,10 +87,19 @@ ALL_TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one testdata table with nanos-timestamp repair.
+    """Read one testdata table with timestamp repair.
 
     Works on ANY SparkSession (the verification driver brings its
     own), so the required confs are set at runtime here.
+
+    Two historical encodings of the driver parquet are handled:
+    - TIMESTAMP(NANOS) read as bigint via the legacy conf → rebuilt
+      as µs timestamps (matches DuckDB's CAST(ns AS TIMESTAMP));
+    - TIMESTAMP_NTZ (Spark 4.1 infers NTZ for isAdjustedToUTC=false)
+      → normalized to TIMESTAMP. The session TZ is pinned UTC, so the
+      wall-clock values are unchanged; normalizing here keeps every
+      downstream operator (watermarks, epoch arithmetic) on the one
+      timestamp type they are written for.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -100,6 +109,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     for c in NANO_TS_COLUMNS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
+
+
+def epoch_seconds(col):
+    """NTZ-safe epoch seconds (µs-preserving DOUBLE) from a timestamp
+    column of either flavor.
+
+    ``CAST(ts AS DOUBLE)`` is legal on TIMESTAMP but an AnalysisException
+    on TIMESTAMP_NTZ (Spark 4.1); routing through ``cast("timestamp")``
+    (a no-op on LTZ; session-TZ reinterpretation on NTZ — identity under
+    our pinned-UTC sessions) works on both and keeps microseconds.
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    c = col if isinstance(col, Column) else F.col(col)
+    return c.cast("timestamp").cast("double")
+
+
+def ensure_timestamp(df, *cols):
+    """Cast any TIMESTAMP_NTZ columns among ``cols`` to TIMESTAMP.
+
+    Required before ``withWatermark`` (event time must be TIMESTAMP —
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). No-op for columns
+    already LTZ, so safe to call unconditionally.
+    """
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    ntz = [c for c in cols if dtypes.get(c) == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 
@@ -110,9 +154,21 @@ def widen(df, min_partitions: int | None = None):
     Locally a small parquet file arrives as ONE split, serializing
     expensive projections onto one core; a cheap round-robin exchange
     unlocks the other 31. On a real cluster inputs already have many
-    splits, so this is a no-op — the check costs nothing."""
+    splits, so this is a no-op.
+
+    The check reads the scan's file list (``inputFiles`` — FileIndex
+    metadata, no job, no RDD conversion; ``df.rdd.getNumPartitions()``
+    would force physical planning of the whole analyzed plan). A
+    non-file source returns no files → no-op, which is the right call
+    at scale; large single files are already split by
+    ``spark.sql.files.maxPartitionBytes`` so only genuinely tiny
+    inputs get the exchange."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if files and len(files) < target:
         return df.repartition(target)
     return df
 

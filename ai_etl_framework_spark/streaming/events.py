@@ -47,6 +47,9 @@ def windowed_counts(
     group_cols: Optional[list[str]] = None,
 ) -> DataFrame:
     """Streaming tumbling-window counts; watermark bounds state."""
+    from ai_etl_framework_spark.session import ensure_timestamp
+
+    df = ensure_timestamp(df, ts_col)
     gcols = [F.window(F.col(ts_col), window)] + [F.col(c) for c in (group_cols or [])]
     return (
         df.withWatermark(ts_col, watermark)
@@ -88,6 +91,9 @@ def streaming_dedup(
     the horizon and is purged as the watermark advances — bounded
     state, exactly-once output with checkpointing. (The streaming twin
     of operators.dedup.exact_dedup keep_first.)"""
+    from ai_etl_framework_spark.session import ensure_timestamp
+
+    df = ensure_timestamp(df, ts_col)
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 

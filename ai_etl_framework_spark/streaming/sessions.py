@@ -52,12 +52,14 @@ def sessionize_batch(
 ) -> DataFrame:
     """Session rollup per user: a session breaks when the gap to the
     previous event exceeds ``gap_minutes``."""
+    from ai_etl_framework_spark.session import epoch_seconds
+
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_s = gap_minutes * 60.0
     prev = F.lag(F.col(ts_col)).over(w)
     new_session = F.when(
         prev.isNull()
-        | (F.col(ts_col).cast("double") - prev.cast("double") > gap_s),
+        | (epoch_seconds(ts_col) - epoch_seconds(prev) > gap_s),
         1,
     ).otherwise(0)
     sess = df.withColumn("__new", new_session).withColumn(
@@ -92,6 +94,11 @@ def sessionize_stream(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from ai_etl_framework_spark.session import ensure_timestamp
+
+    # event time must be TIMESTAMP for the watermark; NTZ inputs are
+    # normalized here (identity under the pinned-UTC session)
+    df = ensure_timestamp(df, ts_col)
     gap_us = int(gap_minutes * 60 * 1_000_000)
 
     def emit(key, start_us, last_us, n, total):
