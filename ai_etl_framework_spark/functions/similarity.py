@@ -308,14 +308,19 @@ def topk_batch_pandas(
             m = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
             sims = qn @ m.T  # (n_q, batch)
+            ids = pdf[id_col].to_numpy()
             for qi in range(n_q):
-                s = sims[qi]
-                top = np.argsort(-s)[:k]
+                # partial selection on (rounded sim desc, id asc) — the
+                # SAME total order the global window uses, so a boundary
+                # tie can never keep a different row than the global
+                # top-k would (deterministic ≡ the expression path)
+                s = np.round(sims[qi], 6)
+                top = np.lexsort((ids, -s))[:k]
                 yield pd.DataFrame(
                     {
                         "query_idx": qi,
-                        id_col: pdf[id_col].iloc[top].to_numpy(),
-                        "cos_sim": np.round(s[top], 6),
+                        id_col: ids[top],
+                        "cos_sim": s[top],
                     }
                 )
 

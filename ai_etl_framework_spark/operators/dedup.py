@@ -177,7 +177,12 @@ def minhash_candidates(
     only. Returns distinct pairs.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    # the signature table feeds BOTH sides of the self-join below; Spark's
+    # exchange reuse is not guaranteed under AQE, so without this the whole
+    # shingle→md5→min-agg pipeline (the expensive part) can run twice.
+    # One row per doc × num_hashes bigints — tiny relative to the corpus,
+    # safe to cache at any scale (MEMORY_AND_DISK default, LRU-evicted).
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k).persist()
     band_hashes = F.array(
         *[
             F.md5(
