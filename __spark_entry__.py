@@ -2232,7 +2232,11 @@ def sim01_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = topk_batch_pandas(emb, "embedding", "vec_id", [qv], k=10).select(
         "vec_id", "cos_sim"
     )
-    n_cells = emb.select(F.countDistinct("label")).first()[0]
+    # distinct().count() INCLUDES a NULL-label group (countDistinct
+    # would not), so nprobe really covers every cell and the NULL-
+    # tolerant probe in ivf_topk keeps NULL-labeled vectors in scope —
+    # exhaustive means exhaustive, or the exact-equality oracle breaks
+    n_cells = emb.select("label").distinct().count()
     ivf = ivf_topk(emb, "embedding", "vec_id", "label", qv, k=10, nprobe=n_cells)
     tag = lambda df, t: df.select(  # noqa: E731
         F.lit(t).alias("path"), "vec_id", "cos_sim"
@@ -2251,6 +2255,45 @@ SELECT 'ivf' AS path, vec_id, cos_sim FROM ({_SIM01_SQL})
 """
 
 
+def _run_stream_once(spark: SparkSession, ev: DataFrame, build_sink,
+                     prefix: str) -> DataFrame:
+    """Shared AvailableNow harness for the streaming twins: write the
+    batch input as a bronze dir, run the streaming query to completion
+    (fail loudly on timeout instead of reading a half-written sink),
+    materialize the bounded result, and remove the scratch dir — no
+    /tmp residue survives the terminal read."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    try:
+        bronze = os.path.join(tmp, "bronze")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        ev.write.mode("overwrite").parquet(bronze)
+        q = (
+            build_sink(bronze)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"{prefix} streaming query did not finish within 300s"
+            )
+        res = spark.read.parquet(out)
+        # bounded result (sessions/windows, not raw events): materialize
+        # so the scratch dir can be deleted before returning
+        schema, rows = res.schema, res.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def st01_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q28: events → file-source stream →
     applyInPandasWithState sessionization → parquet sink, end-to-end
@@ -2258,30 +2301,22 @@ def st01_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLOSE (vs stay open in state) depends on micro-batch boundaries,
     so the emitted subset is not SQL-expressible; exact agreement of
     every emitted session with the batch/oracle result is asserted in
-    tests/test_sessionization.py."""
-    import tempfile
-
+    tests/test_sessionization.py. The driver row still catches hard
+    breakage (e.g. the r2 watermark NTZ crash) in the gate signal."""
     from ai_etl_framework_spark.streaming.events import read_stream
     from ai_etl_framework_spark.streaming.sessions import sessionize_stream
 
     ev = load_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="st01_")
-    bronze = os.path.join(tmp, "bronze")
-    out = os.path.join(tmp, "out")
-    ckpt = os.path.join(tmp, "ckpt")
-    ev.write.mode("overwrite").parquet(bronze)
-    stream = read_stream(spark, bronze, fmt="parquet", schema=ev.schema)
-    q = (
-        sessionize_stream(stream, gap_minutes=30.0, watermark="0 seconds")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _run_stream_once(
+        spark,
+        ev,
+        lambda bronze: sessionize_stream(
+            read_stream(spark, bronze, fmt="parquet", schema=ev.schema),
+            gap_minutes=30.0,
+            watermark="0 seconds",
+        ),
+        "st01_",
     )
-    q.awaitTermination(300)
-    return spark.read.parquet(out)
 
 
 def st02_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2290,38 +2325,26 @@ def st02_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     append-mode emission depends on watermark advancement across
     micro-batches; equality with the batch twin is asserted in
     tests/test_streaming.py."""
-    import tempfile
-
     from ai_etl_framework_spark.streaming.events import (
         read_stream,
         windowed_counts,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="st02_")
-    bronze = os.path.join(tmp, "bronze")
-    out = os.path.join(tmp, "out")
-    ckpt = os.path.join(tmp, "ckpt")
-    ev.write.mode("overwrite").parquet(bronze)
-    stream = read_stream(spark, bronze, fmt="parquet", schema=ev.schema)
-    agg = windowed_counts(
-        stream, ts_col="ts", window="1 hour", watermark="2 hours",
-        group_cols=["event_type"],
-    ).select(
-        F.col("window.start").alias("window_start"),
-        F.col("window.end").alias("window_end"),
-        "event_type", "n_events", "total_value",
+    return _run_stream_once(
+        spark,
+        ev,
+        lambda bronze: windowed_counts(
+            read_stream(spark, bronze, fmt="parquet", schema=ev.schema),
+            ts_col="ts", window="1 hour", watermark="2 hours",
+            group_cols=["event_type"],
+        ).select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        ),
+        "st02_",
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.read.parquet(out)
 
 
 def x01_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2776,20 +2799,227 @@ GROUP BY doc_id, n_shingles
 """
 
 
+def dd03_band_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate merge (round 4): the two band-blocked near-dup pair
+    engines — MinHash-LSH candidates (dd03) and SimHash hamming pairs
+    (dd06) — tag-unioned on a ``method`` discriminator. Each part
+    keeps its original function and oracle SQL verbatim; dd03 has no
+    per-pair score so its ``hamming`` is NULL on both engines."""
+    a = dd03_minhash_band_pairs(spark, sf_dir).select(
+        F.lit("minhash_band").alias("method"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("long").alias("hamming"),
+    )
+    b = dd06_simhash_near_pairs(spark, sf_dir).select(
+        F.lit("simhash_band").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+    return a.unionByName(b)
+
+
+def _dd03m_sql() -> str:
+    return f"""
+SELECT 'minhash_band' AS method, id_a, id_b, CAST(NULL AS BIGINT) AS hamming
+FROM ({_dd03_sql()}) dd03
+UNION ALL
+SELECT 'simhash_band' AS method, id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM ({_dd06_sql()}) dd06
+"""
+
+
+def smp01_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate merge (round 4): deterministic sampling family — hash
+    split + independent-sample overlap (smp01) and weighted epoch
+    upsampling (smp02) — tag-unioned. Column mapping: hash_split rows
+    carry (m1 = n_docs, m2 = n_sampled, m3 = NULL); upsample rows
+    carry (m1 = n_rows, m2 = n_docs, m3 = max_copies). Original
+    functions and oracle SQL compose verbatim."""
+    a = smp01_hash_sampling(spark, sf_dir).select(
+        F.lit("hash_split").alias("family"),
+        F.col("split").alias("grp"),
+        F.col("n_docs").alias("m1"),
+        F.col("n_sampled").alias("m2"),
+        F.lit(None).cast("long").alias("m3"),
+    )
+    b = smp02_upsample(spark, sf_dir).select(
+        F.lit("upsample").alias("family"),
+        F.col("lang").alias("grp"),
+        F.col("n_rows").alias("m1"),
+        F.col("n_docs").alias("m2"),
+        F.col("max_copies").alias("m3"),
+    )
+    return a.unionByName(b)
+
+
+_SMP01M_SQL = f"""
+SELECT 'hash_split' AS family, split AS grp, n_docs AS m1, n_sampled AS m2,
+       CAST(NULL AS BIGINT) AS m3
+FROM ({_SMP01_SQL}) smp01
+UNION ALL
+SELECT 'upsample' AS family, lang AS grp, n_rows AS m1, n_docs AS m2,
+       max_copies AS m3
+FROM ({_SMP02_SQL}) smp02
+"""
+
+
+def txt05_redact_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate merge (round 4): PII redaction (txt05, per-doc counts +
+    redacted-text md5) and overlapping chunking (txt06, per-chunk md5)
+    tag-unioned on ``part``. Redact rows have idx NULL; chunk rows
+    have the n_* counts NULL. Both original functions and their
+    oracle SQL compose verbatim."""
+    pii_cols = ["n_email", "n_credit_card", "n_ssn", "n_phone", "n_ipv4"]
+    a = txt05_pii_redact(spark, sf_dir).select(
+        F.lit("redact").alias("part"),
+        "doc_id",
+        F.lit(None).cast("long").alias("idx"),
+        *pii_cols,
+        F.col("redacted_len").alias("part_len"),
+        F.col("redacted_md5").alias("part_md5"),
+    )
+    b = txt06_chunking(spark, sf_dir).select(
+        F.lit("chunk").alias("part"),
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("idx"),
+        *[F.lit(None).cast("long").alias(c) for c in pii_cols],
+        F.col("chunk_len").alias("part_len"),
+        F.col("chunk_md5").alias("part_md5"),
+    )
+    return a.unionByName(b)
+
+
+def _txt05m_sql() -> str:
+    pii = "n_email, n_credit_card, n_ssn, n_phone, n_ipv4"
+    pii_null = ", ".join(
+        f"CAST(NULL AS BIGINT) AS {c}"
+        for c in ("n_email", "n_credit_card", "n_ssn", "n_phone", "n_ipv4")
+    )
+    return f"""
+SELECT 'redact' AS part, doc_id, CAST(NULL AS BIGINT) AS idx, {pii},
+       redacted_len AS part_len, redacted_md5 AS part_md5
+FROM ({_txt05_sql()}) txt05
+UNION ALL
+SELECT 'chunk' AS part, doc_id, CAST(chunk_idx AS BIGINT) AS idx, {pii_null},
+       chunk_len AS part_len, chunk_md5 AS part_md5
+FROM ({_TXT06_SQL}) txt06
+"""
+
+
+def x03_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked half of the multimodal surface (round-3 verdict
+    item 3): synthesize a REAL media blob per document — PCM WAV
+    (functions/codecs.encode_wav), 24-bit BMP (encode_bmp), or a
+    header-only PNG — with doc_id-derived parameters, then recover
+    format / byte length / dimensions / audio rate+duration FROM THE
+    BYTES alone via the sniffing kernel (attach_media_meta sniff=True
+    → codecs.sniff_media_meta). The oracle recomputes the expected
+    values arithmetically from doc_id (the container layouts are
+    fixed byte structures, byte length included), so this row is
+    green only if encode→sniff round-trips exactly. The
+    feature-vector half of x03 stays rows-only in pytest
+    (tests/test_multimodal.py) — vectors aren't SQL-expressible."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ai_etl_framework_spark.functions.multimodal import attach_media_meta
+
+    @pandas_udf("binary")
+    def synth_blob(ids: pd.Series) -> pd.Series:
+        import struct
+
+        import numpy as np
+
+        from ai_etl_framework_spark.functions.codecs import (
+            encode_bmp,
+            encode_wav,
+        )
+
+        def one(i):
+            i = int(i)
+            kind = i % 3
+            if kind == 0:  # mono 16-bit PCM WAV
+                rate = 8000 + (i % 4) * 2000
+                n = 1000 + (i % 7) * 500
+                x = np.linspace(-0.5, 0.5, n, dtype=np.float64)[:, None]
+                return encode_wav(x, rate)
+            if kind == 1:  # 24-bit BI_RGB BMP
+                w, h = 4 + i % 9, 3 + i % 5
+                img = (np.arange(h * w * 3, dtype=np.int64) % 251).astype(
+                    "u1"
+                ).reshape(h, w, 3)
+                return encode_bmp(img)
+            # header-only PNG: signature + IHDR chunk (33 bytes) — the
+            # sniffer reads dims without touching compressed payload
+            w, h = 16 + i % 21, 9 + i % 13
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", 13)
+                + b"IHDR"
+                + struct.pack(">II", w, h)
+                + b"\x08\x02\x00\x00\x00"
+                + b"\x00\x00\x00\x00"
+            )
+
+        return ids.map(one)
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    blobs = docs.select("doc_id", synth_blob(F.col("doc_id")).alias("blob"))
+    met = attach_media_meta(blobs, "blob", media_type="media", fmt="bin",
+                            sniff=True)
+    return met.select(
+        "doc_id",
+        F.col("media_meta.format").alias("fmt"),
+        F.length("blob").cast("long").alias("n_bytes"),
+        F.col("media_meta.width").cast("long").alias("width"),
+        F.col("media_meta.height").cast("long").alias("height"),
+        F.col("media_meta.duration_ms").cast("long").alias("duration_ms"),
+        F.col("media_meta.sample_rate").cast("long").alias("sample_rate"),
+    )
+
+
+_X03M_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id % 3 AS kind,
+         8000 + (doc_id % 4) * 2000 AS rate,
+         1000 + (doc_id % 7) * 500 AS ns,
+         4 + doc_id % 9 AS bw, 3 + doc_id % 5 AS bh,
+         16 + doc_id % 21 AS pw, 9 + doc_id % 13 AS ph
+  FROM documents WHERE doc_id < 300)
+SELECT doc_id,
+       CASE kind WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' ELSE 'png' END AS fmt,
+       CAST(CASE kind WHEN 0 THEN 44 + 2 * ns
+                      WHEN 1 THEN 54 + ((bw * 3 + 3) // 4) * 4 * bh
+                      ELSE 33 END AS BIGINT) AS n_bytes,
+       CAST(CASE kind WHEN 1 THEN bw WHEN 2 THEN pw END AS BIGINT) AS width,
+       CAST(CASE kind WHEN 1 THEN bh WHEN 2 THEN ph END AS BIGINT) AS height,
+       CAST(CASE kind WHEN 0 THEN FLOOR(ns * 1000.0 / rate) END AS BIGINT)
+           AS duration_ms,
+       CAST(CASE kind WHEN 0 THEN rate END AS BIGINT) AS sample_rate
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS gate records the FIRST 50
-    # entries. Round 3: ALL 50 gated slots now carry oracle-backed
-    # queries — near-duplicate per-doc queries were merged into joined/
-    # tagged rows (q14→q21_rollup_dims, dd01+txt04, dd02+dd05,
-    # txt01+txt02+txt03, sim01+the exact x02/x06 paths) so the 8
-    # round-2 bonus queries fit inside the gate. The rows-only x*/st*
-    # entries (approximate / micro-batch-dependent by design) moved to
-    # slots 51+; their quality floors are asserted in
-    # tests/test_ann_recall.py, test_sessionization.py, test_streaming.py.
+    # entries. Round 3 merged near-duplicate queries into tagged rows
+    # (q14→q21_rollup_dims, dd01+txt04, dd02+dd05, txt01+txt02+txt03,
+    # sim01+the exact x02/x06 paths) so every oracle-backed query fits
+    # the gate. Round 4 merges three more pairs (dd03+dd06, smp01+smp02,
+    # txt05+txt06 — original semantics and oracle SQL composed verbatim)
+    # to free slots for: x03_media_meta (the DuckDB-checkable half of
+    # the multimodal surface) and the two streaming twins st01/st02 as
+    # rows-only gate rows, so a streaming regression (like r2's
+    # watermark NTZ crash) turns a driver row red instead of hiding in
+    # pytest. Slots 51+ keep the genuinely approximate/model-based
+    # rows-only entries (ANN recall, isolation forest); their quality
+    # floors are asserted in tests/test_ann_recall.py and
+    # tests/test_plan_quality.py.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_spec": q02_filter_spec,
@@ -2828,25 +3058,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_scd2_history": q44_scd2_history,
         "dd01_fingerprint_dups": dd01_fingerprint_dups,
         "dd02_signatures": dd02_signatures,
-        "dd03_minhash_band_pairs": dd03_minhash_band_pairs,
+        "dd03_minhash_band_pairs": dd03_band_near_pairs,
         "dd04_ngram_jaccard": dd04_ngram_jaccard,
-        "dd06_simhash_near_pairs": dd06_simhash_near_pairs,
         "sim01_cosine_topk": sim01_topk_paths,
         "sim02_embedding_dup_pairs": sim02_embedding_dup_pairs,
         "txt01_text_profile": txt01_text_profile,
-        "txt05_pii_redact": txt05_pii_redact,
-        "txt06_chunking": txt06_chunking,
+        "txt05_pii_redact": txt05_redact_chunks,
         "txt07_gopher_quality": txt07_gopher_quality,
         "dc01_decontaminate": dc01_decontaminate,
         "sk01_sketch_bounds": sk01_sketch_bounds,
-        "smp01_hash_sampling": smp01_hash_sampling,
-        "smp02_upsample": smp02_upsample,
-        # ---- slots 51+: rows-only by design (not SQL-expressible) ----
-        "x01_ann_recall": x01_ann_recall,
-        "x03_media_features": x03_media_features,
-        "x04_iforest": x04_iforest,
+        "smp01_hash_sampling": smp01_sampling,
+        "x03_media_meta": x03_media_meta,
+        # streaming twins: rows-only INSIDE the gate (emitted subset
+        # depends on micro-batch boundaries — not SQL-expressible; the
+        # driver row catches hard breakage, pytest asserts equality
+        # with the batch twins)
         "st01_stream_sessions": st01_stream_sessions,
         "st02_stream_windows": st02_stream_windows,
+        # ---- slots 51+: rows-only by design (approximate/model-based) ----
+        "x01_ann_recall": x01_ann_recall,
+        "x04_iforest": x04_iforest,
     }
 
 
@@ -2889,20 +3120,18 @@ def oracle_sql() -> dict[str, str]:
         "q44_scd2_history": _Q44_SQL,
         "dd01_fingerprint_dups": _DD01M_SQL,
         "dd02_signatures": _dd02m_sql(),
-        "dd03_minhash_band_pairs": _dd03_sql(),
+        "dd03_minhash_band_pairs": _dd03m_sql(),
         "dd04_ngram_jaccard": _DD04_SQL,
-        "dd06_simhash_near_pairs": _dd06_sql(),
         "sim01_cosine_topk": _SIM01M_SQL,
         "sim02_embedding_dup_pairs": _SIM02_SQL,
         "txt01_text_profile": _txt01m_sql(),
-        "txt05_pii_redact": _txt05_sql(),
-        "txt06_chunking": _TXT06_SQL,
+        "txt05_pii_redact": _txt05m_sql(),
         "txt07_gopher_quality": _TXT07_SQL,
         "dc01_decontaminate": _DC01_SQL,
         "sk01_sketch_bounds": _SK01_SQL,
-        "smp01_hash_sampling": _SMP01_SQL,
-        "smp02_upsample": _SMP02_SQL,
-        # x01_ann_recall / x03_media_features / x04_iforest /
-        # st01_stream_sessions / st02_stream_windows: approximate,
-        # Pandas-UDF, or micro-batch-dependent ops -> rows-only by design
+        "smp01_hash_sampling": _SMP01M_SQL,
+        "x03_media_meta": _X03M_SQL,
+        # st01_stream_sessions / st02_stream_windows (gated) and
+        # x01_ann_recall / x04_iforest (slots 51+): micro-batch-
+        # dependent or approximate/model-based -> rows-only by design
     }

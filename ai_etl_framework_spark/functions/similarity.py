@@ -163,7 +163,13 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF: centroids per cell (one small agg), probe the ``nprobe``
     closest cells, exact search inside. Centroid table is tiny →
-    computed and ranked driver-side; the big scan is cell-pruned."""
+    computed and ranked driver-side; the big scan is cell-pruned.
+
+    A NULL cell id forms its own probeable cell: groupBy keeps the
+    NULL group, and probing it uses ``isNull()`` (a bare ``isin``
+    would silently drop those rows — with nprobe = n_cells this path
+    must degrade to an exact full scan, NULL-labeled vectors
+    included)."""
     dim = len(query)
     sums = df.groupBy(cell_col).agg(
         *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}") for i in range(dim)],
@@ -172,10 +178,17 @@ def ivf_topk(
     scored = []
     for r in cents:
         c = [r[f"c{i}"] for i in range(dim)]
-        d = sum((x - y) ** 2 for x, y in zip(c, query))
+        if any(x is None for x in c):  # all-NULL vector group
+            d = float("inf")
+        else:
+            d = sum((x - y) ** 2 for x, y in zip(c, query))
         scored.append((r[cell_col], d))
     probe_cells = [c for c, _ in sorted(scored, key=lambda t: t[1])[:nprobe]]
-    pruned = df.where(F.col(cell_col).isin(probe_cells))
+    non_null = [c for c in probe_cells if c is not None]
+    pred = F.col(cell_col).isin(non_null) if non_null else F.lit(False)
+    if any(c is None for c in probe_cells):
+        pred = pred | F.col(cell_col).isNull()
+    pruned = df.where(pred)
     return brute_force_topk(pruned, vec_col, id_col, query, k, round_to)
 
 
@@ -285,6 +298,15 @@ def assign_cells(
 # batched queries: Arrow + numpy matmul
 # ---------------------------------------------------------------------------
 
+def _round_half_up(x, digits: int):
+    """HALF_UP (round half away from zero) — one rounding rule shared
+    with Spark's F.round and DuckDB's ROUND so every sim01 path agrees
+    at exact .5 ulp boundaries (np.round is half-to-even)."""
+    import numpy as np
+
+    scale = 10.0 ** digits
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
+
 def topk_batch_pandas(
     df: DataFrame,
     vec_col: str,
@@ -313,8 +335,12 @@ def topk_batch_pandas(
                 # partial selection on (rounded sim desc, id asc) — the
                 # SAME total order the global window uses, so a boundary
                 # tie can never keep a different row than the global
-                # top-k would (deterministic ≡ the expression path)
-                s = np.round(sims[qi], 6)
+                # top-k would (deterministic ≡ the expression path).
+                # Rounding is HALF_UP (away from zero), matching F.round
+                # and DuckDB ROUND — np.round's half-to-even would flip
+                # a cosine landing exactly on a 5e-7 boundary by 1e-6
+                # and reorder the tie-break vs the expression path.
+                s = _round_half_up(sims[qi], 6)
                 top = np.lexsort((ids, -s))[:k]
                 yield pd.DataFrame(
                     {

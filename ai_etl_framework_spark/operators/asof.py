@@ -47,8 +47,13 @@ def range_join_points(
 
     Pick ``bin_seconds`` near the median interval length: too small
     replicates intervals, too large packs many points per bin."""
-    from ai_etl_framework_spark.session import epoch_seconds
+    from ai_etl_framework_spark.session import ensure_timestamp, epoch_seconds
 
+    # NTZ inputs are normalized to TIMESTAMP under a UTC-pinned session
+    # (ensure_timestamp) so the epoch-based bin arithmetic is identical
+    # on any caller session, DST zones included
+    points = ensure_timestamp(points, point_col)
+    intervals = ensure_timestamp(intervals, start_col, end_col)
     by = list(by)
     p_bin = F.floor(epoch_seconds(point_col) / bin_seconds)
     i_bins = F.sequence(

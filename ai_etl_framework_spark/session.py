@@ -137,12 +137,20 @@ def ensure_timestamp(df, *cols):
     Required before ``withWatermark`` (event time must be TIMESTAMP —
     EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). No-op for columns
     already LTZ, so safe to call unconditionally.
+
+    The NTZ→LTZ cast reinterprets the wall clock in the SESSION time
+    zone; only under UTC is that the identity the oracle comparison
+    and epoch arithmetic assume. When a conversion actually happens,
+    the session TZ is pinned UTC here (same policy as load_table) so
+    an arbitrary caller session with a DST-shifting zone cannot skew
+    gap/bin arithmetic across transitions.
     """
     from pyspark.sql import functions as F
 
     dtypes = dict(df.dtypes)
     ntz = [c for c in cols if dtypes.get(c) == "timestamp_ntz"]
     if ntz:
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
@@ -160,17 +168,54 @@ def widen(df, min_partitions: int | None = None):
     metadata, no job, no RDD conversion; ``df.rdd.getNumPartitions()``
     would force physical planning of the whole analyzed plan). A
     non-file source returns no files → no-op, which is the right call
-    at scale; large single files are already split by
-    ``spark.sql.files.maxPartitionBytes`` so only genuinely tiny
-    inputs get the exchange."""
+    at scale. Few-but-LARGE files are also a no-op: the scan's split
+    count is estimated as Σ ceil(size / maxPartitionBytes) per file
+    (exactly how FilePartition slices them), so an input that
+    maxPartitionBytes already splits past ``target`` never pays the
+    extra exchange — only genuinely tiny inputs do."""
+    import math
+    from urllib.parse import unquote, urlparse
+
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         return df
-    if files and len(files) < target:
-        return df.repartition(target)
-    return df
+    if not files or len(files) >= target:
+        return df
+    mpb = _bytes_conf(df.sparkSession, "spark.sql.files.maxPartitionBytes",
+                      128 * 1024 * 1024)
+    est_splits = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            # remote store: stat is a round-trip per file and the scan
+            # already splits by maxPartitionBytes — leave the plan alone
+            return df
+        try:
+            size = os.path.getsize(unquote(u.path))
+        except OSError:
+            return df
+        est_splits += max(1, math.ceil(size / mpb))
+        if est_splits >= target:
+            return df
+    return df.repartition(target)
+
+
+_CONF_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf ("134217728", "128m", "1g", "64b")."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+        if raw.endswith("b"):
+            raw = raw[:-1]
+        if raw and raw[-1] in _CONF_SUFFIX:
+            return int(float(raw[:-1]) * _CONF_SUFFIX[raw[-1]])
+        return int(raw)
+    except Exception:
+        return default
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):

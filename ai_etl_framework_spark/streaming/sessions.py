@@ -52,8 +52,11 @@ def sessionize_batch(
 ) -> DataFrame:
     """Session rollup per user: a session breaks when the gap to the
     previous event exceeds ``gap_minutes``."""
-    from ai_etl_framework_spark.session import epoch_seconds
+    from ai_etl_framework_spark.session import ensure_timestamp, epoch_seconds
 
+    # normalize NTZ event time under a UTC-pinned session so the gap
+    # arithmetic is caller-TZ-independent (same policy as the stream twin)
+    df = ensure_timestamp(df, ts_col)
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_s = gap_minutes * 60.0
     prev = F.lag(F.col(ts_col)).over(w)

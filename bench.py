@@ -44,12 +44,16 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from ai_etl_framework_spark.session import get_spark
 
-    # registry first; fall back to module-level functions so the
-    # headline set stays identical across rounds even when the
-    # 50-slot driver registry consolidates names (q12_dedup_exact
-    # lives on as a function inside q12_dedup_modes)
+    # module-level functions FIRST, registry as fallback: the 50-slot
+    # driver registry consolidates names into merged gate rows
+    # (sim01_cosine_topk -> 3-engine sim01_topk_paths, q12_dedup_exact
+    # -> q12_dedup_modes, dd03 -> dd03+dd06, ...), and resolving
+    # through it silently changes the measured work between rounds
+    # (the r3 sim01 0.55s -> 3.49s "regression" was exactly that).
+    # The single-path module functions keep the headline series
+    # apples-to-apples across rounds.
     reg = entrymod.queries()
-    qs = {n: reg.get(n) or getattr(entrymod, n) for n in BENCH_QUERIES}
+    qs = {n: getattr(entrymod, n, None) or reg[n] for n in BENCH_QUERIES}
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -98,6 +102,42 @@ def main() -> None:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     times["p01_clean_score_write"] = round(pipe_sec, 4)
+
+    # p02: keyed MERGE of a 1% CDC batch into lineitem + small-file
+    # compaction of the merged snapshot (the operation that replaces
+    # the reference's whole-table append-rewrite,
+    # parquet_loader.py:192-195). Setup (base snapshot write) is
+    # untimed; timed work = merge shuffle + snapshot write + compaction.
+    from ai_etl_framework_spark.operators.merge import merge_upsert
+    from ai_etl_framework_spark.sinks.compaction import compact_parquet
+
+    keys = ["l_orderkey", "l_linenumber"]
+    li = load_table(spark, SF_DIR, "lineitem")
+    batch = (
+        li.where(F.crc32(F.concat_ws("|", *keys)) % 100 == 0)
+        .withColumn("l_quantity", F.col("l_quantity") + 1.0)
+    )
+    base_dir = tempfile.mkdtemp(prefix="bench_merge_base_")
+    out2 = tempfile.mkdtemp(prefix="bench_merge_out_")
+    try:
+        li.write.mode("overwrite").parquet(base_dir)
+        target = spark.read.parquet(base_dir)
+        t0 = time.perf_counter()
+        merged = merge_upsert(target, batch, keys, when_matched="update")
+        merged.write.mode("overwrite").parquet(out2)
+        compact_parquet(spark, out2)
+        times["p02_merge_compact"] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)
+
+    # p03: streaming sessionization end-to-end (file stream →
+    # applyInPandasWithState → parquet sink, Trigger.AvailableNow),
+    # including the bronze write and terminal read — the wall-clock a
+    # backfill of the stateful operator actually costs.
+    t0 = time.perf_counter()
+    entrymod.st01_stream_sessions(spark, SF_DIR).count()
+    times["p03_streaming_sessions"] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
