@@ -215,6 +215,45 @@ def minhash_candidates(
     )
 
 
+def prefix_filter_candidates(sh_sets: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin-style candidate pairs from a ``(id, sh, n_sh)`` shingle
+    frame: order each doc's shingles by global document frequency
+    (rarest first), index only the first n − ⌈t·n⌉ + 1, join prefixes,
+    size-ratio prune. Exact — two docs with J ≥ t MUST share a prefix
+    shingle (Xiao et al., WWW'08).
+
+    Exposed separately from :func:`ngram_jaccard_pairs` so the
+    boilerplate-skew behavior is directly testable: a shingle shared
+    by a large fraction of docs gets a high document frequency, sorts
+    LAST within every doc, and therefore almost never lands in a
+    prefix — the candidate count stays near-linear even when a naive
+    shingle self-join would be quadratic in the hot-shingle count."""
+    exploded = sh_sets.select("id", "n_sh", F.explode("sh").alias("s"))
+    freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    pref = (
+        exploded.join(freq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= prefix_len)
+        .select("id", "n_sh", "s")
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            # size-ratio prune: J ≥ t ⇒ sizes within factor t
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -270,30 +309,7 @@ def ngram_jaccard_pairs(
     # once; Spark's LRU evicts the blocks when memory is needed
     sh_sets = sh_sets.persist()
     if candidates is None:
-        exploded = sh_sets.select("id", "n_sh", F.explode("sh").alias("s"))
-        freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
-        prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-        pref = (
-            exploded.join(freq, "s")
-            .withColumn("pos", F.row_number().over(w))
-            .where(F.col("pos") <= prefix_len)
-            .select("id", "n_sh", "s")
-        )
-        a = pref.alias("a")
-        b = pref.alias("b")
-        candidates = (
-            a.join(
-                b,
-                (F.col("a.s") == F.col("b.s"))
-                & (F.col("a.id") < F.col("b.id"))
-                # size-ratio prune: J ≥ t ⇒ sizes within factor t
-                & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
-                & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh")),
-            )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
-        )
+        candidates = prefix_filter_candidates(sh_sets, threshold)
     # verification: exact intersection over the shingle arrays
     pairs = (
         candidates.join(
@@ -576,34 +592,44 @@ def hashing_embedder(dim: int = 64):
 
 def sentence_transformer_embedder(
     model_name: str = "all-MiniLM-L6-v2",
+    model_factory=None,
 ):
     """The reference's embedder (deduplicator.py:84-97 lazy model
     load, :190 ``model.encode``) as a Spark seam: an Arrow-batched
     iterator pandas_udf that loads the model ONCE per python worker
     (not per batch) and encodes each Arrow batch in one
-    ``model.encode`` call. Import-gated — raises the reference's
-    install hint when sentence-transformers is absent (it is absent
-    from this container, so this path is exercised only by the
-    ImportError test; the plumbing mirrors hashing_embedder, which
-    is fully tested)."""
-    try:
-        import sentence_transformers  # noqa: F401
-    except ImportError as exc:
-        raise ImportError(
-            "sentence-transformers is required for model-based fuzzy "
-            "matching. Install it with: pip install sentence-transformers "
-            "— or pass embed_fn=hashing_embedder() for the deterministic "
-            "built-in embedding."
-        ) from exc
+    ``model.encode`` call.
+
+    ``model_factory``: optional ``(model_name) -> model`` callable
+    (anything with ``.encode(list[str], convert_to_numpy=True)``) that
+    is cloudpickled into the UDF closure and called worker-side. The
+    default imports sentence-transformers — import-gated with the
+    reference's install hint (the library is absent from this
+    container, so the default path is exercised by the ImportError
+    test while the batching/iterator plumbing is covered offline by
+    injecting a deterministic fake via this seam)."""
+    if model_factory is None:
+        try:
+            import sentence_transformers  # noqa: F401
+        except ImportError as exc:
+            raise ImportError(
+                "sentence-transformers is required for model-based fuzzy "
+                "matching. Install it with: pip install sentence-transformers "
+                "— or pass embed_fn=hashing_embedder() for the deterministic "
+                "built-in embedding."
+            ) from exc
+
+        def model_factory(name):
+            from sentence_transformers import SentenceTransformer
+
+            return SentenceTransformer(name)
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, FloatType
 
     @pandas_udf(ArrayType(FloatType()))
     def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        from sentence_transformers import SentenceTransformer
-
-        model = SentenceTransformer(model_name)  # once per worker
+        model = model_factory(model_name)  # once per worker
         for texts in batches:
             vecs = model.encode(texts.fillna("").tolist(), convert_to_numpy=True)
             yield pd.Series([v.astype("float32").tolist() for v in vecs])

@@ -77,3 +77,56 @@ def test_kmeans_ml_matches_sample_kmeans_quality(spark):
     cells = assign_cells(emb, "embedding", c_ml)
     n_cells = cells.select("__cell").distinct().count()
     assert 1 < n_cells <= k
+
+
+def test_ivf_null_labels_exhaustive_equals_bruteforce(spark):
+    """ADVICE r3: NULL cell labels must not be silently dropped. With
+    nprobe = all cells (NULL group included) the IVF path must equal
+    brute force exactly — the sim01 oracle-gate precondition."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)],
+         None if i % 5 == 0 else i % 3)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    qv = rows[0][1]
+    n_cells = df.select("label").distinct().count()  # includes NULL
+    assert n_cells == 4
+    exact = [tuple(r) for r in
+             brute_force_topk(df, "embedding", "vec_id", qv, k=10).collect()]
+    ivf = [tuple(r) for r in
+           ivf_topk(df, "embedding", "vec_id", "label", qv, k=10,
+                    nprobe=n_cells).collect()]
+    assert ivf == exact
+    # NULL-labeled vectors really are reachable: vec_id 0 (label NULL)
+    # is the query itself → must rank first
+    assert ivf[0][0] == 0
+
+
+def test_matmul_rounding_is_half_up():
+    """ADVICE r3: the matmul path must share F.round/DuckDB's HALF_UP
+    rule, not np.round's half-to-even, so an exact .5 ulp boundary
+    cannot flip top-k tie order between the three sim01 engines."""
+    import numpy as np
+
+    from ai_etl_framework_spark.functions.similarity import _round_half_up
+
+    x = np.array([2.5e-6, -2.5e-6, 1.5e-6, 0.1234565])
+    got = _round_half_up(x, 6)
+    assert got[0] == 3e-6          # np.round gives 2e-6 (ties-to-even)
+    assert got[1] == -3e-6         # away from zero, like Spark/DuckDB
+    assert got[2] == 2e-6
+    assert abs(got[3] - 0.123457) < 1e-12
+    assert np.round(2.5e-6, 6) == 2e-6  # the divergence this guards

@@ -184,3 +184,107 @@ def test_cc_long_chain_converges(spark):
     out = dedup_connected_components(nodes, "id", pairs, max_iterations=20)
     rows = out.collect()
     assert len(rows) == 1 and rows[0].id == 0
+
+
+def test_prefix_filter_bounded_under_boilerplate_skew(spark):
+    """Round-3 verdict item 5: a license-header shingle shared by 30%
+    of the corpus is the worst case for a naive shingle self-join
+    (~n_hot²/2 candidate pairs). The PPJoin prefix filter must keep
+    the candidate count near-linear: hot shingles have maximal
+    document frequency, sort LAST in every doc's rarest-first order,
+    and so never reach the indexed prefix. This turns the documented
+    dd03-fallback crossover advice (dedup.py docstring) into a tested
+    bound."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_candidates,
+        shingles,
+    )
+
+    header = " ".join(f"license{w}" for w in range(20))  # 18 hot 3-shingles
+    rows = []
+    for i in range(300):
+        uniq = " ".join(f"tok{i}x{j}" for j in range(30))
+        text = (header + " " + uniq) if i % 10 < 3 else uniq
+        rows.append((i, text))
+    # planted near-dup pair: 400/401 share all unique tokens but one
+    rows.append((400, header + " " + " ".join(f"dup{j}" for j in range(30))))
+    rows.append((401, header + " " + " ".join(f"dup{j}" for j in range(29)) + " tail"))
+    docs = spark.createDataFrame(rows, "id long, text string")
+
+    sh_sets = docs.select(
+        "id", shingles(F.col("text"), 3).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    n_cand = prefix_filter_candidates(sh_sets, 0.5).count()
+
+    n_hot = 92  # docs carrying the header (90 of 300 + the planted pair)
+    naive_hot_pairs = n_hot * (n_hot - 1) // 2  # ≈4186 per hot shingle
+    assert n_cand < naive_hot_pairs / 4, (
+        f"prefix filter degenerated: {n_cand} candidates vs "
+        f"~{naive_hot_pairs} for a naive hot-shingle join"
+    )
+    assert n_cand <= 3 * docs.count()  # near-linear in corpus size
+
+    # exactness survives the pruning: the planted pair is found
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "id", "text", k=3, threshold=0.5).collect()
+    }
+    assert (400, 401) in pairs
+
+
+def test_sentence_transformer_embedder_fake_model(spark):
+    """Round-3 verdict item 6: cover the ST embedder's worker-side
+    batching/iterator path offline by injecting a fake model through
+    the model_factory seam (cloudpickled into the UDF closure — no
+    network, no sentence-transformers install)."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.operators.dedup import (
+        sentence_transformer_embedder,
+    )
+
+    def factory(name):
+        # class defined INSIDE the factory so cloudpickle ships it by
+        # value (a test-module-level class would be pickled by
+        # reference and fail to import on the worker). It stands in
+        # for SentenceTransformer and counts encode() calls so the
+        # test can prove ONE model instance served MULTIPLE Arrow
+        # batches (the iterator-UDF contract).
+        class FakeSTModel:
+            def __init__(self):
+                self.calls = 0
+
+            def encode(self, texts, convert_to_numpy=True):
+                import numpy as np
+
+                self.calls += 1
+                return np.asarray(
+                    [[float(len(t)), float(self.calls)] for t in texts],
+                    dtype=np.float32,
+                )
+
+        assert name == "fake-model"
+        return FakeSTModel()
+
+    embed = sentence_transformer_embedder("fake-model", model_factory=factory)
+    df = spark.createDataFrame(
+        [(i, "x" * (i % 7)) for i in range(200)] + [(999, None)],
+        "id long, txt string",
+    ).repartition(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        rows = df.select("id", embed(F.col("txt")).alias("vec")).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    by_id = {r["id"]: r["vec"] for r in rows}
+    assert by_id[3] == [3.0, pytest.approx(by_id[3][1])]
+    assert by_id[999][0] == 0.0  # None → fillna("") before encode
+    batch_seq = {v[1] for v in by_id.values()}
+    # one partition, 201 rows, 50-row Arrow batches → one model
+    # instance saw ≥4 encode() calls (model loaded once, not per batch)
+    assert max(batch_seq) >= 4 and min(batch_seq) == 1

@@ -148,3 +148,31 @@ def test_chunk_text_no_shuffle(spark):
     plan = _executed_plan(chunk_text(docs, "text", ["doc_id"]))
     assert _count_nodes(plan, "Exchange") == 0
     assert "Generate" in plan
+
+
+def test_widen_skips_large_single_file(spark, tmp_path):
+    """ADVICE r3: widen() must not repartition a single LARGE file —
+    maxPartitionBytes already splits it past the parallelism target,
+    so the extra exchange is pure cost. Split count is estimated from
+    file sizes; only genuinely tiny inputs get the exchange."""
+    from ai_etl_framework_spark.session import widen
+
+    path = str(tmp_path / "one_big_file")
+    spark.range(0, 200_000).selectExpr(
+        "id", "md5(cast(id as string)) as pad"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    assert len(df.inputFiles()) == 1
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # "large" relative to a tiny maxPartitionBytes: est splits ≫ target
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16k")
+        assert widen(df) is df  # no-op: no Exchange added
+        # genuinely tiny input (huge maxPartitionBytes → 1 split): widened
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(512 * 1024 * 1024))
+        widened = widen(df)
+        assert widened is not df
+        assert "Repartition" in widened._jdf.queryExecution().logical().toString()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
