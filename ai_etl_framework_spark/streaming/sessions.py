@@ -104,48 +104,89 @@ def sessionize_stream(
     df = ensure_timestamp(df, ts_col)
     gap_us = int(gap_minutes * 60 * 1_000_000)
 
-    def emit(key, start_us, last_us, n, total):
+    def emit_frame(key, sessions):
+        # ONE DataFrame per group per trigger, not one per session —
+        # at sf0.1 the per-session frames were ~95k tiny pandas
+        # constructions, the dominant cost of the whole operator.
+        # µs precision preserved end-to-end (unit="us" → datetime64).
         return pd.DataFrame(
             {
-                "user_id": [key[0]],
-                # microsecond precision preserved end-to-end — the
-                # parquet data carries µs and the batch twin keeps them
-                "session_start": [pd.Timestamp(start_us, unit="us")],
-                "session_end": [pd.Timestamp(last_us, unit="us")],
-                "n_events": [n],
-                "total_value": [total],
+                "user_id": [key[0]] * len(sessions),
+                "session_start": pd.to_datetime([s[0] for s in sessions], unit="us"),
+                "session_end": pd.to_datetime([s[1] for s in sessions], unit="us"),
+                "n_events": [int(s[2]) for s in sessions],
+                "total_value": [float(s[3]) for s in sessions],
             }
         )
 
     def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        import numpy as np
+
         if state.hasTimedOut:
             start_us, last_us, n, total = state.get
             state.remove()
-            yield emit(key, start_us, last_us, n, total)
+            yield emit_frame(key, [(start_us, last_us, n, total)])
             return
         start_us = last_us = None
         n, total = 0, 0.0
         if state.exists:
             start_us, last_us, n, total = state.get
+        ts_parts, val_parts = [], []
         for pdf in pdfs:
-            ts_us = (pdf[ts_col].astype("int64") // 1_000).to_numpy()
-            # NOTE: within a micro-batch events may arrive unsorted; a
-            # session break inside one batch is handled by sorting here
-            order = ts_us.argsort()
-            for i in order:
-                t = int(ts_us[i])
-                v = float(pdf[value_col].iloc[i]) if pdf[value_col].iloc[i] is not None else 0.0
-                if last_us is not None and t - last_us > gap_us:
-                    # close the previous session inline
-                    yield emit(key, start_us, last_us, n, total)
-                    start_us, n, total = t, 0, 0.0
-                if start_us is None:
-                    start_us = t
-                last_us = t
-                n += 1
-                total += v
-        state.update((int(start_us), int(last_us), int(n), float(total)))
-        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+            if len(pdf) == 0:
+                continue
+            ts_parts.append((pdf[ts_col].astype("int64") // 1_000).to_numpy())
+            # NULL values count as 0 toward the session total — the
+            # same contribution F.sum gives them in the batch twin
+            val_parts.append(
+                pd.to_numeric(pdf[value_col], errors="coerce")
+                .fillna(0.0)
+                .to_numpy(dtype="float64")
+            )
+        if not ts_parts:
+            if last_us is not None:
+                state.update((int(start_us), int(last_us), int(n), float(total)))
+                state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+            return
+        # vectorized sessionization of the whole micro-batch: sort by
+        # event time (events may arrive unsorted within a batch), find
+        # gap breaks, aggregate each segment with reduceat — no
+        # per-event Python loop
+        ts = np.concatenate(ts_parts)
+        vs = np.concatenate(val_parts)
+        o = np.argsort(ts, kind="stable")
+        ts, vs = ts[o], vs[o]
+        brk = np.empty(ts.shape, dtype=bool)
+        brk[0] = True
+        np.greater(np.diff(ts), gap_us, out=brk[1:])
+        seg = np.flatnonzero(brk)              # segment start indices
+        ends = np.append(seg[1:], ts.size) - 1  # segment end indices
+        seg_start = ts[seg]
+        seg_end = ts[ends]
+        seg_n = ends - seg + 1
+        seg_tot = np.add.reduceat(vs, seg)
+        closed = []
+        if last_us is not None:
+            if ts[0] - last_us > gap_us:
+                # the open session closes before the new data
+                closed.append((start_us, last_us, n, total))
+            else:
+                # first segment continues the open session
+                seg_start[0] = start_us
+                seg_n[0] += n
+                seg_tot[0] += total
+        # every segment but the last closes inline; the last stays
+        # open in state until the watermark passes last + gap
+        for i in range(seg.size - 1):
+            closed.append(
+                (int(seg_start[i]), int(seg_end[i]), int(seg_n[i]), float(seg_tot[i]))
+            )
+        state.update(
+            (int(seg_start[-1]), int(seg_end[-1]), int(seg_n[-1]), float(seg_tot[-1]))
+        )
+        state.setTimeoutTimestamp(int(seg_end[-1]) // 1000 + gap_us // 1000)
+        if closed:
+            yield emit_frame(key, closed)
 
     return (
         df.withWatermark(ts_col, watermark)

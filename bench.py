@@ -59,7 +59,18 @@ def main() -> None:
 
     # JVM/codegen warmup (not timed) + touch every input table once so
     # the timed runs measure engine work, not first-read page-cache
-    # misses (the DuckDB oracle comparison gets the same warm files)
+    # misses (the DuckDB oracle comparison gets the same warm files).
+    #
+    # Note on per-query cold vs warm (r3 verdict item 7, measured r4):
+    # a query's first-ever run pays a ONE-TIME Janino compile of its
+    # fused WholeStageCodegen class (~1.4s for q02's scan→5-filter→
+    # partial/final hash-agg stage). It is not a re-JIT-per-call: the
+    # same plan shape with a DIFFERENT literal runs at warm speed
+    # (0.5-0.6s — generated code references literals, so the codegen
+    # cache hits across parameter changes). Pre-running each query
+    # would hide the compile but turn the cold series into a second
+    # warm series, so the cold numbers keep it — on a real cluster it
+    # amortizes to zero per executor-JVM lifetime.
     qs[BENCH_QUERIES[0]](spark, SF_DIR).collect()
     from ai_etl_framework_spark.session import load_table
 
@@ -113,15 +124,18 @@ def main() -> None:
 
     keys = ["l_orderkey", "l_linenumber"]
     li = load_table(spark, SF_DIR, "lineitem")
-    batch = (
-        li.where(F.crc32(F.concat_ws("|", *keys)) % 100 == 0)
-        .withColumn("l_quantity", F.col("l_quantity") + 1.0)
-    )
     base_dir = tempfile.mkdtemp(prefix="bench_merge_base_")
     out2 = tempfile.mkdtemp(prefix="bench_merge_out_")
     try:
-        li.write.mode("overwrite").parquet(base_dir)
+        # setup (untimed): a KEYED base snapshot — the synthetic
+        # lineitem carries duplicate (orderkey, linenumber) pairs, and
+        # MERGE's contract (like Delta's) is a unique-key target/batch
+        li.dropDuplicates(keys).write.mode("overwrite").parquet(base_dir)
         target = spark.read.parquet(base_dir)
+        batch = (
+            target.where(F.crc32(F.concat_ws("|", *keys)) % 100 == 0)
+            .withColumn("l_quantity", F.col("l_quantity") + 1.0)
+        )
         t0 = time.perf_counter()
         merged = merge_upsert(target, batch, keys, when_matched="update")
         merged.write.mode("overwrite").parquet(out2)
@@ -139,7 +153,11 @@ def main() -> None:
     entrymod.st01_stream_sessions(spark, SF_DIR).count()
     times["p03_streaming_sessions"] = round(time.perf_counter() - t0, 4)
 
-    total = round(sum(times.values()), 4)
+    # headline total keeps its r1-r3 definition (13 queries + p01) so
+    # the round-over-round series stays apples-to-apples; the new
+    # p02/p03 rows appear per-query and in extended_total
+    headline_keys = BENCH_QUERIES + ["p01_clean_score_write"]
+    total = round(sum(times[k] for k in headline_keys), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -150,6 +168,7 @@ def main() -> None:
                 "queries": times,
                 "queries_warm": warm,
                 "warm_total": round(sum(warm.values()), 4),
+                "extended_total": round(sum(times.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pipeline_records_per_sec": round(n_rows / pipe_sec, 1),
             }
