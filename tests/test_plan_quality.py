@@ -176,3 +176,16 @@ def test_widen_skips_large_single_file(spark, tmp_path):
         assert "Repartition" in widened._jdf.queryExecution().logical().toString()
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_x03_media_meta_prunes_scan_no_shuffle(spark):
+    """x03_media_meta synthesizes blobs from doc_id alone: the parquet
+    scan must prune to the single doc_id column (no text/lang bytes
+    read for a metadata query) with the doc_id<300 filter pushed, and
+    the whole encode→sniff chain is projections — zero exchanges."""
+    df = entry.x03_media_meta(spark, SF)
+    plan = _executed_plan(df)
+    assert _count_nodes(plan, "Exchange") == 0
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1) == "doc_id:bigint", m.group(0) if m else plan[:500]
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,300)]" in plan
