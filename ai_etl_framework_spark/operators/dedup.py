@@ -238,6 +238,12 @@ def prefix_filter_candidates(sh_sets: DataFrame, threshold: float) -> DataFrame:
         .where(F.col("pos") <= prefix_len)
         .select("id", "n_sh", "s")
     )
+    # both sides of the self-join read this frame — persist so the
+    # explode → frequency-agg → window pipeline runs ONCE, not once
+    # per side (same lesson as the r3 minhash-signature persist:
+    # without it the prefix build dominated dd04's runtime, ~4.8s vs
+    # ~0.8s for the join itself at sf0.1)
+    pref = pref.persist()
     a = pref.alias("a")
     b = pref.alias("b")
     return (
