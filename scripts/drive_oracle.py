@@ -51,7 +51,25 @@ def main() -> int:
     qs, oq = entry.queries(), entry.oracle_sql()
     names = [n for n in oq if not prefixes or any(n.startswith(p) for p in prefixes)]
 
-    spark = get_spark(app_name="drive-oracle")
+    if os.environ.get("SPARK_GRAFT_PLAIN_SESSION"):
+        # replicate the verification driver's environment: a PLAIN
+        # SparkSession with Spark 4 defaults (ANSI mode on, 200 shuffle
+        # partitions, none of get_spark's permissive-cast or tuning
+        # confs) — catches any query that silently depends on our
+        # session configuration instead of setting what it needs at
+        # runtime (load_table's nanosAsLong/UTC pattern)
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.appName("drive-oracle-plain")
+            .master(f"local[{cpus}]")
+            .config("spark.driver.memory", "8g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="drive-oracle")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
