@@ -130,3 +130,24 @@ def test_scd2_idempotent_on_identical_batch(spark, scd2_out):
     again = scd2_apply(scd2_out, upd_again, ["k"], "eff")
     assert again.count() == scd2_out.count()
     assert again.where(F.col("valid_from") == "2022-01-01").count() == 0
+
+
+def test_merge_update_idempotent(tgt_src):
+    """Applying the same CDC batch twice must equal applying it once —
+    the replay-safety invariant a foreachBatch upsert sink leans on."""
+    target, source = tgt_src
+    once = merge_upsert(target, source, ["k"], when_matched="update")
+    twice = merge_upsert(once, source, ["k"], when_matched="update")
+    assert _rows(once) == _rows(twice)
+
+
+def test_merge_delete_then_reinsert(tgt_src):
+    """delete(insert_unmatched=False) then update-merge restores the
+    batch rows exactly (tombstone → late re-arrival lifecycle)."""
+    target, source = tgt_src
+    deleted = merge_upsert(target, source, ["k"], when_matched="delete",
+                           insert_unmatched=False)
+    assert _rows(deleted) == [(1, "a", 10.0), (3, "c", 30.0)]
+    restored = merge_upsert(deleted, source, ["k"], when_matched="update")
+    assert _rows(restored) == [(1, "a", 10.0), (2, "B", 99.0),
+                               (3, "c", 30.0), (4, "d", 40.0)]
