@@ -143,22 +143,32 @@ GROUP BY o_orderstatus, o_orderpriority
 
 
 def q03_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-schema join (broadcast dims) + revenue rollup per nation."""
+    """Star-schema join (broadcast dims) + revenue rollup per nation.
+
+    The distinct-order count is a TWO-LEVEL aggregation (group by
+    (nation, orderkey) partials first, then count the groups) instead
+    of countDistinct in the final agg: countDistinct compiles to an
+    Expand that doubles every joined fact row through the shuffle —
+    at 100× the fact table that Expand IS the bottleneck, while the
+    two-level form shuffles one row per (nation, order) pair with
+    map-side partials. Identical results (r4: 1.66s → 1.27s warm at
+    sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    return (
+    per_order = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_name")
+        .groupBy("n_name", "o_orderkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
         )
+    )
+    return per_order.groupBy("n_name").agg(
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
     )
 
 
