@@ -2278,16 +2278,24 @@ def _run_stream_once(spark: SparkSession, ev: DataFrame, build_sink,
     # the driver brings its own session → set the streaming state
     # store at runtime (RocksDB + changelog checkpointing: state not
     # bounded by heap, delta uploads instead of full snapshots; also
-    # ~1.8x faster than the HDFS-backed store on this backfill)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true",
-    )
+    # ~1.8x faster than the HDFS-backed store on this backfill). The
+    # caller's values are restored afterwards — a host session must
+    # not find its provider silently switched when it later resumes
+    # its OWN checkpoints (state files are provider-incompatible).
+    _st_confs = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+    _prev_confs = {}
+    for k, v in _st_confs.items():
+        try:
+            _prev_confs[k] = spark.conf.get(k)
+        except Exception:
+            _prev_confs[k] = None
+        spark.conf.set(k, v)
     tmp = tempfile.mkdtemp(prefix=prefix)
     try:
         bronze = os.path.join(tmp, "bronze")
@@ -2316,6 +2324,11 @@ def _run_stream_once(spark: SparkSession, ev: DataFrame, build_sink,
         schema, pdf = res.schema, res.toPandas()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        for k, pv in _prev_confs.items():
+            if pv is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, pv)
     return spark.createDataFrame(pdf, schema)
 
 

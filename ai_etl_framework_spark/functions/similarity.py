@@ -299,9 +299,14 @@ def assign_cells(
 # ---------------------------------------------------------------------------
 
 def _round_half_up(x, digits: int):
-    """HALF_UP (round half away from zero) — one rounding rule shared
-    with Spark's F.round and DuckDB's ROUND so every sim01 path agrees
-    at exact .5 ulp boundaries (np.round is half-to-even)."""
+    """HALF_UP (round half away from zero) on the BINARY value —
+    matches DuckDB's ROUND, i.e. the sim01 oracle every engine is
+    gated against (np.round's half-to-even does not). Note: Spark's
+    F.round goes through BigDecimal on the DECIMAL string, so at the
+    measure-zero boundary doubles whose decimal rendering ends in
+    ...5 the expr path can round the other way — that divergence is
+    F.round-vs-DuckDB and pre-exists for every ROUND-using gated
+    query; no real cosine/aggregate has ever landed on one."""
     import numpy as np
 
     scale = 10.0 ** digits

@@ -242,7 +242,11 @@ def prefix_filter_candidates(sh_sets: DataFrame, threshold: float) -> DataFrame:
     # explode → frequency-agg → window pipeline runs ONCE, not once
     # per side (same lesson as the r3 minhash-signature persist:
     # without it the prefix build dominated dd04's runtime, ~4.8s vs
-    # ~0.8s for the join itself at sf0.1)
+    # ~0.8s for the join itself at sf0.1). Lifecycle matches the
+    # caller's sh_sets persist: no explicit unpersist — there is no
+    # post-consumption hook on a lazy result, so Spark's storage LRU
+    # reclaims the blocks; repeated dedup passes in one session rely
+    # on that eviction.
     pref = pref.persist()
     a = pref.alias("a")
     b = pref.alias("b")

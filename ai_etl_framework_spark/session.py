@@ -157,17 +157,29 @@ def ensure_timestamp(df, *cols):
     The NTZ→LTZ cast reinterprets the wall clock in the SESSION time
     zone; only under UTC is that the identity the oracle comparison
     and epoch arithmetic assume. When a conversion actually happens,
-    the session TZ is pinned UTC here (same policy as load_table) so
-    an arbitrary caller session with a DST-shifting zone cannot skew
-    gap/bin arithmetic across transitions.
+    the cast is BUILT AND ANALYZED under a UTC-pinned session (the
+    zone is resolved into the cast expression at analysis, so the
+    result stays UTC-interpreted at execution) and the caller's
+    original timezone is restored — no lasting session mutation, and
+    a DST-shifting caller zone cannot skew gap/bin arithmetic.
     """
     from pyspark.sql import functions as F
 
     dtypes = dict(df.dtypes)
     ntz = [c for c in cols if dtypes.get(c) == "timestamp_ntz"]
     if ntz:
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+        sess = df.sparkSession
+        try:
+            prev = sess.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            prev = None
+        sess.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+            df.schema  # force analysis NOW: ResolveTimeZone stamps UTC
+        finally:
+            if prev and prev != "UTC":
+                sess.conf.set("spark.sql.session.timeZone", prev)
     return df
 
 
@@ -188,34 +200,48 @@ def widen(df, min_partitions: int | None = None):
     count is estimated as Σ ceil(size / maxPartitionBytes) per file
     (exactly how FilePartition slices them), so an input that
     maxPartitionBytes already splits past ``target`` never pays the
-    extra exchange — only genuinely tiny inputs do."""
+    extra exchange — only genuinely tiny inputs do. Sizes come from
+    os.stat for file:// and the Hadoop FileSystem API for remote
+    schemes (bounded: fewer than ``target`` files by this point); if
+    a stat fails the few-small-files input is widened anyway — the
+    cheap exchange is the safe default when size is unknown."""
     import math
-    from urllib.parse import unquote, urlparse
 
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         return df
     if not files or len(files) >= target:
         return df
-    mpb = _bytes_conf(df.sparkSession, "spark.sql.files.maxPartitionBytes",
+    mpb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes",
                       128 * 1024 * 1024)
     est_splits = 0
     for f in files:
-        u = urlparse(f)
-        if u.scheme not in ("file", ""):
-            # remote store: stat is a round-trip per file and the scan
-            # already splits by maxPartitionBytes — leave the plan alone
-            return df
         try:
-            size = os.path.getsize(unquote(u.path))
-        except OSError:
-            return df
+            size = _file_size(spark, f)
+        except Exception:
+            # unknown size: treat as one split (tiny-input assumption)
+            size = 0
         est_splits += max(1, math.ceil(size / mpb))
         if est_splits >= target:
             return df
     return df.repartition(target)
+
+
+def _file_size(spark, url: str) -> int:
+    """Byte size of one input file: os.stat for local paths, Hadoop
+    FileSystem (works for hdfs://, s3a://, ...) otherwise."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(url)
+    if u.scheme in ("file", ""):
+        return os.path.getsize(unquote(u.path))
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(url)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getFileStatus(p).getLen()
 
 
 _CONF_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}

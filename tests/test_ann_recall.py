@@ -116,9 +116,13 @@ def test_ivf_null_labels_exhaustive_equals_bruteforce(spark):
 
 
 def test_matmul_rounding_is_half_up():
-    """ADVICE r3: the matmul path must share F.round/DuckDB's HALF_UP
-    rule, not np.round's half-to-even, so an exact .5 ulp boundary
-    cannot flip top-k tie order between the three sim01 engines."""
+    """ADVICE r3: the matmul path must round HALF_UP on the binary
+    value like DuckDB's ROUND (the oracle all three sim01 engines are
+    gated against), not np.round's half-to-even. (Spark's F.round
+    rounds the DECIMAL string via BigDecimal and can differ from both
+    at measure-zero boundary doubles — a pre-existing F.round-vs-
+    oracle property of every ROUND-using gated query, not something
+    this helper can or should reproduce.)"""
     import numpy as np
 
     from ai_etl_framework_spark.functions.similarity import _round_half_up

@@ -137,3 +137,25 @@ def test_streaming_watermark_on_ntz(spark, ntz_events, tmp_path):
     assert not q.isActive
     got = spark.read.parquet(out)
     assert got.count() == len(_ROWS) - 1  # the one exact repeat dropped
+
+
+def test_ensure_timestamp_restores_caller_timezone(spark):
+    """Code-review r4: ensure_timestamp must not leave the caller's
+    session timezone mutated — the UTC pin applies only while the NTZ
+    cast is built and analyzed (the zone is resolved into the cast at
+    analysis), then the caller's zone comes back."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.session import ensure_timestamp
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.sql("select timestamp_ntz'2021-07-01 12:00:00' as t")
+        out = ensure_timestamp(df, "t")
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        assert dict(out.dtypes)["t"] == "timestamp"
+        # wall clock was reinterpreted as UTC, not as the caller's zone
+        assert out.select(F.col("t").cast("double")).first()[0] == 1625140800.0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
