@@ -2591,7 +2591,11 @@ def sk01_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     — same shape as x01_ann_recall: each row carries an exact anchor
     value (oracle-checkable) plus an ``ok`` verdict that the sketch met
     its bound, so a drifting sketch turns the row red. HLL++ distinct
-    (rsd 5%, bound 15%), lossless daily→global sketch merge, GK
+    (rsd 5%, bound 15%), daily→global HLL sketch merge (register merge
+    is lossless; the merged ESTIMATE uses the composite estimator
+    where a single-stream sketch may use HIP, so the bound is the
+    sketch rsd — 3σ at lgk=12 ≈ 5% — not exact equality, which only
+    holds while the sketch stays sparse and broke at sf0.1), GK
     quantile rank bound, and heavy hitters (sketch candidates + exact
     recount ≡ exact answer). All JVM built-ins, map-side partials."""
     from ai_etl_framework_spark.functions.sketches import (
@@ -2615,7 +2619,12 @@ def sk01_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob = hll_sketch_rollup(ev.withColumn("g", F.lit(1)), ["g"], "user_id").first()[
         "estimate"
     ]
-    merge_ok = bool(merged == glob)
+    # merged estimate within 3σ of exact AND consistent with the
+    # single-stream sketch: lgk=12 → rsd ≈ 1.04/√4096 ≈ 1.63%, 3σ ≈ 5%
+    merge_ok = bool(
+        abs(merged - exact_users) <= 0.05 * exact_users
+        and abs(merged - glob) <= 0.05 * max(exact_users, 1)
+    )
 
     p50 = quantile_sketch(ev, "value", [0.5]).first()["p50"]
     rank = ev.where(F.col("value") <= F.lit(float(p50))).count()

@@ -55,8 +55,15 @@ def hll_sketch_rollup(
 
     Persist the ``sketch`` binary alongside each rollup (e.g. one row
     per day): future totals union the stored sketches instead of
-    re-scanning history.  Union is lossless at equal lgK, so
-    incremental totals equal the from-scratch sketch exactly.
+    re-scanning history.  The union merges REGISTER STATE losslessly
+    at equal lgK — but the resulting ESTIMATE may differ slightly
+    from a from-scratch single-stream sketch, which can use the HIP
+    estimator while a union result must fall back to the composite
+    estimator (Datasketches HLL property). Both stay within the
+    sketch's rsd (~1.04/√2^lgk, ≈1.6% at lgk=12); small cardinalities
+    that fit sparse mode are exact either way. (Observed on the
+    testdata: 1500 exact users → 1499 single-stream vs 1488 merged at
+    sf0.1; identical at sf0.01 where the sketch stays sparse.)
     """
     return df.groupBy(*group_cols).agg(
         F.hll_sketch_agg(col, F.lit(lgk)).alias("sketch"),

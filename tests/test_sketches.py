@@ -39,14 +39,21 @@ def test_approx_distinct_grouped(events):
         assert abs(r[1] - exact[r["event_type"]]) / exact[r["event_type"]] <= 0.3
 
 
-def test_hll_merge_of_partials_equals_global(events):
+def test_hll_merge_of_partials_matches_global_within_rsd(events):
+    """Union merges register state losslessly, but the merged ESTIMATE
+    may use the composite estimator where a single-stream sketch uses
+    HIP — at sf0.1 that is 1488 vs 1499 on 1500 exact users (r4
+    finding). The invariant is agreement within the sketch's 3σ rsd
+    (lgk=12 → ≈5%), with exact equality only while sparse."""
     daily = hll_sketch_rollup(events.withColumn("day", F.to_date("ts")), ["day"], "user_id")
     merged = hll_sketch_merge(daily, []).first()["estimate"]
     glob = (
         hll_sketch_rollup(events.withColumn("g", F.lit(1)), ["g"], "user_id")
         .first()["estimate"]
     )
-    assert merged == glob  # union at equal lgK is lossless
+    exact = events.select(F.countDistinct("user_id")).first()[0]
+    assert abs(merged - exact) <= 0.05 * exact
+    assert abs(merged - glob) <= 0.05 * exact
 
 
 def test_quantile_rank_bound(events):
