@@ -168,7 +168,7 @@ def q03_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_order.groupBy("n_name").agg(
         F.round(F.sum("rev"), 2).alias("revenue"),
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_orders"),
     )
 
 
@@ -2289,6 +2289,10 @@ def _run_stream_once(spark: SparkSession, ev: DataFrame, build_sink,
         "spark.sql.streaming.stateStore.rocksdb."
         "changelogCheckpointing.enabled": "true",
     }
+    # scratch dir first: once the confs are overridden, everything up
+    # to the restore must sit inside the try/finally — an mkdtemp
+    # failure must not leak the provider switch into the host session
+    tmp = tempfile.mkdtemp(prefix=prefix)
     _prev_confs = {}
     for k, v in _st_confs.items():
         try:
@@ -2296,7 +2300,6 @@ def _run_stream_once(spark: SparkSession, ev: DataFrame, build_sink,
         except Exception:
             _prev_confs[k] = None
         spark.conf.set(k, v)
-    tmp = tempfile.mkdtemp(prefix=prefix)
     try:
         bronze = os.path.join(tmp, "bronze")
         out = os.path.join(tmp, "out")

@@ -169,16 +169,16 @@ def ensure_timestamp(df, *cols):
     ntz = [c for c in cols if dtypes.get(c) == "timestamp_ntz"]
     if ntz:
         sess = df.sparkSession
-        try:
-            prev = sess.conf.get("spark.sql.session.timeZone")
-        except Exception:
-            prev = None
+        # no defensive except here: session.timeZone always has a
+        # default, and if it genuinely cannot be read this must fail
+        # loudly rather than proceed and leave the session pinned UTC
+        prev = sess.conf.get("spark.sql.session.timeZone")
         sess.conf.set("spark.sql.session.timeZone", "UTC")
         try:
             df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
             df.schema  # force analysis NOW: ResolveTimeZone stamps UTC
         finally:
-            if prev and prev != "UTC":
+            if prev != "UTC":
                 sess.conf.set("spark.sql.session.timeZone", prev)
     return df
 
@@ -203,8 +203,9 @@ def widen(df, min_partitions: int | None = None):
     extra exchange — only genuinely tiny inputs do. Sizes come from
     os.stat for file:// and the Hadoop FileSystem API for remote
     schemes (bounded: fewer than ``target`` files by this point); if
-    a stat fails the few-small-files input is widened anyway — the
-    cheap exchange is the safe default when size is unknown."""
+    a stat fails the plan is left alone — the files could be huge,
+    and a guessed repartition of a multi-TB input is a far worse
+    mistake than a missed widening of a tiny one."""
     import math
 
     spark = df.sparkSession
@@ -222,8 +223,7 @@ def widen(df, min_partitions: int | None = None):
         try:
             size = _file_size(spark, f)
         except Exception:
-            # unknown size: treat as one split (tiny-input assumption)
-            size = 0
+            return df  # size unknown: never risk shuffling a huge input
         est_splits += max(1, math.ceil(size / mpb))
         if est_splits >= target:
             return df

@@ -72,14 +72,14 @@ def test_media_meta_struct(blobs):
     assert r.width is None  # sniffing stubbed
 
 
-def test_x03_media_features_both_tiers(spark):
+def test_x03_media_features_both_tiers(spark, sf_dir):
     """The feature-vector half of x03 (left out of the driver registry
     when x03_media_meta took the gated slot in r4): both tiers still
     run — md5 fake plumbing over text bytes AND the real pure-numpy
     BMP decode over synthesized 4x4 images — deterministically."""
     import __spark_entry__ as entry
 
-    df = entry.x03_media_features(spark, "/root/testdata/sf0.001")
+    df = entry.x03_media_features(spark, sf_dir)
     rows = df.collect()
     by_mode = {}
     for r in rows:
@@ -93,5 +93,5 @@ def test_x03_media_features_both_tiers(spark):
     # fake tier: md5-derived pseudo-feature in [-1, 1]
     assert all(-1.0 <= r["feat0"] <= 1.0 for r in by_mode["fake_plumbing"])
     # determinism
-    again = entry.x03_media_features(spark, "/root/testdata/sf0.001").collect()
+    again = entry.x03_media_features(spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
