@@ -189,3 +189,14 @@ def test_x03_media_meta_prunes_scan_no_shuffle(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and m.group(1) == "doc_id:bigint", m.group(0) if m else plan[:500]
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,300)]" in plan
+
+
+def test_q03_no_expand_two_level_distinct(spark):
+    """r4: q03 counts distinct orders via two-level aggregation; the
+    plan must contain NO Expand node (countDistinct's Expand doubles
+    every joined fact row through the shuffle at scale) and still
+    broadcast all three dimension joins."""
+    plan = _executed_plan(entry.q03_join_revenue(spark, SF))
+    assert _count_nodes(plan, "Expand") == 0
+    assert _count_nodes(plan, "BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan

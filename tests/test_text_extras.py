@@ -61,3 +61,54 @@ def test_chunk_bad_overlap_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
     with pytest.raises(ValueError):
         chunk_text(df, chunk_chars=10, overlap_chars=10)
+
+
+def test_chunk_text_reconstructs_original_property(spark):
+    """Property: chunks are exact substrings at step offsets, and
+    stitching chunk_0 + suffix-after-overlap of each later chunk
+    reproduces the document byte-for-byte — no gaps, no drift, for
+    assorted (chunk, overlap, length) shapes including shorter-than-
+    one-chunk and exact-boundary documents."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.functions.text import chunk_text
+
+    docs, expect = [], {}
+    cases = [(40, 10), (40, 0), (7, 3), (100, 99)]
+    for i, (chunk, over) in enumerate(cases):
+        for j, n in enumerate([0, 1, chunk - 1, chunk, chunk + 1,
+                               3 * chunk, 3 * chunk + 5]):
+            did = i * 100 + j
+            text = "".join(
+                hashlib.md5(f"{did}:{k}".encode()).hexdigest()[0] for k in range(n)
+            )
+            docs.append((did, text, chunk, over))
+            expect[did] = text
+    df = spark.createDataFrame(
+        [(d, t) for d, t, _, _ in docs], "doc_id long, text string"
+    )
+    for chunk, over in cases:
+        ids = [d for d, _, c, o in docs if (c, o) == (chunk, over)]
+        sub = df.where(F.col("doc_id").isin(ids))
+        rows = chunk_text(sub, "text", ["doc_id"], chunk_chars=chunk,
+                          overlap_chars=over).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk"]
+        step = chunk - over
+        for did in ids:
+            text = expect[did]
+            chunks = [v for _, v in sorted(by_doc.get(did, {}).items())]
+            if text == "":
+                # empty doc yields one empty chunk or none — either way
+                # reconstruction is the empty string
+                assert "".join(chunks) == ""
+                continue
+            # every chunk is the exact substring at its offset
+            for idx, c in enumerate(chunks):
+                assert c == text[idx * step: idx * step + chunk], (did, idx)
+            # stitched back together == original
+            rebuilt = chunks[0] + "".join(c[over:] for c in chunks[1:])
+            assert rebuilt == text, (did, chunk, over)
