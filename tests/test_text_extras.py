@@ -112,3 +112,78 @@ def test_chunk_text_reconstructs_original_property(spark):
             # stitched back together == original
             rebuilt = chunks[0] + "".join(c[over:] for c in chunks[1:])
             assert rebuilt == text, (did, chunk, over)
+
+
+def test_redact_closure_no_pii_survives(spark):
+    """Closure property: after redact_pii, every PII pattern count is
+    zero — for texts built from adjacent/nested PII fragments (card
+    next to ssn next to phone, ip inside a sentence, doubled emails).
+    The replacement tokens are digit-free so no pattern can re-fire."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.functions import text as X
+
+    frags = [
+        "a.b+c@ex-ample.org", "1234 5678 9012 3456", "123-45-6789",
+        "555-123-4567", "10.200.3.4", "plain words", "v1.2",
+        "999-88-7777x", "mail me: zz@q.io.", "(end)",
+    ]
+    rows = []
+    for i in range(40):
+        import hashlib
+
+        order = sorted(
+            range(len(frags)),
+            key=lambda j: hashlib.md5(f"{i}:{j}".encode()).hexdigest(),
+        )
+        rows.append((i, " ".join(frags[j] for j in order[: 5 + i % 5])))
+    df = spark.createDataFrame(rows, "id long, t string")
+    red = df.select("id", X.redact_pii(F.col("t")).alias("r"))
+    cnts = X.pii_counts(F.col("r"))
+    out = red.select(
+        *[c.cast("long").alias(k) for k, c in cnts.items()]
+    ).groupBy().sum().first()
+    assert all(v == 0 for v in out), out
+
+
+def test_simhash_band_pairs_exact_vs_bruteforce(spark):
+    """dd06's claim — 4x8-bit band blocking is EXACT for hamming <= 3
+    (pigeonhole: 4 bands, at most 3 differing bits => one band equal)
+    — checked differentially against an all-pairs scan on a corpus
+    sized to make brute force trivial but banding nontrivial."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.operators.dedup import simhash, simhash_near_pairs
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    words = base.split()
+    for i in range(80):
+        # small perturbations so some pairs land within hamming 3
+        w = list(words)
+        w[i % len(w)] = f"tok{i % 7}"
+        if i % 3 == 0:
+            w.append(f"tail{i % 5}")
+        rows.append((i, " ".join(w)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sims = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", simhash(F.col("text"), bits=32).alias("sh")
+        ).collect()
+    }
+    brute = {
+        (a, b)
+        for a in sims
+        for b in sims
+        if a < b and bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            docs, "doc_id", "text", bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == brute
+    assert brute  # the corpus really produced near pairs
