@@ -77,3 +77,69 @@ def test_streaming_sessionization_matches_batch(spark, events, tmp_path):
 
     # coverage: the overwhelming majority of sessions close
     assert n_emitted >= batch.count() * 0.5
+
+
+def test_streaming_multi_batch_state_carryover(spark, events, tmp_path):
+    """r4: the vectorized kernel's cross-micro-batch paths — open
+    session continued by the next batch, open session closed because
+    the next batch starts past the gap — exercised for real: events
+    are split into 4 time-ordered files with ascending mtimes and
+    streamed with maxFilesPerTrigger=1, so sessions spanning file
+    boundaries MUST flow through state. Every emitted session must
+    still equal its batch twin exactly."""
+    import os
+    import time
+
+    from pyspark.sql import Window
+
+    bronze = str(tmp_path / "bronze_mb")
+    out = str(tmp_path / "sessions_mb")
+    ckpt = str(tmp_path / "ckpt_mb")
+    os.makedirs(bronze)
+
+    quantiled = events.withColumn(
+        "__q", F.ntile(4).over(Window.orderBy("ts"))
+    )
+    for q in range(1, 5):
+        part_dir = str(tmp_path / f"part{q}")
+        quantiled.where(F.col("__q") == q).drop("__q").coalesce(1)\
+            .write.mode("overwrite").parquet(part_dir)
+        src = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(bronze, f"{q:02d}.parquet")
+        os.rename(os.path.join(part_dir, src), dst)
+        # ascending mtimes: FileStreamSource picks files oldest-first,
+        # so micro-batches arrive in event-time order
+        os.utime(dst, (time.time() - 1000 + q, time.time() - 1000 + q))
+
+    stream = read_stream(spark, bronze, fmt="parquet", schema=events.schema,
+                         max_files_per_trigger=1)
+    qy = (
+        sessionize_stream(stream, gap_minutes=30.0, watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert qy.awaitTermination(180)
+    n_batches = len([p for p in qy.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 4, f"expected >=4 data micro-batches, got {n_batches}"
+
+    emitted = spark.read.parquet(out)
+    n_emitted = emitted.count()
+    assert n_emitted > 0
+    batch = sessionize_batch(events, gap_minutes=30.0)
+    joined = emitted.alias("s").join(
+        batch.alias("b"),
+        (F.col("s.user_id") == F.col("b.user_id"))
+        & (F.col("s.session_start") == F.col("b.session_start")),
+        "inner",
+    )
+    assert joined.count() == n_emitted
+    mismatch = joined.filter(
+        (F.col("s.n_events") != F.col("b.n_events"))
+        | (F.col("s.session_end") != F.col("b.session_end"))
+        | (F.abs(F.col("s.total_value") - F.col("b.total_value")) > 1e-6)
+    )
+    assert mismatch.count() == 0
