@@ -227,7 +227,19 @@ def prefix_filter_candidates(sh_sets: DataFrame, threshold: float) -> DataFrame:
     by a large fraction of docs gets a high document frequency, sorts
     LAST within every doc, and therefore almost never lands in a
     prefix — the candidate count stays near-linear even when a naive
-    shingle self-join would be quadratic in the hot-shingle count."""
+    shingle self-join would be quadratic in the hot-shingle count.
+
+    A **position filter** (PPJoin's second prune, Xiao et al. §3.2)
+    further cuts the survivors, still exactly: with the (df, s) order
+    globally consistent across docs, the FIRST prefix shingle two docs
+    share has no common shingle ordered before it in either set (any
+    such shingle would itself be a shared prefix member, contradicting
+    firstness), so the overlap is bounded by 1 + min(n_a − pos_a,
+    n_b − pos_b). J ≥ t needs |A∩B| ≥ t·(n_a+n_b)/(1+t); pairs whose
+    bound can't reach that are dropped per join row — a qualifying
+    pair always survives via its first shared row, so no false
+    negatives. On identical-boilerplate corpora this prunes the
+    candidate rows whose match position sits too deep to matter."""
     exploded = sh_sets.select("id", "n_sh", F.explode("sh").alias("s"))
     freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
@@ -236,7 +248,7 @@ def prefix_filter_candidates(sh_sets: DataFrame, threshold: float) -> DataFrame:
         exploded.join(freq, "s")
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= prefix_len)
-        .select("id", "n_sh", "s")
+        .select("id", "n_sh", "s", "pos")
     )
     # both sides of the self-join read this frame — persist so the
     # explode → frequency-agg → window pipeline runs ONCE, not once
@@ -250,6 +262,16 @@ def prefix_filter_candidates(sh_sets: DataFrame, threshold: float) -> DataFrame:
     pref = pref.persist()
     a = pref.alias("a")
     b = pref.alias("b")
+    # overlap needed for J ≥ t; the 1e-9 slack keeps a float-roundoff
+    # ceil from rejecting a pair sitting exactly on the boundary
+    required = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n_sh") + F.col("b.n_sh"))
+        - F.lit(1e-9)
+    )
+    pos_bound = F.lit(1) + F.least(
+        F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
+    )
     return (
         a.join(
             b,
@@ -257,11 +279,36 @@ def prefix_filter_candidates(sh_sets: DataFrame, threshold: float) -> DataFrame:
             & (F.col("a.id") < F.col("b.id"))
             # size-ratio prune: J ≥ t ⇒ sizes within factor t
             & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
-            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh")),
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
+            # position filter (exact — see docstring proof)
+            & (pos_bound >= required),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def prefix_candidate_estimate(sh_sets: DataFrame, threshold: float) -> int:
+    """Exact count of prefix-join rows the exact path would generate
+    (Σ over shingles of C(prefix_df, 2), before size/position prunes)
+    — ONE narrow aggregation over the prefix frame, no self-join. This
+    is the number that goes quadratic on boilerplate-heavy corpora;
+    :func:`ngram_jaccard_pairs` mode="auto" reads it to decide whether
+    the exact path is affordable before paying for it."""
+    exploded = sh_sets.select("id", "n_sh", F.explode("sh").alias("s"))
+    freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    row = (
+        exploded.join(freq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= prefix_len)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"))
+        .first()
+    )
+    return int(row["pairs"] or 0)
 
 
 def ngram_jaccard_pairs(
@@ -271,6 +318,8 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     candidates: Optional[DataFrame] = None,
+    mode: str = "exact",
+    candidate_budget: Optional[int] = None,
 ) -> DataFrame:
     """Exact k-shingle Jaccard similarity for pairs above ``threshold``.
 
@@ -301,6 +350,18 @@ def ngram_jaccard_pairs(
     verify those pairs HERE via ``candidates=`` — banded MinHash
     bounds per-bucket fan-out by construction and loses only pairs
     below the band false-negative curve (tunable via bands×rows).
+
+    ``mode="auto"`` performs that crossover automatically: it first
+    runs :func:`prefix_candidate_estimate` (one narrow aggregation —
+    cheap relative to either join) and, if the exact path would
+    generate more prefix-join rows than ``candidate_budget`` (default
+    ``64·n_docs + 100_000``), generates candidates with banded MinHash
+    (32 hashes × 8 bands: ≥98.5% pair recall at J = 0.8) and verifies
+    those exactly, emitting a ``UserWarning`` naming both numbers.
+    Verification is exact either way — only candidate RECALL becomes
+    probabilistic after the switch, which is why "auto" is a mode and
+    not the default: callers who need the exactness guarantee (the
+    dd04 oracle gate does) keep mode="exact" and pay the worst case.
     """
     from ai_etl_framework_spark.session import widen
 
@@ -319,7 +380,31 @@ def ngram_jaccard_pairs(
     # once; Spark's LRU evicts the blocks when memory is needed
     sh_sets = sh_sets.persist()
     if candidates is None:
-        candidates = prefix_filter_candidates(sh_sets, threshold)
+        if mode not in ("exact", "auto"):
+            raise ValueError(f"mode must be 'exact' or 'auto', got {mode!r}")
+        if mode == "auto":
+            est = prefix_candidate_estimate(sh_sets, threshold)
+            budget = (
+                candidate_budget
+                if candidate_budget is not None
+                else 64 * sh_sets.count() + 100_000
+            )
+            if est > budget:
+                import warnings
+
+                warnings.warn(
+                    f"ngram_jaccard_pairs(auto): exact prefix join would "
+                    f"generate ~{est:,} candidate rows (> budget {budget:,}); "
+                    f"switching to banded-MinHash candidates (32x8). "
+                    f"Verification stays exact; candidate recall >=98.5% at "
+                    f"J={threshold}.",
+                    stacklevel=2,
+                )
+                candidates = minhash_candidates(
+                    df, id_col, text_col, num_hashes=32, bands=8, k=k
+                )
+        if candidates is None:
+            candidates = prefix_filter_candidates(sh_sets, threshold)
     # verification: exact intersection over the shingle arrays
     pairs = (
         candidates.join(
