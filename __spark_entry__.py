@@ -2296,18 +2296,20 @@ def _run_stream_once(spark: SparkSession, ev: DataFrame, build_sink,
         "spark.sql.shuffle.partitions":
             str(spark.sparkContext.defaultParallelism),
     }
-    # scratch dir first: once the confs are overridden, everything up
-    # to the restore must sit inside the try/finally — an mkdtemp
-    # failure must not leak the provider switch into the host session
+    # scratch dir first, then the save/set loop INSIDE the try: any
+    # failure after the first conf.set (a host session rejecting a
+    # later key, an interrupt mid-loop) must still restore what was
+    # already switched — _prev_confs records each key before its set,
+    # so the finally undoes exactly the prefix that happened
     tmp = tempfile.mkdtemp(prefix=prefix)
     _prev_confs = {}
-    for k, v in _st_confs.items():
-        try:
-            _prev_confs[k] = spark.conf.get(k)
-        except Exception:
-            _prev_confs[k] = None
-        spark.conf.set(k, v)
     try:
+        for k, v in _st_confs.items():
+            try:
+                _prev_confs[k] = spark.conf.get(k)
+            except Exception:
+                _prev_confs[k] = None
+            spark.conf.set(k, v)
         bronze = os.path.join(tmp, "bronze")
         out = os.path.join(tmp, "out")
         ckpt = os.path.join(tmp, "ckpt")

@@ -215,12 +215,53 @@ def minhash_candidates(
     )
 
 
-def prefix_filter_candidates(sh_sets: DataFrame, threshold: float) -> DataFrame:
+# float-roundoff slack for threshold arithmetic: binary doubles make
+# t·n land epsilon ABOVE the exact product (ceil(0.55*100) → 56, not
+# 55), which would shorten prefixes / tighten prunes and silently drop
+# boundary pairs from the documented-exact path. Subtracting the slack
+# before ceil (or from the compared product) errs the other way — at
+# worst one extra candidate row, never a false negative.
+_EPS = 1e-9
+
+
+def _prefix_frame(sh_sets: DataFrame, threshold: float) -> DataFrame:
+    """Persisted ``(id, n_sh, s, pos)`` prefix entries: each doc's
+    shingles ordered by global document frequency (rarest first),
+    truncated to the first n − ⌈t·n⌉ + 1. Shared by the candidate
+    self-join AND the auto-mode estimate so the explode → freq →
+    row_number pipeline — the dominant cost of dd04 (~4.8s vs ~0.8s
+    for the join itself at sf0.1) — builds exactly once per call
+    chain. Persist lifecycle: no explicit unpersist (no hook on a lazy
+    result); Spark's storage LRU reclaims the blocks."""
+    exploded = sh_sets.select("id", "n_sh", F.explode("sh").alias("s"))
+    freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(_EPS))
+        + 1
+    )
+    return (
+        exploded.join(freq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= prefix_len)
+        .select("id", "n_sh", "s", "pos")
+        .persist()
+    )
+
+
+def prefix_filter_candidates(
+    sh_sets: DataFrame,
+    threshold: float,
+    pref: Optional[DataFrame] = None,
+) -> DataFrame:
     """PPJoin-style candidate pairs from a ``(id, sh, n_sh)`` shingle
     frame: order each doc's shingles by global document frequency
     (rarest first), index only the first n − ⌈t·n⌉ + 1, join prefixes,
     size-ratio prune. Exact — two docs with J ≥ t MUST share a prefix
-    shingle (Xiao et al., WWW'08).
+    shingle (Xiao et al., WWW'08). Pass ``pref`` (a
+    :func:`_prefix_frame` result) to reuse an already-built prefix
+    frame.
 
     Exposed separately from :func:`ngram_jaccard_pairs` so the
     boilerplate-skew behavior is directly testable: a shingle shared
@@ -240,34 +281,15 @@ def prefix_filter_candidates(sh_sets: DataFrame, threshold: float) -> DataFrame:
     pair always survives via its first shared row, so no false
     negatives. On identical-boilerplate corpora this prunes the
     candidate rows whose match position sits too deep to matter."""
-    exploded = sh_sets.select("id", "n_sh", F.explode("sh").alias("s"))
-    freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    pref = (
-        exploded.join(freq, "s")
-        .withColumn("pos", F.row_number().over(w))
-        .where(F.col("pos") <= prefix_len)
-        .select("id", "n_sh", "s", "pos")
-    )
-    # both sides of the self-join read this frame — persist so the
-    # explode → frequency-agg → window pipeline runs ONCE, not once
-    # per side (same lesson as the r3 minhash-signature persist:
-    # without it the prefix build dominated dd04's runtime, ~4.8s vs
-    # ~0.8s for the join itself at sf0.1). Lifecycle matches the
-    # caller's sh_sets persist: no explicit unpersist — there is no
-    # post-consumption hook on a lazy result, so Spark's storage LRU
-    # reclaims the blocks; repeated dedup passes in one session rely
-    # on that eviction.
-    pref = pref.persist()
+    if pref is None:
+        pref = _prefix_frame(sh_sets, threshold)
     a = pref.alias("a")
     b = pref.alias("b")
-    # overlap needed for J ≥ t; the 1e-9 slack keeps a float-roundoff
-    # ceil from rejecting a pair sitting exactly on the boundary
+    # overlap needed for J ≥ t (slack: see _EPS note above)
     required = F.ceil(
         F.lit(threshold / (1.0 + threshold))
         * (F.col("a.n_sh") + F.col("b.n_sh"))
-        - F.lit(1e-9)
+        - F.lit(_EPS)
     )
     pos_bound = F.lit(1) + F.least(
         F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
@@ -278,8 +300,9 @@ def prefix_filter_candidates(sh_sets: DataFrame, threshold: float) -> DataFrame:
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.id") < F.col("b.id"))
             # size-ratio prune: J ≥ t ⇒ sizes within factor t
-            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
-            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
+            # (slack keeps the exact-boundary |A| = t·|B| pair)
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh") - F.lit(_EPS))
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh") - F.lit(_EPS))
             # position filter (exact — see docstring proof)
             & (pos_bound >= required),
         )
@@ -288,27 +311,51 @@ def prefix_filter_candidates(sh_sets: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def prefix_candidate_estimate(sh_sets: DataFrame, threshold: float) -> int:
+def prefix_candidate_estimate(
+    sh_sets: DataFrame,
+    threshold: float,
+    pref: Optional[DataFrame] = None,
+) -> int:
     """Exact count of prefix-join rows the exact path would generate
     (Σ over shingles of C(prefix_df, 2), before size/position prunes)
     — ONE narrow aggregation over the prefix frame, no self-join. This
     is the number that goes quadratic on boilerplate-heavy corpora;
     :func:`ngram_jaccard_pairs` mode="auto" reads it to decide whether
-    the exact path is affordable before paying for it."""
-    exploded = sh_sets.select("id", "n_sh", F.explode("sh").alias("s"))
-    freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    the exact path is affordable before paying for it. Pass ``pref``
+    to reuse an already-built (persisted) prefix frame."""
+    if pref is None:
+        pref = _prefix_frame(sh_sets, threshold)
     row = (
-        exploded.join(freq, "s")
-        .withColumn("pos", F.row_number().over(w))
-        .where(F.col("pos") <= prefix_len)
-        .groupBy("s")
+        pref.groupBy("s")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"))
         .first()
     )
     return int(row["pairs"] or 0)
+
+
+def pick_banding(
+    threshold: float, num_hashes: int = 32, target_recall: float = 0.95
+) -> tuple[int, int, float]:
+    """Choose a MinHash banding ``(bands, rows_per_band, recall)`` for
+    a Jaccard threshold: among factorizations b·r = num_hashes, take
+    the largest r (fewest spurious candidates) whose band-hit
+    probability 1 − (1 − t^r)^b at J = t meets ``target_recall``.
+    r = 1 (every hash its own band) always satisfies any target below
+    1 − (1 − t)^H, so low thresholds degrade gracefully toward more
+    candidate volume instead of silently losing recall — the failure
+    mode a FIXED banding has (32×8 is 98.5% recall at t = 0.8 but only
+    ~40% at t = 0.5)."""
+    best = None
+    for r in range(num_hashes, 0, -1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        recall = 1.0 - (1.0 - threshold**r) ** b
+        best = (b, r, recall)
+        if recall >= target_recall:
+            return best
+    return best  # r=1 fallback: the highest recall num_hashes can buy
 
 
 def ngram_jaccard_pairs(
@@ -352,16 +399,21 @@ def ngram_jaccard_pairs(
     below the band false-negative curve (tunable via bands×rows).
 
     ``mode="auto"`` performs that crossover automatically: it first
-    runs :func:`prefix_candidate_estimate` (one narrow aggregation —
-    cheap relative to either join) and, if the exact path would
-    generate more prefix-join rows than ``candidate_budget`` (default
-    ``64·n_docs + 100_000``), generates candidates with banded MinHash
-    (32 hashes × 8 bands: ≥98.5% pair recall at J = 0.8) and verifies
-    those exactly, emitting a ``UserWarning`` naming both numbers.
-    Verification is exact either way — only candidate RECALL becomes
-    probabilistic after the switch, which is why "auto" is a mode and
-    not the default: callers who need the exactness guarantee (the
-    dd04 oracle gate does) keep mode="exact" and pay the worst case.
+    runs :func:`prefix_candidate_estimate` (one narrow aggregation
+    over the SAME persisted prefix frame the exact join would use —
+    staying exact costs one extra small aggregation, not a rebuild)
+    and, if the exact path would generate more prefix-join rows than
+    ``candidate_budget`` (default ``64·n_docs + 100_000``), generates
+    candidates with banded MinHash instead — banding chosen by
+    :func:`pick_banding` so candidate recall at J = ``threshold``
+    meets 95% (not a fixed 32×8, which is 98.5% recall at t = 0.8 but
+    only ~40% at t = 0.5) — and verifies those exactly, emitting a
+    ``UserWarning`` naming the estimate, the budget, and the computed
+    recall. Verification is exact either way — only candidate RECALL
+    becomes probabilistic after the switch, which is why "auto" is a
+    mode and not the default: callers who need the exactness guarantee
+    (the dd04 oracle gate does) keep mode="exact" and pay the worst
+    case.
     """
     from ai_etl_framework_spark.session import widen
 
@@ -378,12 +430,14 @@ def ngram_jaccard_pairs(
     # the shingle table feeds candidate generation AND both sides of
     # verification — persist so the (expensive) text→shingles pass runs
     # once; Spark's LRU evicts the blocks when memory is needed
+    if mode not in ("exact", "auto"):
+        raise ValueError(f"mode must be 'exact' or 'auto', got {mode!r}")
     sh_sets = sh_sets.persist()
     if candidates is None:
-        if mode not in ("exact", "auto"):
-            raise ValueError(f"mode must be 'exact' or 'auto', got {mode!r}")
+        pref = None
         if mode == "auto":
-            est = prefix_candidate_estimate(sh_sets, threshold)
+            pref = _prefix_frame(sh_sets, threshold)
+            est = prefix_candidate_estimate(sh_sets, threshold, pref=pref)
             budget = (
                 candidate_budget
                 if candidate_budget is not None
@@ -392,19 +446,23 @@ def ngram_jaccard_pairs(
             if est > budget:
                 import warnings
 
+                num_hashes = 32
+                bands, _rows, recall = pick_banding(threshold, num_hashes)
                 warnings.warn(
                     f"ngram_jaccard_pairs(auto): exact prefix join would "
                     f"generate ~{est:,} candidate rows (> budget {budget:,}); "
-                    f"switching to banded-MinHash candidates (32x8). "
-                    f"Verification stays exact; candidate recall >=98.5% at "
+                    f"switching to banded-MinHash candidates "
+                    f"({num_hashes} hashes x {bands} bands). Verification "
+                    f"stays exact; candidate recall ~{recall:.1%} at "
                     f"J={threshold}.",
                     stacklevel=2,
                 )
                 candidates = minhash_candidates(
-                    df, id_col, text_col, num_hashes=32, bands=8, k=k
+                    df, id_col, text_col,
+                    num_hashes=num_hashes, bands=bands, k=k,
                 )
         if candidates is None:
-            candidates = prefix_filter_candidates(sh_sets, threshold)
+            candidates = prefix_filter_candidates(sh_sets, threshold, pref=pref)
     # verification: exact intersection over the shingle arrays
     pairs = (
         candidates.join(

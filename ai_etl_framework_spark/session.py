@@ -196,16 +196,23 @@ def widen(df, min_partitions: int | None = None):
     metadata, no job, no RDD conversion; ``df.rdd.getNumPartitions()``
     would force physical planning of the whole analyzed plan). A
     non-file source returns no files → no-op, which is the right call
-    at scale. Few-but-LARGE files are also a no-op: the scan's split
-    count is estimated as Σ ceil(size / maxPartitionBytes) per file
-    (exactly how FilePartition slices them), so an input that
-    maxPartitionBytes already splits past ``target`` never pays the
-    extra exchange — only genuinely tiny inputs do. Sizes come from
-    os.stat for file:// and the Hadoop FileSystem API for remote
-    schemes (bounded: fewer than ``target`` files by this point); if
-    a stat fails the plan is left alone — the files could be huge,
-    and a guessed repartition of a multi-TB input is a far worse
-    mistake than a missed widening of a tiny one."""
+    at scale. Few-but-LARGE files are also a no-op *when byte-slicing
+    actually yields parallelism*: the scan's split count is estimated
+    as Σ ceil(size / maxPartitionBytes) per SPLITTABLE file (exactly
+    how FilePartition slices them), so an input that maxPartitionBytes
+    already splits past ``target`` never pays the extra exchange —
+    only genuinely tiny inputs do. A file whose format/codec Spark
+    cannot split (gzip/zstd/snappy-compressed text — one task reads
+    the whole file no matter its size) counts as ONE split, so a
+    single large ``.json.gz`` still gets the widening it exists for.
+    (A parquet file written as one giant row group is the remaining
+    blind spot — byte-slices exist but only one holds rows; writers
+    control row-group size, not this reader.) Sizes come from os.stat
+    for file:// and the Hadoop FileSystem API for remote schemes
+    (bounded: fewer than ``target`` files by this point); if a stat
+    fails the plan is left alone — the files could be huge, and a
+    guessed repartition of a multi-TB input is a far worse mistake
+    than a missed widening of a tiny one."""
     import math
 
     spark = df.sparkSession
@@ -220,6 +227,9 @@ def widen(df, min_partitions: int | None = None):
                       128 * 1024 * 1024)
     est_splits = 0
     for f in files:
+        if not _splittable(f):
+            est_splits += 1
+            continue
         try:
             size = _file_size(spark, f)
         except Exception:
@@ -227,7 +237,21 @@ def widen(df, min_partitions: int | None = None):
         est_splits += max(1, math.ceil(size / mpb))
         if est_splits >= target:
             return df
+    if est_splits >= target:
+        return df
     return df.repartition(target)
+
+
+# block-compressed text: the codec stream has no sync points, so the
+# file-source reads each file in ONE task regardless of size. (bzip2
+# IS splittable and parquet/orc/avro split on internal block
+# boundaries whatever their internal compression — a .snappy.parquet
+# name ends in .parquet and is correctly treated as splittable.)
+_NON_SPLITTABLE_EXTS = (".gz", ".zst", ".zstd", ".snappy", ".lz4", ".deflate")
+
+
+def _splittable(url: str) -> bool:
+    return not url.lower().endswith(_NON_SPLITTABLE_EXTS)
 
 
 def _file_size(spark, url: str) -> int:

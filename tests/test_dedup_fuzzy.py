@@ -344,7 +344,8 @@ def test_prefix_candidate_estimate_matches_prefilter_rows(spark):
     n_cand = prefix_filter_candidates(sh_sets, 0.5).count()
     assert est >= n_cand
     # ...and is positive whenever candidates exist
-    assert (est > 0) == (n_cand >= 0 and est > 0)
+    if n_cand > 0:
+        assert est > 0
     # exact-count check on a corpus small enough to recompute in python
     sets = {
         r["id"]: set(r["sh"]) for r in sh_sets.select("id", "sh").collect()
@@ -410,3 +411,50 @@ def test_ngram_jaccard_rejects_bad_mode(spark):
     docs = spark.createDataFrame([(1, "a b c d")], "id long, text string")
     with pytest.raises(ValueError, match="mode"):
         ngram_jaccard_pairs(docs, "id", "text", mode="fuzzy").collect()
+
+
+def test_float_boundary_threshold_keeps_exact_pair(spark):
+    """ceil(0.55*100) evaluates to 56 in binary floats (exact: 55) —
+    without the _EPS slack the size-ratio prune drops a pair sitting
+    exactly at J = t, and the prefix shortens by one. A 55-token
+    subset of a 100-token doc has J = 55/100 = 0.55 precisely; at
+    threshold 0.55 it MUST be emitted."""
+    from ai_etl_framework_spark.operators.dedup import ngram_jaccard_pairs
+
+    shared = [f"s{i:03d}" for i in range(55)]
+    extra = [f"z{i:03d}" for i in range(45)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(shared)), (2, " ".join(shared + extra))],
+        "id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, "id", "text", k=1, threshold=0.55).collect()
+    }
+    assert got == {(1, 2, 0.55)}
+
+
+def test_pick_banding_adapts_to_threshold():
+    """Banding must be derived from the threshold: the r=4 32x8 scheme
+    that gives ~98.5% recall at t=0.8 would give ~40% at t=0.5, where
+    the correct pick is r=2 (16 bands, ~99%)."""
+    from ai_etl_framework_spark.operators.dedup import pick_banding
+
+    b, r, rec = pick_banding(0.8, 32)
+    assert (b, r) == (8, 4) and rec >= 0.95
+    b, r, rec = pick_banding(0.5, 32)
+    assert r == 2 and b == 16 and rec >= 0.95
+    # very low threshold degrades to r=1 (maximum recall available)
+    b, r, rec = pick_banding(0.1, 32)
+    assert r == 1 and b == 32 and rec == pytest.approx(1 - 0.9**32)
+    # recall figure is the true band-hit probability
+    assert pick_banding(0.8, 32)[2] == pytest.approx(1 - (1 - 0.8**4) ** 8)
+
+
+def test_bad_mode_rejected_even_with_explicit_candidates(spark):
+    from ai_etl_framework_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="mode"):
+        ngram_jaccard_pairs(docs, "id", "text", mode="typo", candidates=cand)

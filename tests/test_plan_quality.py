@@ -178,6 +178,33 @@ def test_widen_skips_large_single_file(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
+def test_widen_repartitions_non_splittable_single_file(spark, tmp_path):
+    """r4 review: byte-slicing ≠ parallelism for block-compressed
+    text. One large .json.gz is read by ONE task no matter its size,
+    so widen() must count it as a single split and add the exchange —
+    even when size/maxPartitionBytes says 'many splits'."""
+    from ai_etl_framework_spark.session import widen
+
+    path = str(tmp_path / "gz_json")
+    spark.range(0, 50_000).selectExpr(
+        "id", "md5(cast(id as string)) as pad"
+    ).coalesce(1).write.mode("overwrite").option("compression", "gzip").json(path)
+    df = spark.read.json(path)
+    gz_files = [f for f in df.inputFiles() if f.endswith(".gz")]
+    assert len(gz_files) == 1
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # tiny maxPartitionBytes: the (wrong) byte-slice estimate would
+        # say dozens of splits; the codec gate must override it
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16k")
+        widened = widen(df)
+        assert widened is not df
+        assert "Repartition" in widened._jdf.queryExecution().logical().toString()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_x03_media_meta_prunes_scan_no_shuffle(spark):
     """x03_media_meta synthesizes blobs from doc_id alone: the parquet
     scan must prune to the single doc_id column (no text/lang bytes
