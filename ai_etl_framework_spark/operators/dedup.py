@@ -139,6 +139,7 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 16,
     k: int = 3,
+    shingle_sets: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Signature table: one row per id, bigint columns h0..h{n-1}.
 
@@ -147,12 +148,20 @@ def minhash_signatures(
     mins map-side — tiny expression tree, partial aggregation, no
     codegen blowup. Docs with no tokens produce no row (same as the
     SQL oracle's group-by-over-unnest).
+
+    ``shingle_sets`` — an already-built ``(id_col, sh: array<string>)``
+    frame (e.g. the persisted table :func:`ngram_jaccard_pairs` holds)
+    — skips the widen + text→shingles pass entirely; ``df``/
+    ``text_col``/``k`` are ignored then.
     """
     from ai_etl_framework_spark.session import widen
 
-    sh = widen(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__s")
-    )
+    if shingle_sets is not None:
+        sh = shingle_sets.select(F.col(id_col), F.explode("sh").alias("__s"))
+    else:
+        sh = widen(df.select(id_col, text_col)).select(
+            F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__s")
+        )
     a, b = _minhash_ab(F.md5(F.col("__s")))
     sh = sh.select(id_col, a.alias("__a"), b.alias("__b"))
     aggs = [
@@ -169,12 +178,14 @@ def minhash_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    shingle_sets: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
     signature table → band hashes (md5 of each band's rows) → explode
     → self-join on (band_idx, band_hash); shuffle is on band hashes
-    only. Returns distinct pairs.
+    only. Returns distinct pairs. ``shingle_sets`` is forwarded to
+    :func:`minhash_signatures` to reuse a pre-built shingle table.
     """
     rows_per_band = num_hashes // bands
     # the signature table feeds BOTH sides of the self-join below; Spark's
@@ -182,7 +193,9 @@ def minhash_candidates(
     # shingle→md5→min-agg pipeline (the expensive part) can run twice.
     # One row per doc × num_hashes bigints — tiny relative to the corpus,
     # safe to cache at any scale (MEMORY_AND_DISK default, LRU-evicted).
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k).persist()
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, k, shingle_sets=shingle_sets
+    ).persist()
     band_hashes = F.array(
         *[
             F.md5(
@@ -432,6 +445,11 @@ def ngram_jaccard_pairs(
     # once; Spark's LRU evicts the blocks when memory is needed
     if mode not in ("exact", "auto"):
         raise ValueError(f"mode must be 'exact' or 'auto', got {mode!r}")
+    if candidate_budget is not None and mode != "auto":
+        raise ValueError(
+            "candidate_budget only takes effect with mode='auto' — "
+            "passing it with mode='exact' would silently run unbounded"
+        )
     sh_sets = sh_sets.persist()
     if candidates is None:
         pref = None
@@ -457,9 +475,16 @@ def ngram_jaccard_pairs(
                     f"J={threshold}.",
                     stacklevel=2,
                 )
+                # the estimate fully materialized pref into the cache,
+                # and on this branch it is known-dead — free the blocks
+                # now instead of waiting for LRU pressure
+                pref.unpersist()
+                # signatures read the persisted shingle table directly:
+                # no second widen + text→shingles pass over the corpus
                 candidates = minhash_candidates(
-                    df, id_col, text_col,
+                    df, "id", text_col,
                     num_hashes=num_hashes, bands=bands, k=k,
+                    shingle_sets=sh_sets,
                 )
         if candidates is None:
             candidates = prefix_filter_candidates(sh_sets, threshold, pref=pref)

@@ -244,10 +244,14 @@ def widen(df, min_partitions: int | None = None):
 
 # block-compressed text: the codec stream has no sync points, so the
 # file-source reads each file in ONE task regardless of size. (bzip2
-# IS splittable and parquet/orc/avro split on internal block
-# boundaries whatever their internal compression — a .snappy.parquet
-# name ends in .parquet and is correctly treated as splittable.)
-_NON_SPLITTABLE_EXTS = (".gz", ".zst", ".zstd", ".snappy", ".lz4", ".deflate")
+# IS splittable; .lzo is only splittable WITH a sidecar index, so
+# counting it as one split is the safe default; parquet/orc/avro
+# split on internal block boundaries whatever their internal
+# compression — a .snappy.parquet name ends in .parquet and is
+# correctly treated as splittable.)
+_NON_SPLITTABLE_EXTS = (
+    ".gz", ".zst", ".zstd", ".snappy", ".lz4", ".deflate", ".lzo", ".br",
+)
 
 
 def _splittable(url: str) -> bool:

@@ -458,3 +458,36 @@ def test_bad_mode_rejected_even_with_explicit_candidates(spark):
     cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="mode"):
         ngram_jaccard_pairs(docs, "id", "text", mode="typo", candidates=cand)
+
+
+def test_candidate_budget_requires_auto_mode(spark):
+    from ai_etl_framework_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    with pytest.raises(ValueError, match="candidate_budget"):
+        ngram_jaccard_pairs(docs, "id", "text", candidate_budget=100)
+
+
+def test_minhash_signatures_shingle_sets_reuse_identical(spark):
+    """The crossover feeds minhash_signatures from the persisted
+    shingle table instead of re-shingling the raw text — both inputs
+    must produce bit-identical signatures."""
+    from ai_etl_framework_spark.operators.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+
+    rows = [(i, " ".join(f"w{(i + j) % 17}" for j in range(12))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    sh_sets = docs.select("id", shingles(F.col("text"), 3).alias("sh"))
+
+    from_text = {
+        tuple(r) for r in minhash_signatures(docs, "id", "text", 16, 3).collect()
+    }
+    from_sets = {
+        tuple(r)
+        for r in minhash_signatures(
+            docs, "id", "text", 16, 3, shingle_sets=sh_sets
+        ).collect()
+    }
+    assert from_text == from_sets
