@@ -100,7 +100,11 @@ def compile_query(
     out = apply_filters(df, filters)
 
     if not spec.group_by and not spec.metrics:
-        # raw query safety limit (ref duckdb_service.py:408-415)
+        # raw query safety limit (ref duckdb_service.py:408-415).
+        # NB: limit=0 deliberately means "unset" (→ 1000 here, no limit
+        # below), NOT SQL's LIMIT 0 → empty — the reference uses the
+        # same truthiness check (`if aggregation.limit:` :397-399), so
+        # this is exact parity, not an accident.
         return out.limit(spec.limit or 1000)
 
     exprs = [_metric_expr(m, approx) for m in spec.metrics]

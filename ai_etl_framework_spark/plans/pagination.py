@@ -5,8 +5,9 @@ Reference: src/database/duckdb_service.py:477-505 (drill-down) and
 
 Divergence, by design (SURVEY §7.4 item 11): the reference paginates
 with LIMIT/OFFSET and *no* ORDER BY (file order). Spark has no stable
-implicit order, so pagination here requires an explicit ``order_by``
-column — deterministic for both the user and the oracle.
+implicit order, so pagination here always applies a total order: the
+caller's ``order_by``, else every projected column as a deterministic
+default — pages stay consistent across requests either way.
 
 Scale note: offset+limit on a sorted DataFrame compiles to a global
 sort limited to offset+limit rows (TakeOrderedAndProject) — it does
@@ -47,6 +48,17 @@ def drill_down(
             out = out.filter(oc < F.lit(after) if order_desc else oc > F.lit(after))
             offset = 0
         out = out.orderBy(oc.desc() if order_desc else oc.asc())
+    else:
+        if after is not None:
+            raise ValueError("keyset pagination (after=) requires order_by")
+        # no order column given: each page request is an independent
+        # Spark job whose row order may differ (task scheduling, AQE,
+        # shuffle fetch order), so offset pagination without SOME total
+        # order can repeat/skip rows across pages. Order by every
+        # projected column — deterministic up to fully-duplicate rows,
+        # which are interchangeable anyway. Still a bounded
+        # TakeOrderedAndProject, not a full sort.
+        out = out.orderBy(*[F.col(c).asc_nulls_first() for c in out.columns])
     page = out.offset(offset).limit(limit) if offset else out.limit(limit)
     rows = [r.asDict(recursive=True) for r in page.collect()]
     return {

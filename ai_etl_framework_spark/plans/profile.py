@@ -77,15 +77,42 @@ def profile_schema(
         elif b == "boolean":
             aggs += [cd(c).alias(f"{name}__distinct")]
         else:  # categorical
-            aggs += [
-                cd(c).alias(f"{name}__distinct"),
-                # capped collect_set: cheap enumeration for the ≤100 case
-                F.slice(F.array_sort(F.collect_set(c.cast("string"))), 1, max_listed + 1).alias(
-                    f"{name}__values"
-                ),
-            ]
+            aggs += [cd(c).alias(f"{name}__distinct")]
+    # pass 1: scalar aggregates only — every buffer is fixed-size.
+    # (A collect_set here would look "capped" because of a later
+    # slice, but the slice runs AFTER the aggregation buffered every
+    # distinct string of every categorical column — a free-text or
+    # URL column OOMs the single final-agg task at scale.)
     stats = df.agg(*aggs).collect()[0].asDict()
     rows = stats["__rows"]
+
+    # pass 2 (bounded): enumerate values only for the columns pass 1
+    # PROVED small — collect_set buffers are now ≤ max_listed strings
+    # per column, and the scan is pruned to just those columns. For
+    # high-cardinality columns take the k lexically-smallest distinct
+    # values (identical to the old sort_array(collect_set)[:k] result)
+    # via partial-distinct + top-k — never materializing the full set.
+    cat_cols = [n for n, b in buckets.items() if b == "categorical"]
+    small = [n for n in cat_cols if stats[f"{n}__distinct"] <= max_listed]
+    vals_by_col: dict[str, list] = {}
+    if small:
+        vstats = df.agg(*[
+            F.array_sort(F.collect_set(F.col(n).cast("string"))).alias(n)
+            for n in small
+        ]).collect()[0].asDict()
+        vals_by_col.update(vstats)
+    for name in cat_cols:
+        if name in vals_by_col:
+            continue
+        vals_by_col[name] = [
+            r["v"]
+            for r in df.select(F.col(name).cast("string").alias("v"))
+            .where(F.col("v").isNotNull())
+            .distinct()
+            .orderBy("v")
+            .limit(sample_values)
+            .collect()
+        ]
 
     columns: dict[str, Any] = {}
     for name, b in buckets.items():
@@ -106,7 +133,7 @@ def profile_schema(
             info.update(distinct_count=stats[f"{name}__distinct"])
         else:
             n = stats[f"{name}__distinct"]
-            vals = stats[f"{name}__values"] or []
+            vals = vals_by_col.get(name) or []
             info["distinct_count"] = n
             if n <= max_listed:
                 info["values"] = vals[:max_listed]

@@ -142,6 +142,9 @@ def create_app(service: DashboardService, pipeline_api=None):
             body["source"],
             filters=body.get("filters"),
             columns=body.get("columns"),
+            order_by=body.get("order_by"),
+            order_desc=body.get("order_desc", False),
+            after=body.get("after"),
             limit=body.get("limit", 100),
             offset=body.get("offset", 0),
         )

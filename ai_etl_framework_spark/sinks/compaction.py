@@ -34,7 +34,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ai_etl_framework_spark.streaming.cdc import _exists, _fs, _swap
+from ai_etl_framework_spark.streaming.cdc import (
+    _exists,
+    _fs,
+    _recover_interrupted_swap,
+    _swap,
+)
 
 
 def dataset_stats(spark: SparkSession, path: str) -> dict:
@@ -79,6 +84,10 @@ def compact_parquet(
     No-op (returns stats, ``compacted=False``) when the dataset is
     already healthy, unless ``force``.
     """
+    # a previous compaction may have died between its swap's two
+    # renames, leaving only `path + ".old"` — roll it back before
+    # reading (and before stats see a missing dataset)
+    _recover_interrupted_swap(spark, path)
     before = dataset_stats(spark, path)
     if not force and not needs_compaction(spark, path, target_bytes):
         return {"compacted": False, "before": before, "after": before}

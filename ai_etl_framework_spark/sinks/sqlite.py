@@ -47,15 +47,28 @@ def _sqlite_type(dt: T.DataType) -> str:
     return "TEXT"
 
 
+def _jsonable(value):
+    """Deep Row→dict conversion: collected Rows can nest ANYWHERE in
+    an array/map/struct value (array<struct<...>> yields [Row, ...]) —
+    a top-level asDict alone would json.dumps inner Rows as bare
+    tuples, silently losing the field names the reference's
+    json.dumps-of-dicts output carries (ref :186-190)."""
+    if hasattr(value, "asDict"):
+        value = value.asDict()
+    if isinstance(value, dict):
+        return {k: _jsonable(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [_jsonable(v) for v in value]
+    return value
+
+
 def _encode(value, dt: T.DataType):
     if value is None:
         return None
     if isinstance(dt, T.BooleanType):
         return int(value)  # BOOLEAN → INTEGER (ref :117)
     if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
-        if hasattr(value, "asDict"):
-            value = value.asDict(recursive=True)
-        return json.dumps(value, default=str)  # ref :186-190
+        return json.dumps(_jsonable(value), default=str)  # ref :186-190
     if isinstance(dt, (T.DateType, T.TimestampType)):
         return value.isoformat()
     return value

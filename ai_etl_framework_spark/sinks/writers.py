@@ -198,9 +198,12 @@ def fan_out(df: DataFrame, writes: Sequence[dict]) -> None:
     df = df.cache()
     try:
         for spec in writes:
-            kind = spec.pop("kind")
+            # read, don't pop: the caller's spec dicts must survive a
+            # retry (or a second fan-out of the same spec list) intact
+            kind = spec["kind"]
+            kwargs = {k: v for k, v in spec.items() if k != "kind"}
             {"parquet": write_parquet, "csv": write_csv, "json": write_json, "jdbc": write_jdbc}[
                 kind
-            ](df, **spec)
+            ](df, **kwargs)
     finally:
         df.unpersist()

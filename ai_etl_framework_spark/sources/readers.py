@@ -104,11 +104,16 @@ def read_json(
     **options,
 ) -> DataFrame:
     """mode ∈ auto|array|lines (ref json_source.py:83-106): 'array'
-    uses multiLine; 'auto' sniffs whether the file starts with '['."""
+    uses multiLine; 'auto' sniffs whether the file starts with '['.
+
+    The sniff reads one line through Spark's text source (not a local
+    ``open()``), so auto mode works for anything Spark can read —
+    s3a://, hdfs://, glob patterns — and a UTF-8 BOM is stripped
+    before the '[' check (``lstrip`` removes whitespace, not
+    ``\\xef\\xbb\\xbf``). An unreadable/empty input falls back to
+    'lines', letting Spark's own reader surface the real error."""
     if mode == "auto":
-        with open(_first_file(path), "rb") as f:
-            head = f.read(64).lstrip()
-        mode = "array" if head.startswith(b"[") else "lines"
+        mode = "array" if _sniff_json_array(spark, path) else "lines"
     reader = spark.read.option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", "_corrupt_record"
     )
@@ -351,6 +356,22 @@ def _first_file(path: str) -> str:
     return path
 
 
+def _sniff_json_array(spark: SparkSession, path: str) -> bool:
+    """True when the input's first non-blank line opens a JSON array.
+    Uses the Spark text source (limit 1 → one-partition read of the
+    first split only) so remote URIs and globs sniff the same as local
+    paths; BOM-aware."""
+    try:
+        rows = spark.read.text(path).limit(8).collect()
+    except Exception:
+        return False
+    for r in rows:
+        head = (r[0] or "").lstrip("\ufeff").lstrip()
+        if head:  # first non-blank line decides
+            return head.startswith("[")
+    return False
+
+
 # ---------------------------------------------------------------------------
 # incremental file manifest (batch-incremental ingestion)
 # ---------------------------------------------------------------------------
@@ -385,7 +406,14 @@ def incremental_manifest(
         reader = spark.read
         for k, v in reader_options.items():
             reader = reader.option(k, v)
-        df = getattr(reader, fmt)(*new)
+        # parquet() is the one varargs reader; csv/json/orc/text take
+        # (path, ...) where path may be a LIST — unpacking the file
+        # list there would bind file #2 to the next positional param
+        # (csv/json: schema; orc: mergeSchema; text: wholetext)
+        if fmt == "parquet":
+            df = reader.parquet(*new)
+        else:
+            df = getattr(reader, fmt)(new)
 
     def commit() -> None:
         with open(manifest_path, "a") as f:

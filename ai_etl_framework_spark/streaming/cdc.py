@@ -55,10 +55,15 @@ def apply_cdc_batch(
     if delete_col is not None and delete_col in latest.columns:
         dels = latest.where(F.col(delete_col))
         ups = latest.where(~F.coalesce(F.col(delete_col), F.lit(False)))
-        snapshot = merge_upsert(
-            snapshot, dels.select(*keys), keys,
-            when_matched="delete", insert_unmatched=False,
-        )
+        # micro-batches routinely carry a delete column with zero
+        # tombstones (NULL/false everywhere) — isEmpty() on the tiny
+        # batch side is far cheaper than an anti-join pass over the
+        # whole snapshot every epoch
+        if not dels.isEmpty():
+            snapshot = merge_upsert(
+                snapshot, dels.select(*keys), keys,
+                when_matched="delete", insert_unmatched=False,
+            )
     else:
         ups = latest
     return merge_upsert(snapshot, ups.drop(*(
@@ -86,6 +91,7 @@ def apply_cdc_stream(
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         cur_path = os.path.join(snapshot_dir, "current")
+        _recover_interrupted_swap(spark, cur_path)
         if _exists(spark, cur_path):
             snap = spark.read.parquet(cur_path)
         else:
@@ -118,15 +124,50 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
+def _recover_interrupted_swap(spark: SparkSession, cur_path: str) -> None:
+    """Roll back a swap that died between its two renames: ``cur`` is
+    missing but ``cur.old`` (the complete previous snapshot) survives.
+    Without this, a reader would silently treat the dataset as EMPTY —
+    and the next successful swap would then delete ``.old``, the only
+    remaining copy. Call before reading or swapping ``cur_path``."""
+    fs, cur, jvm = _fs(spark, cur_path)
+    old = jvm.org.apache.hadoop.fs.Path(cur_path + ".old")
+    if not fs.exists(cur) and fs.exists(old):
+        if not fs.rename(old, cur):
+            raise IOError(
+                f"recovering interrupted swap: rename({cur_path}.old, "
+                f"{cur_path}) failed"
+            )
+
+
 def _swap(spark: SparkSession, new_path: str, cur_path: str) -> None:
-    """Atomically (per-FS rename semantics) replace cur with new."""
+    """Replace ``cur`` with ``new`` via two renames, failing LOUDLY.
+
+    Hadoop FileSystem.rename reports failure by returning False (it
+    does not raise on most implementations, S3A included) — every
+    rename here is checked, because an ignored ``rename(cur, old)``
+    failure would make the following ``rename(new, cur)`` nest the
+    new directory INSIDE the still-existing ``cur``, silently
+    corrupting the dataset. The unavoidable non-atomic window between
+    the two renames is covered by :func:`_recover_interrupted_swap`
+    (the previous snapshot survives as ``cur.old`` until the new one
+    is in place)."""
+    _recover_interrupted_swap(spark, cur_path)
     fs, cur, jvm = _fs(spark, cur_path)
     _, new, _ = _fs(spark, new_path)
     old = jvm.org.apache.hadoop.fs.Path(cur_path + ".old")
-    if fs.exists(old):
-        fs.delete(old, True)
-    if fs.exists(cur):
-        fs.rename(cur, old)
-    fs.rename(new, cur)
+    if fs.exists(old) and not fs.delete(old, True):
+        raise IOError(f"could not delete stale backup {cur_path}.old")
+    had_cur = fs.exists(cur)
+    if had_cur and not fs.rename(cur, old):
+        raise IOError(f"rename({cur_path}, {cur_path}.old) failed")
+    if not fs.rename(new, cur):
+        # roll back so readers keep seeing the previous snapshot
+        if had_cur:
+            fs.rename(old, cur)
+        raise IOError(f"rename({new_path}, {cur_path}) failed")
+    # best-effort backup cleanup: a leftover .old is harmless (next
+    # swap deletes it) — a raise here would fail an already-successful
+    # swap, so the return value is deliberately not checked
     if fs.exists(old):
         fs.delete(old, True)

@@ -165,26 +165,37 @@ def sessionize_stream(
         seg_end = ts[ends]
         seg_n = ends - seg + 1
         seg_tot = np.add.reduceat(vs, seg)
-        closed = []
+        segs = [
+            (int(seg_start[i]), int(seg_end[i]), int(seg_n[i]), float(seg_tot[i]))
+            for i in range(seg.size)
+        ]
         if last_us is not None:
-            if ts[0] - last_us > gap_us:
-                # the open session closes before the new data
-                closed.append((start_us, last_us, n, total))
-            else:
-                # first segment continues the open session
-                seg_start[0] = start_us
-                seg_n[0] += n
-                seg_tot[0] += total
+            # merge the open session as a pseudo-segment and coalesce
+            # INTERVALS, not just "does the batch start after `last`":
+            # a late-but-within-watermark event may land INSIDE the
+            # open session's [start, last] span (it belongs to the
+            # session but must not shrink session_end to its own
+            # timestamp) or BEFORE start (own session unless within
+            # gap). The chain property — consecutive session events ≤
+            # gap apart — makes interval-touching (≤ gap) the exact
+            # membership test. Segment count per key per trigger is
+            # tiny, so this python coalesce costs nothing next to the
+            # vectorized reduceat above.
+            segs.append((int(start_us), int(last_us), int(n), float(total)))
+            segs.sort(key=lambda s: s[0])
+            merged = [segs[0]]
+            for s0, e0, n0, t0 in segs[1:]:
+                ps, pe, pn, pt = merged[-1]
+                if s0 - pe <= gap_us:
+                    merged[-1] = (ps, max(pe, e0), pn + n0, pt + t0)
+                else:
+                    merged.append((s0, e0, n0, t0))
+            segs = merged
         # every segment but the last closes inline; the last stays
         # open in state until the watermark passes last + gap
-        for i in range(seg.size - 1):
-            closed.append(
-                (int(seg_start[i]), int(seg_end[i]), int(seg_n[i]), float(seg_tot[i]))
-            )
-        state.update(
-            (int(seg_start[-1]), int(seg_end[-1]), int(seg_n[-1]), float(seg_tot[-1]))
-        )
-        state.setTimeoutTimestamp(int(seg_end[-1]) // 1000 + gap_us // 1000)
+        closed = segs[:-1]
+        state.update(segs[-1])
+        state.setTimeoutTimestamp(segs[-1][1] // 1000 + gap_us // 1000)
         if closed:
             yield emit_frame(key, closed)
 

@@ -70,3 +70,34 @@ def test_compact_partitioned_keeps_layout(spark, tmp_path):
     assert sorted(d for d in os.listdir(path) if d.startswith("grp=")) == [
         "grp=0", "grp=1", "grp=2"
     ]
+
+
+def test_swap_recovers_from_interrupted_rename(spark, tmp_path):
+    """r4 review: a swap that died between rename(cur→old) and
+    rename(new→cur) leaves only `.old`. A reader/next-swap must roll
+    it back instead of treating the dataset as empty — the old code
+    would even delete `.old` (the only copy) on the next success."""
+    import os
+
+    from ai_etl_framework_spark.streaming.cdc import (
+        _recover_interrupted_swap,
+        _swap,
+    )
+
+    cur = str(tmp_path / "current")
+    spark.range(10).write.parquet(cur)
+    # simulate the crash window: cur moved aside, new never landed
+    os.rename(cur, cur + ".old")
+    assert not os.path.exists(cur)
+
+    _recover_interrupted_swap(spark, cur)
+    assert os.path.exists(cur) and not os.path.exists(cur + ".old")
+    assert spark.read.parquet(cur).count() == 10
+
+    # and _swap itself performs the same recovery before swapping
+    os.rename(cur, cur + ".old")
+    new = str(tmp_path / "incoming")
+    spark.range(7).write.parquet(new)
+    _swap(spark, new, cur)
+    assert spark.read.parquet(cur).count() == 7
+    assert not os.path.exists(cur + ".old")

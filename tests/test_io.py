@@ -255,3 +255,92 @@ def test_write_json_array(spark, tmp_path):
 
     with pytest.raises(ValueError, match="max_rows"):
         write_json_array(df, out, max_rows=1)
+
+
+def test_incremental_manifest_multiple_new_csv_files(spark, tmp_path):
+    """r4 review: getattr(reader, 'csv')(*new) bound file #2 to the
+    positional `schema` param — two new CSV files must both load."""
+    from ai_etl_framework_spark.sources.readers import incremental_manifest
+
+    data = tmp_path / "inc_csv"
+    data.mkdir()
+    (data / "a.csv").write_text("x,y\n1,one\n2,two\n")
+    (data / "b.csv").write_text("x,y\n3,three\n")
+    manifest = str(tmp_path / "manifest.txt")
+
+    df = incremental_manifest(
+        spark, str(data), manifest, fmt="csv", header=True, inferSchema=True
+    )
+    assert df.count() == 3
+    df.commit_manifest()
+
+    # nothing new → empty frame; then one more file → just its rows
+    assert incremental_manifest(spark, str(data), manifest, fmt="csv").count() == 0
+    (data / "c.csv").write_text("x,y\n4,four\n5,five\n")
+    df3 = incremental_manifest(
+        spark, str(data), manifest, fmt="csv", header=True, inferSchema=True
+    )
+    assert df3.count() == 2
+
+
+def test_fan_out_spec_list_is_reusable(spark, tmp_path):
+    """r4 review: fan_out popped 'kind' out of the caller's dicts, so
+    a retry (or second DataFrame) with the same spec list raised
+    KeyError."""
+    from ai_etl_framework_spark.sinks.writers import fan_out
+
+    df = spark.range(5).selectExpr("id", "cast(id as string) as s")
+    specs = [
+        {"kind": "parquet", "path": str(tmp_path / "p1")},
+        {"kind": "csv", "path": str(tmp_path / "c1"), "header": True},
+    ]
+    fan_out(df, specs)
+    specs[0]["path"] = str(tmp_path / "p2")
+    specs[1]["path"] = str(tmp_path / "c2")
+    fan_out(df, specs)  # must not raise
+    assert spark.read.parquet(str(tmp_path / "p2")).count() == 5
+
+
+def test_sqlite_nested_struct_in_array_keeps_field_names(spark, tmp_path):
+    """r4 review: array<struct<...>> values are collected as [Row, ...];
+    encoding must emit JSON objects with field names, not bare
+    positional arrays."""
+    import json as _json
+    import sqlite3
+
+    from ai_etl_framework_spark.sinks.sqlite import write_sqlite
+
+    df = spark.sql(
+        "select 1 as id, array(named_struct('name','a','qty',1),"
+        " named_struct('name','b','qty',2)) as items"
+    )
+    db = str(tmp_path / "nested.db")
+    write_sqlite(df, db, "t", mode="overwrite")
+    con = sqlite3.connect(db)
+    (raw,) = con.execute("select items from t").fetchone()
+    con.close()
+    assert _json.loads(raw) == [
+        {"name": "a", "qty": 1},
+        {"name": "b", "qty": 2},
+    ]
+
+
+def test_read_json_auto_sniff_bom_and_directory(spark, tmp_path):
+    """r4 review: the auto sniff must work on directories via the
+    Spark text source and must not let a UTF-8 BOM defeat the '['
+    array check."""
+    from ai_etl_framework_spark.sources.readers import read_json
+
+    d = tmp_path / "jarr"
+    d.mkdir()
+    (d / "part1.json").write_bytes(
+        "﻿[{\"a\": 1}, {\"a\": 2}]".encode("utf-8")
+    )
+    df = read_json(spark, str(d), mode="auto")
+    assert sorted(r["a"] for r in df.collect()) == [1, 2]
+    assert "_corrupt_record" not in df.columns
+
+    lines = tmp_path / "jl"
+    lines.mkdir()
+    (lines / "part1.jsonl").write_text('{"b": 1}\n{"b": 2}\n{"b": 3}\n')
+    assert read_json(spark, str(lines), mode="auto").count() == 3

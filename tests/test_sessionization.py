@@ -143,3 +143,73 @@ def test_streaming_multi_batch_state_carryover(spark, events, tmp_path):
         | (F.abs(F.col("s.total_value") - F.col("b.total_value")) > 1e-6)
     )
     assert mismatch.count() == 0
+
+
+def test_streaming_late_event_inside_open_session(spark, tmp_path):
+    """r4 review: a late-but-within-watermark event landing INSIDE the
+    open session's [start, last] span must neither shrink session_end
+    to its own timestamp nor fork a phantom session; one landing more
+    than `gap` BEFORE session_start must become its own session, not
+    be absorbed. Crafted micro-batches (maxFilesPerTrigger=1, huge
+    watermark so nothing is dropped):
+
+      batch 1: u1 events 09:00 and 10:00      (one open session)
+      batch 2: u1 late events 09:50 and 06:00 (interior + far-early)
+
+    Ground truth = the batch twin over all four events: sessions
+    [06:00, 06:00] x1 and [09:00, 10:00] x3."""
+    import os
+    import time
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+    from datetime import datetime
+
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ])
+    b1 = [(1, datetime(2024, 1, 1, 9, 0), 1.0),
+          (1, datetime(2024, 1, 1, 10, 0), 2.0)]
+    b2 = [(1, datetime(2024, 1, 1, 9, 50), 4.0),
+          (1, datetime(2024, 1, 1, 6, 0), 8.0)]
+
+    bronze = str(tmp_path / "bronze_late")
+    os.makedirs(bronze)
+    for i, rows in enumerate((b1, b2), start=1):
+        part = str(tmp_path / f"late{i}")
+        spark.createDataFrame(rows, schema).coalesce(1)\
+            .write.mode("overwrite").parquet(part)
+        src = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = os.path.join(bronze, f"{i:02d}.parquet")
+        os.rename(os.path.join(part, src), dst)
+        os.utime(dst, (time.time() - 100 + i, time.time() - 100 + i))
+
+    out = str(tmp_path / "late_out")
+    stream = read_stream(spark, bronze, fmt="parquet", schema=schema,
+                         max_files_per_trigger=1)
+    qy = (
+        sessionize_stream(stream, gap_minutes=30.0, watermark="24 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert qy.awaitTermination(180)
+    emitted = {
+        (r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # watermark never passes, so only sessions closed by a LATER
+    # segment are emitted: the 06:00 singleton (closed by the merged
+    # [09:00, 10:00] session that follows it). The open session's
+    # correct bounds live in state; what must NOT appear is any
+    # session ending 09:50 (the pre-fix shrink) or one absorbing the
+    # 06:00 event into [09:00, 10:00].
+    assert (datetime(2024, 1, 1, 6, 0), datetime(2024, 1, 1, 6, 0), 1, 8.0) in emitted
+    assert not any(e[1] == datetime(2024, 1, 1, 9, 50) for e in emitted)
+    assert all(e[2] <= 1 or e[0] == datetime(2024, 1, 1, 9, 0) for e in emitted)
