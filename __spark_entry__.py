@@ -1282,18 +1282,18 @@ stats AS (
   UNION ALL
   SELECT 'email', CAST(COUNT(*) - COUNT(email) AS BIGINT),
          CAST(COUNT(DISTINCT email) AS BIGINT),
-         CASE WHEN AVG(CASE WHEN regexp_matches(email, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$') THEN 1.0 ELSE 0.0 END) >= 0.8 THEN 'email' END,
-         CASE WHEN AVG(CASE WHEN regexp_matches(email, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$') THEN 1.0 ELSE 0.0 END) >= 0.8
-              THEN (1.0 + AVG(CASE WHEN regexp_matches(email, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$') THEN 1.0 ELSE 0.0 END)) / 2
+         CASE WHEN AVG(CASE WHEN email IS NOT NULL AND email <> '' THEN CASE WHEN regexp_matches(email, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$') THEN 1.0 ELSE 0.0 END END) >= 0.8 THEN 'email' END,
+         CASE WHEN AVG(CASE WHEN email IS NOT NULL AND email <> '' THEN CASE WHEN regexp_matches(email, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$') THEN 1.0 ELSE 0.0 END END) >= 0.8
+              THEN (1.0 + AVG(CASE WHEN email IS NOT NULL AND email <> '' THEN CASE WHEN regexp_matches(email, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$') THEN 1.0 ELSE 0.0 END END)) / 2
               ELSE 1.0 END,
          COUNT(DISTINCT email), list_sort(list(DISTINCT email))
   FROM d
   UNION ALL
   SELECT 'iso_date', CAST(COUNT(*) - COUNT(iso_date) AS BIGINT),
          CAST(COUNT(DISTINCT iso_date) AS BIGINT),
-         CASE WHEN AVG(CASE WHEN regexp_matches(iso_date, '^\\d{4}-\\d{2}-\\d{2}$') THEN 1.0 ELSE 0.0 END) >= 0.8 THEN 'date_iso' END,
-         CASE WHEN AVG(CASE WHEN regexp_matches(iso_date, '^\\d{4}-\\d{2}-\\d{2}$') THEN 1.0 ELSE 0.0 END) >= 0.8
-              THEN (1.0 + AVG(CASE WHEN regexp_matches(iso_date, '^\\d{4}-\\d{2}-\\d{2}$') THEN 1.0 ELSE 0.0 END)) / 2
+         CASE WHEN AVG(CASE WHEN iso_date IS NOT NULL AND iso_date <> '' THEN CASE WHEN regexp_matches(iso_date, '^\\d{4}-\\d{2}-\\d{2}$') THEN 1.0 ELSE 0.0 END END) >= 0.8 THEN 'date_iso' END,
+         CASE WHEN AVG(CASE WHEN iso_date IS NOT NULL AND iso_date <> '' THEN CASE WHEN regexp_matches(iso_date, '^\\d{4}-\\d{2}-\\d{2}$') THEN 1.0 ELSE 0.0 END END) >= 0.8
+              THEN (1.0 + AVG(CASE WHEN iso_date IS NOT NULL AND iso_date <> '' THEN CASE WHEN regexp_matches(iso_date, '^\\d{4}-\\d{2}-\\d{2}$') THEN 1.0 ELSE 0.0 END END)) / 2
               ELSE 1.0 END,
          COUNT(DISTINCT iso_date), list_sort(list(DISTINCT iso_date))
   FROM d

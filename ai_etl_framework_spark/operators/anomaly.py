@@ -155,7 +155,14 @@ class AnomalyDetector:
             )
             .withColumn(
                 "_meta_anomaly_reasons",
-                F.when(flag & (reasons != ""), reasons).otherwise(F.lit(None).cast("string")),
+                # reasons are z-score-phrased only, like the reference;
+                # a row flagged purely by the IQR leg (outside the
+                # fences but within z·std — routine on skewed data)
+                # gets the reference's generic fallback string instead
+                # of a NULL reason (ref anomaly_detector.py:429-430)
+                F.when(flag & (reasons != ""), reasons)
+                .when(flag, F.lit(f"Anomalous based on {self.method} method"))
+                .otherwise(F.lit(None).cast("string")),
             )
             .drop(*[f"{c}__{s}" for c in fields for s in ("mean", "std", "cnt", "q1", "q3")])
         )

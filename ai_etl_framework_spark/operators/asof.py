@@ -86,19 +86,32 @@ def asof_join(
     if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
 
+    # the right payload travels as ONE struct, not per-column: a
+    # per-column last(ignorenulls) carry-forward would fill each
+    # payload column from a DIFFERENT right row whenever the most
+    # recent row has NULLs in some columns — synthesizing a row that
+    # never existed. A struct is never NULL for a present right row,
+    # so last(struct) atomically picks the most recent right ROW and
+    # keeps its interior NULLs intact.
+    r_tagged = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("__is_left"),
+        F.lit(None)
+        .cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("__lrow")
+            ).schema["__lrow"].dataType
+        )
+        .alias("__lrow"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__rrow"),
+    )
     l_tagged = left.select(
         *by,
         F.col(on),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
-    )
-    r_tagged = right.select(
-        *by,
-        F.col(on),
-        F.lit(0).alias("__is_left"),
-        F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c) for c in right_cols],
+        F.lit(None).cast(r_tagged.schema["__rrow"].dataType).alias("__rrow"),
     )
     unioned = r_tagged.unionByName(l_tagged)
     # right rows sort BEFORE left rows on ties so an equal-ts right row
@@ -111,6 +124,8 @@ def asof_join(
     filled = unioned.select(
         "__is_left",
         "__lrow",
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last(F.col("__rrow"), ignorenulls=True).over(w).alias("__rrow"),
     )
-    return filled.where(F.col("__is_left") == 1).select("__lrow.*", *right_cols)
+    return filled.where(F.col("__is_left") == 1).select(
+        "__lrow.*", *[F.col(f"__rrow.{c}").alias(c) for c in right_cols]
+    )

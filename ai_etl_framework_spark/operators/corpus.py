@@ -98,11 +98,29 @@ def quality_metric_columns(
         F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
     ) / 3
     bg = _bigrams(toks)
-    top_bg = F.array_max(
-        F.transform(
-            F.array_distinct(bg),
-            lambda b: F.size(F.filter(bg, lambda x: x == b)),
-        )
+    # most-frequent-bigram count = longest equal run in the SORTED
+    # bigram array — one sort + one linear aggregate per document.
+    # (The obvious distinct×filter formulation is O(distinct·total)
+    # per row: a single 100k-word doc would evaluate ~10^10 string
+    # compares inside one codegen'd row — a straggler task that can
+    # stall a whole 100 TB stage. Same value, linear cost.)
+    bgs = F.array_sort(bg)
+    top_bg = F.aggregate(
+        bgs,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     ng = _ngrams_all(toks, dup_ngram)
     n_ng = F.size(ng)

@@ -59,7 +59,10 @@ def merge_upsert(
         kept = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
         if not insert_unmatched:
             return kept
-        inserts = source.join(target.select(*keys).distinct(), on=keys, how="left_anti")
+        inserts = _guard_unique(
+            source.join(target.select(*keys).distinct(), on=keys, how="left_anti"),
+            keys,
+        )
         return kept.unionByName(inserts, allowMissingColumns=True)
 
     # update/ignore: tag priority, one shuffle, keep best row per key.
@@ -67,15 +70,18 @@ def merge_upsert(
     src = source if insert_unmatched else source.join(
         target.select(*keys).distinct(), on=keys, how="left_semi"
     )
-    tagged = src.withColumn("__pri", F.lit(src_pri)).unionByName(
-        target.withColumn("__pri", F.lit(tgt_pri)), allowMissingColumns=True
+    # __src marks the SOURCE side explicitly — deriving it from __pri
+    # would count target rows in ignore mode (where src_pri is 1)
+    tagged = (
+        src.withColumn("__pri", F.lit(src_pri)).withColumn("__src", F.lit(1))
+    ).unionByName(
+        target.withColumn("__pri", F.lit(tgt_pri)).withColumn("__src", F.lit(0)),
+        allowMissingColumns=True,
     )
     w = Window.partitionBy(*keys).orderBy("__pri")
     picked = (
         tagged.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__nsrc", F.sum(F.lit(1) - F.col("__pri")).over(
-            Window.partitionBy(*keys)
-        ))
+        .withColumn("__nsrc", F.sum("__src").over(Window.partitionBy(*keys)))
     )
     # >1 source row for one key ⇒ the merge is ill-defined; surface it
     # as a row-level error (checked lazily, no extra action needed).
@@ -85,7 +91,22 @@ def merge_upsert(
             F.lit(False), F.lit("merge_upsert: duplicate source keys")
         ).cast("int")).otherwise(F.col("__rn")),
     )
-    return guarded.where(F.col("__rn") == 1).drop("__pri", "__rn", "__nsrc")
+    return guarded.where(F.col("__rn") == 1).drop("__pri", "__rn", "__nsrc", "__src")
+
+
+def _guard_unique(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Lazily assert at most one row per key (the CDC batch contract) —
+    same row-level assert_true trick as the update path, no extra
+    action. Used for the delete path's insert side, which previously
+    inserted duplicate source keys unchecked."""
+    w = Window.partitionBy(*keys)
+    counted = df.withColumn("__n", F.count(F.lit(1)).over(w))
+    return counted.withColumn(
+        "__n",
+        F.when(F.col("__n") > 1, F.assert_true(
+            F.lit(False), F.lit("merge_upsert: duplicate source keys")
+        ).cast("long")).otherwise(F.col("__n")),
+    ).where(F.col("__n") >= 1).drop("__n")
 
 
 def scd2_apply(

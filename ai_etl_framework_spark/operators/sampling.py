@@ -49,8 +49,15 @@ def hash_uniform(id_col: Column, salt: str = "") -> Column:
     of uniformity, byte-identical in any engine with md5 + string
     concat (DuckDB twin:
     ``('0x' || substr(md5(id || salt), 1, 8))::BIGINT / 4294967296.0``).
-    Change ``salt`` to draw an independent sample from the same ids."""
-    h = F.md5(F.concat(id_col.cast("string"), F.lit(salt)))
+    Change ``salt`` to draw an independent sample from the same ids.
+
+    NULL ids hash as the sentinel ``'\\x00'`` (no printable id equals
+    it) instead of propagating NULL — a NULL hash would silently DROP
+    those rows from any sample (``NULL < f`` is never true, even at
+    fraction 1.0) and dump them all into the last hash_split range.
+    With the sentinel they behave like any other single id value:
+    all-or-none membership, one deterministic split."""
+    h = F.md5(F.concat(F.coalesce(id_col.cast("string"), F.lit("\x00")), F.lit(salt)))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
 
 
@@ -248,6 +255,12 @@ def pack_documents(
         (F.abs(F.xxhash64(F.col(id_col).cast("string"))) % num_buckets).alias("bucket"),
         F.md5(F.col(id_col).cast("string")).alias("__ord"),
     )
+    # docs whose token count is NULL (tokenizer failure, outer join,
+    # non-numeric cast) are EXCLUDED, not packed: Arrow hands them to
+    # the kernel as float64 NaN, where int(t) would kill the whole
+    # task and NaN would poison every pack_tokens sum it touched.
+    # Count tokens first (functions.text.token_count) if they matter.
+    base = base.where(F.col("tokens").isNotNull())
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__ord", kind="mergesort").reset_index(drop=True)

@@ -71,19 +71,45 @@ class SchemaInferrer:
             aggs += [
                 F.count(c).alias(f"{n}__nn"),
                 F.countDistinct(c.cast("string")).alias(f"{n}__distinct"),
-                F.slice(
-                    F.array_sort(F.collect_set(c.cast("string"))), 1, self.enum_threshold + 1
-                ).alias(f"{n}__vals"),
             ]
             if self.infer_constraints and isinstance(f.dataType, _NUMERIC):
                 aggs += [F.min(c).alias(f"{n}__min"), F.max(c).alias(f"{n}__max")]
             if self.detect_patterns and isinstance(f.dataType, T.StringType):
                 for pname, rx in PATTERNS.items():
+                    # frequency among NON-NULL, non-empty values only —
+                    # the reference appends only such values to
+                    # stats['values'] and divides by len(values)
+                    # (ref schema_inferrer.py:103-112,321). An
+                    # otherwise(0.0) over ALL rows would deflate the
+                    # ratio below the 0.8 threshold on nully columns
+                    # where every real value matches.
                     aggs.append(
-                        F.avg(F.when(c.rlike(rx), 1.0).otherwise(0.0)).alias(f"{n}__pat__{pname}")
+                        F.avg(
+                            F.when(
+                                c.isNotNull() & (c != ""),
+                                F.when(c.rlike(rx), 1.0).otherwise(0.0),
+                            )
+                        ).alias(f"{n}__pat__{pname}")
                     )
         row = df.agg(*aggs).collect()[0].asDict()
         rows = row["__rows"]
+        # enum candidates in a SECOND bounded pass: collect_set only
+        # for columns pass 1 proved small (≤ enum_threshold distinct),
+        # so no aggregation buffer ever holds a high-cardinality
+        # column's full value set (same fix as plans.profile).
+        enum_small = [
+            f.name
+            for f in df.schema.fields
+            if self.suggest_enums
+            and row[f"{f.name}__distinct"] <= self.enum_threshold
+        ]
+        if enum_small:
+            vrow = df.agg(*[
+                F.array_sort(F.collect_set(F.col(n).cast("string"))).alias(n)
+                for n in enum_small
+            ]).collect()[0].asDict()
+            for n, vals in vrow.items():
+                row[f"{n}__vals"] = vals
 
         out: dict[str, dict[str, Any]] = {}
         for f in df.schema.fields:

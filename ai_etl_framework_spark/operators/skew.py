@@ -38,7 +38,20 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread over ``salt``
     reducers. ``small`` is replicated ``salt`` times — keep it the
-    dimension side."""
+    dimension side.
+
+    Only join types where an UNMATCHED small-side row produces no
+    output are allowed: under right/full outer, each of the ``salt``
+    replicas of an unmatched small row would survive independently,
+    emitting ``salt`` duplicates. Flip the sides (or salt the other
+    frame) for those shapes."""
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched "
+            f"replicated rows; allowed: inner/left/left_semi/left_anti"
+        )
     on = list(on)
     big_s = big.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
     small_s = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))

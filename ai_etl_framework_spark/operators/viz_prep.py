@@ -62,16 +62,24 @@ def histogram_prep(df: DataFrame, value: str, bins: int = HIST_BINS) -> DataFram
     one for counts. Bin id is explicit floor arithmetic (not
     width_bucket) so any engine computing the same IEEE expression
     produces identical bins; the max value folds into the last bin
-    like numpy.histogram."""
-    lo, hi = df.agg(F.min(value), F.max(value)).first()
+    like numpy.histogram.
+
+    NaN rows are excluded up front: Spark treats NaN as the LARGEST
+    double, so one NaN would make ``hi`` NaN, every bin expression
+    NaN, and ``least(NaN, bins)`` = bins — silently collapsing the
+    whole histogram into the last bar. (numpy.histogram errors on NaN
+    input; dropping matches how the reference's pandas value_counts
+    path skips them.)"""
+    v = F.col(value)
+    clean = df.where(v.isNotNull() & ~F.isnan(v.cast("double")))
+    lo, hi = clean.agg(F.min(value), F.max(value)).first()
     if lo is None or lo == hi:
-        return df.agg(F.lit(1).alias("bin"), F.count(value).alias("count"))
+        return clean.agg(F.lit(1).alias("bin"), F.count(value).alias("count"))
     lo, hi = float(lo), float(hi)
-    b = F.floor((F.col(value) - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * bins) + 1
+    b = F.floor((v - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * bins) + 1
     bin_col = F.least(b, F.lit(bins)).cast("int")
     return (
-        df.where(F.col(value).isNotNull())
-        .groupBy(bin_col.alias("bin"))
+        clean.groupBy(bin_col.alias("bin"))
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy("bin")
     )

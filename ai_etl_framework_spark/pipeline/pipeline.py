@@ -73,12 +73,18 @@ class Pipeline:
             durations["plan"] = time.perf_counter() - t0
 
             t1 = time.perf_counter()
-            if len(self._loads) > 1:
-                df = df.cache()
-            count = df.count()
-            for load in self._loads:
-                load(df)
-            if len(self._loads) > 1:
+            # cache for ANY destination count: records_loaded comes
+            # from count() before the writes, so without the cache a
+            # single-destination run executes the whole transform
+            # chain twice — and a nondeterministic step (sampling,
+            # salting) could make the reported count differ from the
+            # rows actually written
+            df = df.cache()
+            try:
+                count = df.count()
+                for load in self._loads:
+                    load(df)
+            finally:
                 df.unpersist()
             durations["execute"] = time.perf_counter() - t1
             return PipelineResult(True, count, durations, errors)

@@ -91,3 +91,25 @@ def test_range_join_points_keyed_and_bins(spark):
         ).collect()
     }
     assert got == {("a", 250.0)}
+
+
+def test_asof_carries_whole_row_not_mixed_columns(spark):
+    """r4 review: per-column last(ignorenulls) filled each payload
+    column from a DIFFERENT right row when the most recent row had
+    NULLs — the match must be the single most recent right ROW with
+    its interior NULLs intact."""
+    from datetime import datetime
+
+    from ai_etl_framework_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1, 0, 0, 1), 10.0, 20.0),
+         ("k", datetime(2024, 1, 1, 0, 0, 2), 30.0, None)],
+        "key string, ts timestamp, a double, b double",
+    )
+    left = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1, 0, 0, 3))], "key string, ts timestamp"
+    )
+    row = asof_join(left, right, on="ts", by=["key"]).collect()[0]
+    assert row["a"] == 30.0
+    assert row["b"] is None, "b must come from the ts=2 row, not leak from ts=1"

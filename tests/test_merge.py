@@ -151,3 +151,26 @@ def test_merge_delete_then_reinsert(tgt_src):
     restored = merge_upsert(deleted, source, ["k"], when_matched="update")
     assert _rows(restored) == [(1, "a", 10.0), (2, "B", 99.0),
                                (3, "c", 30.0), (4, "d", 40.0)]
+
+
+def test_merge_ignore_mode_guard_checks_source_side(spark):
+    """r4 review: the duplicate-source guard counted target rows in
+    ignore mode (priority-derived); it must flag duplicate SOURCE
+    keys in every mode and never flag a clean merge."""
+    import pytest
+
+    from ai_etl_framework_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "t1"), (2, "t2")], "k int, v string")
+    dup_src = spark.createDataFrame([(3, "a"), (3, "b")], "k int, v string")
+    ok_src = spark.createDataFrame([(1, "s1"), (3, "s3")], "k int, v string")
+
+    # clean source in ignore mode: keeps target rows, inserts key 3
+    out = {(r["k"], r["v"]) for r in
+           merge_upsert(target, ok_src, ["k"], when_matched="ignore").collect()}
+    assert out == {(1, "t1"), (2, "t2"), (3, "s3")}
+
+    with pytest.raises(Exception, match="duplicate source keys"):
+        merge_upsert(target, dup_src, ["k"], when_matched="ignore").collect()
+    with pytest.raises(Exception, match="duplicate source keys"):
+        merge_upsert(target, dup_src, ["k"], when_matched="delete").collect()

@@ -152,3 +152,32 @@ def test_small_dim_join_broadcasts(spark, sf_dir):
     joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, "25-row dim must broadcast, not shuffle"
+
+
+def test_histogram_survives_nan(spark):
+    """r4 review: one NaN made hi=NaN (NaN sorts greatest), every bin
+    NaN, least(NaN, bins)=bins — the whole histogram collapsed into
+    the last bar. NaN rows are dropped before binning."""
+    import math
+
+    from ai_etl_framework_spark.operators.viz_prep import histogram_prep
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(float("nan"),)], "v double"
+    )
+    bins = {r["bin"]: r["count"] for r in histogram_prep(df, "v", bins=10).collect()}
+    assert sum(bins.values()) == 100
+    assert len(bins) == 10 and all(c == 10 for c in bins.values())
+
+
+def test_schema_inferrer_pattern_over_non_null_values(spark):
+    """r4 review: a 50%-NULL column whose every real value is an email
+    must still detect the 'email' pattern (frequency among non-null
+    values, ref schema_inferrer.py:103-112,321)."""
+    from ai_etl_framework_spark.operators.schema_inferrer import SchemaInferrer
+
+    rows = [(f"user{i}@example.com" if i % 2 == 0 else None,) for i in range(100)]
+    df = spark.createDataFrame(rows, "email string")
+    info = SchemaInferrer().infer(df)["email"]
+    assert info["pattern"] == "email"
+    assert info["null_count"] == 50

@@ -232,3 +232,37 @@ def test_upsample_zero_and_subunit_weights(spark):
     n = kept.count()
     assert 200 <= n <= 400  # ≈0.3 of 1000, hash-decided
     assert kept.select(F.max("copy_idx")).collect()[0][0] == 1
+
+
+def test_null_ids_sample_and_split_deterministically(spark):
+    """r4 review: NULL ids must not vanish from a 100% sample (NULL
+    hash < 1.0 is never true) nor all silently land in the last
+    split; they hash as one sentinel value — all-or-none, one split."""
+    from ai_etl_framework_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",), (None,)], "id string"
+    )
+    assert deterministic_sample(df, "id", 1.0).count() == 4
+    assert deterministic_sample(df, "id", 0.0).count() == 0
+    splits = hash_split(df, "id", (0.5, 0.5), names=("x", "y"))
+    null_splits = {
+        r["split"] for r in splits.where(F.col("id").isNull()).collect()
+    }
+    assert len(null_splits) == 1  # all NULL ids in ONE deterministic split
+
+
+def test_pack_documents_excludes_null_token_counts(spark):
+    """r4 review: NULL token counts arrive in the Arrow kernel as NaN
+    and killed the task via int(NaN); they are now excluded up front."""
+    from ai_etl_framework_spark.operators.sampling import pack_documents
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "doc long, tokens int"
+    )
+    out = pack_documents(df, "doc", "tokens", max_tokens=16, num_buckets=2)
+    ids = {r["id"] for r in out.collect()}
+    assert ids == {1, 3}

@@ -59,3 +59,18 @@ def test_two_phase_collect_list(skewed):
         {"vs": F.sort_array(F.flatten(F.collect_list("vs")))},
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_outer_shapes(spark):
+    """r4 review: right/full outer would emit `salt` duplicates of
+    every unmatched replicated small-side row."""
+    import pytest
+
+    from ai_etl_framework_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k int, v string")
+    small = spark.createDataFrame([(1, "d")], "k int, d string")
+    for bad in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, on=["k"], how=bad)
+    assert salted_join(big, small, on=["k"], how="left").count() == 1
