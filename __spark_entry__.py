@@ -630,14 +630,22 @@ GROUP BY 1, 2
 # training-data operators: dedup family
 # ---------------------------------------------------------------------------
 
-# shared DuckDB fragments (tokenization identical to functions/text.py)
+# shared DuckDB fragments (tokenization identical to functions/text.py:
+# empty tokens filtered, NULL text → empty list — bare string_split
+# would yield [''] for blank text and NULL for NULL text, making every
+# token-based oracle disagree with Spark exactly at the blank-document
+# boundary)
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_TOKS = f"string_split({_NORM}, ' ')"
+_TOKS = (
+    f"coalesce(list_filter(string_split({_NORM}, ' '), t -> t <> ''), "
+    "CAST([] AS VARCHAR[]))"
+)
 _SHINGLES = (
     f"CASE WHEN len({_TOKS}) >= 3 THEN "
     f"list_transform(range(1, len({_TOKS}) - 1), "
     f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]) "
-    f"ELSE [array_to_string({_TOKS}, ' ')] END"
+    f"WHEN len({_TOKS}) > 0 THEN [array_to_string({_TOKS}, ' ')] "
+    f"ELSE CAST([] AS VARCHAR[]) END"
 )
 
 
@@ -876,9 +884,17 @@ def _txt01_sql() -> str:
 WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
-       ROUND(list_sum(list_transform(toks, t -> length(t))) / len(toks), 6) AS mean_word_len,
-       ROUND(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text), 6) AS punct_ratio,
-       ROUND(len(list_filter(toks, t -> t IN ({en}))) * 1.0 / len(toks), 6) AS stopword_en
+       -- zero-guards mirror functions/text.py's WHEN n>0 ... ELSE 0.0
+       -- (bare division would yield NULL for blank/NULL docs)
+       CASE WHEN len(toks) > 0
+            THEN ROUND(list_sum(list_transform(toks, t -> length(t))) / len(toks), 6)
+            ELSE 0.0 END AS mean_word_len,
+       CASE WHEN length(text) > 0
+            THEN ROUND(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text), 6)
+            ELSE 0.0 END AS punct_ratio,
+       CASE WHEN len(toks) > 0
+            THEN ROUND(len(list_filter(toks, t -> t IN ({en}))) * 1.0 / len(toks), 6)
+            ELSE 0.0 END AS stopword_en
 FROM d
 """
 
@@ -895,9 +911,14 @@ def txt02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _txt02_sql() -> str:
     from ai_etl_framework_spark.functions.text import LANGS, STOPWORDS
 
+    # zero-guard: blank/NULL docs score 0.0 in every language (the
+    # Spark side's stopword_ratio otherwise(0.0)), so the tie-break
+    # picks the FIRST language — a bare division would make every
+    # ratio NULL and fall through the CASE to the LAST language
     ratios = ", ".join(
+        f"CASE WHEN len(toks) > 0 THEN "
         f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in STOPWORDS[lang])})))"
-        f" * 1.0 / len(toks) AS r_{lang}"
+        f" * 1.0 / len(toks) ELSE 0.0 END AS r_{lang}"
         for lang in LANGS
     )
     # earliest lang in LANGS wins ties (>= against all later langs)
@@ -932,9 +953,16 @@ m AS (SELECT doc_id,
              len(toks) AS n_tok,
              CASE WHEN len(toks) >= 10 AND len(toks) <= 100000 THEN 1.0
                   WHEN len(toks) > 0 THEN 0.5 ELSE 0.0 END AS length_ok,
-             least(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text) * 5.0, 1.0) AS punct_excess,
-             least(len(list_filter(toks, t -> t IN ({en}))) * 1.0 / len(toks) * 4.0, 1.0) AS sw,
-             1.0 - len(list_distinct(toks)) * 1.0 / len(toks) AS rep
+             -- zero-guards ≡ functions/text.py WHEN n>0 ... ELSE 0.0
+             least(CASE WHEN length(text) > 0
+                        THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text)
+                        ELSE 0.0 END * 5.0, 1.0) AS punct_excess,
+             least(CASE WHEN len(toks) > 0
+                        THEN len(list_filter(toks, t -> t IN ({en}))) * 1.0 / len(toks)
+                        ELSE 0.0 END * 4.0, 1.0) AS sw,
+             CASE WHEN len(toks) > 0
+                  THEN 1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
+                  ELSE 0.0 END AS rep
       FROM d)
 SELECT doc_id,
        ROUND(length_ok * 0.3 + (1.0 - punct_excess) * 0.3 + sw * 0.2 + (1.0 - rep) * 0.2, 6)
@@ -2783,7 +2811,7 @@ def txt07_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TXT07_SQL = """
 WITH t AS (
   SELECT doc_id, text,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+         coalesce(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), CAST([] AS VARCHAR[])) AS w
   FROM documents),
 m AS (
   SELECT doc_id, text, w, len(w) AS n,
@@ -2836,7 +2864,7 @@ def dc01_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DC01_SQL = """
 WITH t AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+         coalesce(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), CAST([] AS VARCHAR[])) AS w
   FROM documents),
 s AS (
   SELECT doc_id,

@@ -47,6 +47,11 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise MediaDecodeError("missing fmt/data chunk")
     audio_format, channels, rate, _, _, bits = fmt
+    if channels <= 0:
+        # a hostile/corrupt fmt chunk must fail as a DECODE error —
+        # a raw ZeroDivisionError below would escape sniff_media_meta's
+        # catch list and kill the whole Spark task on one bad blob
+        raise MediaDecodeError(f"invalid channel count: {channels}")
     if audio_format == 1 and bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     elif audio_format == 1 and bits == 8:

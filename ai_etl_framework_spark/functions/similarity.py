@@ -282,9 +282,18 @@ def assign_cells(
     C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     def _cell_fn(vecs):
-        M = np.stack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)))
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(M @ C.T, axis=1).astype("int32"))
+        # NULL embeddings get cell -1 (no probe list contains it, so
+        # they are simply never candidates) instead of crashing the
+        # task via np.asarray(None) inside np.stack
+        mask = vecs.notna().to_numpy()
+        out = np.full(len(vecs), -1, dtype="int32")
+        if mask.any():
+            M = np.stack(
+                vecs[mask].apply(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            out[mask] = np.argmax(M @ C.T, axis=1).astype("int32")
+        return pd.Series(out)
 
     # real-class annotations: `from __future__ import annotations` would
     # stringify inline hints beyond pyspark's type-hint resolver
@@ -327,14 +336,28 @@ def topk_batch_pandas(
     import pandas as pd
 
     q = np.asarray(queries, dtype=np.float64)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
     n_q = len(queries)
 
     def score(batches):
         for pdf in batches:
+            # NULL embeddings would crash np.stack (np.asarray(None)
+            # raises inside the lambda) — drop them like the
+            # expression path's NULL-propagating cosine does
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
             m = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.maximum(norms, 1e-300)
             sims = qn @ m.T  # (n_q, batch)
+            # a zero vector has no direction: its sims stay 0/|q| = 0,
+            # but mark them -inf so it can never outrank a real row —
+            # the expression path yields NULL cosine there (0/0),
+            # which Spark sorts LAST under DESC; NaN (a plain
+            # unguarded divide) would sort FIRST and put the zero
+            # vector at rank 1 of every query
+            sims = np.where(norms.T == 0.0, -np.inf, sims)
             ids = pdf[id_col].to_numpy()
             for qi in range(n_q):
                 # partial selection on (rounded sim desc, id asc) — the

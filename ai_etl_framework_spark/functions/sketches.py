@@ -91,10 +91,19 @@ def quantile_sketch(
     """Approximate percentiles (Greenwald-Khanna): rank error bounded
     by 1/accuracy of the row count, one pass, no sort, no full shuffle
     (exact percentiles need a global sort or per-group collect)."""
+    names = [f"p{int(round(p * 100)):02d}" for p in probabilities]
+    if len(set(names)) != len(names):
+        # p-names are rounded to whole percent; two probabilities
+        # mapping to one name (0.999 and 1.0 → p100) would silently
+        # overwrite the earlier quantile via withColumn
+        raise ValueError(
+            f"probabilities collide on output names {names}; "
+            "use values at least 0.01 apart"
+        )
     agg = F.percentile_approx(col, probabilities, accuracy).alias("quantiles")
     out = df.groupBy(*(group_cols or [])).agg(agg)
-    for i, p in enumerate(probabilities):
-        out = out.withColumn(f"p{int(round(p * 100)):02d}", F.col("quantiles")[i])
+    for name, i in zip(names, range(len(probabilities))):
+        out = out.withColumn(name, F.col("quantiles")[i])
     return out.drop("quantiles")
 
 
@@ -122,8 +131,15 @@ def heavy_hitters(
             F.count(F.lit(1)).alias("n"), F.lit(0.0).alias("share")
         )
     total = df.count()
+    # NULL needs its own predicate: under three-valued logic
+    # NULL.isin(...) is NULL → filtered out, so a genuinely-frequent
+    # NULL group would silently vanish from the exact recount
+    non_null = [c for c in candidates if c is not None]
+    cond = F.col(col).isin(non_null) if non_null else F.lit(False)
+    if any(c is None for c in candidates):
+        cond = cond | F.col(col).isNull()
     return (
-        df.where(F.col(col).isin([c for c in candidates]))
+        df.where(cond)
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("share", F.col("n").cast("double") / F.lit(float(total)))

@@ -38,7 +38,13 @@ BPE_CHARS_PER_PIECE = 4
 
 
 def tokens(text: Column) -> Column:
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    # NULL text → [] (not NULL): size(NULL array) is -1 under Spark's
+    # legacy sizeOfNull and every token-count/ratio guard keys off
+    # size()==0 — a NULL/blank/whitespace doc must look identical
+    return F.coalesce(
+        F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != ""),
+        F.expr("CAST(array() AS array<string>)"),
+    )
 
 
 def token_count(text: Column) -> Column:
@@ -175,9 +181,14 @@ def redact_pii(text: Column) -> Column:
 
 def pii_counts(text: Column) -> dict[str, Column]:
     """Per-category PII match counts (for audit reports / gating a
-    document on residual-PII density)."""
+    document on residual-PII density). NULL text → NULL counts (SQL
+    semantics, ≡ the DuckDB oracle's len(regexp_extract_all(NULL))) —
+    a bare F.size would emit the legacy size-of-NULL sentinel -1."""
     return {
-        name: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        name: F.when(
+            text.isNotNull(),
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))),
+        )
         for name, pat, _ in PII_PATTERNS
     }
 

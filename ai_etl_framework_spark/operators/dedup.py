@@ -104,7 +104,13 @@ def exact_dedup(
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of lowercased text (empty tokens dropped)."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    # NULL text → [] (not NULL): size(NULL array) is -1 under Spark's
+    # legacy sizeOfNull and every token-count/ratio guard keys off
+    # size()==0 — a NULL/blank/whitespace doc must look identical
+    return F.coalesce(
+        F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != ""),
+        F.expr("CAST(array() AS array<string>)"),
+    )
 
 
 def shingles(text: Column, k: int = 3) -> Column:
@@ -585,7 +591,11 @@ def simhash_near_pairs(
         raise ValueError("banding is only exact for max_hamming <= bands - 1")
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sims = df.select(
+    # blank/NULL docs carry no signal: every token vote is absent, so
+    # all of them share simhash 0 and would pair with each other at
+    # hamming 0. Exclude them, matching minhash (no signature row for
+    # an empty shingle set) and the SQL oracle's group-by-over-unnest.
+    sims = df.where(F.size(tokens(F.col(text_col))) > 0).select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sim")
     )
     banded = sims.select(
@@ -703,10 +713,14 @@ def embedding_dup_pairs(
     )
     pairs = a.join(b, ["blk"]).where(F.col("id_a") < F.col("id_b"))
     sim = cosine(F.col("va"), F.col("vb"))
+    # filter on the UNROUNDED similarity; round only for display. The
+    # sim02 oracle's WHERE tests the raw cosine, so filtering on the
+    # rounded value would disagree for pairs in the half-ulp band just
+    # below the threshold (raw 0.2999996 rounds to 0.300000) — same
+    # rule dd04 follows for its jaccard threshold.
     return (
-        pairs.withColumn("cos_sim", F.round(sim, 6))
-        .where(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        pairs.where(sim >= threshold)
+        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
     )
 
 
@@ -1011,6 +1025,17 @@ def dedup_connected_components(
         labels = updated
         if converged:
             break
+    else:
+        # exhausting the round budget without a fixed point means some
+        # labels are NOT component minima — the drop-set would be
+        # silently wrong (both under- and over-inclusive). Fail loudly:
+        # with pointer jumping 20 rounds covers graphs of diameter
+        # ~2^20, so reaching this means a pathological graph or a
+        # too-small caller override, not normal operation.
+        raise RuntimeError(
+            f"dedup_connected_components did not converge within "
+            f"{max_iterations} iterations; raise max_iterations"
+        )
     # the loser set stays distributed — it can be a large fraction of
     # the table; no driver materialization.
     losers = labels.where(F.col("id") != F.col("label")).select(F.col("id").alias(id_col))

@@ -132,7 +132,16 @@ class DashboardAggregator:
         aggs = [F.count(F.col(claim)).alias("total_claims")]
         if amount:
             c = F.col(amount)
-            aggs += [F.sum(c).alias("total_billed"), F.avg(c).alias("avg_billed")]
+            dec = c.cast("decimal(20,4)")  # exact money sum (see module doc)
+            sum_dec = F.sum(dec)
+            # same exact-DECIMAL contract as summary()/_grouped(): q13's
+            # _money_exprs recovers the integer 1e-4-unit sum from
+            # total_billed, which is only association-independent when
+            # the sum is decimal, not a reorder-sensitive double SUM
+            aggs += [
+                sum_dec.cast("double").alias("total_billed"),
+                (sum_dec.cast("double") / F.count(dec)).alias("avg_billed"),
+            ]
         return work.groupBy("date").agg(*aggs).orderBy(F.col("date").asc())
 
     def write(self, output_dir: str) -> None:

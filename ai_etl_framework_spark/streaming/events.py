@@ -45,8 +45,12 @@ def windowed_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     group_cols: Optional[list[str]] = None,
+    value_col: str = "value",
 ) -> DataFrame:
-    """Streaming tumbling-window counts; watermark bounds state."""
+    """Streaming tumbling-window counts; watermark bounds state.
+    ``value_col`` names the summed metric column (like
+    sessionize_batch's value_col) — the events-table default is not a
+    schema assumption baked into the agg."""
     from ai_etl_framework_spark.session import ensure_timestamp
 
     df = ensure_timestamp(df, ts_col)
@@ -54,7 +58,7 @@ def windowed_counts(
     return (
         df.withWatermark(ts_col, watermark)
         .groupBy(*gcols)
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(value_col).alias("total_value"))
     )
 
 
@@ -63,13 +67,14 @@ def windowed_counts_batch(
     ts_col: str = "ts",
     window: str = "1 hour",
     group_cols: Optional[list[str]] = None,
+    value_col: str = "value",
 ) -> DataFrame:
     """Batch twin of ``windowed_counts`` with flattened window bounds
     (window_start / window_end) so results are plain columns."""
     gcols = [F.window(F.col(ts_col), window)] + [F.col(c) for c in (group_cols or [])]
     return (
         df.groupBy(*gcols)
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(value_col).alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
