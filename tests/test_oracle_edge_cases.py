@@ -27,6 +27,7 @@ EDGE_QUERIES = [
     "txt01_text_profile",
     "txt05_pii_redact",
     "txt07_gopher_quality",
+    "dc01_decontaminate",
     "sim02_embedding_dup_pairs",
 ]
 
