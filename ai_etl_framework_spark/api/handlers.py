@@ -270,12 +270,15 @@ class PipelineApiService:
 
     def list_pipelines(self, limit: int = 50, offset: int = 0,
                        mode: Optional[str] = None) -> list[dict[str, Any]]:
+        # filter BEFORE paginating: slicing first made offset/limit
+        # count raw registry slots, so a mode filter could return
+        # fewer than `limit` matches while later pages still had some
         out = []
-        for pid in list(self.pipelines)[offset:offset + limit]:
+        for pid in list(self.pipelines):
             status = self.get_status(pid)
             if status and (mode is None or status["mode"] == mode):
                 out.append(status)
-        return out
+        return out[offset:offset + limit]
 
     def delete_pipeline(self, pipeline_id: str) -> dict[str, Any]:
         """Drop state + staged checkpoints (ref :504-512 cleanup)."""
