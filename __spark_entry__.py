@@ -622,6 +622,7 @@ SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))                   AS window_sta
        CAST(COUNT(*) AS BIGINT)                                    AS n_events,
        ROUND(SUM(value), 2)                                        AS total_value
 FROM events
+WHERE ts IS NOT NULL  -- F.window drops NULL event times
 GROUP BY 1, 2
 """
 
@@ -1602,7 +1603,7 @@ SELECT event_id,
        ROUND(SUM(ROUND(value, 2)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
        ROUND(SUM(ROUND(value, 2)) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS trail_sum
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 """
 
 
@@ -1629,10 +1630,10 @@ def q39_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q39_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
-       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
-       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+       CAST(SUM(CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k,
+       ROUND(AVG(CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS BIGINT) END), 4) AS avg_k,
+       MIN(CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS BIGINT) END) AS min_k,
+       MAX(CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS BIGINT) END) AS max_k
 FROM events
 GROUP BY event_type
 """
@@ -1785,6 +1786,7 @@ WITH s AS (
          CASE WHEN lag(ts) OVER w IS NULL
               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
   FROM events
+  WHERE ts IS NOT NULL  -- an event without a time cannot be sessionized
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 s2 AS (

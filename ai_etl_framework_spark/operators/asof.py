@@ -85,6 +85,14 @@ def asof_join(
     overlap = set(right_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+    # a right row with NULL `on` is unmatchable (DuckDB ASOF's
+    # `l.ts >= r.ts` is never true for it) — but in the union+window
+    # formulation Spark sorts NULL FIRST, so it would carry its
+    # payload forward to every left row with no real predecessor.
+    # Drop it. Left rows with NULL `on` need no handling: they also
+    # sort first, see no preceding right row, and get NULL payload —
+    # exactly the DuckDB result.
+    right = right.where(F.col(on).isNotNull())
 
     # the right payload travels as ONE struct, not per-column: a
     # per-column last(ignorenulls) carry-forward would fill each

@@ -57,6 +57,11 @@ def sessionize_batch(
     # normalize NTZ event time under a UTC-pinned session so the gap
     # arithmetic is caller-TZ-independent (same policy as the stream twin)
     df = ensure_timestamp(df, ts_col)
+    # an event without a time cannot be sessionized: Spark sorts NULL
+    # ts FIRST and DuckDB LAST, so keeping such rows makes the session
+    # assignment engine-dependent; the stream twin's watermark drops
+    # them too
+    df = df.where(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_s = gap_minutes * 60.0
     prev = F.lag(F.col(ts_col)).over(w)

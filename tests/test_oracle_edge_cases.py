@@ -94,3 +94,76 @@ def test_edge_corpus_oracle_parity(spark, edge_dir, name):
         f"  spark: {sorted('|'.join(map(str, r)) for r in srows)[:4]}\n"
         f"  duck : {sorted('|'.join(map(str, r)) for r in orows)[:4]}"
     )
+
+
+EVENT_EDGE_QUERIES = [
+    "q10_anomaly_methods",
+    "q17_window_events",
+    "q28_sessionize",
+    "q33_topk_per_group",
+    "q34_asof_join",
+    "q35_range_join",
+    "q38_window_analytics",
+    "q39_json_extract",
+    "sk01_sketch_bounds",
+]
+
+
+@pytest.fixture(scope="module")
+def event_edge_dir(spark, tmp_path_factory):
+    """Events with the boundary rows the driver testdata lacks: NULL
+    timestamp, NULL value, NULL user/type, duplicate (user, ts) pairs,
+    NULL and malformed JSON props."""
+    from datetime import datetime, timedelta
+
+    d = str(tmp_path_factory.mktemp("edge_events_sf"))
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    types = ["view", "click", "purchase", "error"]
+    for i in range(60):
+        rows.append(
+            (i, t0 + timedelta(minutes=7 * i), i % 5, types[i % 4],
+             float(10 + (i * 37) % 200), '{"k": %d}' % (i % 9))
+        )
+    rows += [
+        (100, None, 1, "view", 5.0, '{"k": 1}'),          # NULL ts
+        (101, t0 + timedelta(minutes=3), 1, "view", None, '{"k": 2}'),  # NULL value
+        (102, t0 + timedelta(minutes=4), None, "click", 7.0, '{"k": 3}'),  # NULL user
+        (103, t0 + timedelta(minutes=5), 2, None, 8.0, '{"k": 4}'),    # NULL type
+        (104, t0 + timedelta(minutes=14), 2, "view", 9.0, None),       # NULL props
+        (105, t0 + timedelta(minutes=14), 2, "view", 9.5, "not json"), # bad props
+        # duplicate (user, ts) with the row right above
+        (106, t0 + timedelta(minutes=14), 2, "view", 1.5, '{"k": 5}'),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", EVENT_EDGE_QUERIES)
+def test_edge_events_oracle_parity(spark, event_edge_dir, name):
+    qs, oq = entry.queries(), entry.oracle_sql()
+    sdf = qs[name](spark, event_edge_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{event_edge_dir}/events.parquet/*.parquet')"
+    )
+    res = con.execute(oq[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+
+    sh, sn = canon(srows, scols)
+    oh, on = canon(orows, ocols)
+    assert sorted(scols) == sorted(ocols)
+    assert (sh, sn) == (oh, on), (
+        f"{name}: spark={sn} oracle={on}\n"
+        f"  spark: {sorted('|'.join(map(str, r)) for r in srows)[:4]}\n"
+        f"  duck : {sorted('|'.join(map(str, r)) for r in orows)[:4]}"
+    )
