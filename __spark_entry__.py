@@ -310,8 +310,11 @@ def q07_agg_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q07_ORD = (
-    "md5(l_orderkey || '|' || l_linenumber || '|' || l_suppkey || '|' || "
-    "l_partkey || '|' || l_returnflag || '|' || l_linestatus)"
+    # concat_ws (NOT ||): || NULL-propagates in DuckDB while the
+    # Spark side builds the key with F.concat_ws, which skips NULL
+    # parts — a NULL key component must hash identically on both
+    "md5(concat_ws('|', l_orderkey, l_linenumber, l_suppkey, "
+    "l_partkey, l_returnflag, l_linestatus))"
 )
 
 _Q07_SQL = f"""
@@ -324,8 +327,8 @@ SELECT l_returnflag,
        ROUND(MAX(TRY_CAST(l_quantity AS DOUBLE)), 2)                   AS max_qty,
        CAST(arg_min(l_linestatus, {_Q07_ORD}) AS VARCHAR)              AS first_status,
        CAST(arg_max(l_linestatus, {_Q07_ORD}) AS VARCHAR)              AS last_status,
-       string_agg(CAST(l_linestatus AS VARCHAR), ', '
-                  ORDER BY {_Q07_ORD})                                 AS status_concat
+       COALESCE(string_agg(CAST(l_linestatus AS VARCHAR), ', '
+                  ORDER BY {_Q07_ORD}), '')                            AS status_concat
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -1757,7 +1760,8 @@ def q32_agg_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q32_SQL = """
 SELECT o_orderpriority,
-       to_json(list(o_orderstatus ORDER BY o_orderkey)) AS statuses
+       to_json(list_filter(list(o_orderstatus ORDER BY o_orderkey NULLS FIRST),
+                           x -> x IS NOT NULL)) AS statuses
 FROM orders
 GROUP BY o_orderpriority
 """
@@ -2605,14 +2609,14 @@ chg AS (SELECT d.k, d.seg AS old_seg, u.seg AS new_seg
 snap AS (
   SELECT k, seg, DATE '2020-01-01' AS valid_from,
          CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
-  FROM dim WHERE k NOT IN (SELECT k FROM chg)
+  FROM dim WHERE k IS NULL OR k NOT IN (SELECT k FROM chg)
   UNION ALL
   SELECT k, old_seg, DATE '2020-01-01', DATE '2021-06-01', FALSE FROM chg
   UNION ALL
   SELECT k, new_seg, DATE '2021-06-01', CAST(NULL AS DATE), TRUE FROM chg
   UNION ALL
   SELECT k, seg, DATE '2021-06-01', CAST(NULL AS DATE), TRUE
-  FROM upd WHERE k NOT IN (SELECT k FROM dim)
+  FROM upd WHERE k IS NULL OR k NOT IN (SELECT k FROM dim WHERE k IS NOT NULL)
 )
 SELECT CASE WHEN seg LIKE 'SEG-%' THEN 'changed'
             WHEN seg = 'BRAND-NEW' THEN 'new'

@@ -85,10 +85,17 @@ def exact_dedup(
     else:
         keys = [record_key(df, None).alias("__key")]
     row = F.struct(*[F.col(c) for c in cols])
+    ordc = F.col(order_col)
+    # NULL-safe ordering: bare min_by/max_by IGNORE rows whose order
+    # value is NULL, so a group where every order key is NULL returned
+    # a row of all-NULL columns (silent corruption). The (null-flag,
+    # value) struct is never NULL itself; NULL-order rows sort LAST in
+    # both directions — matching the SQL oracle's default NULLS LAST —
+    # and a group is never erased.
     if keep == "keep_first":
-        picked = F.min_by(row, F.col(order_col))
+        picked = F.min_by(row, F.struct(ordc.isNull().cast("int"), ordc))
     elif keep == "keep_last":
-        picked = F.max_by(row, F.col(order_col))
+        picked = F.max_by(row, F.struct(ordc.isNotNull().cast("int"), ordc))
     elif keep == "keep_best_quality":
         # max quality wins, ties broken by earliest order
         picked = F.min_by(row, F.struct(-F.col(quality_col), F.col(order_col)))

@@ -106,10 +106,17 @@ class DashboardAggregator:
             raise ValueError("no provider column found")
         out = self._grouped(provider, find_column(self.cols, AMOUNT_PATTERNS), full_stats=True)
         if "_meta_quality_score" in self.cols:
-            quality = self.df.groupBy(provider).agg(
+            quality = self.df.groupBy(F.col(provider).alias("__qk")).agg(
                 F.avg("_meta_quality_score").alias("avg_quality_score")
             )
-            out = out.join(quality, on=provider, how="left")  # ref pd.merge how='left' :203-210
+            # null-safe join key: a NULL provider group must keep its
+            # quality average (plain equality never matches NULL, while
+            # the oracle computes the average inline in the same GROUP
+            # BY). ref pd.merge how='left' :203-210 — pandas merge also
+            # matches NaN keys to NaN.
+            out = out.join(
+                quality, on=F.col(provider).eqNullSafe(F.col("__qk")), how="left"
+            ).drop("__qk")
         if "total_billed" in out.columns:
             out = out.orderBy(F.col("total_billed").desc())
         return out

@@ -167,3 +167,130 @@ def test_edge_events_oracle_parity(spark, event_edge_dir, name):
         f"  spark: {sorted('|'.join(map(str, r)) for r in srows)[:4]}\n"
         f"  duck : {sorted('|'.join(map(str, r)) for r in orows)[:4]}"
     )
+
+
+TPCH_EDGE_QUERIES = [
+    "q01_pricing_summary", "q02_filter_spec", "q03_join_revenue",
+    "q04_topk_customers", "q05_distinct_values", "q06_drilldown_page",
+    "q07_agg_semantics", "q08_null_semantics",
+    # q09 deliberately absent: its oracle is a CLOSED-FORM formula of
+    # the injected defect pattern (valid on the driver corpus, where
+    # part columns are never NULL) — not a semantic replica of the
+    # scorer. The scorer's NULL behavior is pinned by
+    # test_quality_scorer_null_fields_reference_tree below.
+    "q12_dedup_modes", "q13_rollup_by_date", "q15_profile_stats",
+    "q16_pivot_flag_qty", "q19_null_handling", "q20_column_remover",
+    "q21_rollup_dims", "q23_schema_infer", "q27_agg_custom_udaf",
+    "q32_agg_list", "q36_rollup_grouping", "q37_set_ops",
+    "q40_exists_antijoin", "q42_local_supplier_revenue",
+    "q43_merge_upsert", "q44_scd2_history",
+]
+
+_SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tpch_edge_dir(spark, tmp_path_factory):
+    """sf0.001 tables with NULL-laden edge rows appended: NULL join
+    keys, NULL prices/dates/flags, empty strings, orphan keys — the
+    relational boundary cases the synthetic generator never emits."""
+    d = str(tmp_path_factory.mktemp("tpch_edge_sf"))
+    extra = {
+        "lineitem": [
+            # NULL quantity/price/flag/status/date; NULL order key
+            (9900001, 1, 1, 1, None, None, 0.05, 0.02, None, None, None),
+            # orphan orderkey (joins must not resurrect it)
+            (8888888, 2, 2, 1, 5.0, 100.0, 0.0, 0.0, "N", "O", None),
+            # duplicate (orderkey, linenumber) with NULL-vs-real mix
+            (9900002, 3, 3, 1, 1.0, 10.0, None, None, "R", "F", None),
+            (9900002, 3, 3, 1, 2.0, 20.0, 0.1, 0.0, "R", "F", None),
+            (None, 4, 4, 2, 3.0, 30.0, 0.0, 0.0, "A", "F", None),
+        ],
+        "orders": [
+            (9900001, None, None, None, None, None),   # all-NULL payload
+            (9900002, 1, "O", 0.0, None, ""),          # NULL date, empty prio
+            (None, 2, "F", 123.45, None, "1-URGENT"),  # NULL key
+        ],
+        "customer": [
+            (9900001, None, None, None, None),          # NULL everything
+            (9900002, "", 0, -1.5, ""),                 # empty strings
+            (None, "Customer#null", None, None, "AUTOMOBILE"),
+        ],
+        "part": [
+            (9900001, None, None, None, None, None),
+            (9900002, "", "", "", 0, 0.0),
+        ],
+        "supplier": [
+            (9900001, None, None, None),
+        ],
+    }
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        base = spark.read.parquet(os.path.join(_SF001, f"{t}.parquet"))
+        if t in extra:
+            add = spark.createDataFrame(extra[t], base.schema)
+            base = base.unionByName(add)
+        base.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    return d
+
+
+@pytest.mark.parametrize("name", TPCH_EDGE_QUERIES)
+def test_tpch_edge_oracle_parity(spark, tpch_edge_dir, name):
+    qs, oq = entry.queries(), entry.oracle_sql()
+    sdf = qs[name](spark, tpch_edge_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tpch_edge_dir}/{t}.parquet/*.parquet')"
+        )
+    res = con.execute(oq[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+
+    sh, sn = canon(srows, scols)
+    oh, on = canon(orows, ocols)
+    assert sorted(scols) == sorted(ocols)
+    assert (sh, sn) == (oh, on), (
+        f"{name}: spark={sn} oracle={on}\n"
+        f"  spark: {sorted('|'.join(map(str, r)) for r in srows)[:4]}\n"
+        f"  duck : {sorted('|'.join(map(str, r)) for r in orows)[:4]}"
+    )
+
+
+def test_quality_scorer_null_fields_reference_tree(spark):
+    """Hand-computed reference-tree scores for NULL-laden part rows
+    (quality_scorer.py :60-70/:168-313 semantics):
+
+    row A (payload all NULL): completeness 2/6, validity 6/7
+    (email fmt check fails on 'bademail'), consistency 6/6
+      → 0.4·(1/3) + 0.3·(6/7) + 0.3·1 = 0.690476
+    row B ('' strings, age 0, price -0.0): completeness 4/6,
+    validity 6/7, consistency 4/6 (age 0 and price -0.0 both fail
+    their >0 range checks)
+      → 0.4·(2/3) + 0.3·(6/7) + 0.3·(2/3) = 0.72381
+    """
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.operators import QualityScorer
+
+    df = spark.createDataFrame(
+        [
+            (9900001, None, "bademail", None, None, None),
+            (9900002, "", "bademail", 0, -0.0, ""),
+        ],
+        "p_partkey long, name string, contact_email string, "
+        "age long, price double, brand string",
+    )
+    out = QualityScorer()(df)
+    scores = {
+        r["p_partkey"]: round(r["_meta_quality_score"], 6)
+        for r in out.collect()
+    }
+    assert scores == {9900001: 0.690476, 9900002: 0.72381}
