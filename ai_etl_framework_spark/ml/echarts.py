@@ -150,7 +150,11 @@ def _scatter(data, x_field, y_field, title=None, size_field=None, **kw):
         },
     }
     if size_field:
-        sizes = [d.get(size_field, 10) for d in data]
+        # SQL NULL size → default 10, like a missing key (a bare
+        # max()/division over None raises TypeError)
+        sizes = [
+            s if (s := d.get(size_field)) is not None else 10 for d in data
+        ]
         peak = max(sizes) if sizes else 1
         series["data"] = [
             {
@@ -165,7 +169,10 @@ def _scatter(data, x_field, y_field, title=None, size_field=None, **kw):
     return _titled({
         "tooltip": {
             "trigger": "item",
-            "formatter": f"{x_field}: {{c0}}<br/>{y_field}: {{c1}}",
+            # {@[0]}/{@[1]} index into the [x, y] value under an
+            # item trigger; {c0}/{c1} do NOT decompose the pair (both
+            # render the joined "x, y" string)
+            "formatter": f"{x_field}: {{@[0]}}<br/>{y_field}: {{@[1]}}",
         },
         "grid": _grid(title),
         "xAxis": {"type": "value", "name": x_field},
@@ -201,7 +208,11 @@ def _heatmap(data, x_field, y_field, value_field="value", title=None, **kw):
     x_pos = {c: i for i, c in enumerate(xs)}
     y_pos = {c: i for i, c in enumerate(ys)}
     cells = [
-        [x_pos[str(d.get(x_field, ""))], y_pos[str(d.get(y_field, ""))], d.get(value_field, 0)]
+        [
+            x_pos[str(d.get(x_field, ""))],
+            y_pos[str(d.get(y_field, ""))],
+            v if (v := d.get(value_field)) is not None else 0,
+        ]
         for d in data
     ]
     vals = [c[2] for c in cells]

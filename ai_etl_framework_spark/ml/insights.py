@@ -23,16 +23,29 @@ def build_insight_context(
     df: DataFrame, sample_rows: int = 5, max_profile_rows: int = 1000
 ) -> dict[str, Any]:
     """Profile context for the LLM prompt (ref :18-120): column dtypes
-    + null counts + numeric min/max/avg from ONE distributed pass, and
-    a deterministic bounded sample of rows."""
-    prof = profile_schema(df)
+    + null counts + numeric min/max/avg over a BOUNDED slice
+    (``max_profile_rows``, the reference's ≤1000-row sample — an LLM
+    context never needs exact full-table statistics, and profiling the
+    whole table would run exact countDistinct over every row), plus a
+    deterministic sample of rows. ``profiled_rows`` says how many rows
+    the statistics describe."""
+    from pyspark.sql import functions as F
+
+    bounded = df.limit(max_profile_rows)
+    prof = profile_schema(bounded)
+    nulls = bounded.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in df.columns]
+    ).collect()[0].asDict()
+    columns = {}
+    for name, info in prof["columns"].items():
+        cleaned = {k: v for k, v in info.items() if k != "values"}
+        cleaned["null_count"] = int(nulls.get(name) or 0)
+        columns[name] = cleaned
     sample = [r.asDict(recursive=True) for r in df.limit(sample_rows).collect()]
     return {
         "row_count": prof["row_count"],
-        "columns": {
-            name: {k: v for k, v in info.items() if k != "values"}
-            for name, info in prof["columns"].items()
-        },
+        "profiled_rows": prof["row_count"],
+        "columns": columns,
         "suggested_dimensions": prof["suggested_dimensions"],
         "suggested_metrics": prof["suggested_metrics"],
         "sample_rows": sample,

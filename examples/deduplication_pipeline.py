@@ -32,8 +32,12 @@ def main() -> None:
     # near-dup: minhash LSH candidates -> exact Jaccard >= 0.8 verify
     n_near = minhash_dedup(docs, "doc_id", "text", threshold=0.8).count()
 
-    print(f"{n} docs -> {n_exact} after exact dedup -> {n_near} after near-dup removal")
-    assert n_exact <= n and n_near <= n_exact
+    print(f"{n} docs: {n_exact} after exact dedup; {n_near} after near-dup removal")
+    # NB: near <= exact is NOT an invariant — zero-token docs carry no
+    # minhash signature, so exact dups of blank texts survive the
+    # near-dup pass but not exact dedup. Each pass only shrinks the
+    # corpus it actually ran on:
+    assert n_exact <= n and n_near <= n
 
 
 if __name__ == "__main__":

@@ -64,7 +64,12 @@ def main() -> None:
 
     stream = spark.readStream.schema(epoch1.schema).parquet(bronze)
     q = apply_cdc_stream(stream, snap_dir, ["k"], "seq", ckpt, delete_col="deleted")
-    q.awaitTermination(120)
+    # AvailableNow terminates on its own; a timed wait that expires
+    # would let the script read / rewrite the snapshot while the
+    # stream is still swapping it
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("epoch-1 CDC backfill did not finish")
 
     # epoch 2: every 10th key changes segment, every 100th is deleted
     epoch2 = epoch1.where(F.col("k") % 10 == 0).select(
@@ -77,7 +82,9 @@ def main() -> None:
     epoch2.write.mode("append").parquet(bronze)
     stream2 = spark.readStream.schema(epoch1.schema).parquet(bronze)
     q2 = apply_cdc_stream(stream2, snap_dir, ["k"], "seq", ckpt, delete_col="deleted")
-    q2.awaitTermination(120)
+    if not q2.awaitTermination(600):
+        q2.stop()
+        raise TimeoutError("epoch-2 CDC backfill did not finish")
 
     cur = os.path.join(snap_dir, "current")
     snap = spark.read.parquet(cur)

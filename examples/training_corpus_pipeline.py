@@ -101,8 +101,11 @@ def main() -> None:
         packs.write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(tmp, "train_packs")
         )
-        print("wrote", len(os.listdir(os.path.join(tmp, "train_packs"))) - 1,
-              "bucket partitions")
+        n_buckets = sum(
+            1 for e in os.listdir(os.path.join(tmp, "train_packs"))
+            if e.startswith("bucket=")
+        )  # the dir also holds _SUCCESS and its .crc sidecar
+        print("wrote", n_buckets, "bucket partitions")
 
 
 if __name__ == "__main__":

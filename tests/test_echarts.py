@@ -227,3 +227,32 @@ def test_rank_charts_proposes_multi_series_and_adapter_routes_it():
     )
     assert [s["name"] for s in cfg["series"]] == ["revenue", "cost"]
     assert cfg["series"][1]["data"] == [2, 3]
+
+
+def test_scatter_and_heatmap_tolerate_null_values():
+    """r4 review: SQL NULLs in size/z columns crashed max()/division
+    with TypeError; they default like missing keys now."""
+    from ai_etl_framework_spark.ml.echarts import generate_echarts_config
+
+    scatter = generate_echarts_config(
+        [{"x": 1, "y": 2, "sz": 5}, {"x": 2, "y": 3, "sz": None}],
+        "scatter", "x", "y", size_field="sz",
+    )
+    assert len(scatter["series"][0]["data"]) == 2
+
+    heat = generate_echarts_config(
+        [{"a": "r1", "b": "c1", "value": 7},
+         {"a": "r2", "b": "c2", "value": None}],
+        "heatmap", "a", "b",
+    )
+    assert heat["visualMap"]["min"] == 0 and heat["visualMap"]["max"] == 7
+
+
+def test_scatter_tooltip_decomposes_value_pair():
+    from ai_etl_framework_spark.ml.echarts import generate_echarts_config
+
+    cfg = generate_echarts_config([{"x": 1, "y": 2}], "scatter", "x", "y")
+    # {@[0]}/{@[1]} index into the [x, y] pair; {c0}/{c1} would both
+    # render the joined string under an item trigger
+    assert "{@[0]}" in cfg["tooltip"]["formatter"]
+    assert "{@[1]}" in cfg["tooltip"]["formatter"]
