@@ -1,0 +1,64 @@
+"""Property-based differential test of the PPJoin path: for ANY random
+corpus and threshold, ngram_jaccard_pairs (prefix filter + size-ratio
+prune + position filter + exact verify) must equal the brute-force
+all-pairs exact Jaccard — the prunes are only sound if NO qualifying
+pair is ever lost, including at exact rational thresholds where the
+float-ceil slack matters. Complements test_dedup_fuzzy.py's hand-built
+corpora with generated shapes (shared pools, boilerplate skew, tiny and
+single-token docs)."""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _brute_force(rows, k, threshold):
+    def sh(text):
+        t = text.lower().split()
+        if len(t) >= k:
+            return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+        return {" ".join(t)} if t else set()
+
+    shs = {i: sh(t) for i, t in rows}
+    out = set()
+    for a, b in itertools.combinations(sorted(shs), 2):
+        inter = len(shs[a] & shs[b])
+        if inter and inter / len(shs[a] | shs[b]) >= threshold:
+            out.add((a, b))
+    return out
+
+
+# small token pool → dense overlap → pairs land on exact rational
+# thresholds; a few docs repeat one "boilerplate" token run
+DOC = st.lists(
+    st.sampled_from([f"w{i}" for i in range(12)] + ["lic lic lic"]),
+    min_size=0,
+    max_size=10,
+).map(" ".join)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(DOC, min_size=2, max_size=12),
+    k=st.sampled_from([1, 2, 3]),
+    threshold=st.sampled_from([0.25, 1 / 3, 0.5, 0.55, 2 / 3, 0.75, 0.8, 1.0]),
+)
+def test_ppjoin_equals_brute_force(spark, docs, k, threshold):
+    from ai_etl_framework_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            df, "id", "text", k=k, threshold=threshold
+        ).collect()
+    }
+    assert got == _brute_force(rows, k, threshold)
