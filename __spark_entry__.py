@@ -824,13 +824,26 @@ def sim01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIM01_SQL = """
-WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
-SELECT vec_id,
-       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
-             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
-                * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
-FROM embeddings, q
-ORDER BY cos_sim DESC, vec_id
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+-- NULL embeddings scored separately: DuckDB's list_dot_product ERRORS
+-- (not NULLs) when a parquet-sourced list column feeds it NULL rows in
+-- a flat-vector batch, so they can't flow through the arithmetic. A
+-- zero vector divides 0/0 -> NULL. Both end up cos_sim NULL, sorted
+-- last — exactly the Spark paths' guarded-cosine semantics.
+scored AS (
+    SELECT vec_id,
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+    FROM embeddings, q
+    WHERE embedding IS NOT NULL
+    UNION ALL
+    SELECT vec_id, CAST(NULL AS DOUBLE) AS cos_sim
+    FROM embeddings WHERE embedding IS NULL
+)
+SELECT vec_id, cos_sim
+FROM scored
+ORDER BY cos_sim DESC NULLS LAST, vec_id
 LIMIT 10
 """
 
@@ -1014,10 +1027,13 @@ def smp01_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SMP01_SQL = """
 WITH u AS (
+  -- COALESCE to the same '\\x00' sentinel hash_uniform uses: a bare
+  -- md5(NULL) would NULL-propagate and silently dump NULL-id rows
+  -- into the 'test' range with n_sampled 0, diverging from Spark
   SELECT doc_id,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(0))), 1, 8))::BIGINT
              / 4294967296.0 AS u_split,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8))::BIGINT
+         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(0)) || 's1'), 1, 8))::BIGINT
              / 4294967296.0 AS u_sample
   FROM documents)
 SELECT CASE WHEN u_split < 0.8 THEN 'train'

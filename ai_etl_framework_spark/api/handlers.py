@@ -272,12 +272,18 @@ class PipelineApiService:
                        mode: Optional[str] = None) -> list[dict[str, Any]]:
         # filter BEFORE paginating: slicing first made offset/limit
         # count raw registry slots, so a mode filter could return
-        # fewer than `limit` matches while later pages still had some
+        # fewer than `limit` matches while later pages still had some.
+        # With no mode filter every row matches, so stop building
+        # statuses once the page is full — 10k registered pipelines
+        # must not mean 10k get_status calls for a 50-row page.
         out = []
+        stop_at = None if mode is not None else offset + limit
         for pid in list(self.pipelines):
             status = self.get_status(pid)
             if status and (mode is None or status["mode"] == mode):
                 out.append(status)
+                if stop_at is not None and len(out) >= stop_at:
+                    break
         return out[offset:offset + limit]
 
     def delete_pipeline(self, pipeline_id: str) -> dict[str, Any]:

@@ -41,7 +41,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL when either vector is NULL or zero-norm (a zero vector has
+    no direction). The explicit guard matches DuckDB, where x/0 is
+    NULL, and keeps the expression safe under ANSI sessions (the
+    driver's plain session has spark.sql.ansi.enabled=true, where a
+    bare 0/0 would *error*, not NULL out)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def l2_normalize(a: Column) -> Column:
@@ -341,24 +347,34 @@ def topk_batch_pandas(
 
     def score(batches):
         for pdf in batches:
-            # NULL embeddings would crash np.stack (np.asarray(None)
-            # raises inside the lambda) — drop them like the
-            # expression path's NULL-propagating cosine does
-            pdf = pdf[pdf[vec_col].notna()]
             if len(pdf) == 0:
                 continue
-            m = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            m = m / np.maximum(norms, 1e-300)
-            sims = qn @ m.T  # (n_q, batch)
-            # a zero vector has no direction: its sims stay 0/|q| = 0,
-            # but mark them -inf so it can never outrank a real row —
-            # the expression path yields NULL cosine there (0/0),
-            # which Spark sorts LAST under DESC; NaN (a plain
-            # unguarded divide) would sort FIRST and put the zero
-            # vector at rank 1 of every query
-            sims = np.where(norms.T == 0.0, -np.inf, sims)
-            ids = pdf[id_col].to_numpy()
+            # NULL embeddings and zero vectors have no cosine: both get
+            # cos_sim NULL, exactly like the expression path's guarded
+            # cosine() and DuckDB's x/0. They are still CANDIDATE rows
+            # (k per batch, smallest ids — the global tie-break order)
+            # so a corpus with fewer than k real vectors returns the
+            # same row set on every engine instead of silently
+            # shrinking here.
+            ids_all = pdf[id_col].to_numpy()
+            has_vec = pdf[vec_col].notna().to_numpy()
+            if has_vec.any():
+                m = np.stack(
+                    pdf[vec_col][has_vec].apply(
+                        lambda v: np.asarray(v, dtype=np.float64)
+                    )
+                )
+                norms = np.linalg.norm(m, axis=1, keepdims=True)
+                nz = (norms[:, 0] > 0.0)
+                m = m[nz] / np.maximum(norms[nz], 1e-300)
+            else:
+                nz = np.zeros(0, dtype=bool)
+                m = np.zeros((0, q.shape[1]))
+            real_ids = ids_all[has_vec][nz]
+            null_ids = np.sort(
+                np.concatenate([ids_all[~has_vec], ids_all[has_vec][~nz]])
+            )[:k]
+            sims = qn @ m.T  # (n_q, n_real)
             for qi in range(n_q):
                 # partial selection on (rounded sim desc, id asc) — the
                 # SAME total order the global window uses, so a boundary
@@ -369,12 +385,17 @@ def topk_batch_pandas(
                 # a cosine landing exactly on a 5e-7 boundary by 1e-6
                 # and reorder the tie-break vs the expression path.
                 s = _round_half_up(sims[qi], 6)
-                top = np.lexsort((ids, -s))[:k]
+                top = np.lexsort((real_ids, -s))[:k]
                 yield pd.DataFrame(
                     {
                         "query_idx": qi,
-                        id_col: ids[top],
-                        "cos_sim": s[top],
+                        id_col: np.concatenate([real_ids[top], null_ids]),
+                        # NaN → NULL through Arrow (from_pandas), so the
+                        # directionless rows sort after every real one
+                        # under desc_nulls_last below
+                        "cos_sim": np.concatenate(
+                            [s[top], np.full(null_ids.size, np.nan)]
+                        ),
                     }
                 )
 
@@ -385,6 +406,6 @@ def topk_batch_pandas(
     from pyspark.sql.functions import row_number
 
     w = Window.partitionBy("query_idx").orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
+        F.col("cos_sim").desc_nulls_last(), F.col(id_col).asc()
     )
     return partial.withColumn("__rn", row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")

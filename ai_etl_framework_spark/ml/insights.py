@@ -43,7 +43,10 @@ def build_insight_context(
         columns[name] = cleaned
     sample = [r.asDict(recursive=True) for r in df.limit(sample_rows).collect()]
     return {
-        "row_count": prof["row_count"],
+        # the TRUE table size (one count scan, no per-row collection) —
+        # only the statistics are computed over the bounded slice. A
+        # 5M-row table must not tell the LLM it has 1000 rows.
+        "row_count": df.count(),
         "profiled_rows": prof["row_count"],
         "columns": columns,
         "suggested_dimensions": prof["suggested_dimensions"],

@@ -97,8 +97,17 @@ def exact_dedup(
     elif keep == "keep_last":
         picked = F.max_by(row, F.struct(ordc.isNotNull().cast("int"), ordc))
     elif keep == "keep_best_quality":
-        # max quality wins, ties broken by earliest order
-        picked = F.min_by(row, F.struct(-F.col(quality_col), F.col(order_col)))
+        # max quality wins, ties broken by earliest order. The same
+        # NULL policy as keep_first/keep_last: a bare -quality would
+        # sort NULL FIRST inside the struct comparator, so a single
+        # NULL-quality row would beat every scored row under min_by —
+        # the leading null-flags pin NULL quality (and NULL order on
+        # ties) LAST instead.
+        qc = F.col(quality_col)
+        picked = F.min_by(
+            row,
+            F.struct(qc.isNull().cast("int"), -qc, ordc.isNull().cast("int"), ordc),
+        )
     else:
         raise ValueError(f"unknown merge strategy: {keep!r}")
     out = work.groupBy(*keys).agg(picked.alias("__row")).select("__row.*")
@@ -109,15 +118,10 @@ def exact_dedup(
 # shingling / minhash
 # ---------------------------------------------------------------------------
 
-def tokens(text: Column) -> Column:
-    """Whitespace tokenization of lowercased text (empty tokens dropped)."""
-    # NULL text → [] (not NULL): size(NULL array) is -1 under Spark's
-    # legacy sizeOfNull and every token-count/ratio guard keys off
-    # size()==0 — a NULL/blank/whitespace doc must look identical
-    return F.coalesce(
-        F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != ""),
-        F.expr("CAST(array() AS array<string>)"),
-    )
+# the ONE tokenization contract for the whole package: shingling here
+# must stay in lockstep with the text metrics (token_count, ratios) or
+# dedup silently diverges from quality scoring on boundary inputs
+from ai_etl_framework_spark.functions.text import tokens  # noqa: E402
 
 
 def shingles(text: Column, k: int = 3) -> Column:

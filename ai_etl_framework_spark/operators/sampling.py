@@ -47,8 +47,9 @@ __all__ = [
 def hash_uniform(id_col: Column, salt: str = "") -> Column:
     """U[0,1) from the first 8 hex chars of md5(id || salt) — 32 bits
     of uniformity, byte-identical in any engine with md5 + string
-    concat (DuckDB twin:
-    ``('0x' || substr(md5(id || salt), 1, 8))::BIGINT / 4294967296.0``).
+    concat (DuckDB twin, sentinel included:
+    ``('0x' || substr(md5(COALESCE(CAST(id AS VARCHAR), chr(0)) || salt),
+    1, 8))::BIGINT / 4294967296.0``).
     Change ``salt`` to draw an independent sample from the same ids.
 
     NULL ids hash as the sentinel ``'\\x00'`` (no printable id equals

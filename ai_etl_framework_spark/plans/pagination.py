@@ -55,10 +55,25 @@ def drill_down(
         # Spark job whose row order may differ (task scheduling, AQE,
         # shuffle fetch order), so offset pagination without SOME total
         # order can repeat/skip rows across pages. Order by every
-        # projected column — deterministic up to fully-duplicate rows,
+        # ORDERABLE projected column — MapType has no ordering and
+        # would make the whole request throw AnalysisException —
+        # deterministic up to rows that tie on every sortable column,
         # which are interchangeable anyway. Still a bounded
         # TakeOrderedAndProject, not a full sort.
-        out = out.orderBy(*[F.col(c).asc_nulls_first() for c in out.columns])
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def _orderable(dt) -> bool:
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return _orderable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
+
+        sortable = [f.name for f in out.schema.fields if _orderable(f.dataType)]
+        if sortable:
+            out = out.orderBy(*[F.col(c).asc_nulls_first() for c in sortable])
     page = out.offset(offset).limit(limit) if offset else out.limit(limit)
     rows = [r.asDict(recursive=True) for r in page.collect()]
     return {

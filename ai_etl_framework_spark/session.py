@@ -137,8 +137,11 @@ def epoch_seconds(col):
 
     ``CAST(ts AS DOUBLE)`` is legal on TIMESTAMP but an AnalysisException
     on TIMESTAMP_NTZ (Spark 4.1); routing through ``cast("timestamp")``
-    (a no-op on LTZ; session-TZ reinterpretation on NTZ — identity under
-    our pinned-UTC sessions) works on both and keeps microseconds.
+    (a no-op on LTZ — epoch extraction from LTZ is session-TZ-
+    independent) works on both and keeps microseconds. Contract: run
+    ``ensure_timestamp`` on NTZ columns FIRST (every caller in this
+    package does) — on a raw NTZ column this cast would fall back to
+    session-TZ reinterpretation.
     """
     from pyspark.sql import Column
     from pyspark.sql import functions as F
@@ -154,32 +157,30 @@ def ensure_timestamp(df, *cols):
     EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). No-op for columns
     already LTZ, so safe to call unconditionally.
 
-    The NTZ→LTZ cast reinterprets the wall clock in the SESSION time
-    zone; only under UTC is that the identity the oracle comparison
-    and epoch arithmetic assume. When a conversion actually happens,
-    the cast is BUILT AND ANALYZED under a UTC-pinned session (the
-    zone is resolved into the cast expression at analysis, so the
-    result stays UTC-interpreted at execution) and the caller's
-    original timezone is restored — no lasting session mutation, and
-    a DST-shifting caller zone cannot skew gap/bin arithmetic.
+    A bare NTZ→LTZ cast reinterprets the wall clock in the SESSION
+    time zone, which the oracle comparison and epoch arithmetic
+    assume is UTC. Instead of pinning the session zone around the
+    cast (a set/restore that RACES with any concurrent query planned
+    on the same shared SparkSession — the threaded API service, a
+    foreachBatch thread), the reinterpretation is a pure expression:
+    ``make_timestamp(fields…, 'UTC')`` carries its zone inline, so no
+    session state is touched and a DST-shifting caller zone cannot
+    skew gap/bin arithmetic even mid-analysis. ``extract(SECOND)``
+    keeps microseconds; NULL propagates field-wise to a NULL result.
     """
-    from pyspark.sql import functions as F
-
     dtypes = dict(df.dtypes)
     ntz = [c for c in cols if dtypes.get(c) == "timestamp_ntz"]
     if ntz:
-        sess = df.sparkSession
-        # no defensive except here: session.timeZone always has a
-        # default, and if it genuinely cannot be read this must fail
-        # loudly rather than proceed and leave the session pinned UTC
-        prev = sess.conf.get("spark.sql.session.timeZone")
-        sess.conf.set("spark.sql.session.timeZone", "UTC")
-        try:
-            df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
-            df.schema  # force analysis NOW: ResolveTimeZone stamps UTC
-        finally:
-            if prev != "UTC":
-                sess.conf.set("spark.sql.session.timeZone", prev)
+        from pyspark.sql import functions as F
+
+        def _as_utc(c: str):
+            return F.expr(
+                f"make_timestamp(year(`{c}`), month(`{c}`), day(`{c}`), "
+                f"hour(`{c}`), minute(`{c}`), extract(SECOND FROM `{c}`), "
+                f"'UTC')"
+            )
+
+        df = df.withColumns({c: _as_utc(c) for c in ntz})
     return df
 
 

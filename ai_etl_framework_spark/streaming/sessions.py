@@ -39,6 +39,10 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("last_ms", T.LongType()),
         T.StructField("n", T.LongType()),
         T.StructField("total", T.DoubleType()),
+        # count of NON-NULL value contributions: F.sum in the batch
+        # twin yields NULL (not 0) for an all-NULL session, so the
+        # stream side must know whether any real value was ever added
+        T.StructField("nn", T.LongType()),
     ]
 )
 
@@ -120,7 +124,12 @@ def sessionize_stream(
                 "session_start": pd.to_datetime([s[0] for s in sessions], unit="us"),
                 "session_end": pd.to_datetime([s[1] for s in sessions], unit="us"),
                 "n_events": [int(s[2]) for s in sessions],
-                "total_value": [float(s[3]) for s in sessions],
+                # all-NULL session → NaN here → NULL in the sink
+                # (pyarrow from_pandas maps float NaN to null), matching
+                # the batch twin's F.sum semantics exactly
+                "total_value": [
+                    float(s[3]) if s[4] else float("nan") for s in sessions
+                ],
             }
         )
 
@@ -128,29 +137,31 @@ def sessionize_stream(
         import numpy as np
 
         if state.hasTimedOut:
-            start_us, last_us, n, total = state.get
+            start_us, last_us, n, total, nn = state.get
             state.remove()
-            yield emit_frame(key, [(start_us, last_us, n, total)])
+            yield emit_frame(key, [(start_us, last_us, n, total, nn)])
             return
         start_us = last_us = None
-        n, total = 0, 0.0
+        n, total, nn = 0, 0.0, 0
         if state.exists:
-            start_us, last_us, n, total = state.get
-        ts_parts, val_parts = [], []
+            start_us, last_us, n, total, nn = state.get
+        ts_parts, val_parts, nn_parts = [], [], []
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             ts_parts.append((pdf[ts_col].astype("int64") // 1_000).to_numpy())
-            # NULL values count as 0 toward the session total — the
-            # same contribution F.sum gives them in the batch twin
-            val_parts.append(
-                pd.to_numeric(pdf[value_col], errors="coerce")
-                .fillna(0.0)
-                .to_numpy(dtype="float64")
-            )
+            # NULL values contribute 0 to the running total, but the
+            # non-null count travels alongside so an ALL-NULL session
+            # emits NULL — F.sum in the batch twin is NULL, not 0,
+            # when every input is NULL
+            vals = pd.to_numeric(pdf[value_col], errors="coerce")
+            nn_parts.append(vals.notna().to_numpy())
+            val_parts.append(vals.fillna(0.0).to_numpy(dtype="float64"))
         if not ts_parts:
             if last_us is not None:
-                state.update((int(start_us), int(last_us), int(n), float(total)))
+                state.update(
+                    (int(start_us), int(last_us), int(n), float(total), int(nn))
+                )
                 state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
             return
         # vectorized sessionization of the whole micro-batch: sort by
@@ -159,8 +170,9 @@ def sessionize_stream(
         # per-event Python loop
         ts = np.concatenate(ts_parts)
         vs = np.concatenate(val_parts)
+        ns = np.concatenate(nn_parts).astype("int64")
         o = np.argsort(ts, kind="stable")
-        ts, vs = ts[o], vs[o]
+        ts, vs, ns = ts[o], vs[o], ns[o]
         brk = np.empty(ts.shape, dtype=bool)
         brk[0] = True
         np.greater(np.diff(ts), gap_us, out=brk[1:])
@@ -170,8 +182,15 @@ def sessionize_stream(
         seg_end = ts[ends]
         seg_n = ends - seg + 1
         seg_tot = np.add.reduceat(vs, seg)
+        seg_nn = np.add.reduceat(ns, seg)
         segs = [
-            (int(seg_start[i]), int(seg_end[i]), int(seg_n[i]), float(seg_tot[i]))
+            (
+                int(seg_start[i]),
+                int(seg_end[i]),
+                int(seg_n[i]),
+                float(seg_tot[i]),
+                int(seg_nn[i]),
+            )
             for i in range(seg.size)
         ]
         if last_us is not None:
@@ -186,15 +205,17 @@ def sessionize_stream(
             # membership test. Segment count per key per trigger is
             # tiny, so this python coalesce costs nothing next to the
             # vectorized reduceat above.
-            segs.append((int(start_us), int(last_us), int(n), float(total)))
+            segs.append(
+                (int(start_us), int(last_us), int(n), float(total), int(nn))
+            )
             segs.sort(key=lambda s: s[0])
             merged = [segs[0]]
-            for s0, e0, n0, t0 in segs[1:]:
-                ps, pe, pn, pt = merged[-1]
+            for s0, e0, n0, t0, nn0 in segs[1:]:
+                ps, pe, pn, pt, pnn = merged[-1]
                 if s0 - pe <= gap_us:
-                    merged[-1] = (ps, max(pe, e0), pn + n0, pt + t0)
+                    merged[-1] = (ps, max(pe, e0), pn + n0, pt + t0, pnn + nn0)
                 else:
-                    merged.append((s0, e0, n0, t0))
+                    merged.append((s0, e0, n0, t0, nn0))
             segs = merged
         # every segment but the last closes inline; the last stays
         # open in state until the watermark passes last + gap

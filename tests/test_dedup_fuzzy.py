@@ -491,3 +491,34 @@ def test_minhash_signatures_shingle_sets_reuse_identical(spark):
         ).collect()
     }
     assert from_text == from_sets
+
+
+def test_keep_best_quality_null_quality_loses(spark):
+    """r4 review: a NULL quality must sort LAST (same NULLS-LAST policy
+    as keep_first/keep_last), not win min_by via the struct
+    comparator's NULLS-FIRST on -quality. NULL order_col ties must
+    also lose to ordered rows."""
+    from ai_etl_framework_spark.operators.dedup import exact_dedup
+
+    rows = [
+        # key A: NULL quality vs scored — scored must win
+        ("A", 1, None, "null_q"),
+        ("A", 2, 5.0, "scored"),
+        # key B: all-NULL quality group — survives (no erasure),
+        # earliest order wins the tie
+        ("B", 1, None, "b_first"),
+        ("B", 2, None, "b_second"),
+        # key C: equal quality, one NULL order — the ordered row wins
+        ("C", None, 3.0, "c_null_ord"),
+        ("C", 1, 3.0, "c_ordered"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ord int, _meta_quality_score double, tag string"
+    )
+    out = {
+        r["k"]: r["tag"]
+        for r in exact_dedup(
+            df, match_fields=["k"], keep="keep_best_quality", order_col="ord"
+        ).collect()
+    }
+    assert out == {"A": "scored", "B": "b_first", "C": "c_ordered"}

@@ -29,6 +29,11 @@ EDGE_QUERIES = [
     "txt07_gopher_quality",
     "dc01_decontaminate",
     "sim02_embedding_dup_pairs",
+    # 3 engines (expr / matmul / IVF) vs one SQL: with only 5 real
+    # vectors, a zero vector and a NULL embedding, k=10 forces every
+    # engine to agree on the directionless rows (cos_sim NULL, sorted
+    # last) — the matmul path used to drop them / emit -inf
+    "sim01_cosine_topk",
 ]
 
 

@@ -266,3 +266,57 @@ def test_pack_documents_excludes_null_token_counts(spark):
     out = pack_documents(df, "doc", "tokens", max_tokens=16, num_buckets=2)
     ids = {r["id"] for r in out.collect()}
     assert ids == {1, 3}
+
+
+def test_null_id_duckdb_twin_parity(spark):
+    """r4 review: the documented DuckDB twin (and _SMP01_SQL) must use
+    the same '\\x00' sentinel for NULL ids — a bare md5(NULL) NULL-
+    propagates, silently dropping NULL-id rows from every sample and
+    dumping them into the last split range while Spark buckets them."""
+    from ai_etl_framework_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(20)] + [(None,), (None,)], "id int"
+    )
+    sampled = sorted(
+        r["id"] for r in deterministic_sample(df, "id", 0.5, salt="s").collect()
+        if r["id"] is not None
+    )
+    null_in = any(
+        r["id"] is None
+        for r in deterministic_sample(df, "id", 0.5, salt="s").collect()
+    )
+    split_of_null = {
+        r["split"] for r in hash_split(df, "id", (0.5, 0.5), names=("a", "b"))
+        .where(F.col("id").isNull()).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i})" for i in range(20))
+        + ", (NULL), (NULL)) v(id)"
+    )
+    u = ("('0x' || substr(md5(COALESCE(CAST(id AS VARCHAR), chr(0)) || 's'), 1, 8))::BIGINT"
+         " / 4294967296.0")
+    duck_sampled = sorted(
+        r[0] for r in con.execute(
+            f"SELECT id FROM t WHERE {u} < 0.5 AND id IS NOT NULL"
+        ).fetchall()
+    )
+    duck_null_in = con.execute(
+        f"SELECT count(*) FROM t WHERE {u} < 0.5 AND id IS NULL"
+    ).fetchone()[0] > 0
+    u0 = ("('0x' || substr(md5(COALESCE(CAST(id AS VARCHAR), chr(0))), 1, 8))::BIGINT"
+          " / 4294967296.0")
+    duck_split_null = {
+        r[0] for r in con.execute(
+            f"SELECT CASE WHEN {u0} < 0.5 THEN 'a' ELSE 'b' END FROM t WHERE id IS NULL"
+        ).fetchall()
+    }
+    assert sampled == duck_sampled
+    assert null_in == duck_null_in
+    assert split_of_null == duck_split_null

@@ -213,3 +213,72 @@ def test_streaming_late_event_inside_open_session(spark, tmp_path):
     assert (datetime(2024, 1, 1, 6, 0), datetime(2024, 1, 1, 6, 0), 1, 8.0) in emitted
     assert not any(e[1] == datetime(2024, 1, 1, 9, 50) for e in emitted)
     assert all(e[2] <= 1 or e[0] == datetime(2024, 1, 1, 9, 0) for e in emitted)
+
+
+def test_streaming_all_null_value_session_emits_null_total(spark, tmp_path):
+    """r4 review: a session whose every event has value=NULL must emit
+    total_value NULL (the batch twin's F.sum over all NULLs), not 0.0
+    from the kernel's fillna. The equality filters in the parity tests
+    above are NULL-blind (NULL != x is NULL → never flagged), so this
+    pins the semantics directly."""
+    import os
+    import time
+
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ])
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 0), None),
+        (1, datetime(2024, 1, 1, 9, 10), None),   # all-NULL session
+        (1, datetime(2024, 1, 1, 11, 0), 5.0),    # closes it (gap 30m)
+        (2, datetime(2024, 1, 1, 9, 0), None),
+        (2, datetime(2024, 1, 1, 9, 5), 2.0),     # mixed: NULL adds 0
+        (2, datetime(2024, 1, 1, 11, 0), 1.0),
+    ]
+    bronze = str(tmp_path / "bronze_nulls")
+    os.makedirs(bronze)
+    part = str(tmp_path / "nulls_part")
+    spark.createDataFrame(rows, schema).coalesce(1)\
+        .write.mode("overwrite").parquet(part)
+    src = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(part, src), os.path.join(bronze, "01.parquet"))
+    os.utime(os.path.join(bronze, "01.parquet"),
+             (time.time() - 100, time.time() - 100))
+
+    out = str(tmp_path / "nulls_out")
+    stream = read_stream(spark, bronze, fmt="parquet", schema=schema)
+    qy = (
+        sessionize_stream(stream, gap_minutes=30.0, watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "nulls_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert qy.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"]): r["total_value"]
+        for r in spark.read.parquet(out).collect()
+    }
+    k1 = (1, datetime(2024, 1, 1, 9, 0), 2)
+    k2 = (2, datetime(2024, 1, 1, 9, 0), 2)
+    assert k1 in got and got[k1] is None       # F.sum(all NULL) = NULL
+    assert k2 in got and got[k2] == 2.0        # NULL contributes 0
+
+    # and the batch twin agrees on both
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"]): r["total_value"]
+        for r in sessionize_batch(
+            spark.createDataFrame(rows, schema), gap_minutes=30.0
+        ).collect()
+    }
+    assert batch[k1] is None and batch[k2] == 2.0
