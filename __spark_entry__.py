@@ -1006,21 +1006,25 @@ def smp01_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     25% sample hash-match the DuckDB oracle exactly — the
     reproducibility contract a 100 TB corpus pipeline needs."""
     from ai_etl_framework_spark.operators.sampling import (
-        deterministic_sample,
         hash_split,
+        hash_uniform,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     split = hash_split(docs, "doc_id", (0.8, 0.1, 0.1), names=("train", "val", "test"))
-    sampled = deterministic_sample(docs, "doc_id", 0.25, salt="s1").select(
-        "doc_id", F.lit(1).alias("in_sample")
-    )
+    # sample membership per-row with hash_uniform — the SAME predicate
+    # deterministic_sample applies — rather than equi-joining back on
+    # doc_id: a join can never match NULL ids (undercounting the
+    # sentinel-bucketed rows the oracle counts per-row) and would fan
+    # out if ids ever repeated. Per-row keeps Spark and the oracle
+    # structurally identical.
+    in_sample = (hash_uniform(F.col("doc_id"), "s1") < 0.25).cast("int")
     return (
-        split.join(sampled, "doc_id", "left")
+        split.withColumn("in_sample", in_sample)
         .groupBy("split")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.sum(F.coalesce(F.col("in_sample"), F.lit(0))).cast("long").alias("n_sampled"),
+            F.sum("in_sample").cast("long").alias("n_sampled"),
         )
     )
 

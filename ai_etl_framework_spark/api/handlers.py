@@ -273,16 +273,16 @@ class PipelineApiService:
         # filter BEFORE paginating: slicing first made offset/limit
         # count raw registry slots, so a mode filter could return
         # fewer than `limit` matches while later pages still had some.
-        # With no mode filter every row matches, so stop building
-        # statuses once the page is full — 10k registered pipelines
-        # must not mean 10k get_status calls for a 50-row page.
+        # The page only ever needs the first offset+limit MATCHES
+        # (filtered or not), so stop building statuses there — 10k
+        # registered pipelines must not mean 10k get_status calls for
+        # a 50-row page.
         out = []
-        stop_at = None if mode is not None else offset + limit
         for pid in list(self.pipelines):
             status = self.get_status(pid)
             if status and (mode is None or status["mode"] == mode):
                 out.append(status)
-                if stop_at is not None and len(out) >= stop_at:
+                if len(out) >= offset + limit:
                     break
         return out[offset:offset + limit]
 

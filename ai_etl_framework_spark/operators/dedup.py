@@ -653,22 +653,11 @@ def simhash_near_pairs(
 # embedding near-dup
 # ---------------------------------------------------------------------------
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<numeric> columns, JVM-side
-    (F.aggregate over zip_with — no Python in the loop)."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda v: F.sqrt(
-        F.aggregate(
-            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return dot / (norm(a) * norm(b))
+# the ONE cosine contract (functions/similarity.py): zero-norm or NULL
+# vectors yield NULL instead of 0/0 — which ERRORS, not NULLs, under
+# ANSI sessions like the verification driver's. A second unguarded
+# copy here kept exactly that hazard alive for sim02's engine.
+from ai_etl_framework_spark.functions.similarity import cosine  # noqa: E402
 
 
 def embedding_dedup(

@@ -60,14 +60,26 @@ def drill_down(
         # deterministic up to rows that tie on every sortable column,
         # which are interchangeable anyway. Still a bounded
         # TakeOrderedAndProject, not a full sort.
-        from pyspark.sql.types import ArrayType, MapType, StructType
+        from pyspark.sql import types as T
+
+        # MapType has no ordering; neither do VARIANT (Spark 4) or
+        # calendar intervals — any of them inside orderBy throws
+        # DATATYPE_MISMATCH.INVALID_ORDERING_TYPE for the whole request
+        unorderable = tuple(
+            t for t in (
+                getattr(T, "MapType", None),
+                getattr(T, "VariantType", None),
+                getattr(T, "CalendarIntervalType", None),
+            )
+            if t is not None
+        )
 
         def _orderable(dt) -> bool:
-            if isinstance(dt, MapType):
+            if isinstance(dt, unorderable):
                 return False
-            if isinstance(dt, ArrayType):
+            if isinstance(dt, T.ArrayType):
                 return _orderable(dt.elementType)
-            if isinstance(dt, StructType):
+            if isinstance(dt, T.StructType):
                 return all(_orderable(f.dataType) for f in dt.fields)
             return True
 

@@ -41,7 +41,13 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("total", T.DoubleType()),
         # count of NON-NULL value contributions: F.sum in the batch
         # twin yields NULL (not 0) for an all-NULL session, so the
-        # stream side must know whether any real value was ever added
+        # stream side must know whether any real value was ever added.
+        # STATE SCHEMA V2 — adding this field changes the stored state
+        # layout, and Spark has no stateful-schema migration: a
+        # checkpoint written by the 4-field v1 kernel cannot be resumed
+        # by this code (state.get unpacks 5 fields). Restarting an
+        # existing production stream requires a fresh checkpoint dir
+        # (the file source replays bronze from the beginning).
         T.StructField("nn", T.LongType()),
     ]
 )
