@@ -140,10 +140,10 @@ def test_streaming_watermark_on_ntz(spark, ntz_events, tmp_path):
 
 
 def test_ensure_timestamp_restores_caller_timezone(spark):
-    """Code-review r4: ensure_timestamp must not leave the caller's
-    session timezone mutated — the UTC pin applies only while the NTZ
-    cast is built and analyzed (the zone is resolved into the cast at
-    analysis), then the caller's zone comes back."""
+    """Code-review r4: ensure_timestamp must never mutate the caller's
+    session timezone — the UTC reinterpretation is carried inline by
+    make_timestamp(..., 'UTC'), so there is no set/restore window for
+    a concurrent query to observe."""
     from pyspark.sql import functions as F
 
     from ai_etl_framework_spark.session import ensure_timestamp
@@ -157,5 +157,14 @@ def test_ensure_timestamp_restores_caller_timezone(spark):
         assert dict(out.dtypes)["t"] == "timestamp"
         # wall clock was reinterpreted as UTC, not as the caller's zone
         assert out.select(F.col("t").cast("double")).first()[0] == 1625140800.0
+
+        # the wall clock 2024-03-10 02:30 does not EXIST in
+        # America/New_York (DST spring-forward gap): a session-zone
+        # cast would shift or coalesce it; inline-UTC must not
+        gap = ensure_timestamp(
+            spark.sql("select timestamp_ntz'2024-03-10 02:30:00.123456' as t"),
+            "t",
+        )
+        assert gap.select(F.col("t").cast("double")).first()[0] == 1710037800.123456
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
