@@ -115,6 +115,34 @@ def exact_dedup(
 
 
 # ---------------------------------------------------------------------------
+# cache lifecycle for lazy-result builders
+# ---------------------------------------------------------------------------
+
+# Several builders here persist an intermediate frame that must outlive
+# the call (the returned result is lazy), so they cannot unpersist it
+# themselves — but Spark's CacheManager entries are plan-keyed and
+# never GC'd, so in a long-lived session every invocation would stack
+# another dead cache (r4 review). Keep at most ONE live frame per
+# site: a new call releases its predecessor, whose downstream results
+# have either already executed or recompute on touch (correctness is
+# never affected — only the one stale query loses the double-compute
+# protection).
+_LIVE_CACHES: dict[str, DataFrame] = {}
+
+
+def _cache_keep_one(tag: str, df: DataFrame) -> DataFrame:
+    prev = _LIVE_CACHES.get(tag)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # the old frame's session may already be stopped
+    cached = df.persist()
+    _LIVE_CACHES[tag] = cached
+    return cached
+
+
+# ---------------------------------------------------------------------------
 # shingling / minhash
 # ---------------------------------------------------------------------------
 
@@ -210,9 +238,11 @@ def minhash_candidates(
     # shingle→md5→min-agg pipeline (the expensive part) can run twice.
     # One row per doc × num_hashes bigints — tiny relative to the corpus,
     # safe to cache at any scale (MEMORY_AND_DISK default, LRU-evicted).
-    sig = minhash_signatures(
-        df, id_col, text_col, num_hashes, k, shingle_sets=shingle_sets
-    ).persist()
+    sig = _cache_keep_one(
+        "minhash_sig",
+        minhash_signatures(df, id_col, text_col, num_hashes, k,
+                           shingle_sets=shingle_sets),
+    )
     band_hashes = F.array(
         *[
             F.md5(
@@ -261,8 +291,9 @@ def _prefix_frame(sh_sets: DataFrame, threshold: float) -> DataFrame:
     self-join AND the auto-mode estimate so the explode → freq →
     row_number pipeline — the dominant cost of dd04 (~4.8s vs ~0.8s
     for the join itself at sf0.1) — builds exactly once per call
-    chain. Persist lifecycle: no explicit unpersist (no hook on a lazy
-    result); Spark's storage LRU reclaims the blocks."""
+    chain. Persist lifecycle: one live frame per site via
+    :func:`_cache_keep_one` (the auto-crossover branch additionally
+    frees it early when it is known-dead)."""
     exploded = sh_sets.select("id", "n_sh", F.explode("sh").alias("s"))
     freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
@@ -271,12 +302,12 @@ def _prefix_frame(sh_sets: DataFrame, threshold: float) -> DataFrame:
         - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(_EPS))
         + 1
     )
-    return (
+    return _cache_keep_one(
+        "ppjoin_prefix",
         exploded.join(freq, "s")
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= prefix_len)
-        .select("id", "n_sh", "s", "pos")
-        .persist()
+        .select("id", "n_sh", "s", "pos"),
     )
 
 
@@ -467,7 +498,7 @@ def ngram_jaccard_pairs(
             "candidate_budget only takes effect with mode='auto' — "
             "passing it with mode='exact' would silently run unbounded"
         )
-    sh_sets = sh_sets.persist()
+    sh_sets = _cache_keep_one("ngram_shingles", sh_sets)
     if candidates is None:
         pref = None
         if mode == "auto":

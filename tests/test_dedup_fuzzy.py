@@ -522,3 +522,34 @@ def test_keep_best_quality_null_quality_loses(spark):
         ).collect()
     }
     assert out == {"A": "scored", "B": "b_first", "C": "c_ordered"}
+
+
+def test_lazy_builder_caches_keep_one_live(spark):
+    """r4 review: the persisted signature/shingle/prefix frames can't
+    be unpersisted by their builder (results are lazy), but repeated
+    calls in a long-lived session must not stack dead CacheManager
+    entries — a new call releases its predecessor."""
+    from ai_etl_framework_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with shared words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    dd.minhash_candidates(docs, "doc_id", "text").count()
+    first = dd._LIVE_CACHES["minhash_sig"]
+    assert first.storageLevel.useMemory or first.storageLevel.useDisk
+    dd.minhash_candidates(docs, "doc_id", "text", num_hashes=32).count()
+    second = dd._LIVE_CACHES["minhash_sig"]
+    assert second is not first
+    # predecessor released: its storage level is back to NONE
+    assert not (first.storageLevel.useMemory or first.storageLevel.useDisk)
+
+    # same contract for the PPJoin shingle + prefix caches; the second
+    # call uses a different shingle width so the plans differ (same
+    # plan would just re-occupy the same plan-keyed CacheManager slot,
+    # which is already leak-free)
+    dd.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
+    sh1 = dd._LIVE_CACHES["ngram_shingles"]
+    dd.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, k=4).count()
+    assert dd._LIVE_CACHES["ngram_shingles"] is not sh1
+    assert not (sh1.storageLevel.useMemory or sh1.storageLevel.useDisk)
