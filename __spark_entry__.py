@@ -2463,10 +2463,13 @@ def x01_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of each ANN path (hyperplane LSH, IVF cell-probing,
     batched-matmul) against brute-force cosine top-k on the same
     query vector. Turns the round-1 "runs but unproven" rows-only ANN
-    checks into a measured quality bound; everything is md5-seeded so
-    the numbers are deterministic. Driver check is rows-only (recall
-    is not SQL-expressible); tests/test_ann_recall.py asserts the
-    floor."""
+    checks into a measured quality bound. The lsh and matmul rows are
+    md5-seeded and fully deterministic; the ivf row's quantizer
+    (MLlib k-means||, x02) is seed-fixed but partition-layout-
+    dependent, so its recall is stable on one environment and may
+    shift (while staying above the tested floor) on another. Driver
+    check is rows-only (recall is not SQL-expressible);
+    tests/test_ann_recall.py asserts the floor."""
     from ai_etl_framework_spark.functions.similarity import (
         brute_force_topk,
         topk_batch_pandas,

@@ -256,7 +256,12 @@ def kmeans_cells_ml(
     can represent. Vectors are L2-normalized first (spherical
     k-means — matches the cosine geometry of :func:`assign_cells` and
     :func:`ivf_topk`); only the k×dim centroid matrix comes back to
-    the driver. Fixed ``seed`` keeps runs reproducible.
+    the driver. Fixed ``seed`` makes runs reproducible FOR A FIXED
+    PARTITION LAYOUT only: k-means|| init samples per partition, so a
+    different core count, file split, or upstream exchange yields
+    different (equally valid) centroids. For bit-exact centroids
+    across environments use :func:`kmeans_cells` (md5-seeded driver
+    sample); this path trades that for full-corpus training.
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
