@@ -1977,7 +1977,17 @@ def x02_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with similarity — probing it caps recall at ~0.5 no matter what).
     # k-means cells + nprobe=3 on this weakly-clustered synthetic table
     # scan ~30% for recall ≥ the tests' floor; see x01_ann_recall.
-    cents = kmeans_cells_ml(emb, "embedding", k=8, max_iter=10)
+    # Hash-repartition by vec_id + sort within partitions before the
+    # fit: k-means|| init draws per-partition seeded samples in row
+    # order, so both the row→partition mapping AND the within-
+    # partition order must be value-determined (file splits, core
+    # count, and shuffle fetch order all vary by environment) for the
+    # centroids — and the x01 ivf recall number — to reproduce across
+    # machines. One bounded exchange + local sort of the embeddings.
+    cents = kmeans_cells_ml(
+        emb.repartition(32, "vec_id").sortWithinPartitions("vec_id"),
+        "embedding", k=8, max_iter=10,
+    )
     cells = assign_cells(emb, "embedding", cents)
     return ivf_topk(cells, "embedding", "vec_id", "__cell", [float(x) for x in query], k=10, nprobe=3)
 
@@ -2465,11 +2475,10 @@ def x01_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vector. Turns the round-1 "runs but unproven" rows-only ANN
     checks into a measured quality bound. The lsh and matmul rows are
     md5-seeded and fully deterministic; the ivf row's quantizer
-    (MLlib k-means||, x02) is seed-fixed but partition-layout-
-    dependent, so its recall is stable on one environment and may
-    shift (while staying above the tested floor) on another. Driver
-    check is rows-only (recall is not SQL-expressible);
-    tests/test_ann_recall.py asserts the floor."""
+    (MLlib k-means||, x02) is seed-fixed AND fit on a value-determined
+    partition layout (see x02), so its recall reproduces across
+    environments too. Driver check is rows-only (recall is not
+    SQL-expressible); tests/test_ann_recall.py asserts the floor."""
     from ai_etl_framework_spark.functions.similarity import (
         brute_force_topk,
         topk_batch_pandas,
