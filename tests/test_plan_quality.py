@@ -227,3 +227,19 @@ def test_q03_no_expand_two_level_distinct(spark):
     assert _count_nodes(plan, "Expand") == 0
     assert _count_nodes(plan, "BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
+
+
+def test_smp01_is_join_free_single_shuffle(spark):
+    """r4: smp01 computes sample membership per-row with hash_uniform
+    instead of equi-joining a sampled frame back on doc_id (which can
+    never match NULL ids and fans out on duplicates). The executed
+    plan must therefore have NO join and exactly one exchange — the
+    partial/final hash aggregation on split."""
+    import __spark_entry__ as entry
+
+    # the module-level single-path query, not the merged gate row
+    # (which unions in smp02's upsample and adds its exchanges)
+    df = entry.smp01_hash_sampling(spark, SF)
+    plan = _executed_plan(df)
+    assert _count_nodes(plan, "Join") == 0
+    assert _count_nodes(plan, r"Exchange hashpartitioning") == 1
