@@ -9,13 +9,16 @@ so these are provided as first-class operators.
 
 Scale shapes:
 
-- ``merge_upsert`` is ONE hash shuffle on the merge keys (union +
-  per-key ``row_number``), not a full-outer join — no wide COALESCE
-  per column, schema evolution free via ``unionByName``.  At 100 TB
-  the cost is the same exchange a keyed write would need anyway.
-- ``when_matched="delete"`` lowers to a LEFT ANTI join, which AQE
-  broadcasts when the source fits (the usual case: a small CDC
-  batch against a large snapshot).
+- ``merge_upsert`` lowers to ANTI/SEMI joins on the merge keys plus a
+  ``unionByName`` — no full-outer join, no wide COALESCE per column,
+  schema evolution free.  When the source is a small CDC batch (the
+  usual case) AQE broadcasts it, so the 100 TB target side streams
+  through with NO shuffle at all; only the source pays a window for
+  its uniqueness guard.  (An earlier union + per-key ``row_number``
+  formulation cost one full shuffle of target+source AND silently
+  collapsed duplicate-key target rows the merge never touched — the
+  join form preserves them.)
+- ``when_matched="delete"`` is the same LEFT ANTI shape.
 - ``scd2_apply`` joins the *active slice* of the dimension (not its
   full history) against the update batch — one shuffle over current
   rows; closed-out history is untouched and streams through.
@@ -48,6 +51,10 @@ def merge_upsert(
 
     Source must be unique per key (the caller's CDC batch contract);
     duplicate source keys raise to avoid a nondeterministic pick.
+    Target rows whose key the source never mentions pass through
+    UNTOUCHED — including legitimate duplicate-key rows in an
+    append-style target (r4 review: the old union+row_number form
+    silently kept only one row per unmatched key).
     """
     if when_matched not in _MATCHED_MODES:
         raise ValueError(f"when_matched must be one of {_MATCHED_MODES}")
@@ -65,33 +72,30 @@ def merge_upsert(
         )
         return kept.unionByName(inserts, allowMissingColumns=True)
 
-    # update/ignore: tag priority, one shuffle, keep best row per key.
-    src_pri, tgt_pri = (0, 1) if when_matched == "update" else (1, 0)
-    src = source if insert_unmatched else source.join(
-        target.select(*keys).distinct(), on=keys, how="left_semi"
+    if when_matched == "update":
+        # matched keys converge to their (unique) source row; every
+        # other target row — all of them, duplicates included — streams
+        # through the anti join untouched. The probe side is the RAW
+        # source keys: an anti join dedups inside its hash relation, so
+        # a distinct() here would only add an exchange on the CDC batch
+        # (the paths where the distinct side is the BIG target keep it —
+        # there the map-side combine shrinks a real shuffle). The
+        # uniqueness guard runs once, on the branch whose rows actually
+        # enter the result.
+        kept = target.join(source.select(*keys), on=keys, how="left_anti")
+        incoming = _guard_unique(source, keys)
+        if not insert_unmatched:
+            incoming = incoming.join(
+                target.select(*keys).distinct(), on=keys, how="left_semi"
+            )
+        return kept.unionByName(incoming, allowMissingColumns=True)
+    # ignore: target is untouched; only genuinely new keys come in
+    if not insert_unmatched:
+        return target
+    inserts = _guard_unique(source, keys).join(
+        target.select(*keys).distinct(), on=keys, how="left_anti"
     )
-    # __src marks the SOURCE side explicitly — deriving it from __pri
-    # would count target rows in ignore mode (where src_pri is 1)
-    tagged = (
-        src.withColumn("__pri", F.lit(src_pri)).withColumn("__src", F.lit(1))
-    ).unionByName(
-        target.withColumn("__pri", F.lit(tgt_pri)).withColumn("__src", F.lit(0)),
-        allowMissingColumns=True,
-    )
-    w = Window.partitionBy(*keys).orderBy("__pri")
-    picked = (
-        tagged.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__nsrc", F.sum("__src").over(Window.partitionBy(*keys)))
-    )
-    # >1 source row for one key ⇒ the merge is ill-defined; surface it
-    # as a row-level error (checked lazily, no extra action needed).
-    guarded = picked.withColumn(
-        "__rn",
-        F.when(F.col("__nsrc") > 1, F.assert_true(
-            F.lit(False), F.lit("merge_upsert: duplicate source keys")
-        ).cast("int")).otherwise(F.col("__rn")),
-    )
-    return guarded.where(F.col("__rn") == 1).drop("__pri", "__rn", "__nsrc", "__src")
+    return target.unionByName(inserts, allowMissingColumns=True)
 
 
 def _guard_unique(df: DataFrame, keys: list[str]) -> DataFrame:

@@ -174,3 +174,30 @@ def test_merge_ignore_mode_guard_checks_source_side(spark):
         merge_upsert(target, dup_src, ["k"], when_matched="ignore").collect()
     with pytest.raises(Exception, match="duplicate source keys"):
         merge_upsert(target, dup_src, ["k"], when_matched="delete").collect()
+
+
+def test_untouched_duplicate_target_keys_pass_through(spark):
+    """r4 review: a target with legitimate duplicate-key rows (append-
+    style table) must keep ALL rows for keys the source never mentions
+    — the old union+row_number form silently kept one per key."""
+    t = spark.createDataFrame(
+        [(1, "a1"), (1, "a2"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    s = spark.createDataFrame([(2, "B")], "k int, v string")
+
+    def rows(df):
+        return sorted((r.k, r.v) for r in df.collect())
+
+    got = rows(merge_upsert(t, s, ["k"]))
+    assert got == [(1, "a1"), (1, "a2"), (2, "B"), (3, "c")]
+    # ignore mode: everything in the target survives verbatim
+    got = rows(merge_upsert(t, s, ["k"], when_matched="ignore"))
+    assert got == [(1, "a1"), (1, "a2"), (2, "b"), (3, "c")]
+    # delete mode removes only the matched key's rows
+    t2 = spark.createDataFrame(
+        [(1, "a1"), (1, "a2"), (2, "b")], "k int, v string"
+    )
+    got = rows(merge_upsert(
+        t2, s, ["k"], when_matched="delete", insert_unmatched=False
+    ))
+    assert got == [(1, "a1"), (1, "a2")]

@@ -108,9 +108,13 @@ def test_pack_documents_single_shuffle(spark):
     assert "FlatMapGroupsInPandas" in plan
 
 
-def test_merge_upsert_single_shuffle(spark):
-    """merge_upsert (union + per-key row_number) must cost ONE hash
-    exchange on the merge key — not a join's two-sided shuffle."""
+def test_merge_upsert_target_never_shuffles(spark):
+    """merge_upsert (anti join + union) against a small CDC batch:
+    AQE broadcasts the source, so the big target side streams through
+    with NO hash exchange — the only hashpartitioning exchange is the
+    source-side uniqueness-guard window. (The earlier union+row_number
+    form shuffled target+source AND collapsed duplicate-key target
+    rows the merge never touched.)"""
     from ai_etl_framework_spark.operators.merge import merge_upsert
     from ai_etl_framework_spark.session import load_table
     from pyspark.sql import functions as F
@@ -119,8 +123,9 @@ def test_merge_upsert_single_shuffle(spark):
     target = cust.where(F.col("c_custkey") % 4 != 0)
     source = cust.where(F.col("c_custkey") % 3 == 0)
     plan = _executed_plan(merge_upsert(target, source, ["c_custkey"]))
-    assert _count_nodes(plan, "Exchange hashpartitioning") == 1
-    assert "Join" not in plan  # pure union+window, no join operator
+    assert "LeftAnti" in plan
+    # source guard window only — the target never hash-partitions
+    assert _count_nodes(plan, "Exchange hashpartitioning") <= 1
 
 
 def test_merge_delete_is_anti_join(spark):
