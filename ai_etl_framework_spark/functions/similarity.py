@@ -222,11 +222,20 @@ def kmeans_cells(
     import numpy as np
 
     sample = (
-        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(sample_rows).collect()
+        df.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(F.col(id_col).asc())
+        .limit(sample_rows)
+        .collect()
     )
+    if not sample:
+        raise ValueError("kmeans_cells: no non-null vectors to cluster")
     ids = [r[0] for r in sample]
     V = np.asarray([list(r[1]) for r in sample], dtype=np.float64)
     V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    # fewer vectors than requested cells: degrade to n cells instead of
+    # indexing past the seeded centroid matrix (r4 review)
+    k = min(k, len(ids))
     seed_order = np.argsort(
         [int(hashlib.md5(f"ivf:{i}".encode()).hexdigest(), 16) for i in ids]
     )[:k]

@@ -251,4 +251,11 @@ def decontaminate(
     bad = contamination_pairs(
         corpus, benchmark, id_col, text_col, ngram, broadcast_benchmark
     ).where(F.col("hit_frac") > max_hit_frac).select(id_col)
-    return corpus.join(F.broadcast(bad), id_col, "left_anti")
+    # the contaminated-id set is bounded by the benchmark ONLY when the
+    # caller vouched it is small; with broadcast_benchmark=False (huge
+    # benchmark, potentially corpus-scale overlap) forcing a broadcast
+    # here would be exactly the driver-OOM the flag exists to avoid —
+    # let AQE pick the join strategy from the actual size instead
+    if broadcast_benchmark:
+        bad = F.broadcast(bad)
+    return corpus.join(bad, id_col, "left_anti")

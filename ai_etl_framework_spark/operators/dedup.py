@@ -710,7 +710,16 @@ def embedding_dedup(
     from ai_etl_framework_spark.functions.similarity import hyperplane_bucket
 
     if dim is None:
-        first = df.select(F.size(F.col(vec_col))).first()
+        # probe a NON-NULL vector: an empty frame (nothing to dedup)
+        # returns unchanged instead of None[0] TypeError, and a NULL
+        # first row must not poison the dim (r4 review)
+        first = (
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)))
+            .first()
+        )
+        if first is None:
+            return df
         dim = int(first[0])
     bucketed = df.withColumn(
         "__bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes)
@@ -926,9 +935,17 @@ class Deduplicator:
                 vec_col, embed(record_text(df, self.match_fields))
             )
         if block_col is None:
-            dim = self.embed_dim if self.vec_col is None else len(
-                work.select(vec_col).first()[0]
-            )
+            if self.vec_col is None:
+                dim = self.embed_dim
+            else:
+                probe = (
+                    work.where(F.col(vec_col).isNotNull())
+                    .select(vec_col)
+                    .first()
+                )
+                if probe is None:  # empty / all-NULL: nothing to dedup
+                    return df
+                dim = len(probe[0])
             block_col = "__fuzzy_block"
             work = work.withColumn(
                 block_col, hyperplane_bucket(F.col(vec_col), dim, self.n_planes)

@@ -56,6 +56,23 @@ def with_row_id(df: DataFrame, name: str = "_row_id") -> DataFrame:
         # within one file, scan-chunk order == partition order == mono order
         key=lambda r: (r["__file"], r["__lo"]),
     )
+    # The two-job manifest trick is only sound when (__file, __pid,
+    # __mono) reproduce between the collect above and the join below —
+    # true for file scans + narrow ops (one analyzed plan, deterministic
+    # splits). Past an exchange input_file_name() returns "" and the
+    # partition layout is NOT run-stable (AQE, fetch order), so ids
+    # could silently land on the wrong rows: fall back to the single-job
+    # unpartitioned-window form — slower (one-task rank over the row
+    # count) but self-consistent, and "input order" is plan-defined
+    # rather than physical there anyway (r4 review).
+    if any(r["__file"] == "" for r in chunks):
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("__mono"))
+        return (
+            base.withColumn(name, F.row_number().over(w) - 1)
+            .drop("__file", "__pid", "__mono")
+        )
     offsets, acc = [], 0
     for r in chunks:
         offsets.append((r["__file"], r["__pid"], r["__lo"], acc))

@@ -124,7 +124,11 @@ class IntermediateStorage:
         fs = self._fs(root)
         if not fs.exists(root):
             return []
-        base = self.base_path + "/"
+        # strip the QUALIFIED base: listStatus returns fully-qualified
+        # URIs (file:/abs/...), so a relative base_path (including the
+        # default ./.state/intermediate) would never match as a raw
+        # string and every key came back as the full URI (r4 review)
+        base = str(fs.makeQualified(self._jpath(self.base_path))) + "/"
         out = []
         stack = [root]
         while stack:

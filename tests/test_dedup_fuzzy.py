@@ -553,3 +553,38 @@ def test_lazy_builder_caches_keep_one_live(spark):
     dd.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, k=4).count()
     assert dd._LIVE_CACHES["ngram_shingles"] is not sh1
     assert not (sh1.storageLevel.useMemory or sh1.storageLevel.useDisk)
+
+
+def test_embedding_dedup_handles_empty_and_all_null(spark):
+    """r4 review: the dim probe must not crash on an empty or all-NULL
+    frame — nothing to dedup means the frame comes back unchanged."""
+    from ai_etl_framework_spark.operators.dedup import embedding_dedup
+
+    empty = spark.createDataFrame([], "id long, v array<float>")
+    assert embedding_dedup(empty, "id", "v").count() == 0
+    nulls = spark.createDataFrame([(1, None), (2, None)], "id long, v array<float>")
+    assert embedding_dedup(nulls, "id", "v").count() == 2
+
+
+def test_deduplicator_fuzzy_vec_col_empty_frame(spark):
+    """Same guard through the Deduplicator facade with a precomputed
+    vec_col and no block_col (the dim probe path)."""
+    from ai_etl_framework_spark.operators.dedup import Deduplicator
+
+    empty = spark.createDataFrame([], "id long, emb array<float>")
+    d = Deduplicator(match_mode="fuzzy", vec_col="emb", order_col="id")
+    assert d(empty).count() == 0
+
+
+def test_kmeans_cells_fewer_vectors_than_k(spark):
+    """r4 review: k > sample size must degrade to n cells, not
+    IndexError past the seeded centroid matrix."""
+    from ai_etl_framework_spark.functions.similarity import kmeans_cells
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)] + [(9, None)],
+        "id long, v array<float>",
+    )
+    cents = kmeans_cells(df, "v", "id", k=8)
+    assert 1 <= len(cents) <= 5
+    assert all(len(c) == 2 for c in cents)

@@ -344,3 +344,19 @@ def test_read_json_auto_sniff_bom_and_directory(spark, tmp_path):
     lines.mkdir()
     (lines / "part1.jsonl").write_text('{"b": 1}\n{"b": 2}\n{"b": 3}\n')
     assert read_json(spark, str(lines), mode="auto").count() == 3
+
+
+def test_with_row_id_post_shuffle_falls_back_and_is_contiguous(spark, tmp_path):
+    """r4 review: past an exchange input_file_name() is "" and the
+    physical layout is not run-stable, so the two-job manifest path
+    could misassign ids; the window fallback must kick in and still
+    yield a contiguous 0..n-1 id set."""
+    for i in range(3):
+        (tmp_path / f"f{i}.csv").write_text(
+            "v\n" + "\n".join(str(i * 10 + j) for j in range(10)) + "\n"
+        )
+    df = spark.read.option("header", True).csv(str(tmp_path))
+    out = with_row_id(df.repartition(5))  # exchange: file names lost
+    rows = out.collect()
+    assert sorted(r["_row_id"] for r in rows) == list(range(30))
+    assert len({r["v"] for r in rows}) == 30

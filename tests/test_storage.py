@@ -74,3 +74,19 @@ def test_presigned_url_shape(spark, monkeypatch):
     url = s3store.presigned_url("p9/extracted", expiration=60)
     assert url.startswith("https://") and "bucket" in url
     assert "p9/extracted" in url and "Signature=" in url
+
+
+def test_list_keys_with_relative_base_path(spark, tmp_path, monkeypatch):
+    """r4 review: a RELATIVE base_path (incl. the default
+    ./.state/intermediate) must still return relative keys —
+    listStatus yields fully-qualified file:/ URIs, which the raw base
+    string never matched, so every key came back as the full URI and
+    load(key) then failed."""
+    monkeypatch.chdir(tmp_path)
+    store = IntermediateStorage(spark, "./.state_rel/intermediate")
+    df = spark.range(3).toDF("n")
+    store.save("p1/extracted", df)
+    keys = store.list_keys()
+    assert keys == ["p1/extracted"]
+    loaded, _meta = store.load(keys[0])
+    assert loaded.count() == 3
