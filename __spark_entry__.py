@@ -2518,11 +2518,11 @@ def q43_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     when_matched modes over one CDC scenario — target = customers with
     custkey%4!=0, source batch = custkey%3==0 with +1000.00 balance.
     Money kept as integer cents end-to-end so the aggregate is exact
-    and association-independent (the q13 lesson). The union+row_number
-    plan is ONE hash exchange on the merge key; delete lowers to a
-    LEFT ANTI join AQE can broadcast. Beyond-reference: the reference's
-    incremental load is append-only manifests (file_source.py:236-268,
-    no keyed upsert)."""
+    and association-independent (the q13 lesson). Every mode lowers to
+    anti/semi joins AQE broadcasts for a CDC-sized source — the target
+    side never shuffles. Beyond-reference: the reference's incremental
+    load is append-only manifests (file_source.py:236-268, no keyed
+    upsert)."""
     from ai_etl_framework_spark.operators.merge import merge_upsert
 
     cust = load_table(spark, sf_dir, "customer")
