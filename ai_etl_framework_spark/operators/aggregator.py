@@ -80,11 +80,23 @@ class Aggregator:
     def add_custom_function(self, name: str, fn: Callable, return_type: str = "double") -> None:
         """Runtime-registered aggregate (ref :302-321): ``fn`` is a
         pandas Series → scalar, executed as an Arrow-batched UDAF.
-        GROUPED_AGG is passed explicitly so callers don't need
-        resolvable type hints on ``fn``."""
-        from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-        self.custom[name] = pandas_udf(fn, return_type, PandasUDFType.GROUPED_AGG)
+        Callers hand in a plain Series→scalar callable with no type
+        hints, so Series→Any annotations are stamped on a wrapper here
+        (assigning to ``fn`` directly would mutate the caller's
+        function) — that is how pandas_udf infers GROUPED_AGG since the
+        PandasUDFType enum was deprecated; the actual output schema
+        comes from ``return_type``."""
+        import pandas as pd
+        from typing import Any
+
+        from pyspark.sql.functions import pandas_udf
+
+        def _agg(s):
+            return fn(s)
+
+        _agg.__annotations__ = {"s": pd.Series, "return": Any}
+        self.custom[name] = pandas_udf(_agg, return_type)
 
     def _expr(self, out: str, field: str, fn: str, order: Column) -> Column:
         c = F.col(field)
