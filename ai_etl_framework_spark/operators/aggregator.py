@@ -53,12 +53,34 @@ def _num(c: Column) -> Column:
 
 def _ordered_vals(c: Column, order: Column, keep_nulls: bool) -> Column:
     """Array of values sorted by input order. collect_list skips NULLs,
-    but a struct wrapper is never NULL, so nullable values survive."""
-    pairs = F.array_sort(F.collect_list(F.struct(order.alias("o"), c.alias("v"))))
+    but a struct wrapper is never NULL, so nullable values survive.
+    A NULL order key sorts LAST (the leading null-flag field): bare
+    struct comparison would put it FIRST, while min_by/max_by-based
+    first/last skip NULL keys entirely — one NULLS-LAST policy keeps
+    every order-sensitive function consistent (see _order_key)."""
+    pairs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                order.isNull().cast("int").alias("k"),
+                order.alias("o"),
+                c.alias("v"),
+            )
+        )
+    )
     vals = F.transform(pairs, lambda s: s["v"])
     if not keep_nulls:
         vals = F.filter(vals, lambda v: v.isNotNull())
     return vals
+
+
+def _order_key(order: Column) -> Column:
+    """NULL-safe ordering key shared by EVERY order-sensitive function:
+    bare min_by/max_by IGNORE rows whose key is NULL (an all-NULL-order
+    group would vanish into a NULL first/last). One NULLS-LAST sequence
+    — (null-flag, order) — defines the group's element order; first is
+    its head (min_by), last its tail (max_by), concat/list sort by the
+    same key, so `last` always equals the final concat element."""
+    return F.struct(order.isNull().cast("int").alias("k"), order.alias("o"))
 
 
 class Aggregator:
@@ -113,9 +135,9 @@ class Aggregator:
         elif fn == "count_distinct":
             e = F.countDistinct(c.cast("string")).cast("long")  # string-cast (ref :23)
         elif fn == "first":
-            e = F.min_by(c, order).cast("string")
+            e = F.min_by(c, _order_key(order)).cast("string")
         elif fn == "last":
-            e = F.max_by(c, order).cast("string")
+            e = F.max_by(c, _order_key(order)).cast("string")
         elif fn == "concat":
             e = F.array_join(_ordered_vals(c.cast("string"), order, keep_nulls=False), ", ")
         elif fn == "list":

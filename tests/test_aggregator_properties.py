@@ -125,3 +125,31 @@ def test_order_sensitive_without_order_col_warns(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         plain(df)
+
+
+def test_null_order_keys_one_nulls_last_sequence(spark):
+    """r4: every order-sensitive function shares ONE NULLS-LAST
+    sequence. Bare min_by/max_by would silently skip NULL-order rows
+    (first/last of an all-NULL-order group came back NULL) while the
+    concat struct-sort put them FIRST — now first = head, last = tail,
+    and last always equals the final concat element."""
+    df = spark.createDataFrame(
+        [
+            ("g", 2, "b"), ("g", None, "z"), ("g", 1, "a"),
+            ("h", None, "only"),
+        ],
+        "grp string, ord int, v string",
+    )
+    agg = Aggregator(
+        group_by=["grp"],
+        aggregations={
+            "first_v": {"field": "v", "function": "first"},
+            "last_v": {"field": "v", "function": "last"},
+            "cat": {"field": "v", "function": "concat"},
+        },
+        order_col="ord",
+    )
+    out = {r["grp"]: (r["first_v"], r["last_v"], r["cat"]) for r in agg(df).collect()}
+    assert out["g"] == ("a", "z", "a, b, z")
+    # all-NULL-order group still has a well-defined head and tail
+    assert out["h"] == ("only", "only", "only")
