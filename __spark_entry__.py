@@ -2682,8 +2682,10 @@ def sk01_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     where a single-stream sketch may use HIP, so the bound is the
     sketch rsd — 3σ at lgk=12 ≈ 5% — not exact equality, which only
     holds while the sketch stays sparse and broke at sf0.1), GK
-    quantile rank bound, and heavy hitters (sketch candidates + exact
-    recount ≡ exact answer). All JVM built-ins, map-side partials."""
+    quantile rank bound, heavy hitters (sketch candidates + exact
+    recount ≡ exact answer), and KMV overlap (union + intersection of
+    the view-user and click-user id sets estimated from two k-double
+    sketches — the set-operation primitive HLL lacks)."""
     from ai_etl_framework_spark.functions.sketches import (
         approx_distinct,
         heavy_hitters,
@@ -2724,11 +2726,47 @@ def sk01_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     hh_ok = hh == exact_hh
 
+    # KMV overlap (r4): "how many users both viewed AND clicked"
+    # estimated from two 256-double sketches instead of an id-set
+    # join — the cross-corpus overlap primitive HLL lacks. Anchors are
+    # the exact distinct counts; ok = estimate within the ~1/√k
+    # envelope (3σ ≈ 20% union; intersection adds Jaccard noise, 30%).
+    # Sub-k populations make the sketches exact, so small SFs and the
+    # edge corpus pass trivially — the bound bites at sf0.1.
+    from ai_etl_framework_spark.functions.sketches import (
+        kmv_overlap_estimate,
+        kmv_sketch,
+    )
+
+    kk = 256
+    viewers = ev.where(F.col("event_type") == "view")
+    clickers = ev.where(F.col("event_type") == "click")
+    ska = kmv_sketch(viewers, "user_id", k=kk).first()["kmv"]
+    skb = kmv_sketch(clickers, "user_id", k=kk).first()["kmv"]
+    ov = (
+        spark.createDataFrame([(ska, skb)], "a array<double>, b array<double>")
+        .select(kmv_overlap_estimate(F.col("a"), F.col("b"), kk).alias("ov"))
+        .first()["ov"]
+    )
+    exact_union = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .select(F.countDistinct("user_id")).first()[0]
+    )
+    exact_inter = (
+        viewers.select("user_id").distinct()
+        .join(clickers.select("user_id").distinct(), "user_id", "left_semi")
+        .count()
+    )
+    kmv_u_ok = bool(abs(ov["union_est"] - exact_union) <= 0.2 * max(exact_union, 1))
+    kmv_i_ok = bool(abs(ov["intersect_est"] - exact_inter) <= 0.3 * max(exact_inter, 1))
+
     rows = [
         ("hll_user_id", int(exact_users), bool(hll_ok)),
         ("hll_merge_daily", int(exact_users), merge_ok),
         ("quantile_p50_rank", int(n_rows), bool(q_ok)),
         ("heavy_hitters", int(n_types), bool(hh_ok)),
+        ("kmv_union_view_click", int(exact_union), kmv_u_ok),
+        ("kmv_intersect_view_click", int(exact_inter), kmv_i_ok),
     ]
     return spark.createDataFrame(rows, "metric string, n bigint, ok boolean")
 
@@ -2741,6 +2779,23 @@ UNION ALL
 SELECT 'quantile_p50_rank', CAST(COUNT(*) AS BIGINT), TRUE FROM events
 UNION ALL
 SELECT 'heavy_hitters', CAST(COUNT(DISTINCT event_type) AS BIGINT), TRUE FROM events
+UNION ALL
+SELECT 'kmv_union_view_click',
+       CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
+FROM events WHERE event_type IN ('view', 'click')
+UNION ALL
+SELECT 'kmv_intersect_view_click',
+       -- user_id IS NOT NULL on BOTH arms: SQL INTERSECT matches
+       -- NULLs to each other while Spark's semi-join anchor never
+       -- does; the sketch side drops NULL ids too
+       CAST((SELECT COUNT(*) FROM
+              (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view' AND user_id IS NOT NULL
+               INTERSECT
+               SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click' AND user_id IS NOT NULL) t
+            ) AS BIGINT), TRUE
+FROM (SELECT 1)
 """
 
 

@@ -145,3 +145,128 @@ def heavy_hitters(
         .withColumn("share", F.col("n").cast("double") / F.lit(float(total)))
         .where(F.col("share") >= min_share)
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) sketches: deterministic, mergeable, and
+# set-operable — the overlap-estimation primitive HLL lacks
+# ---------------------------------------------------------------------------
+
+def _kmv_u(col: Column) -> Column:
+    """U(0,1) from the first 15 hex chars of md5 (60 bits) — the same
+    engine-portable family minhash/hash_uniform use, so two engines
+    (or two clusters) sketch the same data to the SAME bytes."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("double") / F.lit(float(1 << 60))
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct hash values of
+    ``col`` as a sorted ``array<double>`` column ``kmv``.
+
+    Why KMV next to HLL: the hashes themselves are kept, so sketches
+    support UNION (k smallest of the concatenation) and — via Jaccard
+    over the union sketch — INTERSECTION estimates. "How much does
+    corpus A overlap corpus B?" becomes arithmetic on two k-double
+    arrays instead of a join of two 100 TB id sets. Deterministic
+    (md5), so merge-then-sketch ≡ sketch-then-merge EXACTLY, and the
+    DuckDB oracle can replicate every byte.
+
+    Scale shape: a PARTITION-LOCAL k-smallest prune runs first, with no
+    shuffle at all (Arrow-batched mapInPandas holding one size-k heap
+    per group per partition — a group's global k-smallest is always
+    inside the union of its per-partition k-smallest). Only the pruned
+    ≤ k×partitions rows per group ever shuffle: distinct → per-group
+    rank ≤ k → collect_list of ≤ k doubles. No stage holds O(distinct)
+    state in one task — that is what makes the global (no-group) sketch
+    safe where a bare row_number window would funnel every distinct
+    hash through a single reducer."""
+    import heapq
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    gc = list(group_cols or [])
+    hashed = df.where(F.col(col).isNotNull()).select(
+        *gc, _kmv_u(F.col(col)).alias("__u")
+    )
+
+    def _local_prune(batches):
+        # group key -> (max-heap of negated u, set of live values):
+        # the heap must hold DISTINCT values — a duplicate hash
+        # occupying two slots could evict a genuinely distinct one
+        heaps: dict = {}
+        for pdf in batches:
+            keys = (
+                list(zip(*[pdf[g] for g in gc])) if gc
+                else [()] * len(pdf)
+            )
+            for key, u in zip(keys, pdf["__u"]):
+                h, live = heaps.setdefault(key, ([], set()))
+                if u in live:
+                    continue
+                if len(h) < k:
+                    heapq.heappush(h, -u)
+                    live.add(u)
+                elif -h[0] > u:
+                    evicted = -heapq.heapreplace(h, -u)
+                    live.discard(evicted)
+                    live.add(u)
+        for key, (h, _live) in heaps.items():
+            out = {g: [v] * len(h) for g, v in zip(gc, key)}
+            out["__u"] = sorted(-x for x in h)
+            yield pd.DataFrame(out, columns=gc + ["__u"])
+
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in hashed.schema.fields]
+    )
+    pruned = hashed.mapInPandas(_local_prune, schema=schema)
+    deduped = pruned.distinct()
+    w = Window.partitionBy(*gc).orderBy(F.col("__u").asc()) if gc else (
+        Window.orderBy(F.col("__u").asc())
+    )
+    topk = deduped.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    return topk.groupBy(*gc).agg(
+        F.array_sort(F.collect_list("__u")).alias("kmv")
+    )
+
+
+def kmv_union(a: Column, b: Column, k: int = 256) -> Column:
+    """Union sketch: k smallest of the merged hash sets — exactly the
+    sketch of the concatenated inputs (deterministic hashing)."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_distinct_estimate(sketch: Column, k: int = 256) -> Column:
+    """n̂ = (k-1)/u_k; exact (= size) while the set still fits in k."""
+    return F.when(
+        F.size(sketch) < k, F.size(sketch).cast("double")
+    ).otherwise((F.lit(float(k - 1))) / F.element_at(sketch, k))
+
+
+def kmv_overlap_estimate(a: Column, b: Column, k: int = 256) -> Column:
+    """struct(jaccard, union_est, intersect_est) for two KMV sketches.
+
+    J = |union-sketch ∩ A ∩ B| / |union-sketch| (the classic KMV
+    Jaccard estimator), intersect_est = J · n̂(A∪B). Relative error
+    ~1/√k on the union estimate; the Jaccard adds binomial noise
+    √(J(1-J)/k)."""
+    u = kmv_union(a, b, k)
+    in_both = F.size(F.array_intersect(F.array_intersect(u, a), b))
+    j = in_both.cast("double") / F.greatest(F.size(u), F.lit(1)).cast("double")
+    n_union = kmv_distinct_estimate(u, k)
+    return F.struct(
+        j.alias("jaccard"),
+        n_union.alias("union_est"),
+        (j * n_union).alias("intersect_est"),
+    )

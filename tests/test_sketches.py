@@ -84,3 +84,102 @@ def test_heavy_hitters_high_threshold_empty(events):
 def test_heavy_hitters_bad_share_raises(events):
     with pytest.raises(ValueError):
         heavy_hitters(events, "event_type", min_share=0.0)
+
+
+def test_kmv_sketch_exact_k_smallest(spark):
+    """The sketch IS the k smallest distinct md5-u values — verified
+    against a brute-force python computation over a frame with
+    duplicates and NULLs."""
+    import hashlib
+
+    from ai_etl_framework_spark.functions.sketches import kmv_sketch
+
+    vals = [f"id{i}" for i in range(40)] * 2 + [None, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = kmv_sketch(df, "v", k=10).first()["kmv"]
+
+    def u(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) / float(1 << 60)
+
+    expected = sorted(u(f"id{i}") for i in range(40))[:10]
+    assert [round(x, 15) for x in got] == [round(x, 15) for x in expected]
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """Deterministic hashing ⇒ union of sketches EXACTLY equals the
+    sketch of the unioned data (not approximately — byte-equal)."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.functions.sketches import kmv_sketch, kmv_union
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "v string")
+    b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(150, 300)]
+        + [(f"b{i}",) for i in range(200)],
+        "v string",
+    )
+    k = 64
+    ska = kmv_sketch(a, "v", k=k).first()["kmv"]
+    skb = kmv_sketch(b, "v", k=k).first()["kmv"]
+    sku = kmv_sketch(a.unionByName(b), "v", k=k).first()["kmv"]
+    merged = (
+        spark.createDataFrame([(ska, skb)], "a array<double>, b array<double>")
+        .select(kmv_union(F.col("a"), F.col("b"), k).alias("u"))
+        .first()["u"]
+    )
+    assert merged == sku
+
+
+def test_kmv_estimates_within_bounds(spark):
+    """Distinct / union / intersection estimates within the ~1/√k
+    error envelope on a known-overlap pair (|A|=3000, |B|=3000,
+    |A∩B|=1500, |A∪B|=4500)."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.functions.sketches import (
+        kmv_distinct_estimate,
+        kmv_overlap_estimate,
+        kmv_sketch,
+    )
+
+    k = 256
+    a = spark.createDataFrame([(f"x{i}",) for i in range(3000)], "v string")
+    b = spark.createDataFrame([(f"x{i}",) for i in range(1500, 4500)], "v string")
+    ska = kmv_sketch(a, "v", k=k).first()["kmv"]
+    skb = kmv_sketch(b, "v", k=k).first()["kmv"]
+    row = (
+        spark.createDataFrame([(ska, skb)], "a array<double>, b array<double>")
+        .select(
+            kmv_distinct_estimate(F.col("a"), k).alias("na"),
+            kmv_overlap_estimate(F.col("a"), F.col("b"), k).alias("ov"),
+        )
+        .first()
+    )
+    assert abs(row["na"] - 3000) <= 0.2 * 3000
+    assert abs(row["ov"]["union_est"] - 4500) <= 0.2 * 4500
+    assert abs(row["ov"]["intersect_est"] - 1500) <= 0.3 * 1500
+    assert abs(row["ov"]["jaccard"] - 1500 / 4500) <= 0.12
+
+
+def test_kmv_grouped_and_small_sets_exact(spark):
+    """Groups smaller than k: the sketch holds every distinct hash and
+    the estimate is EXACT (= distinct count)."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.functions.sketches import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", f"v{i % 7}") for i in range(50)]
+        + [("g2", f"w{i}") for i in range(13)],
+        "g string, v string",
+    )
+    out = {
+        r["g"]: r["est"]
+        for r in kmv_sketch(df, "v", k=256, group_cols=["g"])
+        .select("g", kmv_distinct_estimate(F.col("kmv"), 256).alias("est"))
+        .collect()
+    }
+    assert out == {"g1": 7.0, "g2": 13.0}
