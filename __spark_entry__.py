@@ -1788,7 +1788,11 @@ def q32_agg_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q32_SQL = """
 SELECT o_orderpriority,
-       to_json(list_filter(list(o_orderstatus ORDER BY o_orderkey NULLS FIRST),
+       -- NULLS LAST: the Aggregator's one NULLS-LAST sequence for
+       -- every order-sensitive function (r4 — first/last/concat/list
+       -- share the (null-flag, order) key, so NULL-order values sit
+       -- at the sequence tail)
+       to_json(list_filter(list(o_orderstatus ORDER BY o_orderkey NULLS LAST),
                            x -> x IS NOT NULL)) AS statuses
 FROM orders
 GROUP BY o_orderpriority

@@ -76,17 +76,27 @@ def test_presigned_url_shape(spark, monkeypatch):
     assert "p9/extracted" in url and "Signature=" in url
 
 
-def test_list_keys_with_relative_base_path(spark, tmp_path, monkeypatch):
+def test_list_keys_with_relative_base_path(spark):
     """r4 review: a RELATIVE base_path (incl. the default
     ./.state/intermediate) must still return relative keys —
     listStatus yields fully-qualified file:/ URIs, which the raw base
     string never matched, so every key came back as the full URI and
-    load(key) then failed."""
-    monkeypatch.chdir(tmp_path)
-    store = IntermediateStorage(spark, "./.state_rel/intermediate")
-    df = spark.range(3).toDF("n")
-    store.save("p1/extracted", df)
-    keys = store.list_keys()
-    assert keys == ["p1/extracted"]
-    loaded, _meta = store.load(keys[0])
-    assert loaded.count() == 3
+    load(key) then failed.
+
+    NOTE: Hadoop resolves relative paths against the JVM's cwd (fixed
+    at session start), NOT Python's — a monkeypatch.chdir would not
+    contain the writes, so this test cleans up the JVM-cwd directory
+    it actually creates."""
+    import shutil
+
+    base = "./.state_rel_test/intermediate"
+    store = IntermediateStorage(spark, base)
+    try:
+        df = spark.range(3).toDF("n")
+        store.save("p1/extracted", df)
+        keys = store.list_keys()
+        assert keys == ["p1/extracted"]
+        loaded, _meta = store.load(keys[0])
+        assert loaded.count() == 3
+    finally:
+        shutil.rmtree(".state_rel_test", ignore_errors=True)
