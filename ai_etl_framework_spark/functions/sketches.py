@@ -204,10 +204,18 @@ def kmv_sketch(
         # occupying two slots could evict a genuinely distinct one
         heaps: dict = {}
         for pdf in batches:
-            keys = (
-                list(zip(*[pdf[g] for g in gc])) if gc
-                else [()] * len(pdf)
-            )
+            # normalize NULL group keys to None: Arrow→pandas renders
+            # them as NaN, and NaN != NaN would give every NULL-key row
+            # its own heap — O(rows) state and one output row per input
+            # row, the exact funnel this prune exists to avoid
+            if gc:
+                cols = [
+                    pdf[g].astype(object).where(pdf[g].notna(), None)
+                    for g in gc
+                ]
+                keys = list(zip(*cols))
+            else:
+                keys = [()] * len(pdf)
             for key, u in zip(keys, pdf["__u"]):
                 h, live = heaps.setdefault(key, ([], set()))
                 if u in live:

@@ -55,6 +55,11 @@ def merge_upsert(
     UNTOUCHED — including legitimate duplicate-key rows in an
     append-style target (r4 review: the old union+row_number form
     silently kept only one row per unmatched key).
+
+    NULL merge keys follow SQL MERGE: NULL never matches NULL, so a
+    NULL-key source row can only ever INSERT (alongside any NULL-key
+    target rows), never update or delete them. Callers needing
+    null-safe matching should COALESCE keys to a sentinel first.
     """
     if when_matched not in _MATCHED_MODES:
         raise ValueError(f"when_matched must be one of {_MATCHED_MODES}")
@@ -91,6 +96,14 @@ def merge_upsert(
         return kept.unionByName(incoming, allowMissingColumns=True)
     # ignore: target is untouched; only genuinely new keys come in
     if not insert_unmatched:
+        # no source row reaches the result, so the lazy row-level
+        # guard has nothing to ride on — validate the contract
+        # eagerly (one small action over the CDC batch) instead of
+        # silently waiving "duplicate source keys raise" in this mode
+        if not (
+            source.groupBy(*keys).count().where(F.col("count") > 1).isEmpty()
+        ):
+            raise ValueError("merge_upsert: duplicate source keys")
         return target
     inserts = _guard_unique(source, keys).join(
         target.select(*keys).distinct(), on=keys, how="left_anti"

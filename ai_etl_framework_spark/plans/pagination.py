@@ -83,9 +83,17 @@ def drill_down(
                 return all(_orderable(f.dataType) for f in dt.fields)
             return True
 
-        sortable = [f.name for f in out.schema.fields if _orderable(f.dataType)]
-        if sortable:
-            out = out.orderBy(*[F.col(c).asc_nulls_first() for c in sortable])
+        def _sort_expr(f):
+            if _orderable(f.dataType):
+                return F.col(f.name).asc_nulls_first()
+            if isinstance(f.dataType, (T.MapType, T.ArrayType, T.StructType)):
+                # a deterministic orderable surrogate — maps etc. still
+                # contribute to the total order instead of silently
+                # reinstating nondeterministic offset pagination
+                return F.to_json(F.col(f.name)).asc_nulls_first()
+            return F.col(f.name).cast("string").asc_nulls_first()
+
+        out = out.orderBy(*[_sort_expr(f) for f in out.schema.fields])
     page = out.offset(offset).limit(limit) if offset else out.limit(limit)
     rows = [r.asDict(recursive=True) for r in page.collect()]
     return {

@@ -201,3 +201,35 @@ def test_untouched_duplicate_target_keys_pass_through(spark):
         t2, s, ["k"], when_matched="delete", insert_unmatched=False
     ))
     assert got == [(1, "a1"), (1, "a2")]
+
+
+def test_ignore_no_insert_still_guards_duplicate_source(spark):
+    """r4: even when no source row reaches the result (ignore +
+    insert_unmatched=False), a malformed CDC batch must still raise —
+    the contract is validated eagerly in this one mode."""
+    t = spark.createDataFrame([(1, "a")], "k int, v string")
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string")
+    with pytest.raises(ValueError, match="duplicate source keys"):
+        merge_upsert(t, dup, ["k"], when_matched="ignore",
+                     insert_unmatched=False)
+
+
+def test_null_merge_keys_follow_sql_merge(spark):
+    """NULL never matches NULL (SQL MERGE): a NULL-key source row can
+    only insert — the NULL-key target row is neither updated nor
+    deleted."""
+    t = spark.createDataFrame([(None, "t-null"), (1, "a")], "k int, v string")
+    s = spark.createDataFrame([(None, "s-null")], "k int, v string")
+
+    def rows(df):
+        return sorted(
+            ((r.k, r.v) for r in df.collect()),
+            key=lambda p: (p[0] is None, p[0] or 0, p[1]),
+        )
+
+    assert rows(merge_upsert(t, s, ["k"])) == [
+        (1, "a"), (None, "s-null"), (None, "t-null")
+    ]
+    assert rows(merge_upsert(t, s, ["k"], when_matched="delete")) == [
+        (1, "a"), (None, "s-null"), (None, "t-null")
+    ]

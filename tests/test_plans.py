@@ -181,3 +181,21 @@ def test_schema_inferrer_pattern_over_non_null_values(spark):
     info = SchemaInferrer().infer(df)["email"]
     assert info["pattern"] == "email"
     assert info["null_count"] == 50
+
+
+def test_drill_down_map_column_default_order_is_deterministic(spark):
+    """r4: with no order_by, unorderable (map) columns get a to_json
+    surrogate instead of either throwing (pre-fix) or being silently
+    dropped from the total order (which would reinstate
+    nondeterministic offset pagination for map-only projections)."""
+    df = spark.createDataFrame(
+        [(i % 3, {"k": str(i % 5)}) for i in range(30)],
+        "grp int, props map<string,string>",
+    )
+    out1 = drill_down(df, limit=10)
+    out2 = drill_down(df, limit=10)
+    assert out1["records"] == out2["records"]
+    assert out1["total_count"] == 30
+    # map-only projection: still deterministic, no AnalysisException
+    only_map = drill_down(df, columns=["props"], limit=7)
+    assert len(only_map["records"]) == 7

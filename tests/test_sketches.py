@@ -183,3 +183,28 @@ def test_kmv_grouped_and_small_sets_exact(spark):
         .collect()
     }
     assert out == {"g1": 7.0, "g2": 13.0}
+
+
+def test_kmv_null_group_keys_collapse_to_one_group(spark):
+    """r4: NULL group keys arrive in the Arrow kernel as NaN; without
+    normalization each NULL-key row got its own heap (O(rows) state).
+    They must form ONE group whose sketch behaves like any other."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.functions.sketches import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(None, f"n{i % 11}") for i in range(60)]
+        + [(1, f"v{i % 5}") for i in range(20)],
+        "g int, v string",
+    )
+    out = {
+        r["g"]: r["est"]
+        for r in kmv_sketch(df, "v", k=64, group_cols=["g"])
+        .select("g", kmv_distinct_estimate(F.col("kmv"), 64).alias("est"))
+        .collect()
+    }
+    assert out == {None: 11.0, 1: 5.0}
