@@ -260,34 +260,16 @@ def q07_agg_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit order column."""
     from ai_etl_framework_spark.operators import Aggregator
 
-    from ai_etl_framework_spark.session import widen
-
-    # (l_orderkey, l_linenumber) is NOT unique in this data — use a
-    # row hash over the discrete columns as the input-order key; rows
-    # tied on it are identical in l_linestatus, so first/last/concat
-    # stay deterministic.
-    # order key = unhex(md5(...)): the 16-byte binary digest, not the
-    # 32-char hex string. Spark compares BinaryType unsigned byte-wise
-    # and hex rendering is monotone in the bytes, so the order is
-    # IDENTICAL to the oracle's md5-string ORDER BY — but the struct
-    # carried through the ordered collect/sort is half the width
-    # (measured: ordered-agg portion 0.91s → 0.61s warm at sf0.1).
-    li = widen(load_table(spark, sf_dir, "lineitem")).withColumn(
-        "__ord",
-        F.unhex(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    "l_orderkey",
-                    "l_linenumber",
-                    "l_suppkey",
-                    "l_partkey",
-                    "l_returnflag",
-                    "l_linestatus",
-                )
-            )
-        ),
-    )
+    # (l_orderkey, l_linenumber) is NOT unique in this data — order by
+    # the full discrete tuple instead; rows tied on it are identical in
+    # l_linestatus, so first/last/concat stay deterministic.
+    # r5: the order key is the RAW COLUMN LIST, not a derived
+    # md5/concat hash — computing md5 over 600k rows in the (3-split)
+    # scan stage was ~0.9s of q07's 2.37s warm latency, while Tungsten
+    # sorts the raw columns directly (the Aggregator's presorted
+    # collect path); the oracle mirrors it with
+    # `ORDER BY col, ... NULLS LAST` aggregate modifiers.
+    li = load_table(spark, sf_dir, "lineitem")
     agg = Aggregator(
         group_by=["l_returnflag"],
         aggregations={
@@ -301,7 +283,14 @@ def q07_agg_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_status": {"field": "l_linestatus", "function": "last"},
             "status_concat": {"field": "l_linestatus", "function": "concat"},
         },
-        order_col="__ord",
+        order_col=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            "l_partkey",
+            "l_returnflag",
+            "l_linestatus",
+        ],
     )
     return agg(li).select(
         "l_returnflag",
@@ -318,11 +307,12 @@ def q07_agg_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q07_ORD = (
-    # concat_ws (NOT ||): || NULL-propagates in DuckDB while the
-    # Spark side builds the key with F.concat_ws, which skips NULL
-    # parts — a NULL key component must hash identically on both
-    "md5(concat_ws('|', l_orderkey, l_linenumber, l_suppkey, "
-    "l_partkey, l_returnflag, l_linestatus))"
+    # the Spark side sorts each order column asc_nulls_last — the
+    # explicit NULLS LAST keeps the two engines aligned even though
+    # DuckDB's ASC default is already nulls-last
+    "l_orderkey NULLS LAST, l_linenumber NULLS LAST, "
+    "l_suppkey NULLS LAST, l_partkey NULLS LAST, "
+    "l_returnflag NULLS LAST, l_linestatus NULLS LAST"
 )
 
 _Q07_SQL = f"""
@@ -333,8 +323,8 @@ SELECT l_returnflag,
        ROUND(AVG(TRY_CAST(l_quantity AS DOUBLE)), 4)                   AS avg_qty,
        ROUND(MIN(TRY_CAST(l_quantity AS DOUBLE)), 2)                   AS min_qty,
        ROUND(MAX(TRY_CAST(l_quantity AS DOUBLE)), 2)                   AS max_qty,
-       CAST(arg_min(l_linestatus, {_Q07_ORD}) AS VARCHAR)              AS first_status,
-       CAST(arg_max(l_linestatus, {_Q07_ORD}) AS VARCHAR)              AS last_status,
+       CAST(first(l_linestatus ORDER BY {_Q07_ORD}) AS VARCHAR)        AS first_status,
+       CAST(last(l_linestatus ORDER BY {_Q07_ORD}) AS VARCHAR)         AS last_status,
        COALESCE(string_agg(CAST(l_linestatus AS VARCHAR), ', '
                   ORDER BY {_Q07_ORD}), '')                            AS status_concat
 FROM lineitem
