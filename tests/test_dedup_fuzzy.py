@@ -535,11 +535,16 @@ def test_lazy_builder_caches_keep_one_live(spark):
         [(i, f"some text number {i} with shared words") for i in range(30)],
         "doc_id long, text string",
     )
+    def live(tag):
+        # r5: registry keys are (tag, session-id) so concurrent
+        # sessions don't thrash each other's frame
+        return dd._LIVE_CACHES[(tag, id(spark))]
+
     dd.minhash_candidates(docs, "doc_id", "text").count()
-    first = dd._LIVE_CACHES["minhash_sig"]
+    first = live("minhash_sig")
     assert first.storageLevel.useMemory or first.storageLevel.useDisk
     dd.minhash_candidates(docs, "doc_id", "text", num_hashes=32).count()
-    second = dd._LIVE_CACHES["minhash_sig"]
+    second = live("minhash_sig")
     assert second is not first
     # predecessor released: its storage level is back to NONE
     assert not (first.storageLevel.useMemory or first.storageLevel.useDisk)
@@ -549,9 +554,9 @@ def test_lazy_builder_caches_keep_one_live(spark):
     # plan would just re-occupy the same plan-keyed CacheManager slot,
     # which is already leak-free)
     dd.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
-    sh1 = dd._LIVE_CACHES["ngram_shingles"]
+    sh1 = live("ngram_shingles")
     dd.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, k=4).count()
-    assert dd._LIVE_CACHES["ngram_shingles"] is not sh1
+    assert live("ngram_shingles") is not sh1
     assert not (sh1.storageLevel.useMemory or sh1.storageLevel.useDisk)
 
 
