@@ -145,20 +145,26 @@ def _session_stopped(df: DataFrame) -> bool:
 
 
 def _cache_keep_one(tag: str, df: DataFrame) -> DataFrame:
-    cached = df.persist()
     key = (tag, id(df.sparkSession))
     with _LIVE_CACHES_LOCK:
-        prev = _LIVE_CACHES.get(key)
+        prev = _LIVE_CACHES.pop(key, None)
+        if prev is not None:
+            # MUST unpersist BEFORE persisting the successor: when the
+            # new call has the IDENTICAL plan, persist() re-resolves to
+            # the same plan-keyed CacheManager entry, and unpersisting
+            # the predecessor afterwards would drop the cache just
+            # created (measured: dd04 repeat runs 3.9s -> 6.3s when the
+            # order was flipped)
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass  # the old frame's session may already be stopped
+        cached = df.persist()
         _LIVE_CACHES[key] = cached
         stale = [k for k, v in _LIVE_CACHES.items()
                  if k != key and _session_stopped(v)]
         for k in stale:
             del _LIVE_CACHES[k]
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=False)  # outside the lock: JVM RPC
-        except Exception:
-            pass  # the old frame's session may already be stopped
     return cached
 
 
