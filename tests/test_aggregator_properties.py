@@ -153,3 +153,46 @@ def test_null_order_keys_one_nulls_last_sequence(spark):
     assert out["g"] == ("a", "z", "a, b, z")
     # all-NULL-order group still has a well-defined head and tail
     assert out["h"] == ("only", "only", "only")
+
+
+def test_presorted_collect_survives_sort_based_fallback(spark):
+    """r5: the presorted-collect path relies on collect_list seeing
+    rows in the sorted arrival order. ObjectHashAggregate switches to
+    SORT-BASED aggregation once a task's hash map exceeds
+    spark.sql.objectHashAggregate.sortBased.fallbackThreshold (128
+    distinct keys) — this test forces that regime (5000 groups over 32
+    partitions, ~156 keys/task) with adversarially shuffled input and
+    checks every group's concat/first/last against the explicit-order
+    model. If Spark's fallback re-sort ever stopped being stable for
+    rows already ordered by (group, order), this fails."""
+    from pyspark.sql import functions as F
+
+    n_groups, per_group = 5000, 40
+    base = spark.range(n_groups * per_group).select(
+        (F.col("id") % n_groups).alias("g"),
+        # order key descends as id ascends within a group, so arrival
+        # order (by id) is the REVERSE of the required order — any
+        # "input happened to be sorted already" accident cannot pass
+        (F.lit(per_group) - (F.col("id") / n_groups).cast("long")).alias("o"),
+        F.concat(F.lit("v"), (F.col("id") / n_groups).cast("long").cast("string")).alias("s"),
+    )
+    # shuffle rows arbitrarily across partitions before aggregating
+    scrambled = base.repartition(32, F.col("o"))
+    agg = Aggregator(
+        group_by=["g"],
+        aggregations={
+            "first_s": {"field": "s", "function": "first"},
+            "last_s": {"field": "s", "function": "last"},
+            "cat": {"field": "s", "function": "concat"},
+        },
+        order_col="o",
+    )
+    rows = agg(scrambled).collect()
+    assert len(rows) == n_groups
+    # per construction: order key o = per_group - j for value vj, so
+    # ascending o means v(per_group-1) ... v0 — identical for every group
+    expected_cat = ", ".join(f"v{per_group - 1 - j}" for j in range(per_group))
+    for r in rows:
+        assert r["first_s"] == f"v{per_group - 1}", r
+        assert r["last_s"] == "v0", r
+        assert r["cat"] == expected_cat, (r["g"], r["cat"][:60])

@@ -250,17 +250,16 @@ def test_smp01_is_join_free_single_shuffle(spark):
     assert _count_nodes(plan, r"Exchange hashpartitioning") == 1
 
 
-def test_q07_presorted_collect_single_exchange_no_expand(spark):
-    """r5: q07's ordered aggregates share ONE Tungsten-presorted
-    collect: the explicit repartition on the group key satisfies the
-    aggregation's distribution requirement, so the executed plan has
-    exactly one hashpartitioning exchange and a Sort BELOW the
-    aggregation (rows arrive pre-ordered; no per-group array_sort),
-    and NO Expand (count_distinct compiles to collect_set on this
-    path, dodging the RewriteDistinctAggregates doubling)."""
+def test_q07_ordered_agg_single_exchange_no_expand(spark):
+    """r5: q07's ordered aggregates derive from ONE row_number stamp;
+    the window's (group, order) exchange + Tungsten sort is reused by
+    the aggregation, so the executed plan has exactly one
+    hashpartitioning exchange, a Window above a Sort, and NO Expand
+    (count_distinct compiles to collect_set on this path, dodging the
+    RewriteDistinctAggregates doubling)."""
     plan = _executed_plan(entry.q07_agg_semantics(spark, SF))
     assert _count_nodes(plan, r"Exchange hashpartitioning") == 1
     assert _count_nodes(plan, "Expand") == 0
+    assert "Window" in plan
     assert "Sort" in plan
     assert "ObjectHashAggregate" in plan
-    assert "array_sort" not in plan
