@@ -145,26 +145,31 @@ GROUP BY o_orderstatus, o_orderpriority
 def q03_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema join (broadcast dims) + revenue rollup per nation.
 
-    The distinct-order count is a TWO-LEVEL aggregation (group by
-    (nation, orderkey) partials first, then count the groups) instead
-    of countDistinct in the final agg: countDistinct compiles to an
-    Expand that doubles every joined fact row through the shuffle —
-    at 100× the fact table that Expand IS the bottleneck, while the
-    two-level form shuffles one row per (nation, order) pair with
-    map-side partials. Identical results (r4: 1.66s → 1.27s warm at
-    sf0.1)."""
+    Two scale decisions Catalyst does not make on its own:
+    - Aggregation PUSHED BELOW the join (r5): lineitem collapses to
+      one (orderkey, rev) row per order BEFORE any join, so the join
+      probes 150k pre-aggregated rows instead of streaming 600k fact
+      rows through it — at 100× the fact table that 4× row reduction
+      is the difference between joining 100 TB and joining 25 TB.
+      Orderkeys are unique after the pre-agg, so per-nation
+      n_orders = COUNT(*) of joined rows (no distinct needed).
+    - No countDistinct anywhere: its RewriteDistinctAggregates Expand
+      would double every joined row through the shuffle (the r4
+      two-level form avoided the Expand; the pre-agg removes even the
+      (nation, orderkey) shuffle). Identical results
+      (r4: 1.66→1.27s; r5 pre-agg: 1.22→0.75s warm at sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
     per_order = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_name", "o_orderkey")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
-        )
+        .select("n_name", "rev")
     )
     return per_order.groupBy("n_name").agg(
         F.round(F.sum("rev"), 2).alias("revenue"),
