@@ -196,3 +196,22 @@ def test_presorted_collect_survives_sort_based_fallback(spark):
         assert r["first_s"] == f"v{per_group - 1}", r
         assert r["last_s"] == "v0", r
         assert r["cat"] == expected_cat, (r["g"], r["cat"][:60])
+
+
+def test_global_aggregation_with_ordered_functions(spark):
+    """Empty group_by = one global group: the row_number window runs
+    unpartitioned (single-task, inherent to global concat/list) and
+    every function still follows the explicit order."""
+    df = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "o int, v string")
+    agg = Aggregator(
+        group_by=[],
+        aggregations={
+            "cat": {"field": "v", "function": "concat"},
+            "first_v": {"field": "v", "function": "first"},
+            "last_v": {"field": "v", "function": "last"},
+            "n": {"field": "v", "function": "count"},
+        },
+        order_col="o",
+    )
+    [r] = agg(df).collect()
+    assert (r["cat"], r["first_v"], r["last_v"], r["n"]) == ("a, b, c", "a", "c", 3)
