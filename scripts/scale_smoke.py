@@ -115,6 +115,18 @@ def main() -> None:
     print(f"sf1 build: {build_sec}s -> {out_dir}", file=sys.stderr)
 
     qs = {n: getattr(entrymod, n) for n in QUERIES}
+
+    def dd04_auto(spark, sf_dir):
+        # the budget-gated exact->banded crossover path (VERDICT r4:
+        # "dd03/dd04-auto at sf1") — exercises prefix_candidate_estimate
+        # against the default budget at 10x the corpus
+        from ai_etl_framework_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = load_table(spark, sf_dir, "documents")
+        return ngram_jaccard_pairs(docs, "doc_id", "text", k=3,
+                                   threshold=0.5, mode="auto")
+
+    qs["dd04_auto_mode"] = dd04_auto
     result: dict[str, dict] = {}
     try:
         # warm the JVM + page cache on both dirs, then one timed run
@@ -124,7 +136,7 @@ def main() -> None:
         for sf_label, sf_dir in (("sf0.1", SF01), ("sf1", out_dir)):
             for t in ("events", "documents", "embeddings", "customer", "orders"):
                 load_table(spark, sf_dir, t).count()
-            for name in QUERIES:
+            for name in list(QUERIES) + ["dd04_auto_mode"]:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).collect()
                 sec = round(time.perf_counter() - t0, 4)
