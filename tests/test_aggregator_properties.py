@@ -215,3 +215,33 @@ def test_global_aggregation_with_ordered_functions(spark):
     )
     [r] = agg(df).collect()
     assert (r["cat"], r["first_v"], r["last_v"], r["n"]) == ("a, b, c", "a", "c", 3)
+
+
+def test_numeric_functions_ignore_non_numeric_strings(spark):
+    """Reference semantics (aggregator.py:18-21): sum/avg/min/max see
+    only values that parse as numbers — non-numeric strings are
+    IGNORED, not errors, not zeros ('12.5' counts, 'n/a' doesn't).
+    count still counts every row including NULLs."""
+    df = spark.createDataFrame(
+        [("g", "12.5"), ("g", "n/a"), ("g", None), ("g", "-2"),
+         ("h", "oops")],
+        "g string, v string",
+    )
+    agg = Aggregator(
+        group_by=["g"],
+        aggregations={
+            "total": {"field": "v", "function": "sum"},
+            "mean": {"field": "v", "function": "avg"},
+            "lo": {"field": "v", "function": "min"},
+            "hi": {"field": "v", "function": "max"},
+            "n": {"field": "v", "function": "count"},
+        },
+    )
+    out = {r["g"]: r.asDict() for r in agg(df).collect()}
+    assert out["g"]["total"] == 10.5
+    assert out["g"]["mean"] == 5.25
+    assert (out["g"]["lo"], out["g"]["hi"]) == (-2.0, 12.5)
+    assert out["g"]["n"] == 4
+    # all-non-numeric group: sum -> 0.0 (ref :18), avg/min/max -> NULL
+    assert out["h"]["total"] == 0.0
+    assert out["h"]["mean"] is None and out["h"]["lo"] is None
