@@ -261,7 +261,10 @@ def pack_documents(
     # the kernel as float64 NaN, where int(t) would kill the whole
     # task and NaN would poison every pack_tokens sum it touched.
     # Count tokens first (functions.text.token_count) if they matter.
-    base = base.where(F.col("tokens").isNotNull())
+    # NULL ids are excluded for the same reason (NULL hashes to a NULL
+    # bucket, which reaches the kernel as NaN and kills the task) —
+    # and a document without an identity cannot be packed addressably.
+    base = base.where(F.col("tokens").isNotNull() & F.col("id").isNotNull())
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__ord", kind="mergesort").reset_index(drop=True)

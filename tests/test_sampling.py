@@ -320,3 +320,20 @@ def test_null_id_duckdb_twin_parity(spark):
     assert sampled == duck_sampled
     assert null_in == duck_null_in
     assert split_of_null == duck_split_null
+
+
+def test_pack_documents_excludes_null_ids(spark):
+    """r5: a NULL id hashes to a NULL bucket, which used to reach the
+    pandas kernel as NaN and kill the task (int(NaN)). NULL-id docs
+    are excluded like NULL-token docs — documented, not a crash."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.operators.sampling import pack_documents
+
+    df = spark.createDataFrame(
+        [(1, 100), (None, 100), (2, 100), (3, None)],
+        "doc_id long, n long",
+    )
+    out = pack_documents(df, "doc_id", "n", 4096, num_buckets=4)
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [1, 2]
