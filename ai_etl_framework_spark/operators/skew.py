@@ -66,13 +66,19 @@ def salted_count_distinct(
     out_name: str = "n_distinct",
 ) -> DataFrame:
     """Exact distinct count per key, skew-safe: the first shuffle is on
-    (keys, col) so a hot key's values spread across reducers."""
+    (keys, col) so a hot key's values spread across reducers.
+
+    NULL handling matches SQL COUNT(DISTINCT x): NULLs are not a
+    value (counting F.count(col) over the deduped rows skips the
+    at-most-one NULL row per key), while a key whose rows are ALL
+    NULL still appears with count 0 — pre-filtering the NULLs away
+    would silently drop such keys instead (r5 review)."""
     keys = list(keys)
     return (
         df.select(*keys, col)
         .distinct()
         .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias(out_name))
+        .agg(F.count(F.col(col)).alias(out_name))
     )
 
 

@@ -74,3 +74,22 @@ def test_salted_join_rejects_outer_shapes(spark):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(big, small, on=["k"], how=bad)
     assert salted_join(big, small, on=["k"], how="left").count() == 1
+
+
+def test_salted_count_distinct_ignores_nulls_like_sql(spark):
+    """r5 review: COUNT(DISTINCT x) never counts NULL as a value, and
+    a key whose values are ALL NULL still appears with count 0."""
+    from ai_etl_framework_spark.operators.skew import salted_count_distinct
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", None), ("a", "y"),
+         ("b", None), ("b", None)],
+        "k string, v string",
+    )
+    out = {r["k"]: r["n_distinct"] for r in salted_count_distinct(df, ["k"], "v").collect()}
+    assert out == {"a": 2, "b": 0}
+    # differential: matches countDistinct per key
+    from pyspark.sql import functions as F
+
+    ref = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()}
+    assert out == ref
