@@ -82,9 +82,14 @@ def _duckdb_twins() -> dict[str, float]:
         sql = _twin_sql(entrymod, name)
         if not sql:
             continue
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        out[name] = round(time.perf_counter() - t0, 4)
+        try:
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            out[name] = round(time.perf_counter() - t0, 4)
+        except Exception as ex:  # noqa: BLE001 — twins are best-effort
+            # a DuckDB failure must not take down the Spark benchmark
+            # artifact; the missing key is visible in the output
+            print(f"duckdb twin {name} failed: {ex}", file=sys.stderr)
     con.close()
     return out
 
