@@ -215,9 +215,12 @@ def widen(df, min_partitions: int | None = None):
     cannot split (gzip/zstd/snappy-compressed text — one task reads
     the whole file no matter its size) counts as ONE split, so a
     single large ``.json.gz`` still gets the widening it exists for.
-    (A parquet file written as one giant row group is the remaining
-    blind spot — byte-slices exist but only one holds rows; writers
-    control row-group size, not this reader.) Sizes come from os.stat
+    For parquet, a file's split estimate is additionally capped by its
+    ROW-GROUP count (footer metadata, read only for the handful of
+    files that reach this path): byte-slices without a row-group start
+    produce zero rows, so a large file written as one giant row group
+    is really ONE split — previously the blind spot where widen
+    skipped an input that scans single-task. Sizes come from os.stat
     for file:// and the Hadoop FileSystem API for remote schemes
     (bounded: fewer than ``target`` files by this point); if a stat
     fails the plan is left alone — the files could be huge, and a
@@ -244,7 +247,12 @@ def widen(df, min_partitions: int | None = None):
             size = _file_size(spark, f)
         except Exception:
             return df  # size unknown: never risk shuffling a huge input
-        est_splits += max(1, math.ceil(size / mpb))
+        n = max(1, math.ceil(size / mpb))
+        if n > 1 and f.lower().endswith(".parquet"):
+            rg = _parquet_row_groups(spark, f)
+            if rg is not None:
+                n = min(n, max(1, rg))
+        est_splits += n
         if est_splits >= target:
             return df
     if est_splits >= target:
@@ -266,6 +274,25 @@ _NON_SPLITTABLE_EXTS = (
 
 def _splittable(url: str) -> bool:
     return not url.lower().endswith(_NON_SPLITTABLE_EXTS)
+
+
+def _parquet_row_groups(spark, url: str) -> int | None:
+    """Row-group count from a parquet footer — a bounded metadata read
+    (widen only calls this for the few files of an already-small scan).
+    None when the footer can't be read; callers then keep the byte
+    estimate, which can only SKIP a widening, never force one."""
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(url)
+        hif = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(hif)
+        try:
+            return int(reader.getRowGroups().size())
+        finally:
+            reader.close()
+    except Exception:
+        return None
 
 
 def _file_size(spark, url: str) -> int:

@@ -156,22 +156,31 @@ def test_chunk_text_no_shuffle(spark):
 
 
 def test_widen_skips_large_single_file(spark, tmp_path):
-    """ADVICE r3: widen() must not repartition a single LARGE file —
-    maxPartitionBytes already splits it past the parallelism target,
-    so the extra exchange is pure cost. Split count is estimated from
-    file sizes; only genuinely tiny inputs get the exchange."""
-    from ai_etl_framework_spark.session import widen
+    """ADVICE r3 (refined r5): widen() must not repartition a single
+    LARGE file when byte-splitting yields REAL parallelism — which for
+    parquet requires enough row groups, not just bytes. The skip case
+    therefore writes a many-row-group file (small parquet.block.size);
+    a single-row-group file of the same size is the r5 blind-spot case
+    covered by test_widen_sees_through_phantom_parquet_byte_slices."""
+    from ai_etl_framework_spark.session import _parquet_row_groups, widen
 
     path = str(tmp_path / "one_big_file")
-    spark.range(0, 200_000).selectExpr(
-        "id", "md5(cast(id as string)) as pad"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    (
+        spark.range(0, 200_000)
+        .selectExpr("id", "md5(cast(id as string)) as pad")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(path)
+    )
     df = spark.read.parquet(path)
-    assert len(df.inputFiles()) == 1
+    [f] = df.inputFiles()
+    assert _parquet_row_groups(spark, f) >= spark.sparkContext.defaultParallelism
 
     old = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
-        # "large" relative to a tiny maxPartitionBytes: est splits ≫ target
+        # "large" relative to a tiny maxPartitionBytes: est splits ≫
+        # target AND the row groups are really there to back them
         spark.conf.set("spark.sql.files.maxPartitionBytes", "16k")
         assert widen(df) is df  # no-op: no Exchange added
         # genuinely tiny input (huge maxPartitionBytes → 1 split): widened
@@ -263,3 +272,33 @@ def test_q07_ordered_agg_single_exchange_no_expand(spark):
     assert "Window" in plan
     assert "Sort" in plan
     assert "ObjectHashAggregate" in plan
+
+
+def test_widen_sees_through_phantom_parquet_byte_slices(spark, tmp_path):
+    """r5: a parquet file written as ONE row group yields rows in only
+    one byte-slice, however many splits maxPartitionBytes claims — the
+    former blind spot where widen skipped an input that actually scans
+    single-task. The split estimate is now capped by the footer's
+    row-group count, so the file widens."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.session import _parquet_row_groups, widen
+
+    out = str(tmp_path / "one_rg")
+    spark.range(200_000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("s")
+    ).coalesce(1).write.mode("overwrite").parquet(out)
+    df = spark.read.parquet(out)
+    [f] = df.inputFiles()
+    assert _parquet_row_groups(spark, f) == 1
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # tiny split size: byte-slicing claims ~50 splits for this file
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        wdf = widen(df)
+        assert (
+            wdf.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
