@@ -156,15 +156,17 @@ def test_null_order_keys_one_nulls_last_sequence(spark):
 
 
 def test_presorted_collect_survives_sort_based_fallback(spark):
-    """r5: the presorted-collect path relies on collect_list seeing
-    rows in the sorted arrival order. ObjectHashAggregate switches to
-    SORT-BASED aggregation once a task's hash map exceeds
-    spark.sql.objectHashAggregate.sortBased.fallbackThreshold (128
-    distinct keys) — this test forces that regime (5000 groups over 32
-    partitions, ~156 keys/task) with adversarially shuffled input and
-    checks every group's concat/first/last against the explicit-order
-    model. If Spark's fallback re-sort ever stopped being stable for
-    rows already ordered by (group, order), this fails."""
+    """The Aggregator's order-sensitive primitives are explicitly
+    order-INDEPENDENT (min_by/max_by over the struct order key,
+    array_sort over the fully merged collect buffer) — they must stay
+    correct when ObjectHashAggregate switches to SORT-BASED
+    aggregation past spark.sql.objectHashAggregate.sortBased.
+    fallbackThreshold (128 distinct keys), whose buffer merge does NOT
+    preserve arrival order. This test forces that regime (5000 groups
+    over 32 partitions, ~156 keys/task) with adversarially shuffled
+    input and checks every group's concat/first/last against the
+    explicit-order model — pinning that no arrival-order assumption
+    ever creeps back into the fallback path."""
     from pyspark.sql import functions as F
 
     n_groups, per_group = 5000, 40

@@ -260,16 +260,19 @@ def test_smp01_is_join_free_single_shuffle(spark):
 
 
 def test_q07_ordered_agg_single_exchange_no_expand(spark):
-    """r5: q07's ordered aggregates derive from ONE row_number stamp;
-    the window's (group, order) exchange + Tungsten sort is reused by
-    the aggregation, so the executed plan has exactly one
-    hashpartitioning exchange, a Window above a Sort, and NO Expand
-    (count_distinct compiles to collect_set on this path, dodging the
-    RewriteDistinctAggregates doubling)."""
+    """r6: q07's ordered aggregates derive from a per-group-monotone
+    monotonically_increasing_id stamped after ONE Tungsten
+    sortWithinPartitions on the group-key repartition — the Window
+    operator is gone (its rank evaluation + row materialization cost
+    ~0.5s of q07's r5 warm 1.46s). The executed plan has exactly one
+    hashpartitioning exchange (reused by the aggregation), a Sort, NO
+    Window, and NO Expand (count_distinct compiles to collect_set on
+    the collect-buffer path, dodging the RewriteDistinctAggregates
+    doubling)."""
     plan = _executed_plan(entry.q07_agg_semantics(spark, SF))
     assert _count_nodes(plan, r"Exchange hashpartitioning") == 1
     assert _count_nodes(plan, "Expand") == 0
-    assert "Window" in plan
+    assert "Window" not in plan
     assert "Sort" in plan
     assert "ObjectHashAggregate" in plan
 
