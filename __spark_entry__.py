@@ -2337,12 +2337,21 @@ SELECT 'ivf' AS path, vec_id, cos_sim FROM ({_SIM01_SQL})
 
 
 def _run_stream_once(spark: SparkSession, ev: DataFrame, build_sink,
-                     prefix: str) -> DataFrame:
+                     prefix: str, marginal_ev: DataFrame | None = None,
+                     timings: dict | None = None) -> DataFrame:
     """Shared AvailableNow harness for the streaming twins: write the
     batch input as a bronze dir, run the streaming query to completion
     (fail loudly on timeout instead of reading a half-written sink),
     materialize the bounded result, and remove the scratch dir — no
-    /tmp residue survives the terminal read."""
+    /tmp residue survives the terminal read.
+
+    ``marginal_ev`` (bench-only, VERDICT r5 item 5): after the
+    backfill terminates, append these rows as a new bronze file and
+    restart the SAME query (same checkpoint) under AvailableNow,
+    recording the wall-clock of that incremental run in
+    ``timings['marginal_sec']`` — the per-batch cost a long-running
+    deployment actually pays, separating the backfill's fixed costs
+    (RocksDB spin-up, stream machinery) from per-row work."""
     import shutil
     import tempfile
 
@@ -2385,20 +2394,32 @@ def _run_stream_once(spark: SparkSession, ev: DataFrame, build_sink,
         out = os.path.join(tmp, "out")
         ckpt = os.path.join(tmp, "ckpt")
         ev.write.mode("overwrite").parquet(bronze)
-        q = (
-            build_sink(bronze)
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                f"{prefix} streaming query did not finish within 300s"
+
+        def _go() -> None:
+            q = (
+                build_sink(bronze)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    f"{prefix} streaming query did not finish within 300s"
+                )
+
+        _go()
+        if marginal_ev is not None:
+            import time as _time
+
+            t0 = _time.perf_counter()
+            marginal_ev.write.mode("append").parquet(bronze)
+            _go()
+            if timings is not None:
+                timings["marginal_sec"] = round(_time.perf_counter() - t0, 4)
         res = spark.read.parquet(out)
         # bounded result (sessions/windows, not raw events): materialize
         # so the scratch dir can be deleted before returning. Arrow both
@@ -2415,7 +2436,9 @@ def _run_stream_once(spark: SparkSession, ev: DataFrame, build_sink,
     return spark.createDataFrame(pdf, schema)
 
 
-def st01_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st01_stream_sessions(spark: SparkSession, sf_dir: str, *,
+                         marginal_ev: DataFrame | None = None,
+                         timings: dict | None = None) -> DataFrame:
     """Streaming twin of q28: events → file-source stream →
     applyInPandasWithState sessionization → parquet sink, end-to-end
     under Trigger.AvailableNow. Rows-only by design: which sessions
@@ -2423,7 +2446,10 @@ def st01_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the emitted subset is not SQL-expressible; exact agreement of
     every emitted session with the batch/oracle result is asserted in
     tests/test_sessionization.py. The driver row still catches hard
-    breakage (e.g. the r2 watermark NTZ crash) in the gate signal."""
+    breakage (e.g. the r2 watermark NTZ crash) in the gate signal.
+
+    ``marginal_ev``/``timings`` are bench-only passthroughs to
+    _run_stream_once's incremental-batch measurement."""
     from ai_etl_framework_spark.streaming.events import read_stream
     from ai_etl_framework_spark.streaming.sessions import sessionize_stream
 
@@ -2437,15 +2463,22 @@ def st01_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             watermark="0 seconds",
         ),
         "st01_",
+        marginal_ev=marginal_ev,
+        timings=timings,
     )
 
 
-def st02_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st02_stream_windows(spark: SparkSession, sf_dir: str, *,
+                        marginal_ev: DataFrame | None = None,
+                        timings: dict | None = None) -> DataFrame:
     """Streaming twin of q17: watermarked tumbling-window aggregation
     over a file-source stream, AvailableNow to completion. Rows-only:
     append-mode emission depends on watermark advancement across
     micro-batches; equality with the batch twin is asserted in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    ``marginal_ev``/``timings`` are bench-only passthroughs to
+    _run_stream_once's incremental-batch measurement."""
     from ai_etl_framework_spark.streaming.events import (
         read_stream,
         windowed_counts,
@@ -2465,6 +2498,8 @@ def st02_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "total_value",
         ),
         "st02_",
+        marginal_ev=marginal_ev,
+        timings=timings,
     )
 
 
