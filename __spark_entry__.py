@@ -2735,6 +2735,51 @@ GROUP BY 1, 2
 """
 
 
+def q43_merge_scd2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate merge (round 6): keyed MERGE (q43, all three when_matched
+    modes) + SCD2 historization (q44) tag-unioned into ONE long-format
+    oracle row — same verbatim-composition pattern as q29_chart_prep /
+    q40_exists_merged — freeing a gate slot so x04_iforest gets a
+    driver signal (VERDICT r5 item 3). The single-path functions stay
+    as the bench/pytest units. Dates ride as days-since-epoch doubles
+    so the value column stays one hashable type."""
+    a = q43_merge_upsert(spark, sf_dir).selectExpr(
+        "'merge' AS suite",
+        "mode AS mode_key",
+        "c_mktsegment AS group_key",
+        "stack(2, 'n', CAST(n AS DOUBLE), 'sum_bal', sum_bal) AS (metric, value)",
+    )
+    b = q44_scd2_history(spark, sf_dir).selectExpr(
+        "'scd2' AS suite",
+        "seg_class AS mode_key",
+        "CAST(is_current AS STRING) AS group_key",
+        "stack(5, 'n', CAST(n AS DOUBLE), 'n_keys', CAST(n_keys AS DOUBLE), "
+        "'n_closed', CAST(n_closed AS DOUBLE), "
+        "'first_from', CAST(datediff(first_from, DATE '1970-01-01') AS DOUBLE), "
+        "'last_from', CAST(datediff(last_from, DATE '1970-01-01') AS DOUBLE)) "
+        "AS (metric, value)",
+    )
+    return a.unionByName(b)
+
+
+_Q43M_SQL = f"""
+SELECT 'merge' AS suite, mode AS mode_key, c_mktsegment AS group_key, m.metric,
+       CASE m.metric WHEN 'n' THEN CAST(n AS DOUBLE) ELSE sum_bal END AS value
+FROM ({_Q43_SQL}) q
+CROSS JOIN (SELECT UNNEST(['n', 'sum_bal']) AS metric) m
+UNION ALL
+SELECT 'scd2' AS suite, seg_class AS mode_key,
+       CAST(is_current AS VARCHAR) AS group_key, m.metric,
+       CASE m.metric WHEN 'n' THEN CAST(n AS DOUBLE)
+                     WHEN 'n_keys' THEN CAST(n_keys AS DOUBLE)
+                     WHEN 'n_closed' THEN CAST(n_closed AS DOUBLE)
+                     WHEN 'first_from' THEN CAST(first_from - DATE '1970-01-01' AS DOUBLE)
+                     ELSE CAST(last_from - DATE '1970-01-01' AS DOUBLE) END AS value
+FROM ({_Q44_SQL}) q
+CROSS JOIN (SELECT UNNEST(['n', 'n_keys', 'n_closed', 'first_from', 'last_from']) AS metric) m
+"""
+
+
 def sk01_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch family with measured error bounds (functions/sketches.py)
     — same shape as x01_ann_recall: each row carries an exact anchor
@@ -3305,8 +3350,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_json_extract": q39_json_extract,
         "q40_exists_antijoin": q40_exists_merged,
         "q42_local_supplier_revenue": q42_local_supplier_revenue,
-        "q43_merge_upsert": q43_merge_upsert,
-        "q44_scd2_history": q44_scd2_history,
+        # MERGE + SCD2: ONE merged oracle row (r6) — the freed slot
+        # promotes x04_iforest into the 50-row gate, so an isolation-
+        # forest crash/regression turns a driver row red instead of
+        # hiding in pytest (VERDICT r5 item 3)
+        "q43_merge_scd2_suite": q43_merge_scd2_suite,
         "dd01_fingerprint_dups": dd01_fingerprint_dups,
         "dd02_signatures": dd02_signatures,
         "dd03_minhash_band_pairs": dd03_band_near_pairs,
@@ -3328,7 +3376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # turns a driver row red instead of hiding in pytest.
         "st01_stream_suite": st01_stream_suite,
         "x01_ann_recall": x01_ann_recall,
-        # ---- slots 51+: rows-only by design (model-based) ----
+        # rows-only by design (model-based anomaly scores); promoted
+        # into the gate r6 via the q43+q44 merge above
         "x04_iforest": x04_iforest,
     }
 
@@ -3368,8 +3417,7 @@ def oracle_sql() -> dict[str, str]:
         "q39_json_extract": _Q39_SQL,
         "q40_exists_antijoin": _Q40M_SQL,
         "q42_local_supplier_revenue": _Q42_SQL,
-        "q43_merge_upsert": _Q43_SQL,
-        "q44_scd2_history": _Q44_SQL,
+        "q43_merge_scd2_suite": _Q43M_SQL,
         "dd01_fingerprint_dups": _DD01M_SQL,
         "dd02_signatures": _dd02m_sql(),
         "dd03_minhash_band_pairs": _dd03m_sql(),

@@ -188,7 +188,7 @@ TPCH_EDGE_QUERIES = [
     "q21_rollup_dims", "q23_schema_infer", "q27_agg_custom_udaf",
     "q32_agg_list", "q36_rollup_grouping", "q37_set_ops",
     "q40_exists_antijoin", "q42_local_supplier_revenue",
-    "q43_merge_upsert", "q44_scd2_history",
+    "q43_merge_scd2_suite",
 ]
 
 _SF001 = "/root/testdata/sf0.001"
