@@ -6,9 +6,15 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Timing protocol: one JVM-warmup pass of the first query, then each
-query timed as plan-build + execution to completion (collect for
-small results, count for large ones — same work either way since
-every query here ends in an aggregation/limit).
+query timed as plan-build + execution + result delivery to the
+client. Result delivery is ARROW on both engines (r6 — Spark
+``toPandas()``, DuckDB ``.arrow()``): the prior ``collect()`` /
+``fetchall()`` pair materialized per-row Python objects, which for
+q12's 150k-row result cost more than the query itself (~0.4s of its
+1.1s warm) — overhead no dashboard (Arrow/JDBC client) or cluster job
+(sink write) ever pays. Both engines switched together, so the
+comparison stays symmetric; the r5→r6 series break is confined to the
+large-result queries (q12, dd03/dd04) and documented here.
 """
 
 from __future__ import annotations
@@ -84,7 +90,7 @@ def _duckdb_twins() -> dict[str, float]:
             continue
         try:
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            con.execute(sql).arrow()  # Arrow delivery, symmetric with Spark
             out[name] = round(time.perf_counter() - t0, 4)
         except Exception as ex:  # noqa: BLE001 — twins are best-effort
             # a DuckDB failure must not take down the Spark benchmark
@@ -125,7 +131,7 @@ def main() -> None:
     # would hide the compile but turn the cold series into a second
     # warm series, so the cold numbers keep it — on a real cluster it
     # amortizes to zero per executor-JVM lifetime.
-    qs[BENCH_QUERIES[0]](spark, SF_DIR).collect()
+    qs[BENCH_QUERIES[0]](spark, SF_DIR).toPandas()
     from ai_etl_framework_spark.session import load_table
 
     for t in ("events", "documents", "embeddings", "customer", "orders"):
@@ -137,7 +143,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
-        df.collect()
+        df.toPandas()
         times[name] = round(time.perf_counter() - t0, 4)
         # warm = steady-state latency (plan + codegen cached),
         # comparable to the reference's warm cached-connection
@@ -150,7 +156,7 @@ def main() -> None:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).collect()
+            qs[name](spark, SF_DIR).toPandas()
             runs.append(time.perf_counter() - t0)
         warm[name] = round(sorted(runs)[1], 4)
         warm_min[name] = round(min(runs), 4)
