@@ -23,20 +23,29 @@ an array; group fields keep their source type.
 Input order: Spark has no implicit row order (SURVEY §7.4.1), so
 order-sensitive functions (first/last/concat/list) take an explicit
 ``order_col`` (a name or a sequence of names; composite keys sort
-lexicographically, each component NULLS LAST). When any are present
-the input is hash-repartitioned on the group keys and
-``sortWithinPartitions(group, order…)`` runs ONE Tungsten sort —
-spillable, radix-capable — after which ``monotonically_increasing_id``
-stamps a per-row long that is monotone in the required order within
-each group (pid<<33 | row-index-in-evaluation-order; a group lives
-entirely in one partition because the partitioning is on the group
-keys). Every order-sensitive aggregate then derives from that cheap
-long stamp with an ORDER-INDEPENDENT primitive:
+lexicographically, each component NULLS LAST). Two physical paths:
 
-- first/last → ``min_by/max_by(value, rn)`` — single-pass, commutative
-- concat/list → ``array_sort(collect_list(struct(rn, value)))`` — the
-  sort runs on the fully merged buffer; rn is unique so the struct
-  comparator resolves on the leading long
+- first/last ONLY (no collect buffers): ``min_by/max_by(value,
+  struct(nulls-last-flagged order cols))`` — a commutative argmin
+  over the raw key with map-side partials. NO repartition of the
+  input, NO order-key sort, NO stamp: the only shuffle is the
+  group-key hash exchange of constant-size buffers (the struct-typed
+  buffer makes the aggregate a SortAggregate, whose per-partition
+  group-key sort remains — spillable and local). At 100 TB this is
+  the difference between shuffling every input row and shuffling one
+  buffer per group per task.
+- concat/list present: the input is hash-repartitioned on the group
+  keys and ``sortWithinPartitions(order…)`` runs ONE Tungsten sort —
+  spillable, radix-capable — after which
+  ``monotonically_increasing_id`` stamps a per-row long that is
+  monotone in the required order within each group (pid<<33 |
+  row-index-in-evaluation-order; a group lives entirely in one
+  partition because the partitioning is on the group keys). Every
+  order-sensitive aggregate then derives from that cheap long stamp:
+  first/last → ``min_by/max_by(value, rn)``; concat/list →
+  ``array_sort(collect_list(struct(rn, value)))`` — the sort runs on
+  the fully merged buffer; rn is unique so the struct comparator
+  resolves on the leading long.
 
 No row_number window is involved (r6): the r5 Window operator cost
 ~0.5s of q07's 1.46s warm — rank evaluation and row materialization
@@ -101,6 +110,21 @@ def _num(c: Column) -> Column:
     return c.try_cast("double")
 
 
+def _order_key(order_cols: Sequence[Column]) -> Column:
+    """Struct implementing asc NULLS LAST over the raw order columns:
+    per component a boolean is-null flag (false < true) precedes the
+    value, so a NULL component sorts after every non-null one and the
+    value fields are only compared between two non-nulls (or two
+    NULLs, which the struct comparator treats as equal). Used by the
+    shuffle-free first/last path — commutative argmin/argmax over this
+    key needs no repartition, no sort, and no stamp."""
+    fields: list[Column] = []
+    for i, o in enumerate(order_cols):
+        fields.append(o.isNull().alias(f"__n{i}"))
+        fields.append(o.alias(f"__k{i}"))
+    return F.struct(*fields)
+
+
 class Aggregator:
     def __init__(
         self,
@@ -152,6 +176,7 @@ class Aggregator:
         fn: str,
         rn: Optional[Column] = None,
         no_expand: bool = False,
+        order_key: Optional[Column] = None,
     ) -> Column:
         """One aggregate expression per output field.
 
@@ -188,11 +213,13 @@ class Aggregator:
             else:
                 e = F.countDistinct(c.cast("string")).cast("long")  # string-cast (ref :23)
         elif fn == "first":
-            # rn is never NULL, so min_by/max_by see every row —
-            # first/last include NULL values (ref :24-25)
-            e = F.min_by(c, rn).cast("string")
+            # the ordering operand (rn long or nulls-last struct key —
+            # whichever path __call__ chose) is never NULL as a whole,
+            # so min_by/max_by see every row — first/last include NULL
+            # values (ref :24-25)
+            e = F.min_by(c, rn if rn is not None else order_key).cast("string")
         elif fn == "last":
-            e = F.max_by(c, rn).cast("string")
+            e = F.max_by(c, rn if rn is not None else order_key).cast("string")
         elif fn == "concat":
             # NULL value → NULL entry → collect_list skips it: exactly
             # concat's drop-NULLs semantics (ref :26). array_sort runs
@@ -258,11 +285,22 @@ class Aggregator:
             df = df.withColumn("__row_order", order_cols[0])
             order_cols = [F.col("__row_order")]
         specs = list(self.aggregations.items())
-        has_ordered = any(
-            spec["function"] in self.ORDER_SENSITIVE for _, spec in specs
-        )
+        fns = {spec["function"] for _, spec in specs}
+        has_ordered = bool(fns & set(self.ORDER_SENSITIVE))
+        needs_stamp = bool(fns & set(self.COLLECTING))
         rn = None
-        if has_ordered:
+        order_key = None
+        if has_ordered and not needs_stamp:
+            # first/last WITHOUT concat/list: no repartition of the
+            # input, no order-key sort, no stamp — min_by/max_by
+            # consume the nulls-last struct key directly and merge
+            # commutatively with map-side partials, so the only
+            # shuffle is the group-key hash exchange of constant-size
+            # buffers. At 100 TB this is the difference between
+            # shuffling every input row (the stamp path below) and
+            # shuffling one buffer per group per task.
+            order_key = _order_key(order_cols)
+        elif has_ordered:
             # ONE Tungsten sort + a trivial monotonically_increasing_id
             # projection stamps the per-group input-order long every
             # order-sensitive aggregate derives from (module docstring:
@@ -289,12 +327,9 @@ class Aggregator:
         # when a collect buffer already exists (judge advice r5: gating
         # on any ORDER_SENSITIVE fn silently made a high-cardinality
         # distinct next to first/last unbounded-memory)
-        has_collect = any(
-            spec["function"] in self.COLLECTING for _, spec in specs
-        )
         exprs = [
             self._expr(out, spec["field"], spec["function"], rn,
-                       no_expand=has_collect)
+                       no_expand=needs_stamp, order_key=order_key)
             for out, spec in specs
         ]
         result = df.groupBy(*self.group_by).agg(*exprs)

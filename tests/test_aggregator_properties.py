@@ -155,6 +155,47 @@ def test_null_order_keys_one_nulls_last_sequence(spark):
     assert out["h"] == ("only", "only", "only")
 
 
+def test_first_last_only_shuffle_free_path(spark):
+    """r6: first/last WITHOUT concat/list take the shuffle-free path —
+    min_by/max_by over the nulls-last struct order key: no
+    repartition of the input, no ORDER-key sort, no stamp. (The
+    struct-typed buffer makes it a SortAggregate, whose per-partition
+    GROUP-key sort remains — but partials still run map-side, so the
+    one exchange carries a constant-size buffer per group per task,
+    not raw rows.) Pins (a) the same NULLS-LAST and
+    NULL-value-included semantics as the stamp path, including
+    all-NULL-order and multi-column order keys, and (b) the plan:
+    exactly ONE exchange, with partial_min_by BEFORE it."""
+    df = spark.createDataFrame(
+        [
+            ("g", 2, 0, "b"), ("g", None, 0, "z"), ("g", 1, 9, "a"),
+            ("g", 1, 1, "c"), ("h", None, 0, None),
+        ],
+        "grp string, o1 int, o2 int, v string",
+    )
+    agg = Aggregator(
+        group_by=["grp"],
+        aggregations={
+            "first_v": {"field": "v", "function": "first"},
+            "last_v": {"field": "v", "function": "last"},
+            "n": {"field": "v", "function": "count"},
+        },
+        order_col=["o1", "o2"],
+    )
+    res = agg(df)
+    out = {r["grp"]: (r["first_v"], r["last_v"], r["n"]) for r in res.collect()}
+    # (1,1) < (1,9) < (2,0) < (NULL,0): composite key, NULLS LAST
+    assert out["g"] == ("c", "z", 4)
+    # NULL VALUE at the extremum is returned, not skipped
+    assert out["h"] == (None, None, 1)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # final AQE plan only
+    assert plan.count("Exchange hashpartitioning") == 1
+    # map-side partial argmin runs below the exchange (plan text is
+    # top-down, so the map side prints AFTER the exchange line)
+    assert "partial_min_by" in plan.split("Exchange hashpartitioning")[1]
+
+
 def test_presorted_collect_survives_sort_based_fallback(spark):
     """The Aggregator's order-sensitive primitives are explicitly
     order-INDEPENDENT (min_by/max_by over the struct order key,
