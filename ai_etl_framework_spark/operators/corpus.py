@@ -86,8 +86,29 @@ def quality_metric_columns(
     All divisions are single int/int divides (never a re-associated
     double SUM), so every metric is bit-identical across engines —
     the property the DuckDB oracle gate relies on.
+
+    NOTE: the returned expressions share the raw ``tokens(text)`` /
+    bigram / n-gram TREES — selecting several of them in one
+    projection re-tokenizes per reference (codegen subexpression
+    elimination does not dedup higher-order-function trees, and
+    CollapseProject happily inlines them into downstream
+    expressions). :func:`corpus_quality` binds the arrays as real
+    columns instead (r6: its plan carried 27 copies of split() —
+    19.2s for 3k sf0.1 docs — vs 1 copy bound). Use this function for
+    a SINGLE metric, or bind ``__toks`` yourself.
     """
     toks = tokens(text)
+    return _metric_columns_bound(
+        text, toks, _bigrams(toks), _ngrams_all(toks, dup_ngram), round_to
+    )
+
+
+def _metric_columns_bound(
+    text: Column, toks: Column, bg: Column, ng: Column, round_to: int = 6
+) -> dict[str, Column]:
+    """quality_metric_columns over PRE-BOUND token/bigram/ngram
+    columns — every metric references the shared arrays instead of
+    rebuilding them."""
     n = F.size(toks)
     nd = n.cast("double")
     sum_len = F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w))
@@ -97,7 +118,6 @@ def quality_metric_columns(
     ell_cnt = (
         F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
     ) / 3
-    bg = _bigrams(toks)
     # most-frequent-bigram count = longest equal run in the SORTED
     # bigram array — one sort + one linear aggregate per document.
     # (The obvious distinct×filter formulation is O(distinct·total)
@@ -122,7 +142,6 @@ def quality_metric_columns(
         ),
         lambda acc: acc["best"],
     )
-    ng = _ngrams_all(toks, dup_ngram)
     n_ng = F.size(ng)
     zero = F.lit(0.0)
     return {
@@ -165,10 +184,25 @@ def corpus_quality(
     if unknown:
         raise ValueError(f"unknown bounds: {sorted(unknown)}")
     b = {**GOPHER_DEFAULTS, **bounds}
-    metrics = quality_metric_columns(F.col(text_col), dup_ngram=dup_ngram)
-    out = df
+    # bind the token/bigram/ngram arrays as REAL columns before the
+    # metric projection: each is referenced by several metrics (and by
+    # the keep flag through them), and CollapseProject would otherwise
+    # inline a fresh tokenizer tree per reference — the r6 audit found
+    # 27 copies of split() in this plan (19.2s for 3k docs; 1 bound
+    # copy runs it in ~2s). The arrays are non-cheap multi-reference
+    # expressions, so CollapseProject leaves these projections intact.
+    txt = F.col(text_col)
+    out = (
+        df.withColumn("__toks", tokens(txt))
+        .withColumn("__bg", _bigrams(F.col("__toks")))
+        .withColumn("__ng", _ngrams_all(F.col("__toks"), dup_ngram))
+    )
+    metrics = _metric_columns_bound(
+        txt, F.col("__toks"), F.col("__bg"), F.col("__ng")
+    )
     for name, col in metrics.items():
         out = out.withColumn(name, col)
+    out = out.drop("__toks", "__bg", "__ng")
     if keep_col:
         keep = (
             (F.col("n_words") >= b["min_words"])
