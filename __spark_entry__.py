@@ -887,12 +887,16 @@ def txt01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    # one tokenizer pass shared by all three token metrics (r6: the
+    # per-metric text functions each rebuilt split+filter — see
+    # functions/text.py _let_tokens)
+    toks = F.col("__toks")
+    return docs.withColumn("__toks", X.tokens(t)).select(
         "doc_id",
-        X.token_count(t).cast("long").alias("n_tokens"),
-        F.round(X.mean_word_length(t), 6).alias("mean_word_len"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(X.mean_word_length_of(toks), 6).alias("mean_word_len"),
         F.round(X.punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(X.stopword_ratio(t, "en"), 6).alias("stopword_en"),
+        F.round(X.stopword_ratio_of(toks, "en"), 6).alias("stopword_en"),
     )
 
 

@@ -78,11 +78,15 @@ def bpe_token_estimate(text: Column) -> Column:
     return (word_pieces + other).alias("bpe_tokens")
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    toks = tokens(text)
+def stopword_ratio_of(toks: Column, lang: str = "en") -> Column:
+    """Stopword-hit ratio over an already-bound token array."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(0.0)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return _let_tokens(text, lambda toks: stopword_ratio_of(toks, lang))
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -129,19 +133,27 @@ def punct_ratio(text: Column) -> Column:
     return F.when(n > 0, F.regexp_count(text, F.lit(PUNCT_RE)) / n).otherwise(0.0)
 
 
-def mean_word_length(text: Column) -> Column:
-    toks = tokens(text)
+def mean_word_length_of(toks: Column) -> Column:
+    """Mean token length over an already-bound token array."""
     total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(0.0)
 
 
-def repetition_ratio(text: Column) -> Column:
-    """1 − distinct_tokens/tokens: high → boilerplate/spam."""
-    toks = tokens(text)
+def mean_word_length(text: Column) -> Column:
+    return _let_tokens(text, mean_word_length_of)
+
+
+def repetition_ratio_of(toks: Column) -> Column:
+    """1 − distinct_tokens/tokens over an already-bound token array."""
     return F.when(
         F.size(toks) > 0,
         1.0 - F.size(F.array_distinct(toks)) / F.size(toks),
     ).otherwise(0.0)
+
+
+def repetition_ratio(text: Column) -> Column:
+    """1 − distinct_tokens/tokens: high → boilerplate/spam."""
+    return _let_tokens(text, repetition_ratio_of)
 
 
 def quality_score(text: Column) -> Column:
