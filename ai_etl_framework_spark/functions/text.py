@@ -200,15 +200,23 @@ def window_fingerprints(text: Column, window: int = 5) -> Column:
     """Rolling content signatures: md5 of every ``window``-token span
     of the normalized text (array). Enables partial-overlap detection
     (contained/quoted passages) via explode + self-join on the
-    signature — same shape as the MinHash band join."""
-    toks = tokens(normalize(text))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
-    spans = F.when(
-        n >= window,
-        F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window), " "))),
-    ).otherwise(F.when(n > 0, F.array(F.md5(F.array_join(toks, " ")))).otherwise(F.array()))
-    return F.array_distinct(spans)
+    signature — same shape as the MinHash band join. Token array
+    bound once (_let_tokens) — the span expression references it 4×."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+        spans = F.when(
+            n >= window,
+            F.transform(
+                idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window), " "))
+            ),
+        ).otherwise(
+            F.when(n > 0, F.array(F.md5(F.array_join(toks, " ")))).otherwise(F.array())
+        )
+        return F.array_distinct(spans)
+
+    return _let_tokens(normalize(text), body)
 
 
 # ---------------------------------------------------------------------------

@@ -179,15 +179,28 @@ from ai_etl_framework_spark.functions.text import tokens  # noqa: E402
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles, joined with a single space."""
-    toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
-    ).otherwise(F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array()))
-    return F.array_distinct(sh)
+    """Distinct k-token shingles, joined with a single space.
+
+    The token array is bound once (_let_tokens): the expression
+    references it 4× (size guard, index range, slice transform,
+    short-doc fallbacks) and each textual reference would otherwise
+    inline its own split+filter tree — codegen subexpression
+    elimination does not dedup higher-order-function trees (the r6
+    corpus_quality lesson)."""
+    from ai_etl_framework_spark.functions.text import _let_tokens
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        sh = F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+        ).otherwise(
+            F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array())
+        )
+        return F.array_distinct(sh)
+
+    return _let_tokens(text, body)
 
 
 # affine minhash family: h_i(s) = (a(s) + i·b(s)) mod P, with a = the
