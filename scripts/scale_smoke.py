@@ -67,6 +67,11 @@ QUERIES = [
     "dd04_ngram_jaccard",
     "sim01_cosine_topk",
     "txt03_doc_quality",
+    # streaming state scaling (r6): 10× events ⇒ 10× users in the
+    # applyInPandasWithState store — the smoke's only evidence that
+    # per-key state (RocksDB) scales sublinearly, not just the batch
+    # operators
+    "st01_stream_sessions",
 ]
 
 
