@@ -78,8 +78,12 @@ for exactly this reason).
 Scale notes: the plan is scan → exchange(group) → Tungsten sort →
 stamp → aggregation (partial+final, no second exchange — the
 partitioning is reused; plan pinned in tests/test_plan_quality.py).
-A single group's rows must sort in one task, and its concat/list
-output must fit one buffer — both inherent to the semantics; the
+A single group's rows sort in one task under this plan (the hash
+partitioning is on the group keys) — fine for many groups; for FEW
+or giant-hot-key groups use ``operators.skew.ordered_group_concat``,
+which range-partitions on the ORDER key so the sort distributes, at
+the cost of a second shuffle. A group's concat/list OUTPUT must fit
+one buffer either way — that part is inherent to the semantics; the
 Tungsten sort spills to disk where an in-buffer sort could not. When
 a collect buffer is already being built (concat/list present),
 ``count_distinct`` compiles to ``size(collect_set(...))`` so the

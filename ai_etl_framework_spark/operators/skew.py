@@ -107,3 +107,75 @@ def two_phase_agg(
         .agg(*[e.alias(n) for n, e in partial_aggs.items()])
     )
     return partial.groupBy(*keys).agg(*[e.alias(n) for n, e in final_aggs.items()])
+
+
+def ordered_group_concat(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value: str,
+    sep: str = ", ",
+) -> DataFrame:
+    """Exact ordered group-concat whose SORT is distributed — for FEW
+    or GIANT groups, where the Aggregator's ordered path (hash-
+    partition on the group keys, one Tungsten sort per partition)
+    degenerates to one straggler task per hot group.
+
+    Shape:
+
+    1. ``repartitionByRange`` on the ORDER key alone: each partition
+       holds one contiguous slice of the global order, across all
+       groups, so the sort work spreads over the whole cluster no
+       matter how the group keys are distributed.
+    2. ``sortWithinPartitions(order)`` + ``monotonically_increasing_id``
+       stamps a slice-local order rank.
+    3. Level-1 aggregation per (slice-id, keys): the slice's values
+       for each group, locally ordered via the rank structs —
+       partial aggregation collapses map-side before the exchange.
+    4. Level-2 per keys: one small row per (group, slice) assembles in
+       slice order — range partitioning guarantees every order key in
+       slice p precedes every key in slice p+1 (AQE may merge adjacent
+       slices; merged slices stay contiguous and re-sort locally).
+
+    Output: ``keys…, <value>_concat string``. Semantics match
+    ``Aggregator``'s ``concat`` (order asc NULLS LAST per component,
+    NULL values dropped, ``''`` for all-NULL groups; ties on the full
+    order key arbitrary). Cost: the input shuffles twice (range spread
+    + level-1 exchange) instead of once — the trade that buys a
+    distributed sort. The final row per group still materializes the
+    whole output string, which is inherent to concat.
+    """
+    keys = list(keys)
+    ordering = [F.col(c).asc_nulls_last() for c in order_by]
+    sliced = (
+        df.repartitionByRange(*ordering)
+        .sortWithinPartitions(*ordering)
+        .withColumn("__rn", F.monotonically_increasing_id())
+        .withColumn("__slice", F.spark_partition_id())
+    )
+    v = F.col(value)
+    entry = F.when(
+        v.isNotNull(),
+        F.struct(F.col("__rn").alias("r"), v.cast("string").alias("v")),
+    )
+    lvl1 = sliced.groupBy("__slice", *keys).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(entry)), lambda s: s["v"]),
+            sep,
+        ).alias("__part")
+    )
+    part_entry = F.struct(F.col("__slice").alias("p"), F.col("__part").alias("v"))
+    # empty parts (a slice whose values for this group were all NULL)
+    # are dropped at assembly, not before the level-2 groupBy — a
+    # group must survive with '' even when EVERY slice is empty
+    return lvl1.groupBy(*keys).agg(
+        F.array_join(
+            F.filter(
+                F.transform(
+                    F.array_sort(F.collect_list(part_entry)), lambda s: s["v"]
+                ),
+                lambda p: p != "",
+            ),
+            sep,
+        ).alias(f"{value}_concat")
+    )

@@ -93,3 +93,50 @@ def test_salted_count_distinct_ignores_nulls_like_sql(spark):
 
     ref = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()}
     assert out == ref
+
+
+def test_ordered_group_concat_matches_aggregator(spark):
+    """ordered_group_concat (distributed-sort, two-shuffle) must equal
+    the Aggregator's single-partition-per-group concat on the same
+    data: 2 hot groups x 4000 interleaved rows scattered over 32
+    partitions, composite order key with NULL components, NULL values
+    dropped, an all-NULL-value group surviving as ''."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.operators import Aggregator
+    from ai_etl_framework_spark.operators.skew import ordered_group_concat
+
+    n = 4000
+    base = spark.range(n).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        # descending order key so arrival order never accidentally wins
+        (F.lit(n) - F.col("id")).alias("o1"),
+        # sprinkle NULL order components and NULL values
+        F.when(F.col("id") % 97 == 0, F.lit(None)).otherwise(F.col("id") % 7).alias("o2"),
+        F.when(F.col("id") % 13 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("v"), F.col("id").cast("string")))
+        .alias("v"),
+    )
+    allnull = spark.createDataFrame(
+        [("z", 1, 1, None), ("z", 2, 2, None)], "g string, o1 long, o2 long, v string"
+    )
+    df = base.unionByName(allnull).repartition(32, "o2")
+
+    got = {
+        r["g"]: r["v_concat"]
+        for r in ordered_group_concat(df, ["g"], ["o1", "o2"], "v").collect()
+    }
+    agg = Aggregator(
+        group_by=["g"],
+        aggregations={"v_concat": {"field": "v", "function": "concat"}},
+        order_col=["o1", "o2"],
+    )
+    want = {r["g"]: r["v_concat"] for r in agg(df).collect()}
+    assert got == want
+    assert got["z"] == ""
+    # the sort really is distributed: the plan range-partitions on the
+    # ORDER key, never hash-partitions the raw input by the group key
+    out = ordered_group_concat(df, ["g"], ["o1", "o2"], "v")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "rangepartitioning" in plan
