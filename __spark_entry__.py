@@ -2568,6 +2568,43 @@ def x01_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "method string, recall double")
 
 
+def x05_skew_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-sort ordered group-concat (operators/skew.py
+    ordered_group_concat) on exactly the few-group shape it exists
+    for: lineitem has THREE l_returnflag groups, so the Aggregator's
+    hash-partition-per-group concat sorts each group in one task
+    while this path range-partitions on the order key and sorts on
+    every core. Same order tuple as q07 → same deterministic output;
+    the DuckDB oracle is a plain string_agg ORDER BY. Local-parity
+    slot (51+): the 50-row driver gate is full, so this row is
+    verified by tests/test_oracle_parity.py at all three SFs."""
+    from ai_etl_framework_spark.operators.skew import ordered_group_concat
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return ordered_group_concat(
+        li,
+        keys=["l_returnflag"],
+        order_by=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            "l_partkey",
+            "l_returnflag",
+            "l_linestatus",
+        ],
+        value="l_linestatus",
+    )
+
+
+_X05_SQL = f"""
+SELECT l_returnflag,
+       COALESCE(string_agg(CAST(l_linestatus AS VARCHAR), ', '
+                  ORDER BY {_Q07_ORD}), '')  AS l_linestatus_concat
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def x04_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isolation forest: driver-fit global path (x04) + sample-fit /
     broadcast / mapInPandas-score distributed path (x05)."""
@@ -3383,6 +3420,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only by design (model-based anomaly scores); promoted
         # into the gate r6 via the q43+q44 merge above
         "x04_iforest": x04_iforest,
+        # ---- slots 51+: local-parity only (the driver gates the
+        # first 50) — verified by tests/test_oracle_parity.py ----
+        "x05_skew_ordered_concat": x05_skew_ordered_concat,
     }
 
 
@@ -3435,6 +3475,7 @@ def oracle_sql() -> dict[str, str]:
         "sk01_sketch_bounds": _SK01_SQL,
         "smp01_hash_sampling": _SMP01M_SQL,
         "x03_media_meta": _X03M_SQL,
+        "x05_skew_ordered_concat": _X05_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design
