@@ -305,3 +305,17 @@ def test_widen_sees_through_phantom_parquet_byte_slices(spark, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_text_operators_tokenize_once(spark):
+    """r6: quality_score / gopher metrics / simhash each re-ran their
+    tokenizer per sub-expression (codegen CSE does not dedup
+    higher-order-function trees; CollapseProject inlines them) — txt07's
+    plan carried 27 copies of split() and took 19s for 3k docs. The
+    _let_tokens / bound-column fixes leave exactly ONE tokenizer per
+    document pass; this pins the optimized plans so a refactor cannot
+    silently reintroduce the blowup."""
+    for name in ("txt03_doc_quality", "txt07_gopher_quality", "dd05_simhash"):
+        df = getattr(entry, name)(spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(") == 1, (name, plan.count("split("))
