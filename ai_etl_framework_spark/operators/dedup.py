@@ -823,18 +823,31 @@ def embedding_dup_pairs(
     random hyperplanes — see functions.similarity.hyperplane_bucket;
     for oracle tests: any existing cluster/label column). The join
     shuffles on the block key only; no global O(n²)."""
+    from ai_etl_framework_spark.functions.similarity import dot, norm
+
+    # norms are hoisted to the per-ROW side of the join (r6): they
+    # depend on one vector only, and the pair expression evaluates in
+    # both the Filter and the Project below — inlined per pair, the
+    # cosine tree cost 4 norm passes + 1 dot per evaluation, 10 vector
+    # walks per candidate pair. Hoisted: n norm computations total and
+    # 2 dot walks per pair. Same dot/sqrt/division floats as
+    # functions.similarity.cosine — numerically identical, so the
+    # oracle hash and the threshold boundary are unchanged.
     a = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
     )
     b = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
     )
     pairs = a.join(b, ["blk"]).where(F.col("id_a") < F.col("id_b"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    denom = F.col("na") * F.col("nb")
+    sim = F.when(denom != 0, dot(F.col("va"), F.col("vb")) / denom)
     # filter on the UNROUNDED similarity; round only for display. The
     # sim02 oracle's WHERE tests the raw cosine, so filtering on the
     # rounded value would disagree for pairs in the half-ulp band just
