@@ -140,3 +140,47 @@ def test_ordered_group_concat_matches_aggregator(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "rangepartitioning" in plan
+
+
+def test_ordered_group_concat_random_differential(spark):
+    """Property check: on random small batches (unique order key — ties
+    are documented-arbitrary in BOTH implementations, so equality is
+    only promised for total orders) the distributed-sort concat equals
+    the Aggregator's concat exactly, including groups whose values are
+    partially or fully NULL."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ai_etl_framework_spark.operators import Aggregator
+    from ai_etl_framework_spark.operators.skew import ordered_group_concat
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.one_of(st.none(), st.sampled_from(["x", "y", "", "x, y"])),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=rows_strategy)
+    def run(rows):
+        df = spark.createDataFrame(
+            [(g, i, v) for i, (g, v) in enumerate(rows)],
+            "g string, o long, v string",
+        ).repartition(5)
+        got = {
+            r["g"]: r["v_concat"]
+            for r in ordered_group_concat(df, ["g"], ["o"], "v").collect()
+        }
+        agg = Aggregator(
+            group_by=["g"],
+            aggregations={"v_concat": {"field": "v", "function": "concat"}},
+            order_col=["o"],
+        )
+        want = {r["g"]: r["v_concat"] for r in agg(df).collect()}
+        assert got == want
+
+    run()
