@@ -638,6 +638,12 @@ def simhash(text: Column, bits: int = 32) -> Column:
     """
     from ai_etl_framework_spark.functions.text import _let_tokens
 
+    if bits > 60:
+        # the digest prefix rides as ONE signed long (conv base16):
+        # 60 bits = 15 hex chars is the widest that can never reach
+        # the sign bit. The public surface caps at 32 anyway.
+        raise ValueError(f"simhash: bits must be <= 60, got {bits}")
+
     def tok_votes(v: Column) -> Column:
         # v = the first ceil(bits/4) md5 hex chars as ONE unsigned
         # integer (conv base16), so bit b of the digest is a long
