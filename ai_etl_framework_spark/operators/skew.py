@@ -158,23 +158,29 @@ def ordered_group_concat(
         v.isNotNull(),
         F.struct(F.col("__rn").alias("r"), v.cast("string").alias("v")),
     )
+    # a slice with NO entries for a group (its values were all NULL)
+    # must yield a NULL part, not '' — '' is a legitimate part (a
+    # slice whose only value is the empty string) that has to survive
+    # into the assembly, where dropping it would diverge from the
+    # Aggregator ('a' vs 'a, ')
+    sorted_entries = F.array_sort(F.collect_list(entry))
     lvl1 = sliced.groupBy("__slice", *keys).agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(entry)), lambda s: s["v"]),
-            sep,
+        F.when(
+            F.size(sorted_entries) > 0,
+            F.array_join(F.transform(sorted_entries, lambda s: s["v"]), sep),
         ).alias("__part")
     )
     part_entry = F.struct(F.col("__slice").alias("p"), F.col("__part").alias("v"))
-    # empty parts (a slice whose values for this group were all NULL)
-    # are dropped at assembly, not before the level-2 groupBy — a
-    # group must survive with '' even when EVERY slice is empty
+    # NULL parts are dropped at assembly, not before the level-2
+    # groupBy — a group must survive with '' even when EVERY slice is
+    # empty
     return lvl1.groupBy(*keys).agg(
         F.array_join(
             F.filter(
                 F.transform(
                     F.array_sort(F.collect_list(part_entry)), lambda s: s["v"]
                 ),
-                lambda p: p != "",
+                lambda p: p.isNotNull(),
             ),
             sep,
         ).alias(f"{value}_concat")

@@ -122,6 +122,16 @@ def test_ordered_group_concat_matches_aggregator(spark):
     )
     df = base.unionByName(allnull).repartition(32, "o2")
 
+    # empty-STRING values must survive assembly even when a slice
+    # holds nothing else — '' as a part is content, only NULL parts
+    # (slices with no entries) may be dropped (r6 self-review bug:
+    # 'a' in slice 1 + '' in slice 2 returned 'a' instead of 'a, ')
+    empties = spark.createDataFrame(
+        [("e", 1, 1, "a"), ("e", 1000000, 1, "")],
+        "g string, o1 long, o2 long, v string",
+    )
+    df = df.unionByName(empties)
+
     got = {
         r["g"]: r["v_concat"]
         for r in ordered_group_concat(df, ["g"], ["o1", "o2"], "v").collect()
