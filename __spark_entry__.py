@@ -296,6 +296,15 @@ def q07_agg_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "l_linestatus",
         ],
+        # r7: l_returnflag has 3 values, so the default collecting
+        # path sorts the whole table in 3 tasks — the sf1 smoke's
+        # worst relational scaler (8.05s, 3.73x for 10x data).
+        # "auto" keeps the one-exchange latency plan on small inputs
+        # and switches to the range-partitioned two-level shape
+        # (distributed sort + distributed per-slice assembly) once
+        # the scan estimate passes the threshold — sf1 drops to ~2.5s
+        # (2x) and the plan now survives a 100x giant-group scale-up.
+        distribute_sort="auto",
     )
     return agg(li).select(
         "l_returnflag",
