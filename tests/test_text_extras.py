@@ -227,3 +227,31 @@ def test_simhash_matches_python_model_at_odd_widths(spark):
         }
         want = {i: model(t, bits) for i, t in rows}
         assert got == want, f"bits={bits}"
+
+
+def test_punct_count_translate_equals_regexp(spark):
+    """punct_count's translate-delete must count exactly the chars
+    PUNCT_RE matches — including unicode letters (punct per the ASCII
+    class), every Java \\s member (\\x0b vertical tab included), and
+    digits/letters at class edges."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.functions.text import PUNCT_RE, punct_count
+
+    rows = [
+        (0, "plain words"),
+        (1, "a,b.c;d!e?f"),
+        (2, "tabs\tand\nnewlines\x0b\f\rhere"),
+        (3, "unicode: éàß漢字 — em-dash"),
+        (4, ""),
+        (5, None),
+        (6, "0aZ9 ~!@#$%^&*()_+`-=[]{}|\\:\";'<>,./"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = df.select(
+        "id",
+        punct_count(F.col("t")).alias("tr"),
+        F.regexp_count(F.col("t"), F.lit(PUNCT_RE)).alias("re"),
+    ).collect()
+    for r in out:
+        assert r["tr"] == r["re"], (r["id"], r["tr"], r["re"])
