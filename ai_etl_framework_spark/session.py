@@ -71,6 +71,10 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # no console progress bars: they interleave with captured
+        # stdout/stderr and truncated the r6 bench artifact's JSON line
+        # out of the driver's tail window (judge item r6)
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -179,17 +179,26 @@ def main() -> None:
     from ai_etl_framework_spark.operators import NullRemover, QualityScorer
     from ai_etl_framework_spark.session import load_table
 
-    out_dir = tempfile.mkdtemp(prefix="bench_gold_")
-    try:
-        orders = load_table(spark, SF_DIR, "orders")
-        n_rows = orders.count()
-        t0 = time.perf_counter()
-        cleaned = NullRemover(strategy="drop")(orders)
-        scored = QualityScorer()(cleaned)
-        scored.write.mode("overwrite").parquet(out_dir)
-        pipe_sec = time.perf_counter() - t0
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    # median-of-3 with min alongside (VERDICT r6 item 4): the p01
+    # series was the last BASELINE.md number on single-shot timing —
+    # r6's unattributable -20% move was exactly the box noise the
+    # warm-query medians absorb. Each run writes to a fresh dir; the
+    # first run still pays the one-time codegen compile, which the
+    # median then discounts like every other warm series here.
+    orders = load_table(spark, SF_DIR, "orders")
+    n_rows = orders.count()
+    pipe_runs: list[float] = []
+    for _ in range(3):
+        out_dir = tempfile.mkdtemp(prefix="bench_gold_")
+        try:
+            t0 = time.perf_counter()
+            cleaned = NullRemover(strategy="drop")(orders)
+            scored = QualityScorer()(cleaned)
+            scored.write.mode("overwrite").parquet(out_dir)
+            pipe_runs.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    pipe_sec = sorted(pipe_runs)[1]
     times["p01_clean_score_write"] = round(pipe_sec, 4)
 
     # p02: keyed MERGE of a 1% CDC batch into lineitem + small-file
@@ -203,7 +212,7 @@ def main() -> None:
     keys = ["l_orderkey", "l_linenumber"]
     li = load_table(spark, SF_DIR, "lineitem")
     base_dir = tempfile.mkdtemp(prefix="bench_merge_base_")
-    out2 = tempfile.mkdtemp(prefix="bench_merge_out_")
+    merge_runs: list[float] = []
     try:
         # setup (untimed): a KEYED base snapshot — the synthetic
         # lineitem carries duplicate (orderkey, linenumber) pairs, and
@@ -214,14 +223,19 @@ def main() -> None:
             target.where(F.crc32(F.concat_ws("|", *keys)) % 100 == 0)
             .withColumn("l_quantity", F.col("l_quantity") + 1.0)
         )
-        t0 = time.perf_counter()
-        merged = merge_upsert(target, batch, keys, when_matched="update")
-        merged.write.mode("overwrite").parquet(out2)
-        compact_parquet(spark, out2)
-        times["p02_merge_compact"] = round(time.perf_counter() - t0, 4)
+        for _ in range(3):  # median-of-3, same protocol as p01
+            out2 = tempfile.mkdtemp(prefix="bench_merge_out_")
+            try:
+                t0 = time.perf_counter()
+                merged = merge_upsert(target, batch, keys, when_matched="update")
+                merged.write.mode("overwrite").parquet(out2)
+                compact_parquet(spark, out2)
+                merge_runs.append(time.perf_counter() - t0)
+            finally:
+                shutil.rmtree(out2, ignore_errors=True)
+        times["p02_merge_compact"] = round(sorted(merge_runs)[1], 4)
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
-        shutil.rmtree(out2, ignore_errors=True)
 
     # p03: streaming sessionization end-to-end (file stream →
     # applyInPandasWithState → parquet sink, Trigger.AvailableNow),
@@ -326,9 +340,18 @@ def main() -> None:
                 "warm_total": round(sum(warm.values()), 4),
                 "extended_total": round(sum(times.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # median-of-3 (r7); *_best = the min-time run, the
+                # box-noise floor. p01/p02 raw runs recorded so a
+                # round-over-round move is attributable.
                 "pipeline_records_per_sec": round(n_rows / pipe_sec, 1),
+                "pipeline_records_per_sec_best": round(
+                    n_rows / min(pipe_runs), 1
+                ),
+                "pipeline_sec_runs": [round(x, 4) for x in pipe_runs],
+                "p02_sec_runs": [round(x, 4) for x in merge_runs],
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 
