@@ -2614,6 +2614,55 @@ GROUP BY l_returnflag
 """
 
 
+def x06_distributed_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q07's exact aggregate surface forced through the Aggregator's
+    r7 ``distribute_sort`` two-level range-partitioned path
+    (operators/aggregator.py _distributed) — the shape q07's "auto"
+    selects past the size threshold. Forcing it here gives the
+    distributed plan its own oracle row at EVERY test SF (the parity
+    suite runs it at sf0.001/0.01/0.1), not just where auto happens
+    to engage. Local-parity slot (51+): the 50-row driver gate is
+    full, so this row is verified by tests/test_oracle_parity.py."""
+    from ai_etl_framework_spark.operators import Aggregator
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = Aggregator(
+        group_by=["l_returnflag"],
+        aggregations={
+            "n_rows": {"field": "l_quantity", "function": "count"},
+            "n_status": {"field": "l_linestatus", "function": "count_distinct"},
+            "sum_qty_raw": {"field": "l_quantity", "function": "sum"},
+            "avg_qty_raw": {"field": "l_quantity", "function": "avg"},
+            "min_qty_raw": {"field": "l_quantity", "function": "min"},
+            "max_qty_raw": {"field": "l_quantity", "function": "max"},
+            "first_status": {"field": "l_linestatus", "function": "first"},
+            "last_status": {"field": "l_linestatus", "function": "last"},
+            "status_concat": {"field": "l_linestatus", "function": "concat"},
+        },
+        order_col=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            "l_partkey",
+            "l_returnflag",
+            "l_linestatus",
+        ],
+        distribute_sort=True,
+    )
+    return agg(li).select(
+        "l_returnflag",
+        "n_rows",
+        "n_status",
+        F.round("sum_qty_raw", 2).alias("sum_qty"),
+        F.round("avg_qty_raw", 4).alias("avg_qty"),
+        F.round("min_qty_raw", 2).alias("min_qty"),
+        F.round("max_qty_raw", 2).alias("max_qty"),
+        "first_status",
+        "last_status",
+        "status_concat",
+    )
+
+
 def x04_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isolation forest: driver-fit global path (x04) + sample-fit /
     broadcast / mapInPandas-score distributed path (x05)."""
@@ -3432,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slots 51+: local-parity only (the driver gates the
         # first 50) — verified by tests/test_oracle_parity.py ----
         "x05_skew_ordered_concat": x05_skew_ordered_concat,
+        "x06_distributed_ordered_agg": x06_distributed_ordered_agg,
     }
 
 
@@ -3485,6 +3535,9 @@ def oracle_sql() -> dict[str, str]:
         "smp01_hash_sampling": _SMP01M_SQL,
         "x03_media_meta": _X03M_SQL,
         "x05_skew_ordered_concat": _X05_SQL,
+        # the distributed path computes the same surface as q07, so
+        # it shares q07's oracle verbatim
+        "x06_distributed_ordered_agg": _Q07_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design
