@@ -2663,6 +2663,81 @@ def x06_distributed_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x07_repeated_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-line (boilerplate) removal
+    (operators/corpus.py repeated_line_dedup — the C4/RefinedWeb rule
+    per-document quality scoring cannot express). The synthetic
+    documents are single-line, so the query first builds a
+    deterministic multi-line page per document — a corpus-wide
+    boilerplate header, the unique content line, one of three
+    rotating class footers, and a near-unique per-doc footer (blank
+    for doc_id%17==0) — the same construct-then-operate pattern as
+    q43's CDC batch. min_count=5 removes the header and the class
+    footers everywhere while content and per-doc footers survive;
+    blank lines are preserved as structure. The oracle rebuilds the
+    identical pages and replays the rule in SQL, so clean_text
+    hash-matches line-for-line."""
+    from ai_etl_framework_spark.operators.corpus import repeated_line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Subscribe to our newsletter"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.element_at(
+                F.array(
+                    F.lit("share this article"),
+                    F.lit("All Rights Reserved"),
+                    F.lit("  cookie policy accepted  "),
+                ),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+            F.when(F.col("doc_id") % 17 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("doc footer "), F.col("doc_id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    return repeated_line_dedup(
+        pages, id_col="doc_id", text_col="text", min_count=5
+    )
+
+
+_X07_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         'Subscribe to our newsletter' || chr(10) ||
+         COALESCE(text, '') || chr(10) ||
+         CASE CAST(doc_id % 3 AS INT)
+              WHEN 0 THEN 'share this article'
+              WHEN 1 THEN 'All Rights Reserved'
+              ELSE '  cookie policy accepted  ' END || chr(10) ||
+         CASE WHEN doc_id % 17 = 0 THEN ''
+              ELSE 'doc footer ' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents),
+lists AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pages),
+lines AS (
+  -- positionally-aligned twin unnests (DuckDB rejects
+  -- generate_subscripts inside unnest as "nested")
+  SELECT doc_id,
+         unnest(range(1, len(ls) + 1)) AS pos,
+         unnest(ls) AS line
+  FROM lists),
+freq AS (
+  SELECT lower(trim(line)) AS norm
+  FROM lines WHERE trim(line) <> ''
+  GROUP BY lower(trim(line))
+  HAVING COUNT(*) >= 5)
+SELECT l.doc_id,
+       COALESCE(string_agg(l.line, chr(10) ORDER BY l.pos)
+                  FILTER (WHERE f.norm IS NULL), '') AS clean_text,
+       CAST(COUNT(f.norm) AS BIGINT)                 AS n_removed
+FROM lines l LEFT JOIN freq f ON lower(trim(l.line)) = f.norm
+GROUP BY l.doc_id
+"""
+
+
 def x04_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isolation forest: driver-fit global path (x04) + sample-fit /
     broadcast / mapInPandas-score distributed path (x05)."""
@@ -3482,6 +3557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first 50) — verified by tests/test_oracle_parity.py ----
         "x05_skew_ordered_concat": x05_skew_ordered_concat,
         "x06_distributed_ordered_agg": x06_distributed_ordered_agg,
+        "x07_repeated_line_dedup": x07_repeated_line_dedup,
     }
 
 
@@ -3538,6 +3614,7 @@ def oracle_sql() -> dict[str, str]:
         # the distributed path computes the same surface as q07, so
         # it shares q07's oracle verbatim
         "x06_distributed_ordered_agg": _Q07_SQL,
+        "x07_repeated_line_dedup": _X07_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

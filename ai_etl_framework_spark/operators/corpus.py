@@ -17,6 +17,11 @@ module adds the document-corpus rules a pretraining pipeline needs):
   the shingle, count per-document hits. The benchmark side of the
   join is tiny by nature (an eval suite, not a corpus) and is
   broadcast by default, so the big side never shuffles.
+- :func:`repeated_line_dedup` — C4/RefinedWeb-style corpus-level
+  boilerplate removal: lines whose normalized form repeats across
+  the corpus are dropped from every document, survivors re-assembled
+  in place. Frequency count + AQE-broadcast join + per-document
+  re-assembly; see the function docstring for the scale shape.
 
 Word-level fractions are used where the paper uses character mass
 (documented per metric) — thresholds are parameters, defaults follow
@@ -37,6 +42,7 @@ __all__ = [
     "corpus_quality",
     "contamination_pairs",
     "decontaminate",
+    "repeated_line_dedup",
 ]
 
 # Gopher A1.1 bounds (word-fraction variants where the paper uses
@@ -293,3 +299,72 @@ def decontaminate(
     if broadcast_benchmark:
         bad = F.broadcast(bad)
     return corpus.join(bad, id_col, "left_anti")
+
+
+def repeated_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    out_col: str = "clean_text",
+    removed_col: str = "n_removed",
+) -> DataFrame:
+    """Corpus-level repeated-line removal (the C4 / RefinedWeb /
+    CCNet boilerplate rule): any line whose normalized form
+    (``lower(trim(line))``) occurs at least ``min_count`` times
+    ACROSS THE CORPUS is removed from every document; the surviving
+    lines are re-assembled in their original order. Catches nav bars,
+    cookie banners, footers — per-document quality scoring cannot see
+    them because each instance looks fine in isolation.
+
+    Rules (oracle-replicable, pinned in tests):
+    - blank / whitespace-only lines are structure, not content: never
+      counted, never removed;
+    - matching is on the normalized form, removal drops the ORIGINAL
+      line (leading/trailing whitespace and case differences all
+      count toward one form);
+    - a document whose every line is removed survives with ``''``;
+      NULL text is treated as ``''`` (one blank line, kept);
+    - ``removed_col`` counts removed line INSTANCES per document.
+
+    Scale shape: posexplode (no shuffle) → one hash aggregation on
+    the normalized line (map-side partials collapse the frequent
+    lines by definition) → the frequent set joins back WITHOUT a
+    broadcast hint — by Zipf it is tiny (≤ total_lines/min_count
+    distinct forms, in practice a few thousand boilerplates) and AQE
+    converts the join to broadcast from its measured runtime size,
+    while a genuinely huge frequent set at 100 TB degrades to a
+    shuffle join on the line form instead of a driver OOM — then one
+    aggregation on the document id re-assembles survivors
+    (collect_list of (pos, line) structs sorted on the merged buffer,
+    the same order-independent primitive as the Aggregator's concat).
+    """
+    line = F.col("__line")
+    norm = F.lower(F.trim(line))
+    lines = df.select(
+        id_col,
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("__pos", "__line"),
+    )
+    freq = (
+        lines.where(norm != "")
+        .groupBy(norm.alias("__norm"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("__norm")
+    )
+    marked = lines.join(freq, norm == F.col("__norm"), "left")
+    kept_entry = F.when(
+        F.col("__norm").isNull(),
+        F.struct(F.col("__pos").alias("p"), line.alias("v")),
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_entry)), lambda s: s["v"]),
+            "\n",
+        ).alias(out_col),
+        F.sum(F.when(F.col("__norm").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias(removed_col),
+    )

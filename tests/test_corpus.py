@@ -152,3 +152,58 @@ def test_contamination_broadcasts_benchmark(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_repeated_line_dedup_rules(spark):
+    """Pins the documented rules: normalized (case/outer-whitespace)
+    matching removes the ORIGINAL lines; blank lines are never counted
+    nor removed; all-boilerplate docs survive as ''; NULL text ≡ '';
+    threshold is >= min_count on corpus-wide occurrences; reassembly
+    preserves original order and per-line inner whitespace."""
+    from ai_etl_framework_spark.operators.corpus import repeated_line_dedup
+
+    boiler = ["Buy Now", "buy now", " BUY NOW ", "buy  now"]  # norms: 3x 'buy now', 1x 'buy  now'
+    rows = [
+        (1, "unique alpha\nBuy Now\n\ncontent one"),
+        (2, "buy now\nunique beta"),
+        (3, " BUY NOW \nbuy  now"),
+        (4, "Buy Now\nBuy Now"),      # within-doc repeats count toward the corpus total
+        (5, None),                    # NULL text -> one blank line, kept as ''
+        (6, "   \nunique gamma"),     # whitespace-only line kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # corpus occurrences of norm 'buy now': docs 1,2,3,4,4 = 5 -> removed at min_count=5
+    # 'buy  now' (double space) occurs once -> kept
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in repeated_line_dedup(df, min_count=5).collect()
+    }
+    assert out[1] == ("unique alpha\n\ncontent one", 1)
+    assert out[2] == ("unique beta", 1)
+    assert out[3] == ("buy  now", 1)   # original casing/spacing of the survivor
+    assert out[4] == ("", 2)           # every line removed -> ''
+    assert out[5] == ("", 0)
+    assert out[6] == ("   \nunique gamma", 0)
+    # below threshold nothing is removed
+    out6 = {
+        r["doc_id"]: r["n_removed"]
+        for r in repeated_line_dedup(df, min_count=6).collect()
+    }
+    assert all(v == 0 for v in out6.values())
+
+
+def test_repeated_line_dedup_join_is_broadcast(spark):
+    """The frequent-line set joins back without a hint: AQE must pick
+    a broadcast join from its measured (tiny) runtime size, so the
+    exploded big side never shuffles for the membership probe."""
+    from ai_etl_framework_spark.operators.corpus import repeated_line_dedup
+
+    rows = [(i, f"header line\ncontent {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_line_dedup(df, min_count=5)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
