@@ -380,7 +380,18 @@ def prefix_filter_candidates(
     bound can't reach that are dropped per join row — a qualifying
     pair always survives via its first shared row, so no false
     negatives. On identical-boilerplate corpora this prunes the
-    candidate rows whose match position sits too deep to matter."""
+    candidate rows whose match position sits too deep to matter.
+
+    Measured dead end (r7, recorded to prevent re-churn): replacing
+    the final ``.distinct()`` with a per-PAIR aggregate bound — c
+    shared prefix entries + min tail slack past the LAST shared
+    position, PPJoin's tighter §3.2 form — pruned exactly 0 of the
+    1.25M sf1 candidates at t=0.5 on the scale-smoke corpus: with
+    near-uniform doc sizes and t=0.5 prefixes spanning half of each
+    doc, the tail slack alone already exceeds the required overlap,
+    so the per-row filter subsumes the pair bound. Candidate volume
+    here is genuine prefix sharing; the affordable-exactness decision
+    belongs to mode="auto"'s budget, not a sharper filter."""
     if pref is None:
         pref = _prefix_frame(sh_sets, threshold)
     a = pref.alias("a")
