@@ -34,6 +34,11 @@ EDGE_QUERIES = [
     # engine to agree on the directionless rows (cos_sim NULL, sorted
     # last) — the matmul path used to drop them / emit -inf
     "sim01_cosine_topk",
+    # repeated-line dedup over blank / NULL / whitespace-only docs —
+    # doc 6 contains an embedded newline, so the page construction
+    # yields a genuine multi-line split with a whitespace-only line
+    # that must be preserved as structure on both engines
+    "x07_repeated_line_dedup",
 ]
 
 
