@@ -201,7 +201,8 @@ def test_first_last_only_shuffle_free_path(spark):
     assert "partial_min_by" in plan.split("Exchange hashpartitioning")[1]
 
 
-def test_presorted_collect_survives_sort_based_fallback(spark):
+@pytest.mark.parametrize("distribute", [False, True])
+def test_presorted_collect_survives_sort_based_fallback(spark, distribute):
     """The Aggregator's order-sensitive primitives are explicitly
     order-INDEPENDENT (min_by/max_by over the struct order key,
     array_sort over the fully merged collect buffer) — they must stay
@@ -212,7 +213,11 @@ def test_presorted_collect_survives_sort_based_fallback(spark):
     over 32 partitions, ~156 keys/task) with adversarially shuffled
     input and checks every group's concat/first/last against the
     explicit-order model — pinning that no arrival-order assumption
-    ever creeps back into the fallback path."""
+    ever creeps back into the fallback path. Runs BOTH physical paths:
+    the distributed two-level plan doubles the exposure (5000·slices
+    level-1 keys, 5000 level-2 keys, both far past the fallback
+    threshold) and additionally proves the slice-ordered reassembly
+    never depends on buffer arrival order."""
     from pyspark.sql import functions as F
 
     n_groups, per_group = 5000, 40
@@ -234,6 +239,7 @@ def test_presorted_collect_survives_sort_based_fallback(spark):
             "cat": {"field": "s", "function": "concat"},
         },
         order_col="o",
+        distribute_sort=distribute,
     )
     rows = agg(scrambled).collect()
     assert len(rows) == n_groups
