@@ -207,3 +207,62 @@ def test_repeated_line_dedup_join_is_broadcast(spark):
     )[0]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_repeated_line_dedup_matches_python_model(spark):
+    """Hypothesis differential: ANY random multi-line corpus must
+    match a direct Python model of the rule (corpus-wide occurrence
+    counts of lower(trim(line)), blank lines exempt, originals
+    removed, order-preserving reassembly, NULL ≡ '')."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ai_etl_framework_spark.operators.corpus import repeated_line_dedup
+
+    LINES = ["dup", " DUP ", "dup2", "unique", "", "  ", "x y", "X Y"]
+    docs_strategy = st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.sampled_from(LINES), min_size=0, max_size=6).map(
+                "\n".join
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    def model(texts, min_count):
+        from collections import Counter
+
+        split = [("" if t is None else t).split("\n") for t in texts]
+        counts = Counter(
+            ln.strip().lower()
+            for doc in split
+            for ln in doc
+            if ln.strip() != ""
+        )
+        frequent = {k for k, v in counts.items() if v >= min_count}
+        out = {}
+        for i, doc in enumerate(split):
+            kept = [
+                ln
+                for ln in doc
+                if ln.strip() == "" or ln.strip().lower() not in frequent
+            ]
+            out[i] = ("\n".join(kept), len(doc) - len(kept))
+        return out
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(texts=docs_strategy, min_count=st.integers(min_value=1, max_value=4))
+    def run(texts, min_count):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in repeated_line_dedup(df, min_count=min_count).collect()
+        }
+        assert got == model(texts, min_count)
+
+    run()
