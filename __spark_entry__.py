@@ -2738,6 +2738,57 @@ GROUP BY l.doc_id
 """
 
 
+def x08_repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-SPAN removal (operators/corpus.py
+    repeated_span_dedup — the k-token-window re-expression of exact
+    substring training-data dedup, Lee et al. 2021). The synthetic
+    documents draw from a ~30-word vocabulary, so 5-token windows
+    genuinely repeat across the corpus (74 frequent spans at sf0.01 /
+    550 at sf0.1 at min_count=3) — no page construction needed. The
+    oracle replays the rule in SQL over the same whitespace
+    tokenization: corpus-wide window counts, union of covered
+    positions via DISTINCT (doc, idx) expansion, order-preserving
+    single-space re-assembly."""
+    from ai_etl_framework_spark.operators.corpus import repeated_span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_span_dedup(
+        docs, id_col="doc_id", text_col="text", k=5, min_count=3
+    )
+
+
+_X08_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+win AS (
+  SELECT doc_id, s, array_to_string(ts[s:s+4], ' ') AS span
+  FROM toks, UNNEST(range(1, GREATEST(len(ts) - 5 + 2, 1))) AS t(s)),
+freq AS (SELECT span FROM win GROUP BY span HAVING COUNT(*) >= 3),
+cov AS (
+  SELECT DISTINCT w.doc_id, ci
+  FROM win w JOIN freq f USING (span), UNNEST(range(w.s, w.s + 5)) AS c(ci)),
+tok AS (
+  SELECT doc_id,
+         unnest(range(1, len(ts) + 1)) AS pos,
+         unnest(ts) AS tok
+  FROM toks),
+agg AS (
+  SELECT t.doc_id,
+         COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos)
+                    FILTER (WHERE c.ci IS NULL), '') AS clean_text,
+         CAST(COUNT(c.ci) AS BIGINT)                 AS n_removed_tokens
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.ci
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+       COALESCE(a.clean_text, '')                  AS clean_text,
+       COALESCE(a.n_removed_tokens, CAST(0 AS BIGINT)) AS n_removed_tokens
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def x04_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isolation forest: driver-fit global path (x04) + sample-fit /
     broadcast / mapInPandas-score distributed path (x05)."""
@@ -3558,6 +3609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x05_skew_ordered_concat": x05_skew_ordered_concat,
         "x06_distributed_ordered_agg": x06_distributed_ordered_agg,
         "x07_repeated_line_dedup": x07_repeated_line_dedup,
+        "x08_repeated_span_dedup": x08_repeated_span_dedup,
     }
 
 
@@ -3615,6 +3667,7 @@ def oracle_sql() -> dict[str, str]:
         # it shares q07's oracle verbatim
         "x06_distributed_ordered_agg": _Q07_SQL,
         "x07_repeated_line_dedup": _X07_SQL,
+        "x08_repeated_span_dedup": _X08_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

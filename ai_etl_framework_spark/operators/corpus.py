@@ -43,6 +43,7 @@ __all__ = [
     "contamination_pairs",
     "decontaminate",
     "repeated_line_dedup",
+    "repeated_span_dedup",
 ]
 
 # Gopher A1.1 bounds (word-fraction variants where the paper uses
@@ -367,4 +368,117 @@ def repeated_line_dedup(
         F.sum(F.when(F.col("__norm").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias(removed_col),
+    )
+
+
+def repeated_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    out_col: str = "clean_text",
+    removed_col: str = "n_removed_tokens",
+) -> DataFrame:
+    """Corpus-level repeated-SPAN removal — the token-window variant
+    of exact-substring training-data dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", which
+    cuts byte-level repeats via a suffix array; re-expressed here as
+    the k-token rolling-window rule a shuffle-based engine can run):
+    every window of ``k`` consecutive whitespace tokens whose exact
+    token sequence occurs at least ``min_count`` times ACROSS THE
+    CORPUS has all of its occurrences' token positions removed; the
+    surviving tokens are re-assembled in original order. Catches
+    copied paragraphs, licence blocks, and templated passages that
+    line-level dedup misses when the surrounding line differs.
+
+    Rules (oracle-replicable, pinned in tests):
+    - tokenization is whitespace splitting with empty tokens dropped;
+      re-assembly joins survivors with single spaces, so inter-token
+      whitespace is NORMALIZED, not preserved (the standard
+      token-level dedup contract — unlike :func:`repeated_line_dedup`,
+      which preserves the original line bytes);
+    - the occurrence count is corpus-wide over window INSTANCES:
+      a span repeated twice inside one document self-counts, so
+      ``min_count=2`` also strips intra-document repetition;
+    - overlapping flagged windows union their covered positions;
+    - documents with fewer than ``k`` tokens are never flagged;
+      NULL text ≡ '' (zero tokens, survives as ``''``);
+    - ``removed_col`` counts removed token instances per document.
+
+    Scale shape: one projection builds the token array; window hashes
+    explode from it (no shuffle) into one hash aggregation on the
+    window digest (map-side partials collapse the frequent spans by
+    definition); the frequent set joins back WITHOUT a broadcast hint
+    (Zipf-tiny in practice — AQE broadcasts it from measured size,
+    and a pathological huge set degrades to a hash join instead of a
+    driver OOM). Flagged window STARTS — ints, not tokens — are the
+    only rows that shuffle to the per-document collect; re-assembly
+    is then pure per-row array math on the original token array
+    (``array_except`` of covered positions, hash-set backed, O(n)),
+    so the corpus tokens themselves never shuffle at all. Window keys
+    are md5 digests of the space-joined window (injective: whitespace
+    tokens cannot contain the joiner), keeping the exploded shuffle
+    rows narrow at any k.
+    """
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+", -1),
+        lambda t: t != F.lit(""),
+    )
+    base = df.select(F.col(id_col), toks.alias("__ts"))
+    n = F.size("__ts")
+    win = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda s: F.struct(
+                        s.alias("s"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice("__ts", s + 1, F.lit(k)))
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<s:int,h:string>>"))
+        ).alias("__w"),
+    ).select(id_col, F.col("__w.s").alias("__s"), F.col("__w.h").alias("__h"))
+    freq = (
+        win.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("__h")
+    )
+    flagged = (
+        win.join(freq, "__h")
+        .groupBy(id_col)
+        .agg(F.collect_list("__s").alias("__ss"))
+    )
+    covered = F.when(F.col("__ss").isNull(), F.array().cast("array<int>")).otherwise(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col("__ss"), lambda s: F.sequence(s, s + (k - 1))
+                )
+            )
+        )
+    )
+    kept_idx = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.array_except(F.sequence(F.lit(0), n - 1), covered)
+    )
+    return (
+        base.join(flagged, on=id_col, how="left")
+        .withColumn("__keep", kept_idx)
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(
+                    F.col("__keep"),
+                    lambda i: F.element_at(F.col("__ts"), i + 1),
+                ),
+                " ",
+            ).alias(out_col),
+            (n - F.size("__keep")).cast("long").alias(removed_col),
+        )
     )

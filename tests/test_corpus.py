@@ -266,3 +266,125 @@ def test_repeated_line_dedup_matches_python_model(spark):
         assert got == model(texts, min_count)
 
     run()
+
+
+def test_repeated_span_dedup_rules(spark):
+    """Pins the documented rules: corpus-wide >= min_count window
+    instances flag ALL occurrences; overlapping flagged windows union
+    their positions; whitespace is normalized to single spaces in the
+    output; docs under k tokens are never flagged; NULL/'' survive as
+    ''; intra-document repeats self-count."""
+    from ai_etl_framework_spark.operators.corpus import repeated_span_dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "intro text the quick brown fox jumps again here"),
+        (3, None),
+        (4, ""),
+        (5, "a b c"),                    # < k tokens
+        (6, "x y z w x y z w x y z w"),  # intra-doc repeats self-count
+        (7, "  spaced   out\ttokens \n here  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in repeated_span_dedup(df, k=4, min_count=2).collect()
+    }
+    # shared windows between docs 1/2: "the quick brown fox" and
+    # "quick brown fox jumps" -> positions 0..4 (doc 1) / 2..6 (doc 2)
+    assert out[1] == ("over the lazy dog", 5)
+    assert out[2] == ("intro text again here", 5)
+    assert out[3] == ("", 0)
+    assert out[4] == ("", 0)
+    assert out[5] == ("a b c", 0)
+    assert out[6] == ("", 12)            # every window repeats -> all gone
+    assert out[7] == ("spaced out tokens here", 0)
+    # below threshold nothing is removed (only whitespace normalization)
+    out3 = {
+        r["doc_id"]: r["n_removed_tokens"]
+        for r in repeated_span_dedup(df, k=4, min_count=4).collect()
+    }
+    assert all(v == 0 for v in out3.values())
+
+
+def test_repeated_span_dedup_join_is_broadcast(spark):
+    """The frequent-span set and the per-doc flagged-starts aggregate
+    both join back without hints: AQE must broadcast them from their
+    measured (tiny) runtime sizes, so neither the exploded window
+    frame nor the token-array frame shuffles for the probes."""
+    from ai_etl_framework_spark.operators.corpus import repeated_span_dedup
+
+    rows = [(i, f"shared prefix span here content {i} tail") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_span_dedup(df, k=4, min_count=5)
+    res = {r["doc_id"]: r["n_removed_tokens"] for r in out.collect()}
+    # windows s0 ("shared prefix span here") and s1 ("prefix span here
+    # content") repeat corpus-wide -> positions 0..4 removed
+    assert all(v == 5 for v in res.values())
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repeated_span_dedup_matches_python_model(spark):
+    """Hypothesis differential: ANY random small-vocab corpus must
+    match a direct Python model of the rule (corpus-wide k-window
+    instance counts, union of covered positions, single-space
+    re-assembly, NULL ≡ '')."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ai_etl_framework_spark.operators.corpus import repeated_span_dedup
+
+    WORDS = ["a", "b", "c", "d"]
+    docs_strategy = st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.sampled_from(WORDS), min_size=0, max_size=10).map(
+                " ".join
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    def model(texts, k, min_count):
+        from collections import Counter
+
+        toks = [("" if t is None else t).split() for t in texts]
+        counts = Counter(
+            tuple(doc[s : s + k])
+            for doc in toks
+            for s in range(len(doc) - k + 1)
+        )
+        frequent = {w for w, c in counts.items() if c >= min_count}
+        out = {}
+        for i, doc in enumerate(toks):
+            covered = set()
+            for s in range(len(doc) - k + 1):
+                if tuple(doc[s : s + k]) in frequent:
+                    covered.update(range(s, s + k))
+            kept = [w for p, w in enumerate(doc) if p not in covered]
+            out[i] = (" ".join(kept), len(doc) - len(kept))
+        return out
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        texts=docs_strategy,
+        k=st.integers(min_value=1, max_value=4),
+        min_count=st.integers(min_value=1, max_value=3),
+    )
+    def run(texts, k, min_count):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+            for r in repeated_span_dedup(df, k=k, min_count=min_count).collect()
+        }
+        assert got == model(texts, k, min_count)
+
+    run()
