@@ -39,6 +39,11 @@ EDGE_QUERIES = [
     # yields a genuine multi-line split with a whitespace-only line
     # that must be preserved as structure on both engines
     "x07_repeated_line_dedup",
+    # repeated-span dedup over the same corpus: doc 9's 8x"dup" run
+    # self-flags (4 identical 5-token windows >= min_count 3) while the
+    # docs 0/1 near-dup pair shares every window only TWICE -> kept;
+    # blank/NULL/whitespace docs exercise the zero-token guards
+    "x08_repeated_span_dedup",
 ]
 
 
