@@ -72,6 +72,13 @@ QUERIES = [
     # per-key state (RocksDB) scales sublinearly, not just the batch
     # operators
     "st01_stream_sessions",
+    # corpus-level boilerplate removal (r7): the per-copy letter
+    # rotation preserves each copy's frequent-line/span sets exactly,
+    # so the flagged volume scales linearly by construction and the
+    # ratio measures the operator (freq agg + AQE broadcast probe +
+    # re-assembly), not the generator
+    "x07_repeated_line_dedup",
+    "x08_repeated_span_dedup",
 ]
 
 
