@@ -2789,6 +2789,58 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+def x09_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (ml/quality_filter.py — the
+    GPT-3-style learned classifier stage, Brown et al. 2020 App. A).
+    Positives = original documents; negatives = atbash-substituted
+    twins (a letter bijection, so the junk class has a disjoint but
+    corpus-SHARED vocabulary — held-out junk still hits trained
+    features). Train on even doc_ids (the +2M negative offset
+    preserves parity, so a doc and its twin stay in one split), score
+    the odd half JVM-side, and report per-label counts, mean
+    probability, decision accuracy, and the hash-seeded Pareto-keep
+    count. Rows-only by design (model-based scores, like x04)."""
+    from ai_etl_framework_spark.ml.quality_filter import (
+        fit_quality_classifier,
+        pareto_keep_expr,
+        score_quality,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    az = "abcdefghijklmnopqrstuvwxyz"
+    pos = docs.withColumn("label", F.lit(1))
+    neg = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.translate("text", az, az[::-1]).alias("text"),
+        F.lit(0).alias("label"),
+    )
+    labeled = pos.unionByName(neg)
+    model = fit_quality_classifier(labeled.where(F.col("doc_id") % 2 == 0))
+    scored = score_quality(labeled.where(F.col("doc_id") % 2 == 1), model)
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("quality_prob"), 4).alias("mean_prob"),
+            F.round(
+                F.avg(
+                    (
+                        (F.col("quality_prob") >= 0.5).cast("int")
+                        == F.col("label")
+                    ).cast("double")
+                ),
+                4,
+            ).alias("accuracy"),
+            F.sum(
+                pareto_keep_expr(
+                    F.col("quality_prob"), F.col("doc_id")
+                ).cast("long")
+            ).alias("pareto_kept"),
+        )
+        .orderBy("label")
+    )
+
+
 def x04_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isolation forest: driver-fit global path (x04) + sample-fit /
     broadcast / mapInPandas-score distributed path (x05)."""
@@ -3610,6 +3662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x06_distributed_ordered_agg": x06_distributed_ordered_agg,
         "x07_repeated_line_dedup": x07_repeated_line_dedup,
         "x08_repeated_span_dedup": x08_repeated_span_dedup,
+        # rows-only (model-based, like x04): learned quality filter
+        "x09_quality_classifier": x09_quality_classifier,
     }
 
 

@@ -1,0 +1,168 @@
+"""Model-based corpus quality filtering — the classifier stage of the
+GPT-3 / CCNet / palm-style data pipelines (Brown et al. 2020, Appendix
+A: a logistic classifier over a high-quality reference corpus vs raw
+Common Crawl, with Pareto-threshold resampling; CCNet uses an LM
+perplexity bucket instead). The reference framework's quality scoring
+(src/transformers/enrichers/quality_scorer.py) is rule-based
+completeness/validity/consistency — this module adds the LEARNED
+filter a pretraining pipeline runs after the rule stage.
+
+Execution shape (100 TB):
+- **fit** runs on a LABELED SAMPLE that is bounded by construction (a
+  curated reference corpus plus an equal-size negative draw) — Spark
+  ML's LogisticRegression aggregates LBFGS gradients with
+  ``treeAggregate``, so even a large sample never materializes on the
+  driver (only the coefficient vector does).
+- **score** is ``PipelineModel.transform``: RegexTokenizer →
+  HashingTF → LogisticRegressionModel are all JVM expressions + one
+  BLAS dot per row — embarrassingly parallel, zero shuffle, zero
+  Python (pinned by a plan test: no *EvalPython node).
+- **pareto_resample** reproduces GPT-3's stochastic keep rule
+  ``pareto(alpha) > 1 - score`` with a HASH-SEEDED uniform draw per
+  document id, so the decision is deterministic, partition-independent
+  and re-runnable — a row keeps or drops identically on any cluster
+  layout (plain ``rand()`` would re-sample per task retry).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "fit_quality_classifier",
+    "score_quality",
+    "quality_filter",
+    "pareto_keep_expr",
+    "pareto_resample",
+]
+
+_TOKENS_COL = "__qf_tokens"
+_TF_COL = "__qf_tf"
+_SCORE_COLS = ("rawPrediction", "probability", "prediction")
+
+
+def fit_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = 1 << 18,
+    binary_tf: bool = True,
+    reg_param: float = 1e-4,
+    max_iter: int = 50,
+):
+    """Fit the quality classifier on a labeled sample.
+
+    ``labeled`` needs ``text_col`` (string; NULL ≡ '') and
+    ``label_col`` (1 = high quality, 0 = low). Returns a
+    ``pyspark.ml.PipelineModel`` whose transform scores any DataFrame
+    with the same text column. Deterministic: tokenization and
+    feature hashing are stateless, and LBFGS over a fixed sample is
+    reproducible (no RNG in the pipeline).
+
+    ``binary_tf=True`` uses set-of-words features (presence, not
+    counts) — the usual choice for boilerplate/quality signals, and
+    it keeps a pathological 10M-token document from dominating the
+    gradient.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, RegexTokenizer
+
+    clean = labeled.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(
+                inputCol=text_col,
+                outputCol=_TOKENS_COL,
+                pattern=r"\s+",
+                gaps=True,
+                toLowercase=True,
+            ),
+            HashingTF(
+                inputCol=_TOKENS_COL,
+                outputCol=_TF_COL,
+                numFeatures=num_features,
+                binary=binary_tf,
+            ),
+            LogisticRegression(
+                featuresCol=_TF_COL,
+                labelCol=label_col,
+                regParam=reg_param,
+                maxIter=max_iter,
+            ),
+        ]
+    )
+    return pipe.fit(clean)
+
+
+def score_quality(
+    df: DataFrame,
+    model,
+    text_col: str = "text",
+    prob_col: str = "quality_prob",
+) -> DataFrame:
+    """Append ``prob_col`` = P(label=1 | text) to every row.
+
+    Pure JVM path end-to-end (tokenizer → hashed features → model dot
+    product → probability extraction via ``vector_to_array``); the
+    pipeline's intermediate columns are dropped.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(
+        df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )
+    return scored.withColumn(
+        prob_col, vector_to_array(F.col("probability")).getItem(1)
+    ).drop(_TOKENS_COL, _TF_COL, *_SCORE_COLS)
+
+
+def quality_filter(
+    df: DataFrame,
+    model,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    prob_col: Optional[str] = "quality_prob",
+) -> DataFrame:
+    """Keep rows the classifier scores at or above ``threshold``.
+    ``prob_col=None`` drops the score column after filtering."""
+    scored = score_quality(df, model, text_col, prob_col or "__qf_prob")
+    kept = scored.where(F.col(prob_col or "__qf_prob") >= threshold)
+    return kept if prob_col else kept.drop("__qf_prob")
+
+
+def pareto_keep_expr(
+    score: Column, id_col: Column, alpha: float = 9.0, seed: int = 0
+) -> Column:
+    """GPT-3's resampling rule (Brown et al. 2020, eq. in Appendix A):
+    keep a document iff ``pareto(alpha) > 1 - score``.
+
+    The Pareto draw is inverse-transform sampled from a uniform that
+    is HASHED from the document id (+ seed), not ``rand()``: the
+    decision for a given row is a pure function of (id, seed), so task
+    retries, partition layout and re-runs all agree. With
+    u ∈ (0, 1): ``pareto = (1 - u)^(-1/alpha) - 1``; high-score docs
+    are kept almost surely, low-score docs survive with probability
+    ``1 - (1 - score)`` tail mass ≈ ``(2 - score)^(-alpha)``.
+    """
+    h = F.xxhash64(id_col, F.lit(seed))
+    # map int64 → (0, 1); +0.5/2^64 keeps u strictly inside the bounds
+    u = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+    u = F.least(F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return pareto > (F.lit(1.0) - score)
+
+
+def pareto_resample(
+    df: DataFrame,
+    score_col: str = "quality_prob",
+    id_col: str = "doc_id",
+    alpha: float = 9.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Filter ``df`` by :func:`pareto_keep_expr` over ``score_col``."""
+    return df.where(
+        pareto_keep_expr(F.col(score_col), F.col(id_col), alpha, seed)
+    )

@@ -1,0 +1,170 @@
+"""Model-based quality filtering (ml/quality_filter.py): learned
+classifier separability, JVM-only scoring plan, fit determinism, and
+the hash-seeded Pareto resampling rule."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_framework_spark.ml.quality_filter import (
+    fit_quality_classifier,
+    pareto_keep_expr,
+    pareto_resample,
+    quality_filter,
+    score_quality,
+)
+
+GOOD = "the quick brown fox jumps over a lazy dog with style and grace".split()
+JUNK = "buy click now free offer winner casino deal cheap pills xxx prize".split()
+
+
+def _corpus(spark, n=300, seed=7):
+    rng = random.Random(seed)
+    rows = [
+        (i, " ".join(rng.choice(GOOD) for _ in range(30)), 1) for i in range(n)
+    ] + [
+        (n + i, " ".join(rng.choice(JUNK) for _ in range(30)), 0)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    df = _corpus(spark)
+    train = df.where(F.col("doc_id") % 2 == 0)
+    test = df.where(F.col("doc_id") % 2 == 1)
+    return fit_quality_classifier(train), train, test
+
+
+def test_classifier_separates_held_out(spark, fitted):
+    """Held-out accuracy floor on a linearly separable corpus with a
+    SHARED vocabulary per class (all-OOV junk would fall back to the
+    intercept — that's a property of any hashed-BoW classifier, not a
+    bug, and the test corpus reflects the realistic overlap case)."""
+    model, _, test = fitted
+    scored = score_quality(test, model)
+    acc = scored.select(
+        F.avg(
+            ((F.col("quality_prob") >= 0.5).cast("int") == F.col("label"))
+            .cast("double")
+        )
+    ).collect()[0][0]
+    assert acc >= 0.95
+    seps = scored.groupBy("label").agg(F.avg("quality_prob").alias("p")).collect()
+    by = {r["label"]: r["p"] for r in seps}
+    assert by[1] > 0.9 and by[0] < 0.1
+
+
+def test_scoring_is_jvm_only_and_clean(spark, fitted):
+    """The scoring path must stay inside the JVM (no Python eval node
+    — Arrow or row-wise) and drop every pipeline intermediate."""
+    model, _, test = fitted
+    scored = score_quality(test, model)
+    assert scored.columns == ["doc_id", "text", "label", "quality_prob"]
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan[:2000]
+
+    kept = quality_filter(test, model, threshold=0.5, prob_col=None)
+    assert kept.columns == ["doc_id", "text", "label"]
+    assert kept.count() > 0
+
+
+def test_fit_is_deterministic(spark):
+    """Two fits on identical input produce identical held-out scores
+    (no RNG anywhere in the pipeline; LBFGS over a fixed sample)."""
+    df = _corpus(spark, n=120, seed=11)
+    train = df.where(F.col("doc_id") % 2 == 0)
+    test = df.where(F.col("doc_id") % 2 == 1)
+    p1 = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(test, fit_quality_classifier(train)).collect()
+    }
+    p2 = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(test, fit_quality_classifier(train)).collect()
+    }
+    assert p1.keys() == p2.keys()
+    assert all(abs(p1[k] - p2[k]) < 1e-9 for k in p1)
+
+
+def test_null_and_empty_text_score(spark, fitted):
+    """NULL ≡ '' must score (intercept-only), not crash."""
+    model, _, _ = fitted
+    df = spark.createDataFrame(
+        [(1, None, 0), (2, "", 0)], "doc_id long, text string, label int"
+    )
+    rows = score_quality(df, model).collect()
+    assert len(rows) == 2
+    probs = {r["doc_id"]: r["quality_prob"] for r in rows}
+    assert abs(probs[1] - probs[2]) < 1e-12  # identical feature vectors
+
+
+def test_pareto_resample_deterministic_and_monotone(spark, fitted):
+    """The keep decision is a pure function of (id, seed): re-runs
+    agree row-for-row; a different seed flips some rows; and the rule
+    keeps high scorers (≈ always) far more often than low scorers
+    (tail mass ≈ 2^-alpha)."""
+    model, _, test = fitted
+    scored = score_quality(test, model).cache()
+    try:
+        k1 = {r["doc_id"] for r in pareto_resample(scored).select("doc_id").collect()}
+        k2 = {r["doc_id"] for r in pareto_resample(scored).select("doc_id").collect()}
+        assert k1 == k2
+        k_seeded = {
+            r["doc_id"]
+            for r in pareto_resample(scored, seed=99).select("doc_id").collect()
+        }
+        assert k_seeded != k1
+        n_hi = scored.where("label = 1").count()
+        hi = pareto_resample(scored.where("label = 1")).count()
+        lo = pareto_resample(scored.where("label = 0")).count()
+        assert hi >= 0.98 * n_hi          # P(keep | p≈1) → 1
+        assert lo <= 0.10 * n_hi          # P(keep | p≈0) ≈ 2^-9
+    finally:
+        scored.unpersist()
+
+
+def test_pareto_keep_expr_matches_closed_form(spark):
+    """The JVM expression reproduces the closed-form inverse-transform
+    rule computed in Python from the same xxhash64 draw."""
+    import pyspark.sql.types as T
+
+    df = spark.createDataFrame(
+        [(i, i / 19.0) for i in range(20)], "doc_id long, score double"
+    )
+    got = df.select(
+        "doc_id",
+        "score",
+        F.xxhash64(F.col("doc_id"), F.lit(0)).alias("h"),
+        pareto_keep_expr(F.col("score"), F.col("doc_id"), alpha=9.0, seed=0).alias(
+            "keep"
+        ),
+    ).collect()
+    for r in got:
+        u = r["h"] / float(2**64) + 0.5
+        u = min(max(u, 1e-12), 1.0 - 1e-12)
+        pareto = (1.0 - u) ** (-1.0 / 9.0) - 1.0
+        assert r["keep"] == (pareto > 1.0 - r["score"]), r
+
+
+def test_x09_gate_row_quality_floor(spark, sf_dir):
+    """The x09 driver row is rows-only (model-based) — this is its
+    quality floor, mirroring the x01 ANN-recall pattern: on the real
+    testdata the held-out split must separate near-perfectly and the
+    Pareto rule must keep (almost) all positives and (almost) no
+    atbash negatives."""
+    import __spark_entry__ as entry
+
+    rows = {
+        r["label"]: r
+        for r in entry.x09_quality_classifier(spark, sf_dir).collect()
+    }
+    assert set(rows) == {0, 1}
+    assert rows[1]["accuracy"] >= 0.95 and rows[0]["accuracy"] >= 0.95
+    assert rows[1]["mean_prob"] >= 0.9 and rows[0]["mean_prob"] <= 0.1
+    assert rows[1]["pareto_kept"] >= 0.95 * rows[1]["n"]
+    assert rows[0]["pareto_kept"] <= 0.10 * rows[0]["n"]
