@@ -2789,6 +2789,66 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+def x10_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (operators/lm.py — the CCNet
+    pipeline stage, Wenzek et al. 2020, re-expressed as an add-k
+    bigram model whose training AND scoring are plain aggregations/
+    joins). LM fit on even doc_ids (add_k=0.5), odd half scored.
+    The oracle replays the whole thing in SQL — bigram counts,
+    first-token totals, vocabulary size, ln-space smoothing, uniform
+    OOV back-off, exp(-avg) rounded 4dp — so every smoothed
+    probability is hash-checked, not just the row count."""
+    from ai_etl_framework_spark.operators.lm import (
+        fit_bigram_lm,
+        perplexity_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = fit_bigram_lm(docs.where(F.col("doc_id") % 2 == 0), add_k=0.5)
+    return perplexity_score(docs.where(F.col("doc_id") % 2 == 1), lm)
+
+
+_X10_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+ref AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+tgt AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+v AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(ts) AS tok FROM ref)),
+refbg AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM ref, UNNEST(range(1, GREATEST(len(ts), 1))) AS r(i)),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM refbg GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+bigrams AS (
+  SELECT c12.w1, c12.w2, ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)) AS logp
+  FROM c12 JOIN c1 USING (w1), v),
+firsts AS (
+  SELECT w1, ln(0.5 / (c1 + 0.5 * v.v)) AS logp_unseen FROM c1, v),
+tgtbg AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM tgt, UNNEST(range(1, GREATEST(len(ts), 1))) AS r(i)),
+lp AS (
+  SELECT t.doc_id,
+         COALESCE(b.logp, f.logp_unseen, -ln(v.v)) AS lp
+  FROM tgtbg t
+  LEFT JOIN bigrams b ON t.w1 = b.w1 AND t.w2 = b.w2
+  LEFT JOIN firsts f ON t.w1 = f.w1, v),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(exp(-AVG(lp)), 4) AS ppl
+  FROM lp GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       a.ppl                                    AS ppl
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def x09_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (ml/quality_filter.py — the
     GPT-3-style learned classifier stage, Brown et al. 2020 App. A).
@@ -3664,6 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x08_repeated_span_dedup": x08_repeated_span_dedup,
         # rows-only (model-based, like x04): learned quality filter
         "x09_quality_classifier": x09_quality_classifier,
+        "x10_perplexity_score": x10_perplexity_score,
     }
 
 
@@ -3722,6 +3783,7 @@ def oracle_sql() -> dict[str, str]:
         "x06_distributed_ordered_agg": _Q07_SQL,
         "x07_repeated_line_dedup": _X07_SQL,
         "x08_repeated_span_dedup": _X08_SQL,
+        "x10_perplexity_score": _X10_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -1,0 +1,200 @@
+"""Bigram-LM perplexity filtering (operators/lm.py): hand-computed
+smoothed probabilities, a conditional-sums-to-1 property, a hypothesis
+differential vs a direct Python model, and the filter semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_framework_spark.operators.lm import (
+    fit_bigram_lm,
+    perplexity_filter,
+    perplexity_score,
+)
+
+
+def test_hand_computed_model(spark):
+    """ref: 'a b a b a c' + 'a b c a b' -> c(a,b)=4 c(b,a)=2 c(a,c)=1
+    c(b,c)=1 c(c,a)=1; c1: a=5 b=3 c=1; V=3; k=0.5."""
+    ref = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "a b c a b")], "doc_id long, text string"
+    )
+    lm = fit_bigram_lm(ref, add_k=0.5)
+    assert lm.vocab_size == 3
+    bg = {(r["w1"], r["w2"]): r["logp"] for r in lm.bigrams.collect()}
+    assert abs(bg[("a", "b")] - math.log(4.5 / 6.5)) < 1e-12
+    assert abs(bg[("b", "a")] - math.log(2.5 / 4.5)) < 1e-12
+    assert abs(bg[("c", "a")] - math.log(1.5 / 2.5)) < 1e-12
+    fu = {r["w1"]: r["logp_unseen"] for r in lm.firsts.collect()}
+    assert abs(fu["c"] - math.log(0.5 / 2.5)) < 1e-12
+    assert abs(lm.logp_oov - (-math.log(3))) < 1e-12
+
+    tgt = spark.createDataFrame(
+        [(10, "a b a b"), (11, "c c c c"), (12, "z z z"), (13, "a"), (14, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_bigrams"], r["ppl"]) for r in
+           perplexity_score(tgt, lm).collect()}
+    # doc 12: unseen first token -> uniform 1/V each -> ppl = V = 3
+    assert out[12] == (2, 3.0)
+    # doc 11: (c,c) unseen continuation of observed 'c' -> 0.5/2.5 each
+    assert out[11] == (3, 5.0)
+    assert out[13] == (0, None) and out[14] == (0, None)
+    lp_ab, lp_ba = bg[("a", "b")], bg[("b", "a")]
+    exp10 = round(math.exp(-(2 * lp_ab + lp_ba) / 3), 4)
+    assert out[10] == (3, exp10)
+
+
+def test_conditional_probabilities_sum_to_one(spark):
+    """For every observed first token: sum over the FULL vocabulary of
+    P(w2|w1) = observed smoothed probs + (V - n_observed) * unseen
+    must equal 1 — the property that makes ppl a real perplexity."""
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ate the rat")],
+        "doc_id long, text string",
+    )
+    lm = fit_bigram_lm(ref, add_k=0.25)
+    obs = (
+        lm.bigrams.groupBy("w1")
+        .agg(F.sum(F.exp("logp")).alias("mass"), F.count(F.lit(1)).alias("n"))
+        .join(lm.firsts, "w1")
+        .collect()
+    )
+    for r in obs:
+        total = r["mass"] + (lm.vocab_size - r["n"]) * math.exp(r["logp_unseen"])
+        assert abs(total - 1.0) < 1e-9, (r["w1"], total)
+
+
+def test_matches_python_model(spark):
+    """Hypothesis differential: ANY random small-vocab ref/target split
+    must match a direct Python model (Counter bigram counts, add-k
+    smoothing, uniform OOV back-off, exp(-mean ln p) rounded 4dp)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    WORDS = ["a", "b", "c"]
+    doc = st.one_of(
+        st.none(),
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=8).map(" ".join),
+    )
+
+    def model(ref_texts, tgt_texts, k):
+        toks = lambda t: ("" if t is None else t).split()
+        vocab = {w for t in ref_texts for w in toks(t)}
+        v = len(vocab)
+        c12: Counter = Counter()
+        for t in ref_texts:
+            ws = toks(t)
+            c12.update(zip(ws, ws[1:]))
+        c1: Counter = Counter()
+        for (w1, _), c in c12.items():
+            c1[w1] += c
+        out = {}
+        for i, t in enumerate(tgt_texts):
+            ws = toks(t)
+            lps = []
+            for w1, w2 in zip(ws, ws[1:]):
+                if (w1, w2) in c12:
+                    lps.append(math.log((c12[(w1, w2)] + k) / (c1[w1] + k * v)))
+                elif w1 in c1:
+                    lps.append(math.log(k / (c1[w1] + k * v)))
+                else:
+                    lps.append(-math.log(v))
+            out[i] = (
+                len(lps),
+                round(math.exp(-sum(lps) / len(lps)), 4) if lps else None,
+            )
+        return out
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        ref=st.lists(doc, min_size=1, max_size=5).filter(
+            lambda ts: any(t and t.strip() for t in ts)
+        ),
+        tgt=st.lists(doc, min_size=1, max_size=5),
+        k=st.sampled_from([0.25, 0.5, 1.0]),
+    )
+    def run(ref, tgt, k):
+        ref_df = spark.createDataFrame(
+            list(enumerate(ref)), "doc_id long, text string"
+        )
+        tgt_df = spark.createDataFrame(
+            list(enumerate(tgt)), "doc_id long, text string"
+        )
+        lm = fit_bigram_lm(ref_df, add_k=k)
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["ppl"])
+            for r in perplexity_score(tgt_df, lm).collect()
+        }
+        want = model(ref, tgt, k)
+        assert got.keys() == want.keys()
+        for key in got:
+            gn, gp = got[key]
+            wn, wp = want[key]
+            assert gn == wn, (key, got[key], want[key])
+            if wp is None:
+                assert gp is None
+            else:
+                assert gp == pytest.approx(wp, abs=2e-4)
+
+    run()
+
+
+def test_filter_semantics_and_guards(spark):
+    ref = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "a b c a b")], "doc_id long, text string"
+    )
+    lm = fit_bigram_lm(ref)
+    tgt = spark.createDataFrame(
+        [(10, "a b a b"), (11, "c c c c"), (13, "a")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in perplexity_filter(tgt, lm, max_ppl=2.5).collect()
+    )
+    assert kept == [10, 13]  # 11 too perplexing; 13 scoreless -> kept
+    strict = sorted(
+        r["doc_id"]
+        for r in perplexity_filter(
+            tgt, lm, max_ppl=2.5, keep_scoreless=False
+        ).collect()
+    )
+    assert strict == [10]
+
+    with pytest.raises(ValueError, match="add_k"):
+        fit_bigram_lm(ref, add_k=0.0)
+    empty = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        fit_bigram_lm(empty)
+
+
+def test_scoring_joins_broadcast_for_small_lm(spark):
+    """With the known-small hint, every scoring probe is a broadcast
+    join — the target corpus's exploded bigrams never shuffle for the
+    lookups. (Hint-free, AQE converts what its heuristics allow; the
+    hinted plan is the pinned guarantee.)"""
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(50)],
+        "doc_id long, text string",
+    )
+    lm = fit_bigram_lm(ref)
+    tgt = spark.createDataFrame(
+        [(i, "the cat ate the mat") for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = perplexity_score(tgt, lm, hint_broadcast=True)
+    rows = out.collect()
+    assert len(rows) == 200
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    # hinted and unhinted paths agree value-for-value
+    base = {r["doc_id"]: r["ppl"] for r in perplexity_score(tgt, lm).collect()}
+    assert base == {r["doc_id"]: r["ppl"] for r in rows}

@@ -44,6 +44,11 @@ EDGE_QUERIES = [
     # docs 0/1 near-dup pair shares every window only TWICE -> kept;
     # blank/NULL/whitespace docs exercise the zero-token guards
     "x08_repeated_span_dedup",
+    # bigram-LM perplexity: the even/odd split puts the whitespace-only
+    # and single-token docs in the REFERENCE (zero bigrams contributed)
+    # and the NULL / empty / repeated-run docs in the scored half
+    # (NULL ppl for no-bigram docs, OOV back-off for the french doc)
+    "x10_perplexity_score",
 ]
 
 
