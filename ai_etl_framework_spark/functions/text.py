@@ -54,6 +54,19 @@ def tokens(text: Column) -> Column:
     )
 
 
+def ws_tokens(text: Column) -> Column:
+    """CASE-PRESERVING whitespace tokens, NULL ≡ '' → [] — the shared
+    tokenization contract of the corpus-level operators
+    (operators/corpus.py repeated_span_dedup, operators/lm.py) and
+    their DuckDB oracle twins (regexp_split_to_array + list_filter).
+    One definition so an edit cannot silently de-synchronize the
+    operators from each other or from the oracle SQL."""
+    return F.filter(
+        F.split(F.coalesce(text, F.lit("")), r"\s+", -1),
+        lambda t: t != F.lit(""),
+    )
+
+
 def _let_tokens(text: Column, body) -> Column:
     """Poor-man's let-binding: evaluate ``tokens(text)`` ONCE and feed
     it to ``body`` as a lambda variable via ``transform`` over a

@@ -107,16 +107,24 @@ def score_quality(
 
     Pure JVM path end-to-end (tokenizer → hashed features → model dot
     product → probability extraction via ``vector_to_array``); the
-    pipeline's intermediate columns are dropped.
+    pipeline's intermediate columns are dropped. NULL text SCORES as
+    '' (intercept-only) but the returned row keeps its original NULL —
+    a filter must not rewrite the data it passes through.
     """
     from pyspark.ml.functions import vector_to_array
 
     scored = model.transform(
-        df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        df.withColumn("__qf_orig", F.col(text_col)).withColumn(
+            text_col, F.coalesce(F.col(text_col), F.lit(""))
+        )
     )
-    return scored.withColumn(
-        prob_col, vector_to_array(F.col("probability")).getItem(1)
-    ).drop(_TOKENS_COL, _TF_COL, *_SCORE_COLS)
+    return (
+        scored.withColumn(
+            prob_col, vector_to_array(F.col("probability")).getItem(1)
+        )
+        .withColumn(text_col, F.col("__qf_orig"))
+        .drop("__qf_orig", _TOKENS_COL, _TF_COL, *_SCORE_COLS)
+    )
 
 
 def quality_filter(
@@ -148,7 +156,10 @@ def pareto_keep_expr(
     ``1 - (1 - score)`` tail mass ≈ ``(2 - score)^(-alpha)``.
     """
     h = F.xxhash64(id_col, F.lit(seed))
-    # map int64 → (0, 1); +0.5/2^64 keeps u strictly inside the bounds
+    # map int64 → [0, 1]; the clamp (NOT the +0.5 shift) is what keeps
+    # u strictly inside (0, 1) — h = int64 min hits exactly 0.0 and
+    # values near int64 max round up to exactly 1.0, where
+    # pow(1-u, -1/alpha) would blow up to Infinity
     u = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
     u = F.least(F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12))
     pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)

@@ -421,11 +421,9 @@ def repeated_span_dedup(
     tokens cannot contain the joiner), keeping the exploded shuffle
     rows narrow at any k.
     """
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+", -1),
-        lambda t: t != F.lit(""),
-    )
-    base = df.select(F.col(id_col), toks.alias("__ts"))
+    from ai_etl_framework_spark.functions.text import ws_tokens
+
+    base = df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("__ts"))
     n = F.size("__ts")
     win = base.select(
         F.col(id_col),

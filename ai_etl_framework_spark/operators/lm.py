@@ -40,16 +40,11 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
+
+from ai_etl_framework_spark.functions.text import ws_tokens as _ws_tokens
 
 __all__ = ["BigramLM", "fit_bigram_lm", "perplexity_score", "perplexity_filter"]
-
-
-def _ws_tokens(text: Column) -> Column:
-    return F.filter(
-        F.split(F.coalesce(text, F.lit("")), r"\s+", -1),
-        lambda t: t != F.lit(""),
-    )
 
 
 def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -86,6 +81,12 @@ class BigramLM:
     UNOBSERVED continuation of an observed first token;
     ``vocab_size`` / ``add_k`` / ``logp_oov``: scalars (logp_oov =
     -ln V, the uniform back-off for an unseen first token).
+
+    Both tables come back PERSISTED (memory-and-disk): without it the
+    reference corpus's tokenize/explode/aggregate lineage would
+    re-execute on every action over every scored frame — at scale,
+    "training" would silently dominate each downstream job. Call
+    :meth:`unpersist` when done.
     """
 
     bigrams: DataFrame
@@ -93,6 +94,10 @@ class BigramLM:
     vocab_size: int
     add_k: float
     logp_oov: float
+
+    def unpersist(self) -> None:
+        self.bigrams.unpersist()
+        self.firsts.unpersist()
 
 
 def fit_bigram_lm(
@@ -125,8 +130,8 @@ def fit_bigram_lm(
         "w1", F.log(F.lit(add_k) / denom).alias("logp_unseen")
     )
     return BigramLM(
-        bigrams=bigrams,
-        firsts=firsts,
+        bigrams=bigrams.persist(),
+        firsts=firsts.persist(),
         vocab_size=int(vocab_size),
         add_k=add_k,
         logp_oov=-math.log(vocab_size),
