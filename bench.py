@@ -140,6 +140,7 @@ def main() -> None:
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
     warm_min: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
@@ -158,6 +159,7 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).toPandas()
             runs.append(time.perf_counter() - t0)
+        raw_runs[name] = runs
         warm[name] = round(sorted(runs)[1], 4)
         warm_min[name] = round(min(runs), 4)
 
@@ -168,6 +170,25 @@ def main() -> None:
     # query: DuckDB has no JIT warmup and the files are page-cached by
     # the Spark passes above, so this matches the judge's protocol.
     duck = _duckdb_twins()
+
+    # Borderline queries get a true median-of-5 (VERDICT r7 item 3):
+    # the r6/r7 q07 verdicts flip-flopped across the 2x line on ~±0.2s
+    # run-to-run variance of a ~1s query. Queries whose 3-run
+    # floor-adjusted ratio lands in [1.2, 3.0] — close enough to the
+    # 2.0 verdict line for noise to decide it — get two extra warm
+    # runs and the median of all 5; everything clearly inside or
+    # outside the line keeps the cheaper 3-run median.
+    for name, tw in duck.items():
+        if name not in warm or tw <= 0:
+            continue
+        if 1.2 <= max(warm[name] - 0.3, 0.0) / tw <= 3.0:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, SF_DIR).toPandas()
+                raw_runs[name].append(time.perf_counter() - t0)
+            five = sorted(raw_runs[name])
+            warm[name] = round(five[len(five) // 2], 4)
+            warm_min[name] = round(five[0], 4)
 
     # pipeline throughput vs the reference's 13.5k rec/s single-node
     # best (BASELINE.md): clean → quality-score → parquet write
@@ -304,55 +325,86 @@ def main() -> None:
         }
     DEDUP = {"dd03_minhash_band_pairs", "dd04_ngram_jaccard"}
     ex_dedup = [k for k in duck if k not in DEDUP]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                # warm = median of 3 (see timing loop); min alongside
-                "queries_warm": warm,
-                "queries_warm_median": warm,
-                "queries_warm_min": warm_min,
-                "duckdb_twin_sec": duck,
-                # one number for "are we inside BASELINE.md's 2x
-                # bound": Spark warm total over DuckDB total on the
-                # queries both engines run (<1 = Spark faster)
-                "vs_duckdb_ratio": round(
-                    sum(warm[k] for k in duck) / max(sum(duck.values()), 1e-9), 4
-                )
-                if duck
-                else None,
-                # same ratio excluding dd03/dd04, where DuckDB's
-                # pathological exact-pairs plans (26.9s/11.6s at r5)
-                # flatter the aggregate — the honest dashboard-query
-                # number (VERDICT r5 item 4)
-                "vs_duckdb_ratio_ex_dedup": round(
-                    sum(warm[k] for k in ex_dedup)
-                    / max(sum(duck[k] for k in ex_dedup), 1e-9), 4
-                )
-                if ex_dedup
-                else None,
-                "vs_duckdb_per_query": per_query,
-                "floor_sec": FLOOR,
-                "streaming_marginal": marginals,
-                "warm_total": round(sum(warm.values()), 4),
-                "extended_total": round(sum(times.values()), 4),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # median-of-3 (r7); *_best = the min-time run, the
-                # box-noise floor. p01/p02 raw runs recorded so a
-                # round-over-round move is attributable.
-                "pipeline_records_per_sec": round(n_rows / pipe_sec, 1),
-                "pipeline_records_per_sec_best": round(
-                    n_rows / min(pipe_runs), 1
-                ),
-                "pipeline_sec_runs": [round(x, 4) for x in pipe_runs],
-                "p02_sec_runs": [round(x, 4) for x in merge_runs],
-            }
-        ),
-        flush=True,
+    full = {
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        # warm = median of 3 (see timing loop); min alongside
+        "queries_warm": warm,
+        "queries_warm_median": warm,
+        "queries_warm_min": warm_min,
+        # every raw warm run (5 for borderline queries, 3 otherwise)
+        # so a round-over-round move is attributable to noise or not
+        "queries_warm_runs": {
+            k: [round(x, 4) for x in v] for k, v in raw_runs.items()
+        },
+        "duckdb_twin_sec": duck,
+        # one number for "are we inside BASELINE.md's 2x
+        # bound": Spark warm total over DuckDB total on the
+        # queries both engines run (<1 = Spark faster)
+        "vs_duckdb_ratio": round(
+            sum(warm[k] for k in duck) / max(sum(duck.values()), 1e-9), 4
+        )
+        if duck
+        else None,
+        # same ratio excluding dd03/dd04, where DuckDB's
+        # pathological exact-pairs plans (26.9s/11.6s at r5)
+        # flatter the aggregate — the honest dashboard-query
+        # number (VERDICT r5 item 4)
+        "vs_duckdb_ratio_ex_dedup": round(
+            sum(warm[k] for k in ex_dedup)
+            / max(sum(duck[k] for k in ex_dedup), 1e-9), 4
+        )
+        if ex_dedup
+        else None,
+        "vs_duckdb_per_query": per_query,
+        "floor_sec": FLOOR,
+        "streaming_marginal": marginals,
+        "warm_total": round(sum(warm.values()), 4),
+        "extended_total": round(sum(times.values()), 4),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # median-of-3 (r7); *_best = the min-time run, the
+        # box-noise floor. p01/p02 raw runs recorded so a
+        # round-over-round move is attributable.
+        "pipeline_records_per_sec": round(n_rows / pipe_sec, 1),
+        "pipeline_records_per_sec_best": round(n_rows / min(pipe_runs), 1),
+        "pipeline_sec_runs": [round(x, 4) for x in pipe_runs],
+        "p02_sec_runs": [round(x, 4) for x in merge_runs],
+    }
+    # Full record → a FILE (committed per round as BENCH_r{N}_local.json)
+    # and an early stdout line; the LAST stdout line is a compact
+    # headline sized well under the driver's tail-capture window — r6
+    # and r7 both produced truncated official artifacts because the
+    # full record outgrew that window and the HEAD of the single line
+    # (cold totals) was cut off (VERDICT r7, What's missing #1).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_full_latest.json"),
     )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError as ex:
+        print(f"bench: could not write {out_path}: {ex}", file=sys.stderr)
+    print(json.dumps(full), flush=True)
+    compact = {
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "sf": full["sf"],
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "queries_warm": {k: round(v, 3) for k, v in warm.items()},
+        "warm_total": full["warm_total"],
+        "vs_duckdb_ratio": full["vs_duckdb_ratio"],
+        "vs_duckdb_ratio_ex_dedup": full["vs_duckdb_ratio_ex_dedup"],
+        "over_2x": sorted(k for k, v in per_query.items() if v["over_2x"]),
+        "pipeline_records_per_sec": full["pipeline_records_per_sec"],
+        "full_record": os.path.basename(out_path),
+    }
+    print(json.dumps(compact), flush=True)
     spark.stop()
 
 

@@ -279,6 +279,12 @@ def test_q07_ordered_agg_single_exchange_no_expand(spark):
     assert "Window" not in plan
     assert "Sort" in plan
     assert "ObjectHashAggregate" in plan
+    # r8: count_distinct on a field that concat is already collecting
+    # derives from THAT shared buffer — exactly one collect_list
+    # aggregation state in the partial, and no separate collect_set
+    # state duplicating 600k per-row inserts (measured −0.07s sf0.1)
+    assert _count_nodes(plan, r"partial_collect_list") == 1
+    assert "collect_set" not in plan
 
 
 def test_q07_distributed_sort_shape_above_threshold(spark):
