@@ -2849,6 +2849,42 @@ LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+def x11_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (operators/lm.py
+    perplexity_buckets — Wenzek et al. 2020 §4: corpus-level
+    perplexity quantiles split the corpus into the clean third, the
+    middle, and the noisy tail). Same LM protocol as x10 (fit on even
+    doc_ids, score odd); the oracle replays scoring AND the
+    quantile_cont cut points AND the bucket CASE, so every bucket
+    label is hash-checked. Cut points are rounded 4dp in both engines
+    so interpolation ulp noise cannot flip a boundary document."""
+    from ai_etl_framework_spark.operators.lm import (
+        fit_bigram_lm,
+        perplexity_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = fit_bigram_lm(docs.where(F.col("doc_id") % 2 == 0), add_k=0.5)
+    return perplexity_buckets(docs.where(F.col("doc_id") % 2 == 1), lm)
+
+
+_X11_SQL = f"""
+WITH scored AS ({_X10_SQL}),
+cuts AS (
+  SELECT ROUND(quantile_cont(ppl, 1.0/3), 4) AS c1,
+         ROUND(quantile_cont(ppl, 2.0/3), 4) AS c2
+  FROM scored WHERE ppl IS NOT NULL)
+SELECT s.doc_id,
+       s.n_bigrams,
+       s.ppl,
+       CASE WHEN s.ppl IS NULL THEN NULL
+            WHEN s.ppl <= c.c1 THEN 'head'
+            WHEN s.ppl <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored s, cuts c
+"""
+
+
 def x09_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (ml/quality_filter.py — the
     GPT-3-style learned classifier stage, Brown et al. 2020 App. A).
@@ -3725,6 +3761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (model-based, like x04): learned quality filter
         "x09_quality_classifier": x09_quality_classifier,
         "x10_perplexity_score": x10_perplexity_score,
+        "x11_perplexity_buckets": x11_perplexity_buckets,
     }
 
 
@@ -3784,6 +3821,7 @@ def oracle_sql() -> dict[str, str]:
         "x07_repeated_line_dedup": _X07_SQL,
         "x08_repeated_span_dedup": _X08_SQL,
         "x10_perplexity_score": _X10_SQL,
+        "x11_perplexity_buckets": _X11_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -44,7 +44,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from ai_etl_framework_spark.functions.text import ws_tokens as _ws_tokens
 
-__all__ = ["BigramLM", "fit_bigram_lm", "perplexity_score", "perplexity_filter"]
+__all__ = [
+    "BigramLM",
+    "fit_bigram_lm",
+    "perplexity_score",
+    "perplexity_filter",
+    "perplexity_buckets",
+]
 
 
 def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -192,6 +198,70 @@ def perplexity_score(
             F.col(ppl_col),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    lm: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quantiles: tuple[float, float] = (1 / 3, 2 / 3),
+    bucket_col: str = "ppl_bucket",
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4): score
+    every document's perplexity under ``lm``, compute the two
+    corpus-level perplexity quantile cut points, and label each
+    document ``head`` (ppl ≤ q1 cut — the cleanest third), ``middle``,
+    or ``tail``. CCNet trains on head+middle and discards or
+    down-weights tail; compose with
+    :func:`...ml.quality_filter.pareto_resample` for the stochastic
+    variant. Documents with no bigrams score NULL and get a NULL
+    bucket (the same "no evidence" contract as
+    :func:`perplexity_filter`).
+
+    Returns ``(id_col, n_bigrams, ppl, bucket_col)``.
+
+    Cut points are EXACT ``percentile`` by default — the oracle's
+    ``quantile_cont`` semantics, linear interpolation, rounded 4dp so
+    the bucket comparison is bit-stable across engines. Exact
+    percentile buffers the (already per-document-aggregated) ppl
+    values per partition; at 100 TB pass ``approx=True`` for the
+    KLL-sketch ``percentile_approx`` with bounded memory — the same
+    exact/approx dual as the IQR anomaly detector. The cut points are
+    two scalars collected on the driver (bounded, like the LM's
+    vocabulary size); the bucket label itself is then a pure
+    projection, so retries and partition layout cannot flip a
+    document's bucket.
+    """
+    q1, q2 = quantiles
+    if not (0.0 < q1 < q2 < 1.0):
+        raise ValueError(
+            f"quantiles must satisfy 0 < q1 < q2 < 1, got {quantiles!r}"
+        )
+    scored = perplexity_score(df, lm, id_col, text_col)
+    nn = scored.where(F.col("ppl").isNotNull())
+    if approx:
+        cuts_expr = F.percentile_approx(
+            "ppl", [float(q1), float(q2)], approx_accuracy
+        )
+    else:
+        cuts_expr = F.percentile("ppl", [float(q1), float(q2)])
+    row = nn.agg(
+        F.transform(cuts_expr, lambda c: F.round(c, 4)).alias("cuts")
+    ).collect()[0]
+    cuts = row["cuts"]
+    if cuts is None or cuts[0] is None:  # no scoreable documents at all
+        return scored.withColumn(bucket_col, F.lit(None).cast("string"))
+    c1, c2 = float(cuts[0]), float(cuts[1])
+    bucket = (
+        F.when(F.col("ppl").isNull(), F.lit(None).cast("string"))
+        .when(F.col("ppl") <= c1, F.lit("head"))
+        .when(F.col("ppl") <= c2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.withColumn(bucket_col, bucket)
 
 
 def perplexity_filter(

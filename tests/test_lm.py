@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ai_etl_framework_spark.operators.lm import (
     fit_bigram_lm,
+    perplexity_buckets,
     perplexity_filter,
     perplexity_score,
 )
@@ -198,3 +199,89 @@ def test_scoring_joins_broadcast_for_small_lm(spark):
     # hinted and unhinted paths agree value-for-value
     base = {r["doc_id"]: r["ppl"] for r in perplexity_score(tgt, lm).collect()}
     assert base == {r["doc_id"]: r["ppl"] for r in rows}
+
+
+def _bucket_corpus(spark):
+    """LM reference = clean repeated text; targets range from
+    in-distribution (low ppl) to OOV junk (high ppl), plus a
+    no-bigram doc (NULL ppl)."""
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat on the rug")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    in_dist = "the cat sat on the mat and the dog sat on the rug".split()
+    rows = [
+        # doc i replaces i in-distribution tokens with OOV junk: ppl
+        # strictly increases with i (measured 1.74 .. 6.33, all
+        # distinct), so the quantile cuts are unambiguous
+        (i, " ".join(in_dist[: 12 - i] + [f"junk{j}" for j in range(i)]))
+        for i in range(9)
+    ]
+    rows.append((9, "solo"))  # < 2 tokens -> NULL ppl
+    tgt = spark.createDataFrame(rows, "doc_id long, text string")
+    return fit_bigram_lm(ref, add_k=0.5), tgt
+
+
+def test_perplexity_buckets_thirds_and_null(spark):
+    """CCNet rule pins: 9 scoreable docs split 3/3/3 at the 1/3 and
+    2/3 quantile cuts (both cut points land BETWEEN distinct ppl
+    values here), the head holds the lowest-ppl docs, the tail the
+    OOV junk, and the no-bigram doc gets a NULL bucket."""
+    lm, tgt = _bucket_corpus(spark)
+    rows = {r["doc_id"]: r for r in perplexity_buckets(tgt, lm).collect()}
+    assert rows[9]["ppl"] is None and rows[9]["ppl_bucket"] is None
+    buckets = [rows[i]["ppl_bucket"] for i in range(9)]
+    # ppl is strictly increasing with doc_id: 9 distinct values split
+    # exactly 3/3/3 (the 1/3 cut interpolates strictly between the
+    # 3rd and 4th values, the 2/3 cut between the 6th and 7th)
+    assert buckets == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    lm.unpersist()
+
+
+def test_perplexity_buckets_boundary_is_inclusive(spark):
+    """A document whose ppl EQUALS a 4dp-rounded cut point goes to
+    the lower bucket (<=), in both engines — with 3 docs of identical
+    ppl the 1/3 cut equals that ppl exactly, so all three are head."""
+    ref = spark.createDataFrame(
+        [(0, "a b a b a b")], "doc_id long, text string"
+    )
+    lm = fit_bigram_lm(ref, add_k=0.5)
+    tgt = spark.createDataFrame(
+        [(i, "a b") for i in range(3)] + [(3, "zz qq")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in perplexity_buckets(tgt, lm).collect()}
+    same = {rows[i]["ppl"] for i in range(3)}
+    assert len(same) == 1  # identical ppl
+    # 1/3 quantile of [p, p, p, q] with p<q interpolates inside the
+    # run of p -> cut == p -> all three land in head via <=
+    assert [rows[i]["ppl_bucket"] for i in range(3)] == ["head"] * 3
+    assert rows[3]["ppl_bucket"] == "tail"
+    lm.unpersist()
+
+
+def test_perplexity_buckets_guards_and_approx(spark):
+    lm, tgt = _bucket_corpus(spark)
+    with pytest.raises(ValueError, match="quantiles"):
+        perplexity_buckets(tgt, lm, quantiles=(0.5, 0.5))
+    with pytest.raises(ValueError, match="quantiles"):
+        perplexity_buckets(tgt, lm, quantiles=(0.0, 0.5))
+    # approx path: same labels on this tiny corpus (sketch is exact
+    # far below its accuracy budget)
+    exact = {r["doc_id"]: r["ppl_bucket"]
+             for r in perplexity_buckets(tgt, lm).collect()}
+    approx = {r["doc_id"]: r["ppl_bucket"]
+              for r in perplexity_buckets(tgt, lm, approx=True).collect()}
+    # percentile_approx returns an OBSERVED value, not an interpolated
+    # one — cut points differ but the extreme docs cannot change side
+    assert approx[6] == "tail" and approx[9] is None
+    assert exact[0] == "head"
+    # all-unscoreable corpus -> every bucket NULL
+    empty = spark.createDataFrame(
+        [(0, "one"), (1, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["ppl_bucket"]
+           for r in perplexity_buckets(empty, lm).collect()}
+    assert got == {0: None, 1: None}
+    lm.unpersist()
