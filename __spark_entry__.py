@@ -2885,6 +2885,93 @@ FROM scored s, cuts c
 """
 
 
+def x12_repeated_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity corpus dedup (operators/corpus.py
+    repeated_paragraph_dedup — RefinedWeb's third granularity next to
+    x07's lines and x08's token spans). The synthetic documents are
+    single-line, so the query builds a deterministic multi-paragraph
+    page per document: a corpus-wide two-LINE boilerplate paragraph
+    (exercising intra-paragraph newline preservation), the content
+    paragraph, one of three rotating class paragraphs, and a
+    per-doc footer paragraph (empty for doc_id%17==0 — a trailing
+    blank unit that must survive as structure). Odd doc_ids separate
+    content from the class paragraph with a THREE-newline run, so the
+    \\n{2,} split and the exactly-one-blank-line re-assembly
+    normalization are both exercised. min_count=5 removes the
+    boilerplate and (at sf>=0.01) the class paragraphs everywhere;
+    the oracle rebuilds identical pages and replays the rule in
+    SQL."""
+    from ai_etl_framework_spark.operators.corpus import (
+        repeated_paragraph_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Subscribe to our newsletter.\nGet weekly updates."),
+            F.lit("\n\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 2 == 1, F.lit("\n\n\n")).otherwise(
+                F.lit("\n\n")
+            ),
+            F.element_at(
+                F.array(
+                    F.lit("share this article"),
+                    F.lit("All Rights Reserved"),
+                    F.lit("  cookie policy accepted  "),
+                ),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+            F.lit("\n\n"),
+            F.when(F.col("doc_id") % 17 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("doc footer "), F.col("doc_id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    return repeated_paragraph_dedup(
+        pages, id_col="doc_id", text_col="text", min_count=5
+    )
+
+
+_X12_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         'Subscribe to our newsletter.' || chr(10) || 'Get weekly updates.' ||
+         chr(10) || chr(10) ||
+         COALESCE(text, '') ||
+         CASE WHEN doc_id % 2 = 1
+              THEN chr(10) || chr(10) || chr(10)
+              ELSE chr(10) || chr(10) END ||
+         CASE CAST(doc_id % 3 AS INT)
+              WHEN 0 THEN 'share this article'
+              WHEN 1 THEN 'All Rights Reserved'
+              ELSE '  cookie policy accepted  ' END ||
+         chr(10) || chr(10) ||
+         CASE WHEN doc_id % 17 = 0 THEN ''
+              ELSE 'doc footer ' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents),
+lists AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\n{2,}') AS ps FROM pages),
+paras AS (
+  SELECT doc_id,
+         unnest(range(1, len(ps) + 1)) AS pos,
+         unnest(ps) AS para
+  FROM lists),
+freq AS (
+  SELECT lower(trim(para)) AS norm
+  FROM paras WHERE trim(para) <> ''
+  GROUP BY lower(trim(para))
+  HAVING COUNT(*) >= 5)
+SELECT p.doc_id,
+       COALESCE(string_agg(p.para, chr(10) || chr(10) ORDER BY p.pos)
+                  FILTER (WHERE f.norm IS NULL), '') AS clean_text,
+       CAST(COUNT(f.norm) AS BIGINT)                 AS n_removed
+FROM paras p LEFT JOIN freq f ON lower(trim(p.para)) = f.norm
+GROUP BY p.doc_id
+"""
+
+
 def x09_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (ml/quality_filter.py — the
     GPT-3-style learned classifier stage, Brown et al. 2020 App. A).
@@ -3762,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x09_quality_classifier": x09_quality_classifier,
         "x10_perplexity_score": x10_perplexity_score,
         "x11_perplexity_buckets": x11_perplexity_buckets,
+        "x12_repeated_paragraph_dedup": x12_repeated_paragraph_dedup,
     }
 
 
@@ -3822,6 +3910,7 @@ def oracle_sql() -> dict[str, str]:
         "x08_repeated_span_dedup": _X08_SQL,
         "x10_perplexity_score": _X10_SQL,
         "x11_perplexity_buckets": _X11_SQL,
+        "x12_repeated_paragraph_dedup": _X12_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -43,6 +43,7 @@ __all__ = [
     "contamination_pairs",
     "decontaminate",
     "repeated_line_dedup",
+    "repeated_paragraph_dedup",
     "repeated_span_dedup",
 ]
 
@@ -347,13 +348,63 @@ def repeated_line_dedup(
     judge flagged it and this is the int-only rework, plan-pinned in
     tests/test_corpus.py::test_repeated_line_dedup_int_only_shuffle.)
     """
+    return _repeated_unit_dedup(
+        df, id_col, text_col, min_count, out_col, removed_col,
+        split_pattern="\n", join_sep="\n",
+    )
+
+
+def repeated_paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    out_col: str = "clean_text",
+    removed_col: str = "n_removed",
+) -> DataFrame:
+    """Paragraph-granularity corpus dedup — the third RefinedWeb
+    granularity (Penedo et al. 2023 dedups exact documents, lines AND
+    paragraphs; :func:`repeated_span_dedup` covers token windows,
+    this covers blank-line-delimited blocks). A paragraph whose
+    normalized form (``lower(trim(paragraph))``) occurs at least
+    ``min_count`` times across the corpus is dropped from every
+    document. Same rules as :func:`repeated_line_dedup` (blank units
+    are structure; removal drops originals; all-removed docs survive
+    as ``''``; NULL ≡ ``''``) with one documented difference:
+    paragraphs are split on ``\\n{2,}`` and re-assembled with exactly
+    one blank line (``"\\n\\n"``) between survivors — inter-paragraph
+    blank runs are NORMALIZED, the same contract as span dedup's
+    whitespace normalization. Intra-paragraph single newlines are
+    preserved byte-for-byte. Default ``min_count=2``: a verbatim
+    repeated paragraph is already boilerplate, where single lines
+    need a higher bar (nav items legitimately repeat a few times).
+
+    Scale shape: identical to :func:`repeated_line_dedup` — the
+    int-only x08 contract; only flagged paragraph positions shuffle.
+    """
+    return _repeated_unit_dedup(
+        df, id_col, text_col, min_count, out_col, removed_col,
+        split_pattern="\n{2,}", join_sep="\n\n",
+    )
+
+
+def _repeated_unit_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int,
+    out_col: str,
+    removed_col: str,
+    split_pattern: str,
+    join_sep: str,
+) -> DataFrame:
     line = F.col("__line")
     norm = F.lower(F.trim(line))
     base = df.select(
         F.col(id_col),
-        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1).alias(
-            "__lines"
-        ),
+        F.split(
+            F.coalesce(F.col(text_col), F.lit("")), split_pattern, -1
+        ).alias("__lines"),
     )
     lines = base.select(
         id_col, F.posexplode("__lines").alias("__pos", "__line")
@@ -381,7 +432,7 @@ def repeated_line_dedup(
                 F.transform(
                     kept_idx, lambda i: F.element_at(F.col("__lines"), i + 1)
                 ),
-                "\n",
+                join_sep,
             ).alias(out_col),
             F.size(rm).cast("long").alias(removed_col),
         )

@@ -410,3 +410,105 @@ def test_repeated_span_dedup_matches_python_model(spark):
         assert got == model(texts, k, min_count)
 
     run()
+
+
+def test_repeated_paragraph_dedup_rules(spark):
+    """Pins the paragraph-granularity rules (RefinedWeb's third
+    dedup granularity): blocks split on \\n{2,}; normalized
+    (case/outer-whitespace, incl. edge newlines) matching; blank
+    blocks exempt; survivors re-join with exactly one blank line
+    (separator runs NORMALIZED — the documented contract);
+    intra-paragraph single newlines preserved; min_count defaults
+    to 2; NULL ≡ ''."""
+    from ai_etl_framework_spark.operators.corpus import (
+        repeated_paragraph_dedup,
+    )
+
+    boiler = "Subscribe to our newsletter.\nGet weekly updates."
+    rows = [
+        (1, f"Real content one.\n\n{boiler}\n\n\nMore content."),
+        (2, f"{boiler.upper()}\n\nunique paragraph beta"),  # case-folds to same
+        (3, "solo paragraph\n\n \n\nafter blank-ish block"),
+        (4, None),
+        (5, f"  {boiler}  "),  # outer whitespace folds into same norm
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # norm occurrences: docs 1, 2, 5 -> 3 >= min_count=2 -> removed
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in repeated_paragraph_dedup(df).collect()
+    }
+    assert out[1] == ("Real content one.\n\nMore content.", 1)  # \n\n\n normalized
+    assert out[2] == ("unique paragraph beta", 1)
+    assert out[3] == ("solo paragraph\n\n \n\nafter blank-ish block", 0)
+    assert out[4] == ("", 0)
+    assert out[5] == ("", 1)
+    # below threshold nothing is removed
+    out4 = {
+        r["doc_id"]: r["n_removed"]
+        for r in repeated_paragraph_dedup(df, min_count=4).collect()
+    }
+    assert all(v == 0 for v in out4.values())
+
+
+def test_repeated_paragraph_dedup_matches_python_model(spark):
+    """Hypothesis differential against a direct Python model of the
+    paragraph rule."""
+    import re as _re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ai_etl_framework_spark.operators.corpus import (
+        repeated_paragraph_dedup,
+    )
+
+    PARAS = ["dup", " DUP ", "a\nb", "unique", "", "  ", "x y"]
+    SEPS = ["\n\n", "\n\n\n", "\n\n\n\n"]
+    docs_strategy = st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.tuples(st.sampled_from(PARAS), st.sampled_from(SEPS)),
+                min_size=0, max_size=5,
+            ).map(lambda ps: "".join(p + s for p, s in ps)),
+        ),
+        min_size=1, max_size=6,
+    )
+
+    def model(texts, min_count):
+        from collections import Counter
+
+        split = [
+            _re.split(r"\n{2,}", "" if t is None else t) for t in texts
+        ]
+        counts = Counter(
+            p.strip().lower()
+            for doc in split
+            for p in doc
+            if p.strip() != ""
+        )
+        frequent = {k for k, v in counts.items() if v >= min_count}
+        out = {}
+        for i, doc in enumerate(split):
+            kept = [
+                p for p in doc
+                if p.strip() == "" or p.strip().lower() not in frequent
+            ]
+            out[i] = ("\n\n".join(kept), len(doc) - len(kept))
+        return out
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(texts=docs_strategy, min_count=st.integers(min_value=1, max_value=3))
+    def run(texts, min_count):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in repeated_paragraph_dedup(df, min_count=min_count).collect()
+        }
+        assert got == model(texts, min_count)
+
+    run()

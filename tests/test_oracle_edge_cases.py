@@ -49,6 +49,17 @@ EDGE_QUERIES = [
     # and the NULL / empty / repeated-run docs in the scored half
     # (NULL ppl for no-bigram docs, OOV back-off for the french doc)
     "x10_perplexity_score",
+    # CCNet perplexity buckets over the same even/odd split: the
+    # scored half carries NULL-ppl docs (NULL bucket) and the cut
+    # points interpolate over a handful of values — the 4dp rounding
+    # contract must agree on both engines
+    "x11_perplexity_buckets",
+    # paragraph-granularity dedup: doc 6's embedded single newline
+    # stays INTRA-paragraph (preserved), the trailing empty footer
+    # paragraph (doc_id%17==0 -> doc 0) survives as structure, and
+    # the 10-doc corpus keeps the rotating class paragraphs under
+    # min_count while removing the boilerplate
+    "x12_repeated_paragraph_dedup",
 ]
 
 
