@@ -79,7 +79,19 @@ QUERIES = [
     # re-assembly), not the generator
     "x07_repeated_line_dedup",
     "x08_repeated_span_dedup",
+    # r8 additions: paragraph granularity (same rotation argument as
+    # x07 — the literal boilerplate/class paragraphs repeat
+    # corpus-wide, rotated content scales linearly) and the CCNet
+    # perplexity-bucket stage (LM fit + scoring + corpus quantiles)
+    "x11_perplexity_buckets",
+    "x12_repeated_paragraph_dedup",
 ]
+
+# Queries whose sf1 ratio sits near the bound get a cold/warm split
+# (VERDICT r7 item 7: q01's 2.05x at 0.64s absolute looked like
+# first-run noise — the warm ratio settles it; q07 is the other
+# watch-list row). Warm = min of 2 forced re-runs, plan+codegen hot.
+WARM_SPLIT = {"q01_pricing_summary", "q07_agg_semantics"}
 
 
 def build_sf1(spark, out_dir: str) -> None:
@@ -174,6 +186,15 @@ def main() -> None:
                 sec = round(time.perf_counter() - t0, 4)
                 result.setdefault(name, {})[sf_label] = sec
                 print(f"{sf_label} {name}: {sec}s", file=sys.stderr)
+                if name in WARM_SPLIT:
+                    warm_runs = []
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        force(qs[name](spark, sf_dir))
+                        warm_runs.append(time.perf_counter() - t0)
+                    result[name][f"{sf_label}_warm"] = round(
+                        min(warm_runs), 4
+                    )
     except BaseException:
         # keep the scaled copy on failure when asked — rebuilding it to
         # reproduce a failing query costs minutes (judge advice r5)
@@ -189,6 +210,10 @@ def main() -> None:
 
     for name, r in result.items():
         r["ratio"] = round(r["sf1"] / max(r["sf0.1"], 1e-9), 2)
+        if "sf1_warm" in r:
+            r["warm_ratio"] = round(
+                r["sf1_warm"] / max(r["sf0.1_warm"], 1e-9), 2
+            )
     worst = max(result.items(), key=lambda kv: kv[1]["ratio"])
     payload = {
         "metric": "sf1_scale_smoke",
