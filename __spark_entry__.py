@@ -2972,6 +2972,49 @@ GROUP BY p.doc_id
 """
 
 
+def x13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py semantic_dedup — Abbas et al.
+    2023): within-cluster cosine-near-dup pairs → connected
+    components → keep each group's smallest id. The gate row blocks
+    on the existing ``label`` column (the oracle-replayable path,
+    same blocking contract as sim02) at threshold 0.3 — the synthetic
+    embeddings' near-dup bar (their max within-label cosine is ~0.47;
+    the paper's 0.95+ applies to real encoder geometry). The k-means
+    path (cluster_col=None) is pytest-covered with clustered
+    synthetic vectors. The oracle replays pairs (sim02 shape, raw
+    cosine threshold), transitive closure (q24's recursive reach) and
+    the keep-smallest rule, so the exact survivor SET is
+    hash-checked."""
+    from ai_etl_framework_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.3, cluster_col="label"
+    ).select("vec_id")
+
+
+_X13_SQL = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+  FROM embeddings WHERE embedding IS NOT NULL),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT reach.id, e2.d FROM reach JOIN edges e2 ON reach.r = e2.s),
+labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM labels WHERE id != label)
+"""
+
+
 def x09_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (ml/quality_filter.py — the
     GPT-3-style learned classifier stage, Brown et al. 2020 App. A).
@@ -3850,6 +3893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x10_perplexity_score": x10_perplexity_score,
         "x11_perplexity_buckets": x11_perplexity_buckets,
         "x12_repeated_paragraph_dedup": x12_repeated_paragraph_dedup,
+        "x13_semantic_dedup": x13_semantic_dedup,
     }
 
 
@@ -3911,6 +3955,7 @@ def oracle_sql() -> dict[str, str]:
         "x10_perplexity_score": _X10_SQL,
         "x11_perplexity_buckets": _X11_SQL,
         "x12_repeated_paragraph_dedup": _X12_SQL,
+        "x13_semantic_dedup": _X13_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

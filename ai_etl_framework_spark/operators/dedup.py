@@ -880,6 +880,66 @@ def embedding_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    cluster_col: Optional[str] = None,
+    k: int = 64,
+    sample_rows: int = 100_000,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication" — public paper, no
+    reference-repo counterpart): remove documents that are SEMANTIC
+    duplicates, i.e. whose embeddings are cosine-near within a
+    k-means cluster, keeping one representative per duplicate group.
+    Catches paraphrases and template rewrites that every exact /
+    shingle / MinHash method misses because the surface text differs.
+
+    Stages (each an existing, independently-tested primitive):
+    1. cluster: ``cluster_col`` names an existing assignment (a
+       pre-bucketed corpus, or the oracle/test path); otherwise
+       deterministic k-means (:func:`...similarity.kmeans_cells` fit
+       on a bounded driver sample, centroid matrix broadcast,
+       assignment Arrow-batched per partition — the paper's own
+       trick: clustering makes the pair search O(n²/k), never global);
+    2. pairs: within-cluster cosine ≥ ``threshold``
+       (:func:`embedding_dup_pairs` — the join shuffles on the
+       cluster id only);
+    3. group: connected components over the pair graph
+       (:func:`dedup_connected_components`, pointer-jumping min-label
+       — transitive closure, so A≈B≈C collapses to one survivor even
+       when A,C are below threshold);
+    4. keep: each component's smallest ``id_col`` survives; rows with
+       NULL embeddings have no semantics to compare and always
+       survive (they are never pair candidates).
+
+    Returns ``df`` minus the semantic-duplicate losers, schema
+    unchanged. Deterministic for a fixed input (md5-seeded centroid
+    init, hash-partition-independent labels), so retries agree.
+    """
+    from ai_etl_framework_spark.functions.similarity import (
+        assign_cells,
+        kmeans_cells,
+    )
+
+    if cluster_col is None:
+        cents = kmeans_cells(
+            df, vec_col, id_col, k=k, sample_rows=sample_rows
+        )
+        blocked = assign_cells(df, vec_col, cents, "__sd_cell")
+        blk = "__sd_cell"
+    else:
+        blocked = df
+        blk = cluster_col
+    pairs = embedding_dup_pairs(blocked, id_col, vec_col, blk, threshold)
+    return dedup_connected_components(
+        df, id_col, pairs, max_iterations=max_iterations
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedder seam (pluggable text → vector)
 # ---------------------------------------------------------------------------

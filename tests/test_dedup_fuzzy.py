@@ -611,3 +611,61 @@ def test_repeated_identical_builder_call_keeps_cache_live(spark):
     dd.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
     cur = dd._LIVE_CACHES[("ngram_shingles", id(spark))]
     assert cur.storageLevel.useMemory or cur.storageLevel.useDisk
+
+
+def test_semantic_dedup_kmeans_path(spark):
+    """SemDeDup's 100 TB path (no pre-existing clusters): k-means
+    blocks the corpus, near-identical embeddings collapse to one
+    survivor per transitive group, far vectors and NULL embeddings
+    always survive. Axis-aligned clusters make the assignment
+    unambiguous regardless of which seeds the md5 init picks."""
+    from ai_etl_framework_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        # cluster around +x: 3 near-dups (pairwise cos ~1) + 1 distinct
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.998, 0.02, 0.0, 0.0]),
+        (3, [0.7, 0.7, 0.0, 0.0]),       # same half-space, not a dup at 0.99
+        # cluster around +z: a near-dup pair
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 0.9995, 0.02]),
+        # lone vector + NULL embedding: must survive
+        (20, [0.0, 0.0, 0.0, 1.0]),
+        (21, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.99, k=3, max_iterations=10
+        ).collect()
+    )
+    assert kept == [0, 3, 10, 20, 21]
+    # schema passes through unchanged
+    out = semantic_dedup(df, "vec_id", "embedding", threshold=0.99, k=3)
+    assert out.columns == df.columns
+
+
+def test_semantic_dedup_transitive_closure(spark):
+    """A chain A~B~C where cos(A,C) < threshold must still collapse
+    to ONE survivor — the property greedy pairwise removal gets wrong
+    and the reason stage 3 is connected components."""
+    import math
+
+    from ai_etl_framework_spark.operators.dedup import semantic_dedup
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    th = 0.9995
+    step = math.acos(th) * 0.9          # cos(step) > th; cos(2*step) < th
+    rows = [(i, unit(i * step)) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=th, cluster_col=None, k=1
+        ).collect()
+    )
+    assert kept == [0]

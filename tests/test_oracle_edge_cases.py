@@ -54,6 +54,11 @@ EDGE_QUERIES = [
     # points interpolate over a handful of values — the 4dp rounding
     # contract must agree on both engines
     "x11_perplexity_buckets",
+    # SemDeDup over the edge embeddings: the (0,1) near-dup pair
+    # collapses, the 3/4 pair (cos .7071 >= .3) collapses, the zero
+    # vector (NULL cosine -> never a candidate) and the NULL embedding
+    # survive — kept set {0,2,3,5,6}
+    "x13_semantic_dedup",
     # paragraph-granularity dedup: doc 6's embedded single newline
     # stays INTRA-paragraph (preserved), the trailing empty footer
     # paragraph (doc_id%17==0 -> doc 0) survives as structure, and
