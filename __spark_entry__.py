@@ -2972,6 +2972,62 @@ GROUP BY p.doc_id
 """
 
 
+def txt08_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus text normalization (functions/text.py clean_text —
+    the CCNet/C4 cleaning stage before any quality rule): drop
+    control/invisible-formatting characters, fold unicode spaces to
+    ASCII, collapse space/tab runs, trim around newlines and ends.
+    The synthetic documents are already clean, so the query injects a
+    deterministic dirt wrapper (control chars, NBSP, zero-width, em
+    space, tab runs, edge whitespace) around every text — the oracle
+    builds the identical dirty string with chr() and replays the
+    regex chain in RE2, so every normalization step is hash-checked
+    byte-for-byte."""
+    from ai_etl_framework_spark.functions.text import clean_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("\x01  "),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("​  end\t\t here  \n  tail  \x07"),
+    )
+    return docs.select(
+        "doc_id",
+        clean_text(dirty).alias("clean_text"),
+        (F.length(dirty) - F.length(clean_text(dirty)))
+        .cast("long")
+        .alias("n_removed_chars"),
+    )
+
+
+_TXT08_SQL = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         chr(1) || ' ' || chr(160) || COALESCE(text, '') ||
+         chr(8203) || '  end' || chr(9) || chr(9) || ' here ' ||
+         chr(8195) || chr(10) || '  tail  ' || chr(7) AS d
+  FROM documents),
+cleaned AS (
+  SELECT doc_id, d,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(d,
+              '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{200b}-\x{200d}\x{feff}\x{ad}]',
+              '', 'g'),
+            '[\x{a0}\x{1680}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]',
+            ' ', 'g'),
+          '[ \t]+', ' ', 'g'),
+        ' ?\n ?', chr(10), 'g'),
+      '^[ \n]+|[ \n]+$', '', 'g') AS c
+  FROM dirty)
+SELECT doc_id, c AS clean_text,
+       CAST(length(d) - length(c) AS BIGINT) AS n_removed_chars
+FROM cleaned
+"""
+
+
 def x13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.py semantic_dedup — Abbas et al.
     2023): within-cluster cosine-near-dup pairs → connected
@@ -3894,6 +3950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11_perplexity_buckets": x11_perplexity_buckets,
         "x12_repeated_paragraph_dedup": x12_repeated_paragraph_dedup,
         "x13_semantic_dedup": x13_semantic_dedup,
+        "txt08_clean_text": txt08_clean_text,
     }
 
 
@@ -3956,6 +4013,7 @@ def oracle_sql() -> dict[str, str]:
         "x11_perplexity_buckets": _X11_SQL,
         "x12_repeated_paragraph_dedup": _X12_SQL,
         "x13_semantic_dedup": _X13_SQL,
+        "txt08_clean_text": _TXT08_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -228,6 +228,50 @@ def normalize(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+# clean_text character classes, shared with the oracle SQL via
+# explicit codepoints (both Java regex and RE2 read literal chars):
+# C0/C1-ish control chars EXCEPT \n (structure) — \t is normalized to
+# a space in step 3; invisible formatting chars (zero-widths, BOM,
+# soft hyphen); non-ASCII horizontal spaces.
+_CTRL_DROP = "".join(
+    chr(c) for c in [*range(0x00, 0x09), 0x0B, 0x0C, *range(0x0E, 0x20), 0x7F]
+)
+# U+200B/200C/200D zero-widths, U+FEFF BOM, U+00AD soft hyphen
+_INVIS_DROP = "".join(chr(c) for c in [0x200B, 0x200C, 0x200D, 0xFEFF, 0x00AD])
+# U+00A0 NBSP, U+1680 ogham, U+2000-200A quad/thin, U+202F narrow
+# NBSP, U+205F math space, U+3000 ideographic space
+_USPACE = "".join(
+    chr(c)
+    for c in [0x00A0, 0x1680, *range(0x2000, 0x200B), 0x202F, 0x205F, 0x3000]
+)
+
+
+def clean_text(text: Column) -> Column:
+    """Web-corpus text normalization — the cleaning stage CCNet/C4
+    run before any quality rule (control-char noise otherwise
+    pollutes tokenization, fingerprints, and LM counts). Pure
+    Catalyst regexp chain, no UDF; NULL stays NULL.
+
+    Pinned rules (oracle-replicable — both engines see the same
+    literal character classes):
+    1. DROP control characters (C0 except ``\\n``/``\\t``, DEL) and
+       invisible formatting characters (zero-width space/joiner/
+       non-joiner, BOM, soft hyphen);
+    2. unicode horizontal spaces (NBSP, en/em/thin/ideographic …)
+       → ASCII space;
+    3. runs of spaces/tabs → one space (tabs normalize to spaces);
+    4. spaces around newlines are trimmed (line structure is kept —
+       ``\\n`` runs are NOT collapsed; pair with
+       ``repeated_paragraph_dedup`` which normalizes those);
+    5. leading/trailing spaces and newlines are trimmed.
+    """
+    x = F.regexp_replace(text, f"[{_CTRL_DROP}{_INVIS_DROP}]", "")
+    x = F.regexp_replace(x, f"[{_USPACE}]", " ")
+    x = F.regexp_replace(x, "[ \t]+", " ")
+    x = F.regexp_replace(x, " ?\n ?", "\n")
+    return F.regexp_replace(x, "^[ \n]+|[ \n]+$", "")
+
+
 def fingerprint(text: Column) -> Column:
     """md5 of the normalized text — exact-dup key robust to
     case/whitespace noise."""

@@ -27,6 +27,10 @@ EDGE_QUERIES = [
     "txt01_text_profile",
     "txt05_pii_redact",
     "txt07_gopher_quality",
+    # clean_text normalization over blank / whitespace-only / NULL
+    # docs: doc 6's literal tab+newline mix exercises every rule in
+    # one value; NULL text ≡ '' through the dirt wrapper
+    "txt08_clean_text",
     "dc01_decontaminate",
     "sim02_embedding_dup_pairs",
     # 3 engines (expr / matmul / IVF) vs one SQL: with only 5 real

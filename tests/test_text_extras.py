@@ -255,3 +255,79 @@ def test_punct_count_translate_equals_regexp(spark):
     ).collect()
     for r in out:
         assert r["tr"] == r["re"], (r["id"], r["tr"], r["re"])
+
+
+def test_clean_text_rules(spark):
+    """Pins the clean_text normalization contract (CCNet/C4 cleaning
+    stage): control/invisible chars dropped, unicode spaces folded,
+    space/tab runs collapsed, newline structure preserved with edges
+    trimmed, NULL stays NULL."""
+    from ai_etl_framework_spark.functions.text import clean_text
+
+    cases = [
+        # control chars dropped, incl. DEL; \n kept
+        ("a\x01b\x07c\x7fd", "abcd"),
+        # zero-widths / BOM / soft hyphen dropped
+        ("z​w‌‍x﻿­y", "zwxy"),
+        # unicode spaces fold to ASCII then collapse
+        ("a  b　 c", "a b c"),
+        # tabs normalize into the space collapse
+        ("a \t\t b\tc", "a b c"),
+        # newlines preserved, surrounding spaces trimmed, edges trimmed
+        ("  line one  \n\n  line two  ", "line one\n\nline two"),
+        # leading/trailing newline runs trimmed
+        ("\n\n mid \n\n", "mid"),
+        ("", ""),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", clean_text(F.col("t")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i])
+
+
+def test_clean_text_matches_python_model(spark):
+    """Hypothesis differential vs a Python re model over a dirty
+    alphabet (Java regex and re agree on these literal classes)."""
+    import re as _re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ai_etl_framework_spark.functions.text import (
+        _CTRL_DROP, _INVIS_DROP, _USPACE, clean_text,
+    )
+
+    def model(t):
+        if t is None:
+            return None
+        t = _re.sub(f"[{_re.escape(_CTRL_DROP + _INVIS_DROP)}]", "", t)
+        t = _re.sub(f"[{_re.escape(_USPACE)}]", " ", t)
+        t = _re.sub(r"[ \t]+", " ", t)
+        t = _re.sub(r" ?\n ?", "\n", t)
+        return _re.sub(r"^[ \n]+|[ \n]+$", "", t)
+
+    alphabet = "ab \t\n\x01\x7f​  　.!"
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(texts=st.lists(
+        st.one_of(st.none(), st.text(alphabet=alphabet, max_size=30)),
+        min_size=1, max_size=8))
+    def run(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "i long, t string"
+        )
+        got = {
+            r["i"]: r["c"]
+            for r in df.select(
+                "i", clean_text(F.col("t")).alias("c")
+            ).collect()
+        }
+        assert got == {i: model(t) for i, t in enumerate(texts)}
+
+    run()
