@@ -3028,6 +3028,33 @@ FROM cleaned
 """
 
 
+def x14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-vs-corpus dedup (operators/dedup.py
+    dedup_against_history): history = doc_id%3==0, the daily batch =
+    the rest; batch docs whose normalized-text fingerprint already
+    exists in history are dropped, and within-batch exact dups keep
+    the smallest id. The oracle replays the dd01 fingerprint, the
+    NOT-IN probe and the min-id rule, so the exact survivor set is
+    hash-checked. NULL text ≡ '' on both engines."""
+    from ai_etl_framework_spark.operators.dedup import dedup_against_history
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 3 == 0)
+    batch = docs.where(F.col("doc_id") % 3 != 0)
+    return dedup_against_history(batch, history).select("doc_id")
+
+
+_NORMC = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
+
+_X14_SQL = f"""
+WITH fp AS (SELECT doc_id, md5({_NORMC}) AS f FROM documents),
+hist AS (SELECT DISTINCT f FROM fp WHERE doc_id % 3 = 0),
+batch AS (SELECT * FROM fp WHERE doc_id % 3 <> 0),
+fresh AS (SELECT * FROM batch WHERE f NOT IN (SELECT f FROM hist))
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM fresh GROUP BY f
+"""
+
+
 def x13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.py semantic_dedup — Abbas et al.
     2023): within-cluster cosine-near-dup pairs → connected
@@ -3951,6 +3978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_repeated_paragraph_dedup": x12_repeated_paragraph_dedup,
         "x13_semantic_dedup": x13_semantic_dedup,
         "txt08_clean_text": txt08_clean_text,
+        "x14_incremental_dedup": x14_incremental_dedup,
     }
 
 
@@ -4014,6 +4042,7 @@ def oracle_sql() -> dict[str, str]:
         "x12_repeated_paragraph_dedup": _X12_SQL,
         "x13_semantic_dedup": _X13_SQL,
         "txt08_clean_text": _TXT08_SQL,
+        "x14_incremental_dedup": _X14_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

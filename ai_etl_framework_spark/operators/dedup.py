@@ -880,6 +880,58 @@ def embedding_dup_pairs(
     )
 
 
+def dedup_against_history(
+    new: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    history_fingerprint_col: Optional[str] = None,
+) -> DataFrame:
+    """Incremental corpus dedup — the daily-crawl shape every
+    continuously-ingesting training pipeline needs (no reference-repo
+    counterpart; the reference dedups one static frame at a time,
+    deduplicator.py): drop documents from ``new`` whose
+    normalized-text fingerprint (``md5(lower+collapse-ws+trim)``, the
+    dd01 contract) already exists in ``history``, then exact-dedup
+    WITHIN the batch keeping each group's smallest ``id_col``.
+
+    ``history`` is either a document frame sharing ``text_col``, or —
+    pass ``history_fingerprint_col`` — a precomputed fingerprint
+    table: at 100 TB you persist the fingerprint column once at
+    ingest and each daily batch probes it, instead of re-hashing the
+    whole corpus per batch. NULL text ≡ ``''`` (blank documents share
+    one fingerprint and dedup together — the corpus-module
+    convention, unlike raw ``md5(NULL)`` which would exempt them).
+
+    Scale shape: both sides hash-partition on the fingerprint for the
+    anti-join — no broadcast assumption, history is corpus-scale (AQE
+    still broadcasts a genuinely small history from measured size).
+    The within-batch keeper set is one ``(fingerprint → min id)``
+    aggregation, and the final semi-join returns the ORIGINAL rows
+    untouched (schema passes through; the fingerprint never leaves
+    the plan).
+
+    For NEAR-dup increments, compose: run this first (exact), then
+    :func:`minhash_candidates` over ``new ∪ history-sample`` — band
+    tables persist the same way fingerprints do.
+    """
+    from ai_etl_framework_spark.functions.text import fingerprint
+
+    fp_new = fingerprint(F.coalesce(F.col(text_col), F.lit("")))
+    if history_fingerprint_col is not None:
+        hist = history.select(
+            F.col(history_fingerprint_col).alias("__fp")
+        ).distinct()
+    else:
+        hist = history.select(
+            fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("__fp")
+        ).distinct()
+    batch = new.withColumn("__fp", fp_new)
+    fresh = batch.join(hist, "__fp", "left_anti")
+    keep_ids = fresh.groupBy("__fp").agg(F.min(F.col(id_col)).alias(id_col))
+    return new.join(keep_ids.select(id_col), on=id_col, how="left_semi")
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

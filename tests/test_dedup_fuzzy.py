@@ -669,3 +669,47 @@ def test_semantic_dedup_transitive_closure(spark):
         ).collect()
     )
     assert kept == [0]
+
+
+def test_dedup_against_history_rules(spark):
+    """Incremental dedup pins: history hits dropped, within-batch
+    groups keep the smallest id, normalization (case/whitespace)
+    folds variants to one fingerprint, NULL ≡ '' (blank docs dedup
+    together AND against a blank in history), schema passes through,
+    and the precomputed-fingerprint-table path agrees with the
+    document-frame path."""
+    from ai_etl_framework_spark.functions.text import fingerprint
+    from ai_etl_framework_spark.operators.dedup import dedup_against_history
+    from pyspark.sql import functions as F
+
+    history = spark.createDataFrame(
+        [(100, "Seen Before"), (101, "")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "seen  before "),   # normalizes to a history hit
+            (2, "brand new"),
+            (3, "Brand   NEW"),     # within-batch dup of 2 -> loser
+            (4, None),              # NULL ≡ '' -> history blank hit
+            (5, "another fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = dedup_against_history(batch, history)
+    assert kept.columns == batch.columns
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 5]
+
+    # fingerprint-table path: identical outcome
+    fps = history.select(
+        fingerprint(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
+    )
+    kept2 = dedup_against_history(
+        batch, fps, history_fingerprint_col="fp"
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [2, 5]
+
+    # empty history: pure within-batch dedup
+    empty_hist = history.where(F.lit(False))
+    kept3 = dedup_against_history(batch, empty_hist)
+    assert sorted(r["doc_id"] for r in kept3.collect()) == [1, 2, 4, 5]

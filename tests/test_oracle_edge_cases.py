@@ -58,6 +58,11 @@ EDGE_QUERIES = [
     # points interpolate over a handful of values — the 4dp rounding
     # contract must agree on both engines
     "x11_perplexity_buckets",
+    # incremental dedup: history = doc_id%3==0 holds doc 0 ("...fox...")
+    # and blank-ish docs 6/9; the batch's NULL doc 7 and empty doc 5
+    # must both fingerprint as '' — doc 6 (whitespace-only) normalizes
+    # to '' in HISTORY, so both are dropped as history hits
+    "x14_incremental_dedup",
     # SemDeDup over the edge embeddings: the (0,1) near-dup pair
     # collapses, the 3/4 pair (cos .7071 >= .3) collapses, the zero
     # vector (NULL cosine -> never a candidate) and the NULL embedding
