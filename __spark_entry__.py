@@ -3055,6 +3055,36 @@ SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM fresh GROUP BY f
 """
 
 
+def txt09_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k corpus vocabulary — the tokenizer-training prep
+    step (seed vocab = most frequent case-folded tokens) and the
+    exact companion to sk01's heavy-hitters sketch. Deterministic
+    total order: count DESC, then token ASC, top 100. One explode +
+    one hash aggregation (map-side partials collapse the Zipf head by
+    definition) + a 100-row global top-k — the same shape at 100 TB;
+    the sketch variant (functions/sketches.py heavy_hitters) replaces
+    it only when the full distinct vocabulary cannot shuffle."""
+    from ai_etl_framework_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+_TXT09_SQL = f"""
+SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, token ASC
+LIMIT 100
+"""
+
+
 def x13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.py semantic_dedup — Abbas et al.
     2023): within-cluster cosine-near-dup pairs → connected
@@ -3979,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_semantic_dedup": x13_semantic_dedup,
         "txt08_clean_text": txt08_clean_text,
         "x14_incremental_dedup": x14_incremental_dedup,
+        "txt09_vocab_topk": txt09_vocab_topk,
     }
 
 
@@ -4043,6 +4074,7 @@ def oracle_sql() -> dict[str, str]:
         "x13_semantic_dedup": _X13_SQL,
         "txt08_clean_text": _TXT08_SQL,
         "x14_incremental_dedup": _X14_SQL,
+        "txt09_vocab_topk": _TXT09_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -31,6 +31,10 @@ EDGE_QUERIES = [
     # docs: doc 6's literal tab+newline mix exercises every rule in
     # one value; NULL text ≡ '' through the dirt wrapper
     "txt08_clean_text",
+    # exact top-k vocabulary: blank/whitespace/NULL docs contribute
+    # zero tokens, ties at the cut resolve by the (n DESC, token ASC)
+    # total order on both engines
+    "txt09_vocab_topk",
     "dc01_decontaminate",
     "sim02_embedding_dup_pairs",
     # 3 engines (expr / matmul / IVF) vs one SQL: with only 5 real
