@@ -3085,6 +3085,46 @@ LIMIT 100
 """
 
 
+def rpt01_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (operators/corpus.py corpus_report):
+    volume, blank rate, token mass, exact-dup rate, dominant
+    language per source — the summary table a corpus pipeline
+    publishes next to the data. The oracle replays every column
+    (dd01 fingerprint for dup_rate, the shared tokenizer fragment
+    for token mass, a windowed rank for the deterministic
+    top-language tie-break)."""
+    from ai_etl_framework_spark.operators.corpus import corpus_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_report(docs)
+
+
+_RPT01_SQL = f"""
+WITH base AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN {_NORMC} = '' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_blank,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+         CAST(COUNT(DISTINCT md5({_NORMC})) AS BIGINT) AS nd
+  FROM documents GROUP BY source),
+lc AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents
+  WHERE lang IS NOT NULL GROUP BY source, lang),
+top AS (
+  SELECT source, lang AS top_lang, c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, lang ASC) AS rk
+  FROM lc)
+SELECT b.source, b.n_docs, b.n_blank, b.total_tokens,
+       ROUND(b.total_tokens * 1.0 / b.n_docs, 4) AS mean_tokens,
+       ROUND(1.0 - b.nd * 1.0 / b.n_docs, 6)     AS dup_rate,
+       t.top_lang,
+       ROUND(t.c * 1.0 / b.n_docs, 6)            AS top_lang_share
+FROM base b LEFT JOIN (SELECT * FROM top WHERE rk = 1) t USING (source)
+"""
+
+
 def x13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.py semantic_dedup — Abbas et al.
     2023): within-cluster cosine-near-dup pairs → connected
@@ -4010,6 +4050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt08_clean_text": txt08_clean_text,
         "x14_incremental_dedup": x14_incremental_dedup,
         "txt09_vocab_topk": txt09_vocab_topk,
+        "rpt01_corpus_report": rpt01_corpus_report,
     }
 
 
@@ -4075,6 +4116,7 @@ def oracle_sql() -> dict[str, str]:
         "txt08_clean_text": _TXT08_SQL,
         "x14_incremental_dedup": _X14_SQL,
         "txt09_vocab_topk": _TXT09_SQL,
+        "rpt01_corpus_report": _RPT01_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

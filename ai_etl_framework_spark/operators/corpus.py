@@ -41,6 +41,7 @@ __all__ = [
     "quality_metric_columns",
     "corpus_quality",
     "contamination_pairs",
+    "corpus_report",
     "decontaminate",
     "repeated_line_dedup",
     "repeated_paragraph_dedup",
@@ -301,6 +302,86 @@ def decontaminate(
     if broadcast_benchmark:
         bad = F.broadcast(bad)
     return corpus.join(bad, id_col, "left_anti")
+
+
+def corpus_report(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source dataset card — the summary table a corpus pipeline
+    publishes next to the data (HuggingFace dataset cards, Dolma/
+    RefinedWeb reports): volume, blank rate, token mass, exact-dup
+    rate, dominant language. One row per source with:
+
+    - ``n_docs``; ``n_blank`` (normalized text == '' — NULL ≡ '');
+    - ``total_tokens`` / ``mean_tokens`` (case-folded whitespace
+      tokens, mean rounded 4dp);
+    - ``dup_rate`` = 1 − distinct normalized-text fingerprints /
+      n_docs, rounded 6dp (the dd01 fingerprint contract);
+    - ``top_lang`` + ``top_lang_share`` (most frequent non-null
+      ``lang_col`` value, ties → lexicographically smallest —
+      deterministic; NULL when every lang is NULL).
+
+    Scale shape: one pass computes the per-source aggregates (hash
+    agg, map-side partials; the distinct-fingerprint count uses the
+    two-level Expand-free shape only through countDistinct — at
+    |sources| groups the Expand doubling is bounded by source
+    cardinality, not corpus size); the language winner reduces the
+    corpus to |source × lang| rows FIRST, so the window that ranks
+    them runs over a dimension-sized frame, never the corpus.
+    """
+    from ai_etl_framework_spark.functions.text import fingerprint, tokens
+
+    from pyspark.sql import Window
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.trim(F.regexp_replace(F.lower(txt), r"\s+", " "))
+    base = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((norm == "").cast("long")).cast("long").alias("n_blank"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias(
+            "total_tokens"
+        ),
+        F.countDistinct(fingerprint(txt)).cast("long").alias("__n_distinct"),
+    )
+    lang_counts = (
+        df.where(F.col(lang_col).isNotNull())
+        .groupBy(source_col, lang_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("__c").desc(), F.col(lang_col).asc()
+    )
+    top = (
+        lang_counts.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            source_col,
+            F.col(lang_col).alias("top_lang"),
+            F.col("__c").alias("__top_c"),
+        )
+    )
+    return (
+        base.join(top, on=source_col, how="left")
+        .select(
+            source_col,
+            "n_docs",
+            "n_blank",
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("n_docs"), 4).alias(
+                "mean_tokens"
+            ),
+            F.round(
+                F.lit(1.0) - F.col("__n_distinct") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            "top_lang",
+            F.round(F.col("__top_c") / F.col("n_docs"), 6).alias(
+                "top_lang_share"
+            ),
+        )
+    )
 
 
 def repeated_line_dedup(

@@ -512,3 +512,37 @@ def test_repeated_paragraph_dedup_matches_python_model(spark):
         assert got == model(texts, min_count)
 
     run()
+
+
+def test_corpus_report_rules(spark):
+    """Dataset-card pins: blank counts NULL ≡ '' and whitespace-only;
+    dup_rate uses normalized fingerprints (case/whitespace variants
+    are one doc); top_lang ties resolve lexicographically; all-NULL
+    lang yields NULL top_lang; per-source isolation."""
+    from ai_etl_framework_spark.operators.corpus import corpus_report
+
+    rows = [
+        (1, "Hello World", "en", "web"),
+        (2, "hello   world ", "fr", "web"),   # dup of 1 after normalize
+        (3, None, "en", "web"),               # blank (NULL)
+        (4, "   ", "fr", "web"),              # blank (whitespace) + lang tie
+        (5, "unique text here", None, "mail"),
+        (6, "more text", None, "mail"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {r["source"]: r.asDict() for r in corpus_report(df).collect()}
+    web = got["web"]
+    assert web["n_docs"] == 4 and web["n_blank"] == 2
+    assert web["total_tokens"] == 4  # hello world x2; blanks contribute 0
+    assert web["mean_tokens"] == 1.0
+    # 4 docs, 3 distinct fingerprints (dup pair + the two blanks merge!)
+    # -> blanks share the '' fingerprint: distinct = {hello world, ''} = 2
+    assert web["dup_rate"] == round(1 - 2 / 4, 6)
+    # en x2? no: en={1,3}, fr={2,4} -> 2 vs 2 tie -> 'en' wins lexically
+    assert web["top_lang"] == "en" and web["top_lang_share"] == 0.5
+    mail = got["mail"]
+    assert mail["n_docs"] == 2 and mail["n_blank"] == 0
+    assert mail["top_lang"] is None and mail["top_lang_share"] is None
+    assert mail["dup_rate"] == 0.0

@@ -35,6 +35,10 @@ EDGE_QUERIES = [
     # zero tokens, ties at the cut resolve by the (n DESC, token ASC)
     # total order on both engines
     "txt09_vocab_topk",
+    # per-source dataset card: blank/NULL docs count as blank AND
+    # share one '' fingerprint (dup_rate), per-source language winner
+    # with deterministic tie-break
+    "rpt01_corpus_report",
     "dc01_decontaminate",
     "sim02_embedding_dup_pairs",
     # 3 engines (expr / matmul / IVF) vs one SQL: with only 5 real
