@@ -324,13 +324,15 @@ def corpus_report(
       ``lang_col`` value, ties → lexicographically smallest —
       deterministic; NULL when every lang is NULL).
 
-    Scale shape: one pass computes the per-source aggregates (hash
-    agg, map-side partials; the distinct-fingerprint count uses the
-    two-level Expand-free shape only through countDistinct — at
-    |sources| groups the Expand doubling is bounded by source
-    cardinality, not corpus size); the language winner reduces the
-    corpus to |source × lang| rows FIRST, so the window that ranks
-    them runs over a dimension-sized frame, never the corpus.
+    Scale shape (plan-pinned in tests/test_corpus.py): one scan feeds
+    a two-level hash aggregation — per (source, fingerprint) with
+    map-side partials, then per source — which Spark plans for the
+    single distinct WITHOUT a RewriteDistinctAggregates Expand (no
+    corpus-row doubling through the shuffle); the language winner
+    reduces the corpus to |source × lang| rows FIRST and ranks them
+    with a WindowGroupLimit top-1 over that dimension-sized frame,
+    which then broadcast-joins back. Corpus rows shuffle exactly
+    once per branch, already partially aggregated.
     """
     from ai_etl_framework_spark.functions.text import fingerprint, tokens
 

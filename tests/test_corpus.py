@@ -546,3 +546,24 @@ def test_corpus_report_rules(spark):
     assert mail["n_docs"] == 2 and mail["n_blank"] == 0
     assert mail["top_lang"] is None and mail["top_lang_share"] is None
     assert mail["dup_rate"] == 0.0
+
+
+def test_corpus_report_plan_shape(spark, sf_dir):
+    """Scale pins for the dataset card: no Expand (the single
+    distinct plans as a two-level (source, fingerprint) aggregation,
+    so corpus rows never double through a shuffle), the top-language
+    rank runs as a WindowGroupLimit over the pre-aggregated
+    (source, lang) frame, and the winner joins back by broadcast."""
+    import re
+
+    import __spark_entry__ as entry
+
+    df = entry.rpt01_corpus_report(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert not re.search(r"\bExpand\b", plan), plan[:800]
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
