@@ -3125,6 +3125,56 @@ FROM base b LEFT JOIN (SELECT * FROM top WHERE rk = 1) t USING (source)
 """
 
 
+def x15_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup (operators/dedup.py
+    near_dedup_against_history): history = doc_id%3==0; batch docs
+    that LSH band-collide with history (8 hashes x 4 bands, the dd03
+    family) AND verify at exact 3-shingle Jaccard >= 0.5 are dropped.
+    The oracle replays signatures, band hashes, the cross-frame
+    collision join and the exact-Jaccard verify, so the survivor set
+    is hash-checked."""
+    from ai_etl_framework_spark.operators.dedup import (
+        near_dedup_against_history,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 3 == 0)
+    batch = docs.where(F.col("doc_id") % 3 != 0)
+    return near_dedup_against_history(
+        batch, history, num_hashes=8, bands=4, k=3, threshold=0.5
+    ).select("doc_id")
+
+
+def _x15_sql() -> str:
+    mins = ", ".join(f"{_mh_min(i)} AS h{i}" for i in range(8))
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(CAST(h{2*b} AS VARCHAR) || '|' || CAST(h{2*b+1} AS VARCHAR)) AS band_hash FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+sig AS (SELECT doc_id, {mins} FROM s),
+banded AS ({bands}),
+hb AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+nb AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
+cand AS (
+  SELECT DISTINCT n.doc_id AS nid, h.doc_id AS hid
+  FROM nb n JOIN hb h ON n.band_idx = h.band_idx
+                     AND n.band_hash = h.band_hash),
+shd AS (SELECT doc_id, list_distinct(sh) AS ds FROM s),
+ver AS (
+  SELECT DISTINCT c.nid
+  FROM cand c
+  JOIN shd a ON c.nid = a.doc_id
+  JOIN shd b ON c.hid = b.doc_id
+  WHERE len(list_intersect(a.ds, b.ds)) * 1.0
+        / len(list_distinct(a.ds || b.ds)) >= 0.5)
+SELECT doc_id FROM documents
+WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT nid FROM ver)
+"""
+
+
 def x13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.py semantic_dedup — Abbas et al.
     2023): within-cluster cosine-near-dup pairs → connected
@@ -4051,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x14_incremental_dedup": x14_incremental_dedup,
         "txt09_vocab_topk": txt09_vocab_topk,
         "rpt01_corpus_report": rpt01_corpus_report,
+        "x15_incremental_near_dedup": x15_incremental_near_dedup,
     }
 
 
@@ -4117,6 +4168,7 @@ def oracle_sql() -> dict[str, str]:
         "x14_incremental_dedup": _X14_SQL,
         "txt09_vocab_topk": _TXT09_SQL,
         "rpt01_corpus_report": _RPT01_SQL,
+        "x15_incremental_near_dedup": _x15_sql(),
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

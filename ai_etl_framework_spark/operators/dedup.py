@@ -255,6 +255,128 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _banded_frame(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id_col, band_idx, band_hash) from a signature table — the
+    md5-of-band-rows hashing shared by minhash_candidates and
+    minhash_band_table (one definition so the self-join path and the
+    persisted incremental index can never hash bands differently)."""
+    rows_per_band = num_hashes // bands
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+    ).where(F.col("band_hash").isNotNull())
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    shingle_sets: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Persistable LSH band index ``(id_col, band_idx, band_hash)`` —
+    the incremental near-dup counterpart of the exact fingerprint
+    store (:func:`dedup_against_history`): write it once at corpus
+    ingest, and each daily batch probes it with
+    :func:`near_dedup_against_history` instead of re-signing the
+    whole corpus per batch. Docs with no ``k``-shingles produce no
+    rows (they can never be near-dup candidates)."""
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, k, shingle_sets=shingle_sets
+    )
+    return _banded_frame(sig, id_col, num_hashes, bands)
+
+
+def near_dedup_against_history(
+    new: DataFrame,
+    history: Optional[DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: Optional[float] = None,
+    history_bands: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup — drop ``new`` documents that LSH
+    band-collide with the historical corpus (and, with ``threshold``,
+    additionally verify exact ``k``-shingle Jaccard ≥ threshold over
+    the candidate pairs only, so banding recall/precision tuning and
+    the documented-exact contract compose like
+    :func:`ngram_jaccard_pairs`'s auto mode).
+
+    ``history_bands`` — a persisted :func:`minhash_band_table` —
+    skips re-signing the corpus (the 100 TB path); ``history`` itself
+    is then only needed when ``threshold`` is set (the verify join
+    reads historical shingle sets for the CANDIDATE ids only — a
+    semi-join-pruned scan, never a full re-shingle). Both probe joins
+    shuffle on band hashes / candidate ids, never on corpus text.
+
+    NULL/short documents produce no bands: always survive (they have
+    no near-dup evidence; exact blanks are
+    :func:`dedup_against_history`'s job).
+    """
+    if history_bands is None:
+        if history is None:
+            raise ValueError("need history or history_bands")
+        history_bands = minhash_band_table(
+            history, id_col, text_col, num_hashes, bands, k
+        )
+    if threshold is not None and history is None:
+        raise ValueError(
+            "threshold verification needs the history frame "
+            "(candidate shingle sets are read from it)"
+        )
+    new_bands = minhash_band_table(
+        new, id_col, text_col, num_hashes, bands, k
+    )
+    hb = history_bands.select(
+        F.col(id_col).alias("__hist_id"),
+        F.col("band_idx"),
+        F.col("band_hash"),
+    )
+    cand = (
+        new_bands.join(hb, ["band_idx", "band_hash"])
+        .select(F.col(id_col), F.col("__hist_id"))
+        .distinct()
+    )
+    if threshold is not None:
+        sh_of = lambda d: F.array_distinct(  # noqa: E731
+            shingles(F.col(text_col), k)
+        )
+        new_sh = new.select(F.col(id_col), sh_of(new).alias("__sh_n"))
+        hist_sh = history.select(
+            F.col(id_col).alias("__hist_id"), sh_of(history).alias("__sh_h")
+        )
+        inter = F.size(F.array_intersect("__sh_n", "__sh_h"))
+        union = F.size(F.array_union("__sh_n", "__sh_h"))
+        cand = (
+            cand.join(new_sh, id_col)
+            .join(hist_sh, "__hist_id")
+            .where(inter / union >= threshold)
+        )
+    drop_ids = cand.select(id_col).distinct()
+    return new.join(drop_ids, on=id_col, how="left_anti")
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -271,7 +393,6 @@ def minhash_candidates(
     only. Returns distinct pairs. ``shingle_sets`` is forwarded to
     :func:`minhash_signatures` to reuse a pre-built shingle table.
     """
-    rows_per_band = num_hashes // bands
     # the signature table feeds BOTH sides of the self-join below; Spark's
     # exchange reuse is not guaranteed under AQE, so without this the whole
     # shingle→md5→min-agg pipeline (the expensive part) can run twice.
@@ -282,24 +403,9 @@ def minhash_candidates(
         minhash_signatures(df, id_col, text_col, num_hashes, k,
                            shingle_sets=shingle_sets),
     )
-    band_hashes = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"h{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
+    banded = _banded_frame(sig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("id"), "band_idx", "band_hash"
     )
-    banded = sig.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
-    ).where(F.col("band_hash").isNotNull())
     a = banded.alias("a")
     b = banded.alias("b")
     return (

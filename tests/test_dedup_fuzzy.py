@@ -713,3 +713,59 @@ def test_dedup_against_history_rules(spark):
     empty_hist = history.where(F.lit(False))
     kept3 = dedup_against_history(batch, empty_hist)
     assert sorted(r["doc_id"] for r in kept3.collect()) == [1, 2, 4, 5]
+
+
+def test_near_dedup_against_history_rules(spark):
+    """Incremental near-dup pins: a batch doc near-identical to a
+    history doc is dropped (band collision + Jaccard verify); a
+    distinct doc survives; NULL/short docs have no bands and always
+    survive; the persisted band-table path matches the direct path;
+    threshold verification without history texts raises."""
+    import pytest as _pytest
+
+    from ai_etl_framework_spark.operators.dedup import (
+        minhash_band_table,
+        near_dedup_against_history,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    history = spark.createDataFrame(
+        [(100, base), (101, "completely different historical content here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base + "!"),                         # near-dup of 100
+            (2, "novel fresh text with new words entirely today"),
+            (3, None),                               # no shingles
+            (4, "ab"),                               # under k tokens
+        ],
+        "doc_id long, text string",
+    )
+    kept = near_dedup_against_history(
+        batch, history, num_hashes=8, bands=4, k=3, threshold=0.5
+    )
+    assert kept.columns == batch.columns
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4]
+
+    # persisted-index path: identical survivors
+    hb = minhash_band_table(history, num_hashes=8, bands=4, k=3)
+    kept2 = near_dedup_against_history(
+        batch, history, num_hashes=8, bands=4, k=3,
+        threshold=0.5, history_bands=hb,
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [2, 3, 4]
+
+    # collision-only mode (no verify): at least as aggressive
+    kept3 = near_dedup_against_history(
+        batch, None, num_hashes=8, bands=4, k=3, history_bands=hb
+    )
+    dropped3 = {1, 2, 3, 4} - {r["doc_id"] for r in kept3.collect()}
+    assert 1 in dropped3
+
+    with _pytest.raises(ValueError, match="history"):
+        near_dedup_against_history(
+            batch, None, history_bands=hb, threshold=0.5
+        )
+    with _pytest.raises(ValueError, match="history"):
+        near_dedup_against_history(batch, None)

@@ -71,6 +71,10 @@ EDGE_QUERIES = [
     # must both fingerprint as '' — doc 6 (whitespace-only) normalizes
     # to '' in HISTORY, so both are dropped as history hits
     "x14_incremental_dedup",
+    # near-dup increment: doc 1 (batch) band-collides with its
+    # near-dup doc 0 (history) and verifies at Jaccard >= 0.5 ->
+    # dropped; blank/NULL/short docs have no bands -> survive
+    "x15_incremental_near_dedup",
     # SemDeDup over the edge embeddings: the (0,1) near-dup pair
     # collapses, the 3/4 pair (cos .7071 >= .3) collapses, the zero
     # vector (NULL cosine -> never a candidate) and the NULL embedding
