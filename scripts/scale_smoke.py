@@ -85,6 +85,20 @@ QUERIES = [
     # perplexity-bucket stage (LM fit + scoring + corpus quantiles)
     "x11_perplexity_buckets",
     "x12_repeated_paragraph_dedup",
+    # incremental dedup family + corpus card + normalization + vocab:
+    # per-copy letter rotation keeps fingerprint/shingle collisions
+    # within copies, so history hits and near-dup candidates scale
+    # linearly by construction. x13 (SemDeDup) is deliberately NOT
+    # smoked: the generator replicates embeddings unchanged under a
+    # FIXED 10-label blocking, so its within-block pair count grows
+    # quadratically by construction — that would measure the
+    # generator, not the operator (the kmeans path re-blocks by k at
+    # real scale).
+    "x14_incremental_dedup",
+    "x15_incremental_near_dedup",
+    "rpt01_corpus_report",
+    "txt08_clean_text",
+    "txt09_vocab_topk",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split
