@@ -1,18 +1,29 @@
-"""End-to-end LLM training-corpus pipeline over the documents table:
+"""End-to-end LLM training-corpus pipeline over the documents table —
+the full modern (FineWeb/Dolma/CCNet-style) stage order:
 
-  1. text statistics + language ID + heuristic quality score
-  2. quality gate (drop low-quality / too-short docs)
-  3. exact dedup (md5 on normalized text, keep first)
-  4. near-dup removal (MinHash-LSH candidates, exact-Jaccard verify)
-  5. per-language stratified cap (deterministic hash rank)
-  6. train/val/test hash split (leak-proof: membership is a pure
+  1. text normalization (clean_text: control chars, unicode spaces,
+     whitespace runs)
+  2. corpus-level boilerplate removal (repeated-line dedup — nav bars
+     and cookie banners per-document scoring cannot see)
+  3. text statistics + language ID + heuristic quality score
+  4. quality gate (drop low-quality / too-short docs)
+  5. exact dedup (md5 on normalized text, keep first)
+  6. near-dup removal (MinHash-LSH candidates, exact-Jaccard verify)
+  7. CCNet perplexity gate: fit a bigram reference LM on a
+     deterministic hash-sample of the deduped corpus, bucket every
+     document head/middle/tail by corpus-level perplexity quantiles,
+     drop the tail (no-bigram docs pass — "no evidence")
+  8. per-language stratified cap (deterministic hash rank)
+  9. train/val/test hash split (leak-proof: membership is a pure
      function of doc_id)
-  7. greedy token-bin packing of the train split (bucket-parallel)
-  8. write train packs partitioned by pack bucket
+ 10. greedy token-bin packing of the train split (bucket-parallel)
+ 11. per-language dataset card (corpus_report) for observability
 
-Every step is a declarative DataFrame transform — one lazy plan until
-the final writes — and every membership decision is hash-deterministic
-so re-running on a grown corpus never flips yesterday's sample/split.
+Every membership decision is hash-deterministic, so re-running on a
+grown corpus never flips yesterday's sample/split. Plan construction
+is lazy EXCEPT the two bounded driver scalars the CCNet stage needs
+(the LM vocabulary size and the two perplexity cut points) — the same
+bounded-collect contract as the operators themselves.
 
 Run: python examples/training_corpus_pipeline.py
 """
@@ -29,12 +40,22 @@ from pyspark.sql import DataFrame, functions as F
 
 from ai_etl_framework_spark.functions.text import (
     bpe_token_estimate,
+    clean_text,
     lang_id,
     quality_score,
     token_count,
 )
+from ai_etl_framework_spark.operators.corpus import (
+    corpus_report,
+    repeated_line_dedup,
+)
 from ai_etl_framework_spark.operators.dedup import minhash_dedup
+from ai_etl_framework_spark.operators.lm import (
+    fit_bigram_lm,
+    perplexity_buckets,
+)
 from ai_etl_framework_spark.operators.sampling import (
+    deterministic_sample,
     hash_split,
     pack_documents,
     stratified_quota,
@@ -49,10 +70,20 @@ def build_corpus(
     min_tokens: int = 5,
     per_lang_cap: int = 10_000,
     max_pack_tokens: int = 2048,
+    boilerplate_min_count: int = 5,
+    lm_sample_frac: float = 0.2,
+    drop_ppl_bucket: str | None = "tail",
 ) -> dict[str, DataFrame]:
-    """Returns {"annotated", "train_packs", "val", "test"} DataFrames.
-    Pure plan construction — nothing executes until the caller acts."""
-    annotated = docs.select(
+    """Returns {"annotated", "train_packs", "val", "test", "report"}
+    DataFrames. ``drop_ppl_bucket=None`` skips the CCNet stage (and
+    its two bounded driver collects) entirely."""
+    cleaned = docs.select(
+        "doc_id", clean_text(F.col("text")).alias("text")
+    )
+    unboiler = repeated_line_dedup(
+        cleaned, min_count=boilerplate_min_count
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    annotated = unboiler.select(
         "doc_id",
         "text",
         token_count(F.col("text")).alias("n_tokens"),
@@ -67,6 +98,19 @@ def build_corpus(
         match_mode="exact", match_fields=["text"], order_col="doc_id"
     )(gated)
     near = minhash_dedup(exact, "doc_id", "text", threshold=0.8)
+    if drop_ppl_bucket is not None:
+        # CCNet stage: the reference LM is a deterministic hash-sample
+        # of the deduped corpus itself (monotone: growing the corpus
+        # keeps yesterday's sample inside today's)
+        lm = fit_bigram_lm(
+            deterministic_sample(near, "doc_id", lm_sample_frac, salt="lm")
+        )
+        buckets = perplexity_buckets(near, lm)
+        keep_ids = buckets.where(
+            F.col("ppl_bucket").isNull()  # no bigrams: no evidence
+            | (F.col("ppl_bucket") != drop_ppl_bucket)
+        ).select("doc_id")
+        near = near.join(keep_ids, "doc_id", "left_semi")
     capped = stratified_quota(near, "lang", "doc_id", per_lang_cap)
     split = hash_split(capped, "doc_id", (0.9, 0.05, 0.05), ("train", "val", "test"))
     train = split.where(F.col("split") == "train")
@@ -76,6 +120,8 @@ def build_corpus(
         "train_packs": packs,
         "val": split.where(F.col("split") == "val"),
         "test": split.where(F.col("split") == "test"),
+        # per-language dataset card of what actually ships
+        "report": corpus_report(capped, source_col="lang", lang_col="lang"),
     }
 
 
@@ -97,6 +143,11 @@ def main() -> None:
         f"(avg fill {avg_fill:.0f}/2048 tokens); "
         f"val={out['val'].count()} test={out['test'].count()}"
     )
+    for r in out["report"].orderBy("lang").collect():
+        print(
+            f"  lang={r['lang']}: {r['n_docs']} docs, "
+            f"{r['total_tokens']} tokens, dup_rate={r['dup_rate']}"
+        )
     with tempfile.TemporaryDirectory(prefix="corpus_") as tmp:
         packs.write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(tmp, "train_packs")

@@ -46,3 +46,31 @@ def test_training_corpus_pipeline(spark, sf_dir):
     train_ids2 = {r["id"] for r in out2["train_packs"].select("id").collect()}
     assert train_ids == train_ids2
     packs.unpersist()
+
+
+def test_training_corpus_ccnet_stage_and_report(spark, sf_dir):
+    """r8 stages: the CCNet perplexity gate actually removes the tail
+    bucket (skipping it keeps strictly more docs), exact dups are gone
+    from what ships (report dup_rate 0), and the dataset card covers
+    every shipped language."""
+    import os as _os
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    with_gate = build_corpus(docs, per_lang_cap=10_000)
+    without_gate = build_corpus(docs, per_lang_cap=10_000, drop_ppl_bucket=None)
+
+    def corpus_ids(out):
+        return (
+            {r["id"] for r in out["train_packs"].select("id").collect()}
+            | {r["doc_id"] for r in out["val"].select("doc_id").collect()}
+            | {r["doc_id"] for r in out["test"].select("doc_id").collect()}
+        )
+
+    gated, ungated = corpus_ids(with_gate), corpus_ids(without_gate)
+    assert gated < ungated  # tail removed, everything kept is a subset
+
+    report = {r["lang"]: r.asDict() for r in with_gate["report"].collect()}
+    assert report  # at least one language ships
+    for r in report.values():
+        assert r["dup_rate"] == 0.0  # exact dedup ran upstream
+        assert r["n_docs"] > 0 and r["total_tokens"] > 0
