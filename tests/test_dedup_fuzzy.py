@@ -769,3 +769,55 @@ def test_near_dedup_against_history_rules(spark):
         )
     with _pytest.raises(ValueError, match="history"):
         near_dedup_against_history(batch, None)
+
+
+def test_dedup_against_history_matches_python_model(spark):
+    """Hypothesis differential: ANY random (history, batch) pair must
+    match a direct Python model of the rule — normalized-form
+    membership against history, then min-id per normalized form
+    within the batch, NULL ≡ ''."""
+    import re as _re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ai_etl_framework_spark.operators.dedup import dedup_against_history
+
+    TEXTS = ["dup", " DUP ", "dup  x", "other", "", "  ", None, "a b"]
+
+    def norm(t):
+        return _re.sub(r"\s+", " ", ("" if t is None else t).lower()).strip()
+
+    def model(hist, batch):
+        seen = {norm(t) for _, t in hist}
+        best: dict[str, int] = {}
+        for i, t in batch:
+            n = norm(t)
+            if n in seen:
+                continue
+            if n not in best or i < best[n]:
+                best[n] = i
+        return sorted(best.values())
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        hist_texts=st.lists(st.sampled_from(TEXTS), min_size=0, max_size=5),
+        batch_texts=st.lists(st.sampled_from(TEXTS), min_size=1, max_size=8),
+    )
+    def run(hist_texts, batch_texts):
+        hist = [(100 + i, t) for i, t in enumerate(hist_texts)]
+        batch = list(enumerate(batch_texts))
+        hdf = spark.createDataFrame(
+            hist or [(0, "x")], "doc_id long, text string"
+        )
+        if not hist:
+            hdf = hdf.where(F.lit(False))
+        bdf = spark.createDataFrame(batch, "doc_id long, text string")
+        got = sorted(
+            r["doc_id"]
+            for r in dedup_against_history(bdf, hdf).collect()
+        )
+        assert got == model(hist, batch)
+
+    run()
