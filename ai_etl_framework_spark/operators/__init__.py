@@ -28,6 +28,7 @@ from ai_etl_framework_spark.operators.sampling import (
     shuffle_deterministic,
     stratified_quota,
     upsample,
+    temperature_weights,
     weighted_mixture,
 )
 
@@ -43,6 +44,7 @@ __all__ = [
     "shuffle_deterministic",
     "stratified_quota",
     "upsample",
+    "temperature_weights",
     "weighted_mixture",
     "MetadataToColumns",
     "NullRemover",

@@ -227,6 +227,32 @@ def weighted_mixture(
     return out
 
 
+def temperature_weights(
+    sizes: dict[str, float], alpha: float = 0.3
+) -> dict[str, float]:
+    """Temperature-smoothed mixture weights from corpus sizes — the
+    mT5 sampling rule (Xue et al. 2021 §3.1, following Devlin's
+    multilingual BERT exponent): ``w_i ∝ n_i^alpha``. ``alpha=1``
+    reproduces size-proportional sampling, ``alpha→0`` approaches
+    uniform; mT5 uses 0.3 to boost low-resource sources without
+    drowning the head. Pure driver arithmetic over K scalars —
+    compose with :func:`weighted_mixture`::
+
+        sizes = {k: df.count() for k, df in sources.items()}
+        mix = weighted_mixture(sources, temperature_weights(sizes),
+                               id_col="doc_id")
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if not sizes or any(n < 0 for n in sizes.values()):
+        raise ValueError("sizes must be non-empty and non-negative")
+    raised = {k: float(n) ** alpha if n > 0 else 0.0 for k, n in sizes.items()}
+    total = sum(raised.values())
+    if total <= 0:
+        raise ValueError("at least one source must be non-empty")
+    return {k: v / total for k, v in raised.items()}
+
+
 def pack_documents(
     df: DataFrame,
     id_col: str,

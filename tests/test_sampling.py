@@ -337,3 +337,50 @@ def test_pack_documents_excludes_null_ids(spark):
     out = pack_documents(df, "doc_id", "n", 4096, num_buckets=4)
     ids = sorted(r["id"] for r in out.collect())
     assert ids == [1, 2]
+
+
+def test_temperature_weights_mixture(spark):
+    """mT5 temperature sampling pins: alpha=1 is size-proportional,
+    alpha=0 is uniform over non-empty sources, alpha=0.3 boosts the
+    low-resource source relative to proportional; composing with
+    weighted_mixture yields a deterministic mixture at the smoothed
+    proportions; guards raise."""
+    import pytest as _pytest
+
+    from ai_etl_framework_spark.operators.sampling import (
+        temperature_weights,
+        weighted_mixture,
+    )
+
+    sizes = {"big": 8000, "small": 1000}
+    w1 = temperature_weights(sizes, alpha=1.0)
+    assert abs(w1["big"] - 8 / 9) < 1e-12
+    w0 = temperature_weights(sizes, alpha=0.0)
+    assert w0 == {"big": 0.5, "small": 0.5}
+    w = temperature_weights(sizes, alpha=0.3)
+    # smoothing: small's share rises above proportional, stays below uniform
+    assert 1 / 9 < w["small"] < 0.5
+    assert abs(sum(w.values()) - 1.0) < 1e-12
+    # zero-size sources get weight 0, not a crash
+    assert temperature_weights({"a": 10, "b": 0})["b"] == 0.0
+    with _pytest.raises(ValueError):
+        temperature_weights(sizes, alpha=-1)
+    with _pytest.raises(ValueError):
+        temperature_weights({"a": 0})
+
+    big = spark.range(0, 800).select(F.col("id").alias("doc_id"))
+    small = spark.range(10_000, 10_100).select(F.col("id").alias("doc_id"))
+    sources = {"big": big, "small": small}
+    tw = temperature_weights({k: df.count() for k, df in sources.items()}, 0.3)
+    mix = weighted_mixture(sources, tw, id_col="doc_id")
+    got = {r["source"]: r["cnt"] for r in
+           mix.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # small is the binding source (taken ~whole); big thinned toward
+    # its smoothed share: big/small ≈ w_big/w_small = (8)^0.3 ≈ 1.87
+    ratio = got["big"] / got["small"]
+    assert 1.4 < ratio < 2.4, got
+    # deterministic re-run
+    mix2 = weighted_mixture(sources, tw, id_col="doc_id")
+    assert sorted(r["doc_id"] for r in mix.collect()) == sorted(
+        r["doc_id"] for r in mix2.collect()
+    )
