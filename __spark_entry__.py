@@ -3175,6 +3175,47 @@ WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT nid FROM ver)
 """
 
 
+def x16_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram (operators/dedup.py
+    duplicate_cluster_sizes) over the same Jaccard>=0.5 pair graph
+    q24 dedups — pairs vs template farms is the analysis that decides
+    a dedup budget. The oracle replays q24's recursive transitive
+    closure and the two histogram aggregations."""
+    from ai_etl_framework_spark.operators.dedup import (
+        duplicate_cluster_sizes,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    return duplicate_cluster_sizes(pairs)
+
+
+_X16_SQL = f"""
+WITH RECURSIVE d AS (SELECT doc_id, {_SHINGLES} AS shl FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(shl) AS s FROM d),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN counts ca ON id_a = ca.doc_id
+          JOIN counts cb ON id_b = cb.doc_id
+          WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.5),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM labels GROUP BY label)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
+
+
 def x13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.py semantic_dedup — Abbas et al.
     2023): within-cluster cosine-near-dup pairs → connected
@@ -4102,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt09_vocab_topk": txt09_vocab_topk,
         "rpt01_corpus_report": rpt01_corpus_report,
         "x15_incremental_near_dedup": x15_incremental_near_dedup,
+        "x16_dup_cluster_sizes": x16_dup_cluster_sizes,
     }
 
 
@@ -4169,6 +4211,7 @@ def oracle_sql() -> dict[str, str]:
         "txt09_vocab_topk": _TXT09_SQL,
         "rpt01_corpus_report": _RPT01_SQL,
         "x15_incremental_near_dedup": _x15_sql(),
+        "x16_dup_cluster_sizes": _X16_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -1348,16 +1348,18 @@ def greedy_group_representatives(pairs: list[tuple]) -> dict:
     return {m: r for m, r in ((m, assignment[m]) for m in assignment)}
 
 
-def dedup_connected_components(
-    df: DataFrame,
-    id_col: str,
+def connected_component_labels(
     pairs: DataFrame,
     max_iterations: int = 20,
 ) -> DataFrame:
-    """Scalable alternative grouping: iterative min-label propagation
-    over the duplicate-pair graph (the 100 TB path; greedy scan-order
-    cannot distribute). Converges in O(graph diameter) joins; AQE
-    handles the shrinking frontier."""
+    """``(id, label)`` for every id appearing in the pair graph, where
+    ``label`` is the component's minimum id — the raw output of the
+    pointer-jumping min-label propagation
+    (:func:`dedup_connected_components` consumes it to drop losers;
+    :func:`duplicate_cluster_sizes` to build the cluster-size
+    histogram). Fails loudly if the round budget is exhausted before
+    a fixed point (a wrong label set would be silently wrong in both
+    directions)."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     # Iterative algorithm hygiene: each iteration's plan would embed
     # TWO copies of the previous iteration's plan (labels appears in
@@ -1415,10 +1417,45 @@ def dedup_connected_components(
         # ~2^20, so reaching this means a pathological graph or a
         # too-small caller override, not normal operation.
         raise RuntimeError(
-            f"dedup_connected_components did not converge within "
+            f"connected_component_labels did not converge within "
             f"{max_iterations} iterations; raise max_iterations"
         )
+    return labels
+
+
+def dedup_connected_components(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Scalable alternative grouping: iterative min-label propagation
+    over the duplicate-pair graph (the 100 TB path; greedy scan-order
+    cannot distribute). Converges in O(graph diameter) joins; AQE
+    handles the shrinking frontier."""
+    labels = connected_component_labels(pairs, max_iterations)
     # the loser set stays distributed — it can be a large fraction of
     # the table; no driver materialization.
     losers = labels.where(F.col("id") != F.col("label")).select(F.col("id").alias(id_col))
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def duplicate_cluster_sizes(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster size histogram ``(cluster_size, n_clusters)``
+    over a near-dup pair graph — the standard corpus-dedup analysis
+    (how much of the corpus sits in 2-doc pairs vs 1000-doc template
+    farms decides which dedup budget matters; singleton documents —
+    no pairs — are not clusters and do not appear). Two hash
+    aggregations over the component labels; the histogram is at most
+    |largest cluster| rows."""
+    labels = connected_component_labels(pairs, max_iterations)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )

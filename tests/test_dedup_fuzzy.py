@@ -821,3 +821,29 @@ def test_dedup_against_history_matches_python_model(spark):
         assert got == model(hist, batch)
 
     run()
+
+
+def test_duplicate_cluster_sizes_and_labels(spark):
+    """CC-label exposure pins: labels carry the component minimum,
+    the histogram counts clusters by size, singletons (no pairs)
+    never appear, and a chain component counts once at its full
+    transitive size."""
+    from ai_etl_framework_spark.operators.dedup import (
+        connected_component_labels,
+        duplicate_cluster_sizes,
+    )
+
+    # components: {1,2,3} (chain), {10,11}, {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    labels = {
+        r["id"]: r["label"]
+        for r in connected_component_labels(pairs).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    hist = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in duplicate_cluster_sizes(pairs).collect()
+    }
+    assert hist == {3: 1, 2: 2}

@@ -75,6 +75,10 @@ EDGE_QUERIES = [
     # near-dup doc 0 (history) and verifies at Jaccard >= 0.5 ->
     # dropped; blank/NULL/short docs have no bands -> survive
     "x15_incremental_near_dedup",
+    # dup-cluster histogram over the edge corpus: exactly one 2-doc
+    # cluster (the 0/1 near-dup pair); blank/NULL docs are singletons
+    # and never appear
+    "x16_dup_cluster_sizes",
     # SemDeDup over the edge embeddings: the (0,1) near-dup pair
     # collapses, the 3/4 pair (cos .7071 >= .3) collapses, the zero
     # vector (NULL cosine -> never a candidate) and the NULL embedding
