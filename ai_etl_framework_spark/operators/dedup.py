@@ -359,12 +359,10 @@ def near_dedup_against_history(
         .distinct()
     )
     if threshold is not None:
-        sh_of = lambda d: F.array_distinct(  # noqa: E731
-            shingles(F.col(text_col), k)
-        )
-        new_sh = new.select(F.col(id_col), sh_of(new).alias("__sh_n"))
+        sh_expr = F.array_distinct(shingles(F.col(text_col), k))
+        new_sh = new.select(F.col(id_col), sh_expr.alias("__sh_n"))
         hist_sh = history.select(
-            F.col(id_col).alias("__hist_id"), sh_of(history).alias("__sh_h")
+            F.col(id_col).alias("__hist_id"), sh_expr.alias("__sh_h")
         )
         inter = F.size(F.array_intersect("__sh_n", "__sh_h"))
         union = F.size(F.array_union("__sh_n", "__sh_h"))
