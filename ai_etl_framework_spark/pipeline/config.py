@@ -75,6 +75,97 @@ def _dashboard_rollups(cfg: dict[str, Any]) -> Callable[[DataFrame], DataFrame]:
     return rollup
 
 
+def _corpus_factories() -> dict[str, Callable[[dict], Callable[[DataFrame], DataFrame]]]:
+    """Config-drivable wrappers for the training-corpus operator
+    suite (beyond the reference's 10 transformer types — the corpus
+    pipeline a REST/config user runs declaratively). Frames a stage
+    needs besides the flowing one (a benchmark suite, a dedup
+    history) are given as parquet PATHS and read through the flowing
+    DataFrame's own session at call time."""
+    from ai_etl_framework_spark.functions.text import clean_text
+    from ai_etl_framework_spark.operators.corpus import (
+        corpus_quality,
+        decontaminate,
+        repeated_line_dedup,
+        repeated_paragraph_dedup,
+        repeated_span_dedup,
+    )
+    from ai_etl_framework_spark.operators.dedup import (
+        dedup_against_history,
+        near_dedup_against_history,
+        semantic_dedup,
+    )
+    from ai_etl_framework_spark.operators.lm import (
+        fit_bigram_lm,
+        perplexity_filter,
+    )
+
+    def _clean(cfg):
+        col = cfg.get("text_col", "text")
+        return lambda df: df.withColumn(col, clean_text(F.col(col)))
+
+    def _decontaminate(cfg):
+        cfg = dict(cfg)
+        path = cfg.pop("benchmark_path")
+        return lambda df: decontaminate(
+            df, df.sparkSession.read.parquet(path), **cfg
+        )
+
+    def _dedup_history(cfg):
+        cfg = dict(cfg)
+        path = cfg.pop("history_path")
+        return lambda df: dedup_against_history(
+            df, df.sparkSession.read.parquet(path), **cfg
+        )
+
+    def _near_dedup_history(cfg):
+        cfg = dict(cfg)
+        path = cfg.pop("history_path")
+        return lambda df: near_dedup_against_history(
+            df, df.sparkSession.read.parquet(path), **cfg
+        )
+
+    def _ppl_filter(cfg):
+        cfg = dict(cfg)
+        ref_path = cfg.pop("reference_path", None)
+        add_k = cfg.pop("add_k", 0.5)
+        text_col = cfg.get("text_col", "text")
+
+        def run(df: DataFrame) -> DataFrame:
+            ref = (
+                df.sparkSession.read.parquet(ref_path)
+                if ref_path is not None
+                else df
+            )
+            lm = fit_bigram_lm(ref, text_col=text_col, add_k=add_k)
+            return perplexity_filter(df, lm, **cfg)
+
+        return run
+
+    return {
+        "clean_text": _clean,
+        "corpus_quality": lambda cfg: (
+            lambda df: corpus_quality(df, **cfg)
+        ),
+        "repeated_line_dedup": lambda cfg: (
+            lambda df: repeated_line_dedup(df, **cfg)
+        ),
+        "repeated_paragraph_dedup": lambda cfg: (
+            lambda df: repeated_paragraph_dedup(df, **cfg)
+        ),
+        "repeated_span_dedup": lambda cfg: (
+            lambda df: repeated_span_dedup(df, **cfg)
+        ),
+        "decontaminate": _decontaminate,
+        "dedup_against_history": _dedup_history,
+        "near_dedup_against_history": _near_dedup_history,
+        "semantic_dedup": lambda cfg: (
+            lambda df: semantic_dedup(df, **cfg)
+        ),
+        "perplexity_filter": _ppl_filter,
+    }
+
+
 TRANSFORMER_FACTORIES: dict[str, Callable[[dict], Callable[[DataFrame], DataFrame]]] = {
     # the 10 string keys of the reference's _build_transformer
     "null_remover": lambda cfg: NullRemover(**cfg),
@@ -91,6 +182,8 @@ TRANSFORMER_FACTORIES: dict[str, Callable[[dict], Callable[[DataFrame], DataFram
     # declared-but-unimplemented in the reference; implemented here
     "type_converter": _type_converter,
     "custom": lambda cfg: cfg["fn"],
+    # training-corpus operator suite (beyond-reference)
+    **_corpus_factories(),
 }
 
 

@@ -73,3 +73,54 @@ def test_autotuner_needs_variety():
     tuner = AutoTuner()
     tuner.record(100, 1000, 1.0)
     assert tuner.recommend() is None  # one knob value → nothing to compare
+
+
+def test_config_driven_corpus_pipeline(spark, sf_dir, tmp_path):
+    """The corpus operator suite is declaratively drivable: a config
+    pipeline chains clean_text → repeated_line_dedup →
+    dedup_against_history (history via parquet path) → parquet sink,
+    and the result matches calling the operators directly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.pipeline.config import build_pipeline
+    from ai_etl_framework_spark.functions.text import clean_text
+    from ai_etl_framework_spark.operators.corpus import repeated_line_dedup
+    from ai_etl_framework_spark.operators.dedup import dedup_against_history
+
+    src = str(tmp_path / "src")
+    hist = str(tmp_path / "hist")
+    out = str(tmp_path / "out")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    docs.where(F.col("doc_id") % 3 == 0).write.parquet(hist)
+    batch = docs.where(F.col("doc_id") % 3 != 0)
+    batch.write.parquet(src)
+
+    cfg = {
+        "name": "corpus",
+        "source": {"type": "parquet", "path": src},
+        "transformers": [
+            {"type": "clean_text"},
+            {"type": "repeated_line_dedup",
+             "config": {"min_count": 5, "out_col": "text",
+                        "removed_col": "n_rm"}},
+            {"type": "dedup_against_history",
+             "config": {"history_path": hist}},
+        ],
+        "destinations": [{"type": "parquet", "path": out,
+                          "mode": "overwrite"}],
+    }
+    build_pipeline(spark, cfg).run()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+
+    cleaned = batch.withColumn("text", clean_text(F.col("text")))
+    manual = dedup_against_history(
+        repeated_line_dedup(cleaned, min_count=5, out_col="text",
+                            removed_col="n_rm"),
+        spark.read.parquet(hist),
+    )
+    want = sorted(r["doc_id"] for r in manual.collect())
+    assert got == want and len(got) > 0
