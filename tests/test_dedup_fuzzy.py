@@ -847,3 +847,83 @@ def test_duplicate_cluster_sizes_and_labels(spark):
         for r in duplicate_cluster_sizes(pairs).collect()
     }
     assert hist == {3: 1, 2: 2}
+
+
+def test_semantic_dedup_matches_python_model(spark):
+    """Hypothesis differential (cluster_col path): ANY random set of
+    small vectors + block labels must match a direct Python model —
+    within-block cosine >= threshold pairs, union-find transitive
+    closure, min-id survivor, NULL/zero vectors always survive."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ai_etl_framework_spark.operators.dedup import semantic_dedup
+
+    VECS = [
+        None,
+        [0.0, 0.0, 0.0],
+        [1.0, 0.0, 0.0],
+        [0.999, 0.01, 0.0],
+        [0.9, 0.1, 0.0],
+        [0.0, 1.0, 0.0],
+        [0.0, 0.999, 0.02],
+        [-1.0, 0.0, 0.0],
+    ]
+
+    def model(rows, t):
+        def cos(a, b):
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            if na * nb == 0:
+                return None
+            return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+        parent = {i: i for i, _, _ in rows}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, vi, li in rows:
+            for j, vj, lj in rows:
+                if i >= j or li != lj or vi is None or vj is None:
+                    continue
+                c = cos(vi, vj)
+                if c is not None and c >= t:
+                    a, b = find(i), find(j)
+                    if a != b:
+                        parent[max(a, b)] = min(a, b)
+        comp_min: dict[int, int] = {}
+        for i, _, _ in rows:
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, i), i)
+        return sorted(i for i, _, _ in rows if comp_min[find(i)] == i)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        picks=st.lists(
+            st.tuples(st.sampled_from(VECS), st.integers(0, 1)),
+            min_size=1, max_size=8,
+        ),
+        t=st.sampled_from([0.8, 0.95, 0.999]),
+    )
+    def run(picks, t):
+        rows = [(i, v, l) for i, (v, l) in enumerate(picks)]
+        df = spark.createDataFrame(
+            [(i, v, l) for i, v, l in rows],
+            "vec_id long, embedding array<float>, label int",
+        )
+        got = sorted(
+            r["vec_id"]
+            for r in semantic_dedup(
+                df, "vec_id", "embedding", threshold=t, cluster_col="label"
+            ).collect()
+        )
+        assert got == model(rows, t)
+
+    run()
