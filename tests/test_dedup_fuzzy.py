@@ -181,9 +181,18 @@ def test_cc_long_chain_converges(spark):
     pairs = spark.range(n - 1).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
     )
-    out = dedup_connected_components(nodes, "id", pairs, max_iterations=20)
+    # force the DISTRIBUTED loop (driver_edge_threshold=0): this test
+    # exists to prove the O(log n) pointer-jumping convergence, which
+    # the small-graph driver union-find would otherwise bypass
+    out = dedup_connected_components(
+        nodes, "id", pairs, max_iterations=20, driver_edge_threshold=0
+    )
     rows = out.collect()
     assert len(rows) == 1 and rows[0].id == 0
+    # and the driver fast path agrees on the same graph
+    out2 = dedup_connected_components(nodes, "id", pairs, max_iterations=20)
+    rows2 = out2.collect()
+    assert len(rows2) == 1 and rows2[0].id == 0
 
 
 def test_prefix_filter_bounded_under_boilerplate_skew(spark):
