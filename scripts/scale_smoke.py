@@ -96,6 +96,10 @@ QUERIES = [
     # real scale).
     "x14_incremental_dedup",
     "x15_incremental_near_dedup",
+    # dup-cluster histogram: the pair graph scales like dd04 (the
+    # rotation keeps collisions within copies); CC takes the bounded
+    # driver union-find at these graph sizes
+    "x16_dup_cluster_sizes",
     "rpt01_corpus_report",
     "txt08_clean_text",
     "txt09_vocab_topk",
