@@ -3216,6 +3216,50 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+def x17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/corpus.py snapshot_diff):
+    old = doc_id%4!=1, new = doc_id%4!=2 with every 7th doc's text
+    revised — so the row set exercises all three statuses: %4==1
+    added, %4==2 removed, revised overlap docs modified. Content
+    identity is the dd01 normalized fingerprint (a case/whitespace
+    re-render is NOT modified). The oracle replays the fingerprints
+    and the full outer join, so the exact (id, status) set is
+    hash-checked."""
+    from ai_etl_framework_spark.operators.corpus import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 4 != 1)
+    new = docs.where(F.col("doc_id") % 4 != 2).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" rev2")),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+_X17_SQL = f"""
+WITH o AS (
+  SELECT doc_id, MIN(md5({_NORMC})) AS fp
+  FROM documents WHERE doc_id % 4 <> 1 GROUP BY doc_id),
+n0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN coalesce(text, '') || ' rev2' ELSE text END AS text
+  FROM documents WHERE doc_id % 4 <> 2),
+n AS (SELECT doc_id, MIN(md5({_NORMC})) AS fp FROM n0 GROUP BY doc_id),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.fp <> n.fp THEN 'modified'
+              ELSE 'unchanged' END AS status
+  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+"""
+
+
 def x13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.py semantic_dedup — Abbas et al.
     2023): within-cluster cosine-near-dup pairs → connected
@@ -4144,6 +4188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpt01_corpus_report": rpt01_corpus_report,
         "x15_incremental_near_dedup": x15_incremental_near_dedup,
         "x16_dup_cluster_sizes": x16_dup_cluster_sizes,
+        "x17_snapshot_diff": x17_snapshot_diff,
     }
 
 
@@ -4212,6 +4257,7 @@ def oracle_sql() -> dict[str, str]:
         "rpt01_corpus_report": _RPT01_SQL,
         "x15_incremental_near_dedup": _x15_sql(),
         "x16_dup_cluster_sizes": _X16_SQL,
+        "x17_snapshot_diff": _X17_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -43,6 +43,7 @@ __all__ = [
     "contamination_pairs",
     "corpus_report",
     "decontaminate",
+    "snapshot_diff",
     "repeated_line_dedup",
     "repeated_paragraph_dedup",
     "repeated_span_dedup",
@@ -384,6 +385,70 @@ def corpus_report(
             ),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Content diff between two corpus snapshots — the audit table an
+    incremental ingest loop publishes per crawl: which documents were
+    ``added``, ``removed``, or ``modified`` since the last snapshot
+    (the change-detection sibling of
+    :func:`~ai_etl_framework_spark.operators.dedup.dedup_against_history`,
+    which answers "is this content already IN the corpus"; this
+    answers "what happened to each document ID"). No reference-repo
+    counterpart — the reference processes one static frame at a time
+    (src/transformers/deduplicator.py); snapshot lifecycle is
+    beyond-reference scope like the rest of this module.
+
+    Returns ``(id_col, status)``, one row per document whose state
+    changed; ``include_unchanged=True`` keeps the ``unchanged`` rows
+    too (for a complete manifest). Content identity is the dd01
+    normalized-text fingerprint (md5 of lower+collapse-ws+trim, NULL
+    text ≡ ``''``) — a case/whitespace re-rendering of the same page
+    is NOT ``modified``. Rows with a NULL id never match across
+    snapshots (standard join-key semantics): a NULL-id row counts as
+    ``removed`` from ``old`` / ``added`` in ``new``. Duplicate ids
+    within one snapshot collapse to their lexicographically smallest
+    fingerprint (deterministic under re-ingest races); snapshots are
+    expected id-unique.
+
+    Scale shape: each side projects to ``(id, fingerprint)`` BEFORE
+    the shuffle — only ids and 32-char hashes cross the wire, never
+    document bytes — then a per-id min-fingerprint hash aggregation
+    feeds a full outer join. The aggregations hash-partition both
+    sides on the id, and the join reuses that partitioning (no extra
+    exchange, no broadcast assumption — both snapshots are
+    corpus-scale). At 100 TB: two column-pruned scans, two
+    partially-aggregated id+hash shuffles, one co-partitioned join.
+    """
+    from ai_etl_framework_spark.functions.text import fingerprint
+
+    def side(df: DataFrame, out: str) -> DataFrame:
+        fp = fingerprint(F.coalesce(F.col(text_col), F.lit("")))
+        return (
+            df.select(F.col(id_col), fp.alias(out))
+            .groupBy(id_col)
+            .agg(F.min(out).alias(out))
+        )
+
+    o = side(old, "__fp_old")
+    n = side(new, "__fp_new")
+    j = o.join(n, on=id_col, how="full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(F.col(id_col), status.alias("status"))
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out
 
 
 def repeated_line_dedup(

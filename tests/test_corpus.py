@@ -567,3 +567,78 @@ def test_corpus_report_plan_shape(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_diff_rules(spark):
+    """Change-detection pins: added/removed from the id sets; modified
+    only when the NORMALIZED fingerprint moves (a case/whitespace
+    re-render is unchanged); NULL text ≡ ''; NULL ids never match
+    across snapshots; duplicate ids collapse to min fingerprint;
+    include_unchanged returns the complete manifest."""
+    from ai_etl_framework_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "Hello World"),
+            (2, "stays the same"),
+            (3, "will change"),
+            (4, None),            # NULL ≡ ''
+            (None, "ghost"),      # NULL id: never matches new's NULL id
+            (6, "dup a"),         # duplicate id -> min fingerprint:
+            (6, "Dup  A "),       # same NORMALIZED content, so the
+                                  # collapse is content-stable
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "hello   world "),  # re-render -> unchanged
+            (2, "stays the same"),
+            (3, "has changed"),     # modified
+            (4, ""),                # NULL -> '' is NOT a change
+            (5, "brand new"),       # added
+            (None, "ghost"),        # NULL id on the new side -> added
+            (6, "dup a"),           # min fp unchanged even though dup b left
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["status"])
+        for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {(5, "added"), (None, "added"),
+                   (None, "removed"), (3, "modified")}
+    full = snapshot_diff(old, new, include_unchanged=True)
+    by_id = {r["doc_id"]: r["status"] for r in full.collect() if r["doc_id"] is not None}
+    assert by_id[1] == "unchanged" and by_id[2] == "unchanged"
+    assert by_id[4] == "unchanged" and by_id[6] == "unchanged"
+    assert by_id[3] == "modified" and by_id[5] == "added"
+
+
+def test_snapshot_diff_no_text_bytes_shuffle(spark, sf_dir):
+    """Scale pin: both sides project to (id, fingerprint) before any
+    exchange — no Exchange in the plan carries the text column — and
+    the full outer join reuses the aggregation partitioning (exactly
+    two shuffles, both id+hash only, no broadcast assumption)."""
+    import re
+
+    from ai_etl_framework_spark.operators.corpus import snapshot_diff
+    from ai_etl_framework_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = snapshot_diff(
+        docs.where(F.col("doc_id") % 4 != 1),
+        docs.where(F.col("doc_id") % 4 != 2),
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # every exchange's output schema is the id + the 32-char hash;
+    # the text payload never crosses the wire
+    for seg in re.findall(r"\(\d+\) Exchange[\s\S]*?Arguments", plan):
+        assert "text" not in seg, seg
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan, plan

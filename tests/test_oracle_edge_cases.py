@@ -84,6 +84,12 @@ EDGE_QUERIES = [
     # vector (NULL cosine -> never a candidate) and the NULL embedding
     # survive — kept set {0,2,3,5,6}
     "x13_semantic_dedup",
+    # snapshot diff: doc 7 (NULL text) falls in the revised set, so
+    # its fingerprint moves ''→'rev2' (modified — the NULL≡'' rule
+    # crossing the coalesce+concat path); doc 5 ('' text) is added,
+    # doc 6 (whitespace-only) removed, and the unrevised overlap
+    # {3,4,8} must NOT appear
+    "x17_snapshot_diff",
     # paragraph-granularity dedup: doc 6's embedded single newline
     # stays INTRA-paragraph (preserved), the trailing empty footer
     # paragraph (doc_id%17==0 -> doc 0) survives as structure, and
