@@ -149,7 +149,19 @@ class DashboardAggregator:
                 sum_dec.cast("double").alias("total_billed"),
                 (sum_dec.cast("double") / F.count(dec)).alias("avg_billed"),
             ]
-        return work.groupBy("date").agg(*aggs).orderBy(F.col("date").asc())
+        out = work.groupBy("date").agg(*aggs)
+        # Result-sized sort: the by-date rollup has one row per DAY
+        # (bounded by the calendar — tens of thousands of rows even at
+        # 100 TB of input), so a global orderBy's range-boundary
+        # SAMPLING JOB is pure overhead — the fully-reduced result is
+        # always single-task-sortable. repartition(1) (not coalesce,
+        # which would fuse the FINAL aggregation into one task and
+        # break down once partial rows = map-tasks × days) keeps the
+        # reduction parallel and moves only #days rows to the sorting
+        # task. by_provider/by_diagnosis keep the distributed sort —
+        # their group counts scale with the dimension, not the
+        # calendar.
+        return out.repartition(1).sortWithinPartitions(F.col("date").asc())
 
     def write(self, output_dir: str) -> None:
         import os
