@@ -183,25 +183,35 @@ def main() -> None:
     # classes), and "warm" is DEFINED above as steady-state latency;
     # (2) the single-shot DuckDB twin wobbles 0.33-0.40s on q07, which
     # moves the verdict line as much as the query moves. So queries
-    # whose 3-run floor-adjusted ratio lands in [1.2, 3.0] — close
-    # enough to the 2.0 verdict line for either noise source to decide
-    # it — get (a) four additional untimed warm passes followed by
-    # five more timed runs, with the median taken over those five
-    # deep-warm runs only (every raw run, shallow and deep, stays
-    # recorded in queries_warm_runs), and (b) a median-of-3 re-run of
-    # their DuckDB twin. Everything clearly inside or outside the line keeps the
-    # cheaper 3-run median and single-shot twin. Cold numbers are
-    # untouched — the one-time Janino+JIT cost stays visible in the
-    # cold series; on a real cluster it amortizes per executor-JVM.
+    # close enough to the 2.0 verdict line for either noise source to
+    # decide them — get (a) eight additional untimed warm passes
+    # followed by five more timed runs, with the median taken over
+    # those five deep-warm runs only (every raw run, shallow and deep,
+    # stays recorded in queries_warm_runs; eight passes because q07's
+    # series was STILL declining at run 8 of a 4-pass warmup), and
+    # (b) a median-of-3 re-run of their DuckDB twin. The band is both
+    # RELATIVE (floor-adjusted ratio in [1.2, 3.0]) and ABSOLUTE
+    # (|(warm - floor) - 2*twin| <= 0.15s): floor-hugging queries
+    # (warm within ~50ms of the 0.3s floor against a ~10ms twin) have
+    # hypersensitive ratios — a +-30ms wobble flips the adjusted ratio
+    # from 0.2 to 4 — so for them the absolute margin, not the ratio,
+    # is what says "noise decides this one". Everything clearly inside
+    # or outside the line keeps the cheaper 3-run median and
+    # single-shot twin. Cold numbers are untouched — the one-time
+    # Janino+JIT cost stays visible in the cold series; on a real
+    # cluster it amortizes per executor-JVM.
     borderline = [
         name
         for name, tw in duck.items()
         if name in warm
         and tw > 0
-        and 1.2 <= max(warm[name] - 0.3, 0.0) / tw <= 3.0
+        and (
+            1.2 <= max(warm[name] - 0.3, 0.0) / tw <= 3.0
+            or abs(max(warm[name] - 0.3, 0.0) - 2 * tw) <= 0.15
+        )
     ]
     for name in borderline:
-        for _ in range(4):
+        for _ in range(8):
             qs[name](spark, SF_DIR).toPandas()  # untimed deep warmup
         for _ in range(5):
             t0 = time.perf_counter()
