@@ -103,6 +103,11 @@ QUERIES = [
     "rpt01_corpus_report",
     "txt08_clean_text",
     "txt09_vocab_topk",
+    # snapshot diff (r8): the id-offset copies shift the %4/%7 splits
+    # per copy but keep the status mix dense, so the added/removed/
+    # modified volume scales linearly; the ratio measures the two
+    # (id, fingerprint) aggregations + co-partitioned full outer join
+    "x17_snapshot_diff",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split
