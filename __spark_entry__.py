@@ -3216,6 +3216,26 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+def txt10_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (operators/bpe.py — Sennrich et al.
+    2016, tokenizer prep): word_counts is the one corpus-scale
+    aggregation (txt09's contract), the greedy merge loop runs on the
+    vocab-sized table. Rows-only by design (an ordered iterative
+    argmax has no single-query SQL twin); the pinned-rules +
+    local≡distributed + hypothesis differentials in tests/test_bpe.py
+    are the correctness evidence, and the row count is deterministic:
+    exactly min(n_merges, pairs-available) rows."""
+    from ai_etl_framework_spark.operators.bpe import (
+        merge_table_df,
+        train_bpe_merges,
+        word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(word_counts(docs), n_merges=40)
+    return merge_table_df(spark, merges)
+
+
 def x17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py snapshot_diff):
     old = doc_id%4!=1, new = doc_id%4!=2 with every 7th doc's text
@@ -4189,6 +4209,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x15_incremental_near_dedup": x15_incremental_near_dedup,
         "x16_dup_cluster_sizes": x16_dup_cluster_sizes,
         "x17_snapshot_diff": x17_snapshot_diff,
+        # rows-only (iterative argmax, no single-query SQL twin):
+        # correctness evidence is tests/test_bpe.py's pinned rules +
+        # local≡distributed + hypothesis differentials
+        "txt10_bpe_merges": txt10_bpe_merges,
     }
 
 
