@@ -3236,6 +3236,26 @@ def txt10_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_table_df(spark, merges)
 
 
+def txt11_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply step (operators/bpe.py bpe_token_counts — the
+    distinct-word shape: the merge loop runs once per vocab word, the
+    per-word piece count joins back to the exploded corpus, corpus
+    payload never enters Python). Trains 40 merges on the corpus word
+    counts then counts pieces per document. Rows-only by design (no
+    SQL twin for the merge loop); correctness evidence is
+    tests/test_bpe.py's model differentials + the train→encode
+    reproduction property; row count = document count, deterministic."""
+    from ai_etl_framework_spark.operators.bpe import (
+        bpe_token_counts,
+        train_bpe_merges,
+        word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(word_counts(docs), n_merges=40)
+    return bpe_token_counts(docs, merges)
+
+
 def x17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py snapshot_diff):
     old = doc_id%4!=1, new = doc_id%4!=2 with every 7th doc's text
@@ -4213,6 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # correctness evidence is tests/test_bpe.py's pinned rules +
         # local≡distributed + hypothesis differentials
         "txt10_bpe_merges": txt10_bpe_merges,
+        "txt11_bpe_encode": txt11_bpe_encode,
     }
 
 

@@ -42,9 +42,19 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ai_etl_framework_spark.functions.text import ws_tokens as _ws_tokens
+from ai_etl_framework_spark.functions.text import (
+    tokens as _lc_tokens,
+    ws_tokens as _ws_tokens,
+)
 
-__all__ = ["word_counts", "train_bpe_merges", "merge_table_df"]
+__all__ = [
+    "word_counts",
+    "train_bpe_merges",
+    "merge_table_df",
+    "encode_words",
+    "bpe_encode",
+    "bpe_token_counts",
+]
 
 END_OF_WORD = "</w>"
 
@@ -56,15 +66,11 @@ def word_counts(
     training. Whitespace tokenization (empty dropped, NULL text ≡ no
     tokens), case-folded by default — byte-identical to the txt09
     vocabulary contract so a pipeline can reuse one table for both."""
-    toks = _ws_tokens(F.col(text_col))
-    if not lowercase:
-        toks = F.filter(
-            F.coalesce(
-                F.split(F.col(text_col), r"\s+"),
-                F.expr("CAST(array() AS array<string>)"),
-            ),
-            lambda t: t != "",
-        )
+    toks = (
+        _lc_tokens(F.col(text_col))
+        if lowercase
+        else _ws_tokens(F.col(text_col))
+    )
     return (
         df.select(F.explode(toks).alias("word"))
         .groupBy("word")
@@ -232,6 +238,147 @@ def train_bpe_merges(
             _merge_pair_expr(F.col("sym"), a, b).alias("sym"), F.col("n")
         ).localCheckpoint(eager=True)
     return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode ONE word with a learned merge table — the canonical
+    subword-nmt / HuggingFace-tokenizers loop: repeatedly merge the
+    LOWEST-RANK adjacent pair present (greedy left-to-right across the
+    word), until no ranked pair remains. Lowest-rank-first (not a
+    single sequential pass over the table) is the published apply
+    semantics: a merge can create a pair with an EARLIER rank, which
+    must then win. Encoding a training word with the full table
+    reproduces its end-of-training segmentation (property-tested)."""
+    if not word:
+        return []
+    sym = list(word) + [END_OF_WORD]
+    while len(sym) >= 2:
+        best: Optional[tuple[int, tuple[str, str]]] = None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, (sym[i], sym[i + 1]))
+        if best is None:
+            break
+        a, b = best[1]
+        sym = _merge_py(sym, a, b)
+    return sym
+
+
+def _word_expr(text_col: str, lowercase: bool) -> Column:
+    from ai_etl_framework_spark.functions.text import tokens, ws_tokens
+
+    return tokens(F.col(text_col)) if lowercase else ws_tokens(F.col(text_col))
+
+
+def _encode_udf(spark, merges: list[tuple[str, str]]):
+    """Arrow-batched pandas UDF ``array<string> words → array<string>
+    tokens`` with a per-python-worker word cache: BPE vocabularies are
+    Zipf-distributed, so within a batch (and across batches on the
+    same worker) almost every word is a cache hit — the merge loop
+    runs roughly once per DISTINCT word per worker, not once per
+    occurrence. The ranks dict rides a broadcast variable (vocab-sized
+    — ≤ a few MB even for a 50k-merge table)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    b_ranks = spark.sparkContext.broadcast(
+        {pair: i for i, pair in enumerate(merges)}
+    )
+
+    @pandas_udf("array<string>")
+    def encode(words_s):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        ranks = b_ranks.value
+        cache: dict[str, list[str]] = {}
+
+        def enc_doc(words):
+            if words is None:
+                return []
+            out: list[str] = []
+            for w in words:
+                t = cache.get(w)
+                if t is None:
+                    t = _encode_word(w, ranks)
+                    cache[w] = t
+                out.extend(t)
+            return out
+
+        return pd.Series([enc_doc(ws) for ws in words_s])
+
+    return encode
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table — the
+    corpus-scale apply step. ZERO-SHUFFLE by construction: the merge
+    table broadcasts (vocab-sized), each row is encoded in place by
+    one Arrow-batched pandas UDF (a documented Python seam, like the
+    embedder), and no corpus byte crosses the wire — the plan is
+    scan → ArrowEvalPython → project, no Exchange (plan-pinned).
+    Word contract matches :func:`word_counts` (whitespace tokens,
+    case-folded by default), so encoding composes with a table
+    trained by :func:`train_bpe_merges` on the same corpus."""
+    spark = df.sparkSession
+    enc = _encode_udf(spark, merges)
+    return df.withColumn(out_col, enc(_word_expr(text_col, lowercase)))
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document BPE token counts via the distinct-word shape: the
+    merge loop runs once per DISTINCT word (vocab-sized frame — the
+    pandas UDF never sees the corpus), the per-word token count joins
+    back to the exploded corpus words (AQE broadcasts the vocab side),
+    and one hash aggregation sums per document. Corpus payload never
+    enters Python; only (id, word) pairs shuffle. Output:
+    (id, n_words, n_tokens) — blank/NULL docs report 0/0."""
+    spark = df.sparkSession
+    enc = _encode_udf(spark, merges)
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(_word_expr(text_col, lowercase)).alias("word"),
+    )
+    vocab = (
+        words.where(F.col("word").isNotNull())
+        .select("word")
+        .distinct()
+        .withColumn("n_tok", F.size(enc(F.array(F.col("word")))).cast("long"))
+    )
+    return (
+        words.join(vocab, "word", "left")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.col("word")).cast("long").alias("n_words"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def encode_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """(word, tokens) over a word table — the vocab-sized encode used
+    by :func:`bpe_token_counts` exposed directly (e.g. to persist a
+    word→pieces lookup next to the merge table)."""
+    enc = _encode_udf(words.sparkSession, merges)
+    return words.withColumn(
+        out_col, enc(F.array(F.col(word_col).cast("string")))
+    )
 
 
 def merge_table_df(spark, merges: list[tuple[str, str]]) -> DataFrame:

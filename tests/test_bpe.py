@@ -11,8 +11,12 @@ from hypothesis import given, settings, strategies as st
 
 from ai_etl_framework_spark.operators.bpe import (
     END_OF_WORD,
+    _encode_word,
     _merge_py,
     _train_local,
+    bpe_encode,
+    bpe_token_counts,
+    encode_words,
     merge_table_df,
     train_bpe_merges,
     word_counts,
@@ -151,6 +155,145 @@ def test_merge_table_df_schema(spark):
 )
 def test_local_matches_model_hypothesis(wc, k):
     assert _train_local(list(wc.items()), k) == _model_bpe(wc, k)
+
+
+def test_word_counts_case_folds_by_default(spark):
+    df = spark.createDataFrame(
+        [("The the THE tok",), (None,), ("  ",)], "text string"
+    )
+    got = {r["word"]: r["n"] for r in word_counts(df).collect()}
+    assert got == {"the": 3, "tok": 1}
+    raw = {r["word"]: r["n"] for r in word_counts(df, lowercase=False).collect()}
+    assert raw == {"The": 1, "the": 1, "THE": 1, "tok": 1}
+
+
+def _model_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Independent lowest-rank-first encoder (subword-nmt get_pairs
+    loop, written from the paper's reference implementation shape)."""
+    if not word:
+        return []
+    ranks = {p: i for i, p in enumerate(merges)}
+    sym = tuple(word) + (END_OF_WORD,)
+    while len(sym) > 1:
+        pairs = {(sym[i], sym[i + 1]) for i in range(len(sym) - 1)}
+        ranked = [p for p in pairs if p in ranks]
+        if not ranked:
+            break
+        a, b = min(ranked, key=lambda p: ranks[p])
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = tuple(out)
+    return list(sym)
+
+
+def test_encode_word_pinned():
+    merges = [("e", "s"), ("es", "t"), ("est", END_OF_WORD), ("l", "o"), ("lo", "w")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert _encode_word("lowest", ranks) == ["low", "est</w>"]
+    assert _encode_word("newest", ranks) == ["n", "e", "w", "est</w>"]
+    assert _encode_word("low", ranks) == ["low", END_OF_WORD]
+    assert _encode_word("zz", ranks) == ["z", "z", END_OF_WORD]
+    assert _encode_word("", ranks) == []
+    # a merge that creates an EARLIER-rank pair must yield to it:
+    # rank0 (ab, c) can only fire after rank1 (a, b) — lowest-rank-
+    # first still terminates with the right segmentation
+    r2 = {("ab", "c"): 0, ("a", "b"): 1}
+    assert _encode_word("abc", r2) == ["abc", END_OF_WORD]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet=st.sampled_from("abcd"), min_size=1, max_size=5),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+def test_encode_reproduces_training_segmentation(wc, k):
+    """Encoding a training word with the full learned table must
+    reproduce its end-of-training segmentation (the defining property
+    of BPE apply), and must match the independent model encoder."""
+    merges = _train_local(list(wc.items()), k)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # recompute training-end segmentation with the sequential trainer
+    for w in wc:
+        sym = list(w) + [END_OF_WORD]
+        for a, b in merges:
+            sym = _merge_py(sym, a, b)
+        assert _encode_word(w, ranks) == sym == _model_encode(w, merges)
+
+
+def test_bpe_encode_spark(spark):
+    merges = [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    df = spark.createDataFrame(
+        [(1, "Lowest test"), (2, None), (3, "   "), (4, "low LOW")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(df, merges).collect()
+    }
+    assert out[1] == _model_encode("lowest", merges) + _model_encode("test", merges)
+    assert out[2] == [] and out[3] == []
+    assert out[4] == _model_encode("low", merges) * 2  # case-folded
+    # zero-shuffle pin: scan -> ArrowEvalPython -> project, no Exchange
+    plan = bpe_encode(df, merges)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_bpe_token_counts_spark(spark):
+    merges = [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    df = spark.createDataFrame(
+        [(1, "lowest test low"), (2, None), (3, "zz")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_token_counts(df, merges).collect()
+    }
+    exp1 = sum(
+        len(_model_encode(w, merges)) for w in ["lowest", "test", "low"]
+    )
+    assert got == {
+        1: (3, exp1),
+        2: (0, 0),
+        3: (1, len(_model_encode("zz", merges))),
+    }
+
+
+def test_encode_words_spark(spark):
+    merges = [("e", "s"), ("es", "t")]
+    wdf = spark.createDataFrame([("test",), ("se",)], "word string")
+    got = {r["word"]: r["tokens"] for r in encode_words(wdf, merges).collect()}
+    assert got == {
+        "test": _model_encode("test", merges),
+        "se": _model_encode("se", merges),
+    }
+
+
+def test_train_then_encode_corpus(spark, sf_dir):
+    """End-to-end tokenizer prep on the documents table: train on the
+    corpus word counts, encode the corpus with the learned table, and
+    check totals against the model on collected text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    merges = train_bpe_merges(word_counts(docs), n_merges=25)
+    counts = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        words = (r["text"] or "").lower().split()
+        exp = sum(len(_model_encode(w, merges)) for w in words)
+        assert counts[r["doc_id"]] == exp
 
 
 def test_distributed_matches_model_random(spark):
