@@ -3256,6 +3256,62 @@ def txt11_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, merges)
 
 
+def x18_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py — Xie et al.
+    2023): target = every 10th doc, raw = the rest; hashed
+    unigram+bigram bucket models (B=1024, md5 idiom), add-1 smoothing,
+    Gumbel top-50 without replacement, seed 0. Fully oracle-backed —
+    the DuckDB twin reproduces hashing, smoothing, the Gumbel draw and
+    the top-k bit-for-bit."""
+    from ai_etl_framework_spark.operators.dsir import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.where(F.col("doc_id") % 10 != 0)
+    tgt = docs.where(F.col("doc_id") % 10 == 0)
+    return dsir_resample(raw, tgt, k=50)
+
+
+_DSIR_BIGRAMS = (
+    f"CASE WHEN len({_TOKS}) >= 2 THEN "
+    f"list_transform(range(1, len({_TOKS})), i -> "
+    f"{_TOKS}[i] || ' ' || {_TOKS}[i + 1]) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+_DSIR_GRAMS = f"list_concat({_TOKS}, {_DSIR_BIGRAMS})"
+
+_X18_SQL = f"""
+WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+tgt AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+rg AS (SELECT doc_id,
+              ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS bucket
+       FROM (SELECT doc_id, unnest({_DSIR_GRAMS}) AS g FROM raw)),
+tg AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS bucket
+       FROM (SELECT unnest({_DSIR_GRAMS}) AS g FROM tgt)),
+tc AS (SELECT bucket, count(*)::BIGINT AS ct FROM tg GROUP BY bucket),
+rc AS (SELECT bucket, count(*)::BIGINT AS cr FROM rg GROUP BY bucket),
+tt AS (SELECT coalesce(sum(ct), 0) AS t FROM tc),
+rt AS (SELECT coalesce(sum(cr), 0) AS t FROM rc),
+model AS (SELECT rc.bucket,
+                 ln((coalesce(tc.ct, 0) + 1) / (tt.t + 1024.0))
+                 - ln((rc.cr + 1) / (rt.t + 1024.0)) AS delta
+          FROM rc LEFT JOIN tc USING (bucket), tt, rt),
+wsum AS (SELECT rg.doc_id, count(*)::BIGINT AS n_grams,
+                sum(m.delta) AS logw
+         FROM rg JOIN model m USING (bucket) GROUP BY rg.doc_id),
+w AS (SELECT raw.doc_id,
+             coalesce(wsum.n_grams, 0)::BIGINT AS n_grams,
+             coalesce(wsum.logw, 0.0) AS logw
+      FROM raw LEFT JOIN wsum USING (doc_id))
+SELECT doc_id, n_grams, logw,
+       logw + (-ln(-ln(
+         ((('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 13))::BIGINT)
+          + 0.5) / 4503599627370496.0))) AS key
+FROM w
+ORDER BY key DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 def x17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py snapshot_diff):
     old = doc_id%4!=1, new = doc_id%4!=2 with every 7th doc's text
@@ -4234,6 +4290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local≡distributed + hypothesis differentials
         "txt10_bpe_merges": txt10_bpe_merges,
         "txt11_bpe_encode": txt11_bpe_encode,
+        "x18_dsir_resample": x18_dsir_resample,
     }
 
 
@@ -4303,6 +4360,7 @@ def oracle_sql() -> dict[str, str]:
         "x15_incremental_near_dedup": _x15_sql(),
         "x16_dup_cluster_sizes": _X16_SQL,
         "x17_snapshot_diff": _X17_SQL,
+        "x18_dsir_resample": _X18_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design
