@@ -475,7 +475,15 @@ def q12_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.round(F.col("l_quantity") * 100).cast("long")
         ).alias("__ord"),
     )
-    out = exact_dedup(li, match_fields=["l_orderkey"], keep="keep_first", order_col="__ord")
+    # __ord is unique within each order (l_linenumber is), so the
+    # HashAggregate per-column fast path applies (order_unique)
+    out = exact_dedup(
+        li,
+        match_fields=["l_orderkey"],
+        keep="keep_first",
+        order_col="__ord",
+        order_unique=True,
+    )
     return out.select("l_orderkey", "l_linenumber", "l_quantity")
 
 

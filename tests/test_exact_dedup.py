@@ -1,0 +1,107 @@
+"""exact_dedup physical variants (operators/dedup.py): the per-column
+HashAggregate fast path (order_unique / auto-generated order) must be
+value-identical to the whole-row struct SortAggregate path whenever
+its precondition (unique, non-NULL order within groups) holds — plus
+the plan pins that each path compiles to the intended aggregate."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ai_etl_framework_spark.operators.dedup import exact_dedup
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "k long, v string, q double, ord long")
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fast_path_matches_struct_path(spark):
+    data = [
+        (1, "a", 0.1, 10),
+        (1, "b", 0.9, 5),
+        (2, "c", 0.5, 7),
+        (2, None, 0.2, 3),
+        (3, "e", None, 1),
+    ]
+    df = _rows(spark, data)
+    for keep in ("keep_first", "keep_last"):
+        fast = exact_dedup(df, ["k"], keep, order_col="ord", order_unique=True)
+        slow = exact_dedup(df, ["k"], keep, order_col="ord", order_unique=False)
+        assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    # HashAggregate pin needs fixed-width picked columns (a var-length
+    # string in the min_by buffer forces SortAggregate regardless of
+    # path — the q12 shape is all-numeric)
+    num = df.select("k", "q", "ord")
+    assert "SortAggregate" not in _plan(
+        exact_dedup(num, ["k"], "keep_first", order_col="ord", order_unique=True)
+    )
+    assert "SortAggregate" in _plan(
+        exact_dedup(num, ["k"], "keep_first", order_col="ord")
+    )
+
+
+def test_auto_order_uses_fast_path(spark):
+    df = _rows(spark, [(1, "a", 0.1, 0), (2, "b", 0.2, 0)])
+    out = exact_dedup(df.drop("ord", "v"), ["k"], "keep_first")
+    assert "SortAggregate" not in _plan(out)
+    assert sorted((r["k"], r["q"]) for r in out.collect()) == [(1, 0.1), (2, 0.2)]
+
+
+def test_all_columns_key_is_distinct(spark):
+    df = _rows(spark, [(1, "a", 0.1, 5), (1, "a", 0.1, 5), (2, "b", 0.2, 7)])
+    out = exact_dedup(df, ["k", "v", "q", "ord"], "keep_first", order_unique=True)
+    assert out.count() == 2
+    assert out.columns == ["k", "v", "q", "ord"]
+
+
+def test_no_match_fields_md5_key_fast_path(spark):
+    df = _rows(spark, [(1, "a", 0.1, 5), (1, "a", 0.1, 5), (2, "b", 0.2, 7)])
+    out = exact_dedup(df.drop("ord"), None, "keep_first")
+    assert out.count() == 2
+    assert out.columns == ["k", "v", "q"]
+    assert "__key" not in out.columns
+
+
+def test_null_order_group_survives_on_struct_path(spark):
+    # every order key NULL in group 9 → the NULL-safe struct ordering
+    # must still return one real row, not erase or NULL the group
+    df = _rows(spark, [(9, "a", 0.1, None), (9, "b", 0.2, None)])
+    out = exact_dedup(df, ["k"], "keep_first", order_col="ord").collect()
+    assert len(out) == 1 and out[0]["v"] in ("a", "b")
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.sampled_from(["x", "y", "z", None]),  # value
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    keep=st.sampled_from(["keep_first", "keep_last"]),
+)
+def test_fast_path_differential_hypothesis(spark, pairs, keep):
+    # unique global order = list index (never NULL) → precondition holds
+    data = [(k, v, float(i), i) for i, (k, v) in enumerate(pairs)]
+    df = _rows(spark, data)
+    fast = exact_dedup(df, ["k"], keep, order_col="ord", order_unique=True)
+    slow = exact_dedup(df, ["k"], keep, order_col="ord")
+    # python model
+    best: dict[int, tuple] = {}
+    for row in data:
+        k, ordv = row[0], row[3]
+        if k not in best or (
+            ordv < best[k][3] if keep == "keep_first" else ordv > best[k][3]
+        ):
+            best[k] = row
+    exp = sorted(best.values())
+    assert sorted(map(tuple, fast.collect())) == exp
+    assert sorted(map(tuple, slow.collect())) == exp
