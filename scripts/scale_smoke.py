@@ -108,6 +108,15 @@ QUERIES = [
     # modified volume scales linearly; the ratio measures the two
     # (id, fingerprint) aggregations + co-partitioned full outer join
     "x17_snapshot_diff",
+    # tokenizer prep + DSIR (r8): BPE's corpus-scale step is one
+    # word-count aggregation (the rotation grows the distinct-word
+    # table linearly in copies; the 40-round merge loop is vocab-sized
+    # either way); encode adds the distinct-word pandas UDF + join-back
+    # whose probe side scales linearly; DSIR's bucket models are fixed
+    # at B=1024 rows, so only the (id, bucket) int explode scales
+    "txt10_bpe_merges",
+    "txt11_bpe_encode",
+    "x18_dsir_resample",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split
