@@ -3320,6 +3320,39 @@ LIMIT 50
 """
 
 
+def x19_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded attribution join (streaming/joins.py interval_join
+    — the batch twin of the watermarked stream-stream join): each view
+    matched to same-user clicks within [0, 12 hours] of the view.
+    Equi-join on user_id with the time bounds residual — never a
+    cartesian (plan-pinned in tests/test_interval_join.py)."""
+    from ai_etl_framework_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    views = ev.where(F.col("event_type") == "view").drop("event_type")
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+    out = interval_join(views, clicks, key="user_id", upper="12 hours")
+    return out.select(
+        "user_id",
+        F.col("left_event_id").alias("view_id"),
+        F.col("right_event_id").alias("click_id"),
+        F.col("left_ts").alias("view_ts"),
+        F.col("right_ts").alias("click_ts"),
+    )
+
+
+_X19_SQL = """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       v.ts AS view_ts, c.ts AS click_ts
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+"""
+
+
 def x17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py snapshot_diff):
     old = doc_id%4!=1, new = doc_id%4!=2 with every 7th doc's text
@@ -4299,6 +4332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt10_bpe_merges": txt10_bpe_merges,
         "txt11_bpe_encode": txt11_bpe_encode,
         "x18_dsir_resample": x18_dsir_resample,
+        "x19_interval_join": x19_interval_join,
     }
 
 
@@ -4369,6 +4403,7 @@ def oracle_sql() -> dict[str, str]:
         "x16_dup_cluster_sizes": _X16_SQL,
         "x17_snapshot_diff": _X17_SQL,
         "x18_dsir_resample": _X18_SQL,
+        "x19_interval_join": _X19_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design
