@@ -459,20 +459,28 @@ WHERE c >= 4 AND (q3 - q1) > 0 AND value IS NOT NULL
 
 def q12_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keep_first over an explicit order column
-    (deduplicator.py:137-170, 314-346) — window row_number, no
-    driver-side state."""
+    (deduplicator.py:137-170, 314-346) — one aggregation, no Window,
+    no driver-side state; the unique order key engages the per-column
+    HashAggregate fast path."""
     from ai_etl_framework_spark.operators.dedup import exact_dedup
 
     # l_linenumber alone is not unique per order in this data; the
     # order key folds in quantity so tied rows are identical in every
-    # projected column → deterministic in both engines.
+    # projected column → deterministic in both engines. NULL parts
+    # coalesce to 99999 (line numbers ≤7, qty ≤50 → round ≤5000, so
+    # the sentinel can't collide) — the fast path (order_unique)
+    # requires a NON-NULL unique key, and the edge corpus has NULL
+    # quantities.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
         (
-            F.col("l_linenumber").cast("long") * 10000
-            + F.round(F.col("l_quantity") * 100).cast("long")
+            F.coalesce(F.col("l_linenumber").cast("long"), F.lit(99999))
+            * 100000
+            + F.coalesce(
+                F.round(F.col("l_quantity") * 100).cast("long"), F.lit(99999)
+            )
         ).alias("__ord"),
     )
     # __ord is unique within each order (l_linenumber is), so the
@@ -492,7 +500,8 @@ SELECT l_orderkey, l_linenumber, l_quantity
 FROM (SELECT l_orderkey, l_linenumber, l_quantity,
              row_number() OVER (
                PARTITION BY l_orderkey
-               ORDER BY l_linenumber * 10000 + CAST(ROUND(l_quantity * 100, 0) AS BIGINT)
+               ORDER BY coalesce(l_linenumber, 99999) * 100000
+                        + coalesce(CAST(ROUND(l_quantity * 100, 0) AS BIGINT), 99999)
              ) AS rn
       FROM lineitem)
 WHERE rn = 1

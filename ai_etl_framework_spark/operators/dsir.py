@@ -45,6 +45,7 @@ __all__ = [
     "dsir_weights",
     "gumbel_key_expr",
     "dsir_resample",
+    "dsir_select",
 ]
 
 
@@ -197,3 +198,23 @@ def dsir_resample(
         .orderBy(F.col("key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    ns: Sequence[int] = (1, 2),
+    seed: int = 0,
+) -> DataFrame:
+    """The pipeline-stage form of :func:`dsir_resample`: return the
+    selected documents THEMSELVES (all original columns) — a broadcast
+    semi-join of the corpus against the k resampled ids, so the corpus
+    streams through unshuffled."""
+    picked = dsir_resample(
+        raw, target, k, text_col, id_col, buckets, ns, seed
+    ).select(id_col)
+    return raw.join(F.broadcast(picked), id_col, "left_semi")

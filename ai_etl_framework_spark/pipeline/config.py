@@ -125,6 +125,49 @@ def _corpus_factories() -> dict[str, Callable[[dict], Callable[[DataFrame], Data
             df, df.sparkSession.read.parquet(path), **cfg
         )
 
+    def _dsir_select(cfg):
+        from ai_etl_framework_spark.operators.dsir import dsir_select
+
+        cfg = dict(cfg)
+        path = cfg.pop("target_path")
+        return lambda df: dsir_select(
+            df, df.sparkSession.read.parquet(path), **cfg
+        )
+
+    def _bpe_encode(cfg):
+        from ai_etl_framework_spark.operators.bpe import (
+            bpe_encode,
+            train_bpe_merges,
+            word_counts,
+        )
+
+        cfg = dict(cfg)
+        merges_path = cfg.pop("merges_path", None)
+        n_merges = cfg.pop("n_merges", None)
+        if (merges_path is None) == (n_merges is None):
+            raise ConfigurationError(
+                "bpe_encode needs exactly one of merges_path (a saved "
+                "merge_table_df parquet) or n_merges (self-train)"
+            )
+        lowercase = cfg.get("lowercase", True)
+        text_col = cfg.get("text_col", "text")
+
+        def run(df: DataFrame) -> DataFrame:
+            if merges_path is not None:
+                rows = (
+                    df.sparkSession.read.parquet(merges_path)
+                    .orderBy("rank")
+                    .collect()
+                )
+                merges = [(r["left"], r["right"]) for r in rows]
+            else:
+                merges = train_bpe_merges(
+                    word_counts(df, text_col, lowercase), n_merges
+                )
+            return bpe_encode(df, merges, **cfg)
+
+        return run
+
     def _ppl_filter(cfg):
         cfg = dict(cfg)
         ref_path = cfg.pop("reference_path", None)
@@ -163,6 +206,8 @@ def _corpus_factories() -> dict[str, Callable[[dict], Callable[[DataFrame], Data
             lambda df: semantic_dedup(df, **cfg)
         ),
         "perplexity_filter": _ppl_filter,
+        "dsir_select": _dsir_select,
+        "bpe_encode": _bpe_encode,
     }
 
 

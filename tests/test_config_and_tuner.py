@@ -124,3 +124,71 @@ def test_config_driven_corpus_pipeline(spark, sf_dir, tmp_path):
     )
     want = sorted(r["doc_id"] for r in manual.collect())
     assert got == want and len(got) > 0
+
+
+def test_config_driven_dsir_and_bpe(spark, sf_dir, tmp_path):
+    """dsir_select and bpe_encode are declaratively drivable and match
+    calling the operators directly (target/merge tables via parquet
+    paths); bpe_encode validates its merges_path/n_merges exclusivity."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.pipeline.config import (
+        ConfigurationError,
+        build_pipeline,
+        build_transformer,
+    )
+    from ai_etl_framework_spark.operators.bpe import (
+        bpe_encode,
+        merge_table_df,
+        train_bpe_merges,
+        word_counts,
+    )
+    from ai_etl_framework_spark.operators.dsir import dsir_select
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    tgt_path = str(tmp_path / "tgt")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    docs.where(F.col("doc_id") % 10 == 0).write.parquet(tgt_path)
+    raw = docs.where(F.col("doc_id") % 10 != 0)
+    raw.write.parquet(src)
+
+    merges = train_bpe_merges(word_counts(raw), n_merges=12)
+    merges_path = str(tmp_path / "merges")
+    merge_table_df(spark, merges).write.parquet(merges_path)
+
+    cfg = {
+        "name": "select-encode",
+        "source": {"type": "parquet", "path": src},
+        "transformers": [
+            {"type": "dsir_select",
+             "config": {"target_path": tgt_path, "k": 40, "buckets": 256}},
+            {"type": "bpe_encode", "config": {"merges_path": merges_path}},
+        ],
+        "destinations": [{"type": "parquet", "path": out,
+                          "mode": "overwrite"}],
+    }
+    build_pipeline(spark, cfg).run()
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in spark.read.parquet(out).collect()
+    }
+    manual = bpe_encode(
+        dsir_select(raw, spark.read.parquet(tgt_path), k=40, buckets=256),
+        merges,
+    )
+    want = {r["doc_id"]: r["bpe_tokens"] for r in manual.collect()}
+    assert got == want and len(got) == 40
+
+    with pytest.raises(ConfigurationError, match="exactly one"):
+        build_transformer({"type": "bpe_encode", "config": {}})
+    with pytest.raises(ConfigurationError, match="exactly one"):
+        build_transformer(
+            {"type": "bpe_encode",
+             "config": {"merges_path": merges_path, "n_merges": 5}}
+        )
