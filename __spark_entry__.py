@@ -3045,6 +3045,76 @@ FROM cleaned
 """
 
 
+_HTML_HEAD = (
+    '<html><head><style>p{color:red}</style>\n'
+    '<script type="text/js">var x=1;\nif(x<2){x=3;}</script></head>\n'
+    '<body><h1 class="t">Title&nbsp;A</h1><p>'
+)
+_HTML_TAIL = (
+    "</p><ul><li>first</li><li>second &amp;lt; third &gt; fourth</li></ul>"
+    "<!-- hidden\ncomment --><div>tail &quot;q&#39;s&quot;</div></body></html>"
+)
+
+
+def txt12_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/text.py strip_html — the
+    WET-style stage before clean_text): script/style blocks dropped
+    wholesale, block tags become newlines (paragraph structure
+    survives for the paragraph dedup ops), remaining tags/comments
+    stripped, core entities decoded (&amp; last, so &amp;lt; yields a
+    literal &lt; and never a ghost tag). The synthetic documents are
+    plain text, so the query wraps every doc in a deterministic HTML
+    shell exercising every rule; the oracle builds the identical
+    shell and replays the chain in RE2, hash-checking each rule
+    byte-for-byte (patterns are RE2-safe — no backreferences)."""
+    from ai_etl_framework_spark.functions.text import strip_html
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit(_HTML_HEAD), F.coalesce(F.col("text"), F.lit("")), F.lit(_HTML_TAIL)
+    )
+    ext = strip_html(wrapped)
+    return docs.select(
+        "doc_id",
+        ext.alias("extracted"),
+        F.length(ext).cast("long").alias("n_chars_ext"),
+    )
+
+
+_TXT12_SQL = r"""
+WITH wrapped AS (
+  SELECT doc_id,
+         '<html><head><style>p{color:red}</style>' || chr(10) ||
+         '<script type="text/js">var x=1;' || chr(10) ||
+         'if(x<2){x=3;}</script></head>' || chr(10) ||
+         '<body><h1 class="t">Title&nbsp;A</h1><p>' ||
+         COALESCE(text, '') ||
+         '</p><ul><li>first</li><li>second &amp;lt; third &gt; fourth</li></ul>' ||
+         '<!-- hidden' || chr(10) || 'comment --><div>tail &quot;q&#39;s&quot;</div></body></html>'
+         AS w
+  FROM documents),
+ext AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        w,
+        '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+        '(?is)<style\b.*?</style\s*>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\b[^>]*>', chr(10), 'g'),
+        '(?s)<[^>]*>', ' ', 'g'),
+        '&nbsp;', ' ', 'g'),
+        '&lt;', '<', 'g'),
+        '&gt;', '>', 'g'),
+        '&quot;', '"', 'g'),
+        '&#39;', '''', 'g') AS e0
+  FROM wrapped),
+fin AS (SELECT doc_id, regexp_replace(e0, '&amp;', '&', 'g') AS e FROM ext)
+SELECT doc_id, e AS extracted, CAST(length(e) AS BIGINT) AS n_chars_ext
+FROM fin
+"""
+
+
 def x14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental crawl-vs-corpus dedup (operators/dedup.py
     dedup_against_history): history = doc_id%3==0, the daily batch =
@@ -4342,6 +4412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt11_bpe_encode": txt11_bpe_encode,
         "x18_dsir_resample": x18_dsir_resample,
         "x19_interval_join": x19_interval_join,
+        "txt12_strip_html": txt12_strip_html,
     }
 
 
@@ -4413,6 +4484,7 @@ def oracle_sql() -> dict[str, str]:
         "x17_snapshot_diff": _X17_SQL,
         "x18_dsir_resample": _X18_SQL,
         "x19_interval_join": _X19_SQL,
+        "txt12_strip_html": _TXT12_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

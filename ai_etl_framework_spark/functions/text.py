@@ -272,6 +272,42 @@ def clean_text(text: Column) -> Column:
     return F.regexp_replace(x, "^[ \n]+|[ \n]+$", "")
 
 
+def strip_html(text: Column) -> Column:
+    """HTML → text extraction (the WET-style stage web pipelines run
+    before :func:`clean_text`): drop ``<script>``/``<style>`` blocks
+    wholesale (their content is code, not prose), turn block-level
+    closers/openers and ``<br>`` into newlines so paragraph structure
+    survives for the paragraph-granularity dedup ops, strip every
+    remaining tag and HTML comment, then decode the six core entities
+    (&amp; last, so ``&amp;lt;`` decodes to the literal ``&lt;`` and
+    never to a ghost tag). Pure Catalyst regexp chain, no UDF; NULL
+    stays NULL; non-HTML text passes through (modulo entity decoding).
+    Both engines see the same literal patterns — RE2-safe (non-greedy
+    quantifiers, (?i)/(?s) flags only), so the DuckDB oracle twin is
+    byte-identical.
+    """
+    # (?s) so script/style bodies spanning lines still match; two
+    # patterns, not one with a backreference — RE2 (the oracle's
+    # engine) has no backreferences
+    x = F.regexp_replace(text, r"(?is)<script\b.*?</script\s*>", " ")
+    x = F.regexp_replace(x, r"(?is)<style\b.*?</style\s*>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(
+        x, r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\b[^>]*>", "\n"
+    )
+    x = F.regexp_replace(x, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        x = F.regexp_replace(x, ent, ch)
+    return x
+
+
 def fingerprint(text: Column) -> Column:
     """md5 of the normalized text — exact-dup key robust to
     case/whitespace noise."""

@@ -31,6 +31,10 @@ EDGE_QUERIES = [
     # docs: doc 6's literal tab+newline mix exercises every rule in
     # one value; NULL text ≡ '' through the dirt wrapper
     "txt08_clean_text",
+    # HTML extraction over blank / whitespace-only / NULL docs and
+    # text containing regex-significant punctuation; the wrapper shell
+    # exercises script/style/comment/block/entity rules on every row
+    "txt12_strip_html",
     # exact top-k vocabulary: blank/whitespace/NULL docs contribute
     # zero tokens, ties at the cut resolve by the (n DESC, token ASC)
     # total order on both engines

@@ -331,3 +331,33 @@ def test_clean_text_matches_python_model(spark):
         assert got == {i: model(t) for i, t in enumerate(texts)}
 
     run()
+
+
+def test_strip_html_pinned_rules(spark):
+    from ai_etl_framework_spark.functions.text import strip_html
+
+    cases = {
+        # script/style bodies vanish wholesale (incl. < and & inside)
+        '<script>if(a<b){c&=1}</script>after': ' after',
+        '<style a="b">p { x: "<" }</style>ok': ' ok',
+        # block tags -> newline; inline tags -> space; comments vanish
+        '<p>one</p><p>two</p>': '\none\n\ntwo\n',
+        'a<b>bold</b>c': 'a bold c',
+        'x<!-- note\nmore -->y': 'x y',
+        '<br/>line': '\nline',
+        # entity decoding, &amp; LAST so &amp;lt; -> literal &lt;
+        '&lt;tag&gt; &quot;q&quot; &#39;a&#39; A&nbsp;B &amp;lt;': '<tag> "q" \'a\' A B &lt;',
+        # non-HTML text passes through
+        'plain text 2 < 3 stays': 'plain text 2 < 3 stays',
+        '': '',
+        None: None,
+    }
+    df = spark.createDataFrame(
+        list(enumerate(cases)), "i long, t string"
+    )
+    got = {
+        r["i"]: r["e"]
+        for r in df.select("i", strip_html(F.col("t")).alias("e")).collect()
+    }
+    want = dict(enumerate(cases.values()))
+    assert got == want
