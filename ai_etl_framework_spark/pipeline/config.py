@@ -47,6 +47,8 @@ def build_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
         return readers.read_json(spark, cfg.pop("path"), **cfg)
     if kind == "parquet":
         return readers.read_parquet(spark, cfg.pop("path"), **cfg)
+    if kind == "orc":
+        return readers.read_orc(spark, cfg.pop("path"), **cfg)
     if kind in ("jdbc", "postgres", "postgresql"):
         return readers.read_jdbc(spark, **cfg)
     raise ConfigurationError(f"unknown source type: {kind!r}")
@@ -255,6 +257,7 @@ def build_destination(cfg: dict[str, Any]) -> Callable[[DataFrame], None]:
 
     writer = {
         "parquet": writers.write_parquet,
+        "orc": writers.write_orc,
         "csv": writers.write_csv,
         "json": writers.write_json,
         "jdbc": writers.write_jdbc,

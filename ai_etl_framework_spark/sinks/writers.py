@@ -65,6 +65,28 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    partition_cols: Optional[Sequence[str]] = None,
+    schema_cols: Optional[Sequence[str]] = None,
+    type_map: Optional[dict[str, str]] = None,
+) -> None:
+    """Columnar ORC sink — the write twin of sources.readers.read_orc
+    (no reference counterpart; lakehouse interop). Same mode/
+    compression/partitionBy/coercion contract as write_parquet."""
+    if type_map:
+        df = coerce_types(df, type_map)
+    if schema_cols:
+        df = ordered_columns(df, schema_cols)
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)
+
+
 def write_csv(
     df: DataFrame,
     path: str,

@@ -360,3 +360,39 @@ def test_with_row_id_post_shuffle_falls_back_and_is_contiguous(spark, tmp_path):
     rows = out.collect()
     assert sorted(r["_row_id"] for r in rows) == list(range(30))
     assert len({r["v"] for r in rows}) == 30
+
+
+def test_write_orc_contract(spark, small, tmp_path):
+    """write_orc honors the write_parquet contract: mode, partitionBy,
+    schema-first column order, try_cast coercion; round-trips through
+    read_orc and the config pipeline's orc source/destination."""
+    from ai_etl_framework_spark.sinks.writers import write_orc
+
+    p = str(tmp_path / "orc_out")
+    write_orc(
+        small,
+        p,
+        partition_cols=["id"],
+        schema_cols=list(reversed(small.columns)),
+        type_map={"v": "float"},
+    )
+    back = read_orc(spark, p)
+    assert back.count() == small.count()
+    assert dict(back.dtypes)["v"] == "float"
+    # partition column comes back (appended by the scan)
+    assert set(back.columns) == set(small.columns)
+
+    from ai_etl_framework_spark.pipeline.config import build_pipeline
+
+    out2 = str(tmp_path / "orc_out2")
+    build_pipeline(
+        spark,
+        {
+            "name": "orc-roundtrip",
+            "source": {"type": "orc", "path": p},
+            "transformers": [],
+            "destinations": [{"type": "orc", "path": out2,
+                              "mode": "overwrite"}],
+        },
+    ).run()
+    assert spark.read.orc(out2).count() == small.count()
