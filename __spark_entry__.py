@@ -3432,6 +3432,36 @@ JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
 """
 
 
+def txt13_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (operators/unigram_lm.py — Kudo 2018 /
+    SentencePiece): train a 300-piece table on the corpus word counts
+    (one corpus-scale aggregation; EM on the vocab-sized table), then
+    Viterbi-encode per document via the zero-shuffle broadcast UDF.
+    Rows-only by design (EM has no SQL twin); the correctness
+    evidence is tests/test_unigram_lm.py — forward-backward vs
+    brute-force enumeration, EM likelihood monotonicity, Viterbi vs
+    brute-force argmax, character-coverage/round-trip invariants.
+    Row count = document count, deterministic."""
+    from ai_etl_framework_spark.operators.bpe import word_counts
+    from ai_etl_framework_spark.operators.unigram_lm import (
+        train_unigram_lm,
+        unigram_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = train_unigram_lm(
+        word_counts(docs), vocab_size=300, max_piece_len=6
+    )
+    enc = unigram_encode(docs, pieces, max_piece_len=6)
+    return enc.select(
+        "doc_id",
+        F.size("unigram_tokens").cast("long").alias("n_tokens"),
+        F.length(F.concat_ws("", F.col("unigram_tokens")))
+        .cast("long")
+        .alias("n_piece_chars"),
+    )
+
+
 def x17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py snapshot_diff):
     old = doc_id%4!=1, new = doc_id%4!=2 with every 7th doc's text
@@ -4413,6 +4443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x18_dsir_resample": x18_dsir_resample,
         "x19_interval_join": x19_interval_join,
         "txt12_strip_html": txt12_strip_html,
+        # rows-only (EM training, no SQL twin): evidence is
+        # tests/test_unigram_lm.py's brute-force/EM-monotone suite
+        "txt13_unigram_encode": txt13_unigram_encode,
     }
 
 

@@ -117,6 +117,12 @@ QUERIES = [
     "txt10_bpe_merges",
     "txt11_bpe_encode",
     "x18_dsir_resample",
+    # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
+    # scales with DISTINCT words, and the letter rotation inflates the
+    # sf1 vocabulary ~10× by construction — the ratio would measure
+    # the generator, not the operator (real pipelines train the
+    # tokenizer on a bounded sample; the max_vocab_rows cap enforces
+    # exactly that, same argument as x13's kmeans exclusion).
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split
