@@ -84,7 +84,7 @@ def _corpus_factories() -> dict[str, Callable[[dict], Callable[[DataFrame], Data
     needs besides the flowing one (a benchmark suite, a dedup
     history) are given as parquet PATHS and read through the flowing
     DataFrame's own session at call time."""
-    from ai_etl_framework_spark.functions.text import clean_text
+    from ai_etl_framework_spark.functions.text import clean_text, strip_html
     from ai_etl_framework_spark.operators.corpus import (
         corpus_quality,
         decontaminate,
@@ -105,6 +105,10 @@ def _corpus_factories() -> dict[str, Callable[[dict], Callable[[DataFrame], Data
     def _clean(cfg):
         col = cfg.get("text_col", "text")
         return lambda df: df.withColumn(col, clean_text(F.col(col)))
+
+    def _strip_html(cfg):
+        col = cfg.get("text_col", "text")
+        return lambda df: df.withColumn(col, strip_html(F.col(col)))
 
     def _decontaminate(cfg):
         cfg = dict(cfg)
@@ -189,6 +193,7 @@ def _corpus_factories() -> dict[str, Callable[[dict], Callable[[DataFrame], Data
 
     return {
         "clean_text": _clean,
+        "strip_html": _strip_html,
         "corpus_quality": lambda cfg: (
             lambda df: corpus_quality(df, **cfg)
         ),
