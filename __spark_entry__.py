@@ -3462,6 +3462,57 @@ def txt13_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed merge table for txt14 (the paper's classic merges + two
+# vowel pairs that fire on this corpus). Chosen so NO merge can create
+# a pair with an EARLIER rank — on such tables the engine's
+# lowest-rank-first apply loop provably equals sequential greedy
+# replaces, which ARE SQL-expressible (test_bpe.py pins the general
+# equivalence on trained tables).
+_TXT14_MERGES = [
+    ("e", "s"), ("es", "t"), ("est", "</w>"),
+    ("l", "o"), ("lo", "w"),
+    ("t", "h"), ("th", "e"), ("the", "</w>"),
+    ("a", "n"), ("o", "r"),
+]
+
+
+def txt14_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY with a fixed merge table (operators/bpe.py
+    bpe_encode — the lowest-rank loop, broadcast ranks, per-worker
+    word cache, zero shuffle): full per-document token arrays,
+    hash-compared against a DuckDB twin that replays the merges as an
+    ordered replace() chain over separator-joined characters (replace
+    is left-to-right non-overlapping — exactly the greedy merge).
+    This is the cross-engine verification of the encode path itself;
+    txt11 (trained table, join-back shape) stays rows-only."""
+    from ai_etl_framework_spark.operators.bpe import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode(docs, _TXT14_MERGES).select(
+        "doc_id",
+        F.col("bpe_tokens").alias("tokens"),
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def _txt14_sql() -> str:
+    sep = "chr(31)"
+    s = f"regexp_replace(w, '(.)', '\\1' || {sep}, 'g') || '</w>'"
+    for a, b in _TXT14_MERGES:
+        s = f"replace({s}, '{a}' || {sep} || '{b}', '{a}{b}')"
+    return f"""
+WITH words AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents),
+enc AS (
+  SELECT doc_id,
+         flatten(list_transform(toks, w -> string_split({s}, chr(31))))
+         AS tokens
+  FROM words)
+SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS n_tokens
+FROM enc
+"""
+
+
 def x17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py snapshot_diff):
     old = doc_id%4!=1, new = doc_id%4!=2 with every 7th doc's text
@@ -4446,6 +4497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (EM training, no SQL twin): evidence is
         # tests/test_unigram_lm.py's brute-force/EM-monotone suite
         "txt13_unigram_encode": txt13_unigram_encode,
+        "txt14_bpe_apply": txt14_bpe_apply,
     }
 
 
@@ -4518,6 +4570,7 @@ def oracle_sql() -> dict[str, str]:
         "x18_dsir_resample": _X18_SQL,
         "x19_interval_join": _X19_SQL,
         "txt12_strip_html": _TXT12_SQL,
+        "txt14_bpe_apply": _txt14_sql(),
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -35,6 +35,10 @@ EDGE_QUERIES = [
     # text containing regex-significant punctuation; the wrapper shell
     # exercises script/style/comment/block/entity rules on every row
     "txt12_strip_html",
+    # BPE apply over blank / whitespace-only / NULL docs and
+    # punctuation/unknown-char words — the replace-chain oracle must
+    # agree token-for-token with the lowest-rank apply loop
+    "txt14_bpe_apply",
     # exact top-k vocabulary: blank/whitespace/NULL docs contribute
     # zero tokens, ties at the cut resolve by the (n DESC, token ASC)
     # total order on both engines
