@@ -3366,7 +3366,7 @@ _DSIR_BIGRAMS = (
 )
 _DSIR_GRAMS = f"list_concat({_TOKS}, {_DSIR_BIGRAMS})"
 
-_X18_SQL = f"""
+_DSIR_CTE = f"""
 WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
 tgt AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
 rg AS (SELECT doc_id,
@@ -3388,15 +3388,24 @@ wsum AS (SELECT rg.doc_id, count(*)::BIGINT AS n_grams,
 w AS (SELECT raw.doc_id,
              coalesce(wsum.n_grams, 0)::BIGINT AS n_grams,
              coalesce(wsum.logw, 0.0) AS logw
-      FROM raw LEFT JOIN wsum USING (doc_id))
-SELECT doc_id, n_grams, logw,
-       logw + (-ln(-ln(
-         ((('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 13))::BIGINT)
-          + 0.5) / 4503599627370496.0))) AS key
-FROM w
+      FROM raw LEFT JOIN wsum USING (doc_id)),
+keyed AS (
+  SELECT doc_id, n_grams, logw,
+         logw + (-ln(-ln(
+           ((('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 13))::BIGINT)
+            + 0.5) / 4503599627370496.0))) AS key
+  FROM w)
+"""
+
+_X18_SQL = (
+    _DSIR_CTE
+    + """
+SELECT doc_id, n_grams, logw, key
+FROM keyed
 ORDER BY key DESC, doc_id ASC
 LIMIT 50
 """
+)
 
 
 def x19_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3511,6 +3520,35 @@ enc AS (
 SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS n_tokens
 FROM enc
 """
+
+
+def x20_dsir_select_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR quantile-threshold selection (operators/dsir.py
+    dsir_select_frac — the 100 TB form when the kept set is too big
+    for a driver top-k): keep the top 20% of raw docs by the
+    Gumbel-perturbed key, cut = one exact-percentile scalar (the
+    x11/IQR dual has the approx flag at 100×). frac chosen so the
+    interpolated cut lands strictly BETWEEN adjacent keys at every
+    test SF (q·(n−1) non-integer) — membership is then robust to the
+    engines' last-ulp ln() differences."""
+    from ai_etl_framework_spark.operators.dsir import dsir_select_frac
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.where(F.col("doc_id") % 10 != 0)
+    tgt = docs.where(F.col("doc_id") % 10 == 0)
+    sel = dsir_select_frac(raw, tgt, frac=0.2)
+    return sel.select("doc_id", "lang", "source", "dsir_key")
+
+
+_X20_SQL = (
+    _DSIR_CTE
+    + """
+, cut AS (SELECT quantile_cont(key, 0.8) AS c FROM keyed)
+SELECT k.doc_id, d.lang, d.source, k.key AS dsir_key
+FROM keyed k JOIN documents d USING (doc_id), cut
+WHERE k.key >= cut.c
+"""
+)
 
 
 def x17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4498,6 +4536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_unigram_lm.py's brute-force/EM-monotone suite
         "txt13_unigram_encode": txt13_unigram_encode,
         "txt14_bpe_apply": txt14_bpe_apply,
+        "x20_dsir_select_frac": x20_dsir_select_frac,
     }
 
 
@@ -4571,6 +4610,7 @@ def oracle_sql() -> dict[str, str]:
         "x19_interval_join": _X19_SQL,
         "txt12_strip_html": _TXT12_SQL,
         "txt14_bpe_apply": _txt14_sql(),
+        "x20_dsir_select_frac": _X20_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

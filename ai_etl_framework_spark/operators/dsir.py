@@ -46,6 +46,7 @@ __all__ = [
     "gumbel_key_expr",
     "dsir_resample",
     "dsir_select",
+    "dsir_select_frac",
 ]
 
 
@@ -218,3 +219,46 @@ def dsir_select(
         raw, target, k, text_col, id_col, buckets, ns, seed
     ).select(id_col)
     return raw.join(F.broadcast(picked), id_col, "left_semi")
+
+
+def dsir_select_frac(
+    raw: DataFrame,
+    target: DataFrame,
+    frac: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    ns: Sequence[int] = (1, 2),
+    seed: int = 0,
+    approx: bool = False,
+) -> DataFrame:
+    """The 100 TB form of DSIR selection: when the kept set itself is
+    huge (k beyond a driver-friendly top-k), cut on the corpus-level
+    QUANTILE of the Gumbel-perturbed key instead — keep the top
+    ``frac`` of documents by ``logw + Gumbel``. Same sampling
+    semantics in expectation; the cut is one scalar aggregation
+    (exact ``percentile`` at test scale, ``percentile_approx`` (KLL)
+    under ``approx=True`` at 100× — the IQR/x11 dual), then the
+    corpus streams through a single filter. Returns the selected rows
+    with their ``dsir_key`` attached. ``frac`` ∈ (0, 1]."""
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    w = dsir_weights(raw, target, text_col, id_col, buckets, ns)
+    keyed = w.select(
+        id_col, gumbel_key_expr(F.col(id_col), F.col("logw"), seed).alias("dsir_key")
+    )
+    # persisted (not unpersisted — LRU-evicted) so the weight lineage
+    # computes once for the cut and once more never: the returned
+    # filter reads the cached keys (the x10 LM-table pattern)
+    keyed = keyed.persist()
+    q = 1.0 - frac
+    cut_fn = (
+        F.percentile_approx("dsir_key", q, 10000)
+        if approx
+        else F.percentile("dsir_key", F.lit(q))
+    )
+    cut = keyed.agg(cut_fn.alias("c")).collect()[0]["c"]
+    if cut is None:  # empty corpus
+        return raw.join(keyed, id_col).where(F.lit(False))
+    kept = keyed.where(F.col("dsir_key") >= F.lit(float(cut)))
+    return raw.join(kept, id_col)

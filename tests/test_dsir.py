@@ -11,10 +11,13 @@ import hashlib
 import math
 
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from ai_etl_framework_spark.operators.dsir import (
     dsir_resample,
+    dsir_select,
+    dsir_select_frac,
     dsir_weights,
     hashed_ngram_buckets,
     ngram_bucket_counts,
@@ -167,6 +170,60 @@ def test_resample_topk_and_determinism(frames):
         ((_gumbel_key(i, lw, 7), i) for i, (_, lw) in exp.items()), reverse=True
     )
     assert [r["doc_id"] for r in other] == [i for _, i in exp_keys7[:3]]
+
+
+def test_select_returns_rows_and_frac_matches_topk(frames):
+    raw, tgt = frames
+    sel = dsir_select(raw, tgt, k=3, buckets=B)
+    assert sorted(sel.columns) == sorted(raw.columns)
+    exp = _model_weights(RAW, TGT)
+    keys = sorted(
+        ((_gumbel_key(i, lw), i) for i, (_, lw) in exp.items()), reverse=True
+    )
+    assert sorted(r["doc_id"] for r in sel.collect()) == sorted(
+        i for _, i in keys[:3]
+    )
+    # frac form: keeping 3/6 = top half must pick the same documents
+    self_ = dsir_select_frac(raw, tgt, frac=0.5, buckets=B)
+    assert sorted(r["doc_id"] for r in self_.collect()) == sorted(
+        i for _, i in keys[:3]
+    )
+    assert "dsir_key" in self_.columns
+    # frac=1.0 keeps everything; bad frac raises
+    assert dsir_select_frac(raw, tgt, frac=1.0, buckets=B).count() == len(RAW)
+    with pytest.raises(ValueError, match="frac"):
+        dsir_select_frac(raw, tgt, frac=0.0)
+    # approx dual picks a valid subset of the same size at this scale
+    appr = dsir_select_frac(raw, tgt, frac=0.5, buckets=B, approx=True)
+    assert appr.count() >= 1
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet=st.sampled_from("ab c"), max_size=20),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_weights_hypothesis_differential(spark, texts):
+    raw = {i: t for i, t in enumerate(texts)}
+    tgt = {100: "a b", 101: "c c a"}
+    rdf = spark.createDataFrame(list(raw.items()), "doc_id long, text string")
+    tdf = spark.createDataFrame(list(tgt.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["logw"])
+        for r in dsir_weights(rdf, tdf, buckets=B).collect()
+    }
+    exp = _model_weights(raw, tgt)
+    assert set(got) == set(raw)
+    for i in raw:
+        assert got[i][0] == exp[i][0]
+        assert got[i][1] == pytest.approx(exp[i][1], rel=1e-12, abs=1e-12)
 
 
 def test_plan_shape(frames):
