@@ -146,3 +146,72 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert got2 == batch_twin(views, clicks)
     # the split actually produced cross-batch matches (non-vacuous)
     assert len(got2) > len(exp1)
+
+
+def test_stream_stream_left_outer_emits_nulls_at_watermark(spark, tmp_path):
+    """left_outer stream-stream: unmatched left rows surface as NULL
+    rows only once the watermark passes their join window — i.e. on a
+    LATER run whose new data advances the watermark. Final output
+    equals the batch left-outer twin."""
+    import datetime as dt
+
+    from ai_etl_framework_spark.streaming.events import read_stream, start_to_parquet
+
+    schema = "event_id long, user_id long, ts timestamp"
+    views = spark.createDataFrame(
+        [(1, 10, _ts(0)), (2, 20, _ts(1))], schema
+    )
+    clicks1 = spark.createDataFrame([(101, 10, _ts(5))], schema)
+    # far-future rows on BOTH sides: the global watermark is the MIN
+    # across all watermarked inputs, so a side that receives no new
+    # data pins it — both must advance for eviction
+    clicks2 = spark.createDataFrame(
+        [(102, 99, _ts(60 * 24 * 10))], schema
+    )
+    views2 = spark.createDataFrame(
+        [(3, 97, _ts(60 * 24 * 10))], schema
+    )
+    vdir, cdir = str(tmp_path / "v"), str(tmp_path / "c")
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "k")
+
+    def run():
+        vs = read_stream(spark, vdir, fmt="parquet", schema=views.schema)
+        cs = read_stream(spark, cdir, fmt="parquet", schema=views.schema)
+        j = interval_join(
+            vs, cs, key="user_id", upper="10 minutes",
+            watermark="30 minutes", how="left_outer",
+        )
+        q = start_to_parquet(j, out, ckpt, available_now=True)
+        q.awaitTermination(180)
+
+    views.write.mode("overwrite").parquet(vdir)
+    clicks1.write.mode("overwrite").parquet(cdir)
+    run()
+    got1 = sorted(
+        (r["left_event_id"], r["right_event_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got1 == [(1, 101)]  # inner match emits; NULL row held back
+
+    # run 2 advances the watermark (committed at batch end); the NULL
+    # eviction happens in the FOLLOWING batch, so a third run with one
+    # more far-future row triggers it
+    clicks2.write.mode("append").parquet(cdir)
+    views2.write.mode("append").parquet(vdir)
+    run()
+    clicks3 = spark.createDataFrame(
+        [(103, 98, _ts(60 * 24 * 20))], views.schema
+    )
+    views3 = spark.createDataFrame(
+        [(4, 96, _ts(60 * 24 * 20))], views.schema
+    )
+    clicks3.write.mode("append").parquet(cdir)
+    views3.write.mode("append").parquet(vdir)
+    run()
+    got2 = sorted(
+        (r["left_event_id"], r["right_event_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # view 1 matched; views 2 and 3 evicted unmatched once the
+    # watermark passed their windows; view 4 (newest) stays in state
+    assert got2 == [(1, 101), (2, None), (3, None)]
