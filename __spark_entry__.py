@@ -3551,6 +3551,41 @@ WHERE k.key >= cut.c
 )
 
 
+def x21_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document (operators/tfidf.py — smoothed
+    idf, score DESC / term ASC tie-break): the corpus-keyword /
+    topic-signature op. Vocab-sized (term, df) agg broadcast back over
+    int/short-string pairs; per-doc top-k runs as WindowGroupLimit
+    (plan-pinned in tests/test_tfidf.py)."""
+    from ai_etl_framework_spark.operators.tfidf import tfidf_topk_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk_terms(docs, k=5)
+
+
+_X21_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS n
+       FROM tok GROUP BY doc_id, term),
+tot AS (SELECT doc_id, sum(n) AS n_doc FROM tf GROUP BY doc_id),
+dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM tok GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (tf.n / tot.n_doc) * (ln((nn.n + 1.0) / (dfq.df + 1)) + 1.0)
+         AS tf_idf
+  FROM tf JOIN tot USING (doc_id) JOIN dfq USING (term), nn),
+ranked AS (
+  SELECT doc_id, term, tf_idf,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tf_idf DESC, term ASC
+         ) AS BIGINT) AS rank
+  FROM scored)
+SELECT doc_id, term, rank, tf_idf FROM ranked WHERE rank <= 5
+"""
+
+
 def x17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py snapshot_diff):
     old = doc_id%4!=1, new = doc_id%4!=2 with every 7th doc's text
@@ -4537,6 +4572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt13_unigram_encode": txt13_unigram_encode,
         "txt14_bpe_apply": txt14_bpe_apply,
         "x20_dsir_select_frac": x20_dsir_select_frac,
+        "x21_tfidf_topk": x21_tfidf_topk,
     }
 
 
@@ -4611,6 +4647,7 @@ def oracle_sql() -> dict[str, str]:
         "txt12_strip_html": _TXT12_SQL,
         "txt14_bpe_apply": _txt14_sql(),
         "x20_dsir_select_frac": _X20_SQL,
+        "x21_tfidf_topk": _X21_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

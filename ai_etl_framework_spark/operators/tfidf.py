@@ -1,0 +1,87 @@
+"""TF-IDF term scoring — corpus keyword extraction / topic signatures
+(Salton & Buckley 1988; the smoothed-idf variant every IR stack
+ships). No reference-repo counterpart (grep tfidf/tf_idf/idf over
+/root/reference/src: zero hits) — beyond-reference curation scope:
+top terms per document label corpora for mixture balancing and make
+dataset cards interpretable.
+
+Definitions (pinned, oracle-replicated):
+
+- ``tf(t, d)``  = occurrences of t in d / total tokens in d
+- ``idf(t)``    = ln((N + 1) / (df_t + 1)) + 1  (smoothed; never
+  negative, never divides by zero — scikit-learn's convention)
+- ``score``     = tf · idf, ties broken term-ascending.
+
+Scale shape: one (term, df) hash aggregation to a vocab-sized frame
+(map-side partials collapse the Zipf head), broadcast back over the
+exploded (doc, term, tf) counts — the corpus shuffles once as int/
+short-string pairs, never as documents — and per-doc top-k is a
+rank-over-window that Spark 4 executes as WindowGroupLimit: each
+partition keeps only k rows per doc BEFORE the shuffle, so the window
+never materializes full per-doc term lists."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ai_etl_framework_spark.functions.text import tokens as _tokens
+
+__all__ = ["doc_frequencies", "tfidf_topk_terms"]
+
+
+def doc_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, df) — number of DOCUMENTS containing each term, via the
+    per-(doc, term) distinct then one count; vocab-sized output."""
+    return (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(_tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("__id", "term")
+        .agg(F.lit(1))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k terms per document by tf·idf: (id, term, rank, tf_idf).
+    Documents with no tokens produce no rows. Deterministic: score
+    DESC then term ASC. N is the total document count (one scalar),
+    idf smoothed so unseen/ubiquitous terms stay finite."""
+    n_docs = df.count()
+    tf = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(_tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("n_doc", F.sum("n").over(Window.partitionBy("__id")))
+    )
+    idf = doc_frequencies(df, text_col, id_col).select(
+        "term",
+        (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0).alias(
+            "idf"
+        ),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "__id",
+        "term",
+        ((F.col("n") / F.col("n_doc")) * F.col("idf")).alias("tf_idf"),
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("tf_idf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("__id").alias(id_col), "term", "rank", "tf_idf")
+    )
