@@ -3586,6 +3586,36 @@ SELECT doc_id, term, rank, tf_idf FROM ranked WHERE rank <= 5
 """
 
 
+def x22_contained_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap pairs (operators/corpus.py
+    contained_passage_pairs, window=8): documents sharing ≥1 8-token
+    span of normalized text — the contained/quoted-passage case both
+    whole-doc fingerprints and bag-of-shingle Jaccard miss. Only
+    (id, md5) pairs shuffle (the MinHash-band-join shape). The oracle
+    replays normalize → token windows → md5 → distinct self-join."""
+    from ai_etl_framework_spark.operators.corpus import contained_passage_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contained_passage_pairs(docs, window=8)
+
+
+_X22_SQL = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+fps AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 8 THEN
+      list_distinct(list_transform(range(1, len(toks) - 6),
+                    i -> md5(array_to_string(toks[i:i+7], ' '))))
+    WHEN len(toks) > 0 THEN [md5(array_to_string(toks, ' '))]
+    ELSE CAST([] AS VARCHAR[]) END AS fp
+  FROM tk),
+e AS (SELECT doc_id, unnest(fp) AS f FROM fps)
+SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::BIGINT AS n_shared
+FROM e a JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def x17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py snapshot_diff):
     old = doc_id%4!=1, new = doc_id%4!=2 with every 7th doc's text
@@ -4573,6 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt14_bpe_apply": txt14_bpe_apply,
         "x20_dsir_select_frac": x20_dsir_select_frac,
         "x21_tfidf_topk": x21_tfidf_topk,
+        "x22_contained_passages": x22_contained_passages,
     }
 
 
@@ -4648,6 +4679,7 @@ def oracle_sql() -> dict[str, str]:
         "txt14_bpe_apply": _txt14_sql(),
         "x20_dsir_select_frac": _X20_SQL,
         "x21_tfidf_topk": _X21_SQL,
+        "x22_contained_passages": _X22_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

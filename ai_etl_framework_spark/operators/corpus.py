@@ -41,6 +41,7 @@ __all__ = [
     "quality_metric_columns",
     "corpus_quality",
     "contamination_pairs",
+    "contained_passage_pairs",
     "corpus_report",
     "decontaminate",
     "snapshot_diff",
@@ -695,4 +696,51 @@ def repeated_span_dedup(
             ).alias(out_col),
             (n - F.size("__keep")).cast("long").alias(removed_col),
         )
+    )
+
+
+def contained_passage_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    max_fp_docs: int | None = None,
+) -> DataFrame:
+    """Partial-overlap detection: document pairs sharing at least one
+    ``window``-token span of normalized text — the contained/quoted-
+    passage case that whole-document fingerprints (dd01) and bag-of-
+    shingle Jaccard (dd04) both miss (a short passage inside a long
+    document moves Jaccard barely at all). Output (id1, id2,
+    n_shared): id1 < id2, n_shared = distinct shared span signatures.
+
+    Scale shape: the MinHash-band-join shape — only (id, md5) pairs
+    shuffle, the self-join key is the span hash, corpus text never
+    moves. Hot signatures (boilerplate present in thousands of docs)
+    quadratically inflate the pair count; ``max_fp_docs`` drops spans
+    appearing in more than that many documents before the join (one
+    extra vocab-sized aggregation) — corpus-wide boilerplate is
+    repeated_line/paragraph/span_dedup's job, not this operator's.
+    Docs shorter than ``window`` tokens fingerprint as one whole-doc
+    span, so exact short dups still pair."""
+    from ai_etl_framework_spark.functions.text import window_fingerprints
+
+    fp = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(window_fingerprints(F.col(text_col), window)).alias("fp"),
+    )
+    if max_fp_docs is not None:
+        hot = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("ndocs"))
+            .where(F.col("ndocs") > max_fp_docs)
+            .select("fp")
+        )
+        fp = fp.join(F.broadcast(hot), "fp", "left_anti")
+    a = fp.select(F.col("__id").alias("id1"), "fp")
+    b = fp.select(F.col("__id").alias("id2"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )

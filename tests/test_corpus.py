@@ -642,3 +642,35 @@ def test_snapshot_diff_no_text_bytes_shuffle(spark, sf_dir):
         assert "text" not in seg, seg
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
     assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan, plan
+
+
+def test_contained_passage_pairs(spark):
+    from ai_etl_framework_spark.operators.corpus import contained_passage_pairs
+
+    passage = "one two three four five six seven eight"
+    docs = [
+        (1, f"intro words here {passage} outro trailing words"),
+        (2, f"{passage} and a different continuation entirely"),
+        (3, "completely unrelated text with no shared span at all ok"),
+        (4, "tiny doc"),
+        (5, "tiny doc"),   # short exact dup -> whole-doc fingerprint pairs
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id1"], r["id2"]): r["n_shared"]
+        for r in contained_passage_pairs(df, window=8).collect()
+    }
+    assert set(got) == {(1, 2), (4, 5)}
+    assert got[(1, 2)] == 1  # exactly the one 8-token window both contain
+    assert got[(4, 5)] == 1  # short docs pair on the whole-doc span
+
+    # hot-fingerprint guard: a span in >max_fp_docs docs is dropped
+    hot = [(i, f"boiler plate line repeated across docs {i % 2}") for i in range(10, 16)]
+    hdf = spark.createDataFrame(docs + hot, "doc_id long, text string")
+    guarded = contained_passage_pairs(hdf, window=8, max_fp_docs=2)
+    pairs = {(r["id1"], r["id2"]) for r in guarded.collect()}
+    assert (1, 2) in pairs and (4, 5) in pairs
+    # the 3-copy boilerplate spans (i%2 buckets of 3 docs) are gone
+    assert not any(i1 >= 10 for i1, _ in pairs)

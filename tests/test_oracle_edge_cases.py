@@ -39,6 +39,9 @@ EDGE_QUERIES = [
     # punctuation/unknown-char words — the replace-chain oracle must
     # agree token-for-token with the lowest-rank apply loop
     "txt14_bpe_apply",
+    # contained-passage pairs over the near-dup pair + blank/NULL/
+    # single-token docs (short docs pair via whole-doc fingerprints)
+    "x22_contained_passages",
     # exact top-k vocabulary: blank/whitespace/NULL docs contribute
     # zero tokens, ties at the cut resolve by the (n DESC, token ASC)
     # total order on both engines
