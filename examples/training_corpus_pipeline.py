@@ -1,7 +1,8 @@
 """End-to-end LLM training-corpus pipeline over the documents table —
 the full modern (FineWeb/Dolma/CCNet-style) stage order:
 
-  1. text normalization (clean_text: control chars, unicode spaces,
+  1. HTML → text extraction (strip_html; a no-op on plain text), then
+     text normalization (clean_text: control chars, unicode spaces,
      whitespace runs)
   2. corpus-level boilerplate removal (repeated-line dedup — nav bars
      and cookie banners per-document scoring cannot see)
@@ -16,8 +17,15 @@ the full modern (FineWeb/Dolma/CCNet-style) stage order:
   8. per-language stratified cap (deterministic hash rank)
   9. train/val/test hash split (leak-proof: membership is a pure
      function of doc_id)
+  7b. DSIR selection (Xie 2023): keep the corpus fraction whose
+     hashed-n-gram profile best matches a high-quality target slice
+     (here: the top-quality documents themselves), via the
+     quantile-threshold form (scales past driver top-k)
  10. greedy token-bin packing of the train split (bucket-parallel)
  11. per-language dataset card (corpus_report) for observability
+ 12. tokenizer prep: BPE merge table trained on the train split's
+     word counts + real per-document token counts (distinct-word
+     encode — the merge loop never sees the corpus)
 
 Every membership decision is hash-deterministic, so re-running on a
 grown corpus never flips yesterday's sample/split. Plan construction
@@ -43,8 +51,16 @@ from ai_etl_framework_spark.functions.text import (
     clean_text,
     lang_id,
     quality_score,
+    strip_html,
     token_count,
 )
+from ai_etl_framework_spark.operators.bpe import (
+    bpe_token_counts,
+    merge_table_df,
+    train_bpe_merges,
+    word_counts,
+)
+from ai_etl_framework_spark.operators.dsir import dsir_select_frac
 from ai_etl_framework_spark.operators.corpus import (
     corpus_report,
     repeated_line_dedup,
@@ -73,12 +89,14 @@ def build_corpus(
     boilerplate_min_count: int = 5,
     lm_sample_frac: float = 0.2,
     drop_ppl_bucket: str | None = "tail",
+    dsir_frac: float | None = 0.9,
+    n_bpe_merges: int = 64,
 ) -> dict[str, DataFrame]:
     """Returns {"annotated", "train_packs", "val", "test", "report"}
     DataFrames. ``drop_ppl_bucket=None`` skips the CCNet stage (and
     its two bounded driver collects) entirely."""
     cleaned = docs.select(
-        "doc_id", clean_text(F.col("text")).alias("text")
+        "doc_id", clean_text(strip_html(F.col("text"))).alias("text")
     )
     unboiler = repeated_line_dedup(
         cleaned, min_count=boilerplate_min_count
@@ -111,13 +129,29 @@ def build_corpus(
             | (F.col("ppl_bucket") != drop_ppl_bucket)
         ).select("doc_id")
         near = near.join(keep_ids, "doc_id", "left_semi")
+    if dsir_frac is not None:
+        # DSIR: the target distribution is the corpus's own top-quality
+        # slice — deterministic, no external dependency; the quantile-
+        # threshold form never materializes a driver-side top-k
+        target = near.orderBy(F.col("quality").desc(), "doc_id").limit(
+            max(50, int(near.count() * 0.1))
+        )
+        near = dsir_select_frac(
+            near, target, frac=dsir_frac, id_col="doc_id"
+        ).drop("dsir_key")
     capped = stratified_quota(near, "lang", "doc_id", per_lang_cap)
     split = hash_split(capped, "doc_id", (0.9, 0.05, 0.05), ("train", "val", "test"))
     train = split.where(F.col("split") == "train")
     packs = pack_documents(train, "doc_id", "n_bpe", max_pack_tokens)
+    # tokenizer prep on what actually ships: the merge loop runs on
+    # the vocab-sized word table; token counting joins the encoded
+    # distinct words back (the corpus never enters Python)
+    merges = train_bpe_merges(word_counts(train), n_merges=n_bpe_merges)
     return {
         "annotated": annotated,
         "train_packs": packs,
+        "bpe_merges": merge_table_df(docs.sparkSession, merges),
+        "train_token_counts": bpe_token_counts(train, merges),
         "val": split.where(F.col("split") == "val"),
         "test": split.where(F.col("split") == "test"),
         # per-language dataset card of what actually ships
@@ -148,6 +182,14 @@ def main() -> None:
             f"  lang={r['lang']}: {r['n_docs']} docs, "
             f"{r['total_tokens']} tokens, dup_rate={r['dup_rate']}"
         )
+    n_merges = out["bpe_merges"].count()
+    tok = out["train_token_counts"].agg(
+        F.sum("n_tokens").alias("t"), F.sum("n_words").alias("w")
+    ).first()
+    print(
+        f"tokenizer: {n_merges} BPE merges; train split = "
+        f"{tok['t']} tokens over {tok['w']} words"
+    )
     with tempfile.TemporaryDirectory(prefix="corpus_") as tmp:
         packs.write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(tmp, "train_packs")
