@@ -3616,6 +3616,60 @@ GROUP BY 1, 2
 """
 
 
+def x23_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order / Morton codes (operators/layout.py zorder_value) of
+    events over (user_id, value), 16 bits per dimension — the
+    clustering key behind multi-column scan pruning (Delta's OPTIMIZE
+    ZORDER BY, here as an open operator). Pure integer bit math after
+    one exact min/max quantization, so the oracle reproduces every
+    code bit-for-bit."""
+    from ai_etl_framework_spark.operators.layout import zorder_value
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.min("user_id").cast("double"),
+        F.max("user_id").cast("double"),
+        F.min("value").cast("double"),
+        F.max("value").cast("double"),
+    ).collect()[0]
+    z = zorder_value(
+        [F.col("user_id"), F.col("value")],
+        [stats[0], stats[2]],
+        [stats[1], stats[3]],
+        bits=16,
+    )
+    return ev.select("event_id", z.alias("z"))
+
+
+def _x23_sql() -> str:
+    terms = " + ".join(
+        f"(((q{i + 1} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(16)
+        for i in range(2)
+    )
+
+    def quant(col: str, lo: str, hi: str) -> str:
+        # coalesce INSIDE the clamp: DuckDB least/greatest ignore NULL
+        # operands too, so NULL must become 0 before clamping (the
+        # exact mirror of the Spark-side ordering)
+        return (
+            f"greatest(0, least(65535, coalesce(CAST(floor("
+            f"({col}::DOUBLE - {lo}) / ({hi} - {lo}) * 65535.0"
+            f") AS BIGINT), 0)))"
+        )
+
+    return f"""
+WITH st AS (SELECT min(user_id)::DOUBLE AS lo1, max(user_id)::DOUBLE AS hi1,
+                   min(value)::DOUBLE AS lo2, max(value)::DOUBLE AS hi2
+            FROM events),
+q AS (SELECT event_id,
+             {quant('user_id', 'st.lo1', 'st.hi1')} AS q1,
+             {quant('value', 'st.lo2', 'st.hi2')} AS q2
+      FROM events, st)
+SELECT event_id, CAST({terms} AS BIGINT) AS z FROM q
+"""
+
+
 def x17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py snapshot_diff):
     old = doc_id%4!=1, new = doc_id%4!=2 with every 7th doc's text
@@ -4604,6 +4658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x20_dsir_select_frac": x20_dsir_select_frac,
         "x21_tfidf_topk": x21_tfidf_topk,
         "x22_contained_passages": x22_contained_passages,
+        "x23_zorder_values": x23_zorder_values,
     }
 
 
@@ -4680,6 +4735,7 @@ def oracle_sql() -> dict[str, str]:
         "x20_dsir_select_frac": _X20_SQL,
         "x21_tfidf_topk": _X21_SQL,
         "x22_contained_passages": _X22_SQL,
+        "x23_zorder_values": _x23_sql(),
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -184,6 +184,10 @@ EVENT_EDGE_QUERIES = [
     "q38_window_analytics",
     "q39_json_extract",
     "sk01_sketch_bounds",
+    # z-order codes over NULL user/value rows: NULLs must quantize to
+    # bucket 0 (least/greatest skip NULL operands in BOTH engines —
+    # the coalesce-inside-clamp ordering is what this row pins)
+    "x23_zorder_values",
 ]
 
 
