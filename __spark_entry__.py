@@ -3670,6 +3670,45 @@ SELECT event_id, CAST({terms} AS BIGINT) AS z FROM q
 """
 
 
+def x24_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill (operators/
+    resample.py — pandas resample().sum().ffill() at scale): per-user
+    hourly sums of event value, gaps densified from each user's first
+    to last bucket and forward-filled, synthetic rows flagged. The
+    oracle replays bucket → grid (generate_series) → left join →
+    IGNORE NULLS running last."""
+    from ai_etl_framework_spark.operators.resample import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_ffill(ev, "user_id", "ts", "value", step="1 hour", agg="sum")
+    return out.select(
+        "user_id",
+        "bucket_start",
+        F.round("value", 6).alias("value"),
+        "filled",
+    )
+
+
+_X24_SQL = """
+WITH obs AS (
+  SELECT user_id AS key, date_trunc('hour', ts) AS b, sum(value) AS value
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+spans AS (SELECT key, min(b) AS lo, max(b) AS hi FROM obs GROUP BY key),
+grid AS (SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+         FROM spans),
+j AS (SELECT g.key, g.b, o.value
+      FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.b = o.b)
+SELECT key AS user_id, b AS bucket_start,
+       ROUND(last_value(value IGNORE NULLS) OVER (
+         PARTITION BY key ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+       value IS NULL AS filled
+FROM j
+"""
+
+
 def x17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py snapshot_diff):
     old = doc_id%4!=1, new = doc_id%4!=2 with every 7th doc's text
@@ -4659,6 +4698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x21_tfidf_topk": x21_tfidf_topk,
         "x22_contained_passages": x22_contained_passages,
         "x23_zorder_values": x23_zorder_values,
+        "x24_resample_ffill": x24_resample_ffill,
     }
 
 
@@ -4736,6 +4776,7 @@ def oracle_sql() -> dict[str, str]:
         "x21_tfidf_topk": _X21_SQL,
         "x22_contained_passages": _X22_SQL,
         "x23_zorder_values": _x23_sql(),
+        "x24_resample_ffill": _X24_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -1,0 +1,86 @@
+"""Time-series resampling: align events onto a regular time grid per
+key, aggregate within each bucket, densify the gaps, and forward-fill
+— the pandas ``resample().agg().ffill()`` idiom at corpus scale. No
+reference-repo counterpart (grep resample/ffill/gap.?fill over
+/root/reference/src: zero hits) — beyond-reference analytics scope,
+the batch twin of the streaming windowed aggregation.
+
+Scale shape: bucketing is a pure projection (``F.window`` floor);
+aggregation is one hash agg keyed on (key, bucket) with map-side
+partials; densification generates each key's missing buckets with
+``sequence`` + ``explode`` from the per-key [min, max] — only (key,
+2 timestamps) rows feed the generator, so the explode fan-out is
+exactly the output grid, never a cross join; the forward-fill is one
+window (``last(value, ignorenulls=True)``) over the SAME (key,
+bucket) partitioning the aggregation shuffled to, so AQE can reuse
+the exchange. Grid cardinality = span/step per key — the caller
+controls it with ``step``; a runaway span × tiny step shows up as the
+output size itself, not a hidden intermediate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["resample_ffill"]
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+    agg: str = "sum",
+) -> DataFrame:
+    """(key, bucket_start, value, filled): ``agg`` of ``value_col``
+    per ``step``-wide bucket per key, with every key's grid densified
+    from its first to its last bucket and empty buckets forward-
+    filled from the most recent observed bucket (``filled`` marks
+    them). Rows with NULL key or NULL timestamp are dropped (they
+    belong to no grid); a key's leading bucket is never synthetic, so
+    ``value`` is never NULL. ``agg`` ∈ {sum, count, min, max, avg}.
+    """
+    aggs = {
+        "sum": F.sum,
+        "count": lambda c: F.count(c).cast("long"),
+        "min": F.min,
+        "max": F.max,
+        "avg": F.avg,
+    }
+    if agg not in aggs:
+        raise ValueError(f"agg must be one of {sorted(aggs)}, got {agg!r}")
+    bucket = F.window(F.col(ts_col), step).start.alias("bucket_start")
+    observed = (
+        df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(key_col).alias("key"), bucket, F.col(value_col).alias("v"))
+        .groupBy("key", "bucket_start")
+        .agg(aggs[agg](F.col("v")).alias("value"))
+    )
+    grid = (
+        observed.groupBy("key")
+        .agg(
+            F.min("bucket_start").alias("lo"),
+            F.max("bucket_start").alias("hi"),
+        )
+        .select(
+            "key",
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))
+            ).alias("bucket_start"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(observed, ["key", "bucket_start"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            "bucket_start",
+            F.last("value", ignorenulls=True).over(w).alias("value"),
+            F.col("value").isNull().alias("filled"),
+        )
+    )

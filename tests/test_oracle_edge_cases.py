@@ -188,6 +188,9 @@ EVENT_EDGE_QUERIES = [
     # bucket 0 (least/greatest skip NULL operands in BOTH engines —
     # the coalesce-inside-clamp ordering is what this row pins)
     "x23_zorder_values",
+    # grid resampling over NULL ts/user rows (dropped on both
+    # engines) and duplicate (user, ts) pairs (sum within the bucket)
+    "x24_resample_ffill",
 ]
 
 
