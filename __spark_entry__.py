@@ -3709,6 +3709,41 @@ FROM j
 """
 
 
+def x25_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion funnel (operators/funnel.py): view →
+    click → purchase per user, strictly ordered, window anchored 1 day
+    from the first view. k chained conditional-MIN aggregations all
+    keyed on user_id (one partitioning reused; no per-user event
+    lists). The oracle replays the same chained CTEs."""
+    from ai_etl_framework_spark.operators.funnel import funnel_stages
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(
+        ev, ["view", "click", "purchase"], within="1 day"
+    )
+
+
+_X25_SQL = """
+WITH ev AS (SELECT user_id AS key, ts, event_type AS tp FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+s1 AS (SELECT key, min(ts) AS t1 FROM ev WHERE tp = 'view' GROUP BY key),
+s2 AS (SELECT ev.key, min(ev.ts) AS t2
+       FROM ev JOIN s1 ON ev.key = s1.key
+       WHERE ev.tp = 'click' AND ev.ts >= s1.t1
+         AND ev.ts <= s1.t1 + INTERVAL 1 DAY
+       GROUP BY ev.key),
+s3 AS (SELECT ev.key, min(ev.ts) AS t3
+       FROM ev JOIN s1 ON ev.key = s1.key JOIN s2 ON ev.key = s2.key
+       WHERE ev.tp = 'purchase' AND ev.ts >= s2.t2
+         AND ev.ts <= s1.t1 + INTERVAL 1 DAY
+       GROUP BY ev.key)
+SELECT s1.key AS user_id, s1.t1, s2.t2, s3.t3,
+       CAST(1 + (s2.t2 IS NOT NULL)::INT + (s3.t3 IS NOT NULL)::INT
+            AS BIGINT) AS furthest
+FROM s1 LEFT JOIN s2 ON s1.key = s2.key LEFT JOIN s3 ON s1.key = s3.key
+"""
+
+
 def x17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py snapshot_diff):
     old = doc_id%4!=1, new = doc_id%4!=2 with every 7th doc's text
@@ -4699,6 +4734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x22_contained_passages": x22_contained_passages,
         "x23_zorder_values": x23_zorder_values,
         "x24_resample_ffill": x24_resample_ffill,
+        "x25_funnel": x25_funnel,
     }
 
 
@@ -4777,6 +4813,7 @@ def oracle_sql() -> dict[str, str]:
         "x22_contained_passages": _X22_SQL,
         "x23_zorder_values": _x23_sql(),
         "x24_resample_ffill": _X24_SQL,
+        "x25_funnel": _X25_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

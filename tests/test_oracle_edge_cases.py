@@ -191,6 +191,9 @@ EVENT_EDGE_QUERIES = [
     # grid resampling over NULL ts/user rows (dropped on both
     # engines) and duplicate (user, ts) pairs (sum within the bucket)
     "x24_resample_ffill",
+    # funnel over NULL ts/user rows, duplicate timestamps, and types
+    # that never complete the sequence
+    "x25_funnel",
 ]
 
 
