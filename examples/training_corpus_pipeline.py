@@ -89,7 +89,7 @@ def build_corpus(
     boilerplate_min_count: int = 5,
     lm_sample_frac: float = 0.2,
     drop_ppl_bucket: str | None = "tail",
-    dsir_frac: float | None = 0.9,
+    dsir_frac: float | None = None,
     n_bpe_merges: int = 64,
 ) -> dict[str, DataFrame]:
     """Returns {"annotated", "train_packs", "val", "test", "report"}
@@ -164,7 +164,7 @@ def main() -> None:
     spark = get_spark(app_name="example-training-corpus")
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, sf_dir, "documents")
-    out = build_corpus(docs)
+    out = build_corpus(docs, dsir_frac=0.9)
 
     n = docs.count()
     packs = out["train_packs"].cache()
