@@ -117,6 +117,17 @@ QUERIES = [
     "txt10_bpe_merges",
     "txt11_bpe_encode",
     "x18_dsir_resample",
+    # r8 batch 2: tfidf's df table and top-k both scale with vocab /
+    # docs linearly; contained-passage pairs stay within-copy under
+    # the rotation (same argument as dd04); zorder is two scalar aggs
+    # + one range sort; resample's grid is span-bound (the rotation
+    # reuses the same time span, so the grid is ~constant and the agg
+    # side scales linearly); the funnel is k hash aggs on user_id
+    "x21_tfidf_topk",
+    "x22_contained_passages",
+    "x23_zorder_values",
+    "x24_resample_ffill",
+    "x25_funnel",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure
