@@ -3744,6 +3744,35 @@ FROM s1 LEFT JOIN s2 ON s1.key = s2.key LEFT JOIN s3 ON s1.key = s3.key
 """
 
 
+def x26_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (operators/winsorize.py): events.value clipped to
+    its exact [p05, p95] (linear-interpolation percentile ≡ DuckDB
+    quantile_cont); one scalar agg then a codegen projection. NULL
+    values pass through; rounded to 6dp for cross-engine hashing."""
+    from ai_etl_framework_spark.operators.winsorize import winsorize
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    out = winsorize(ev, ["value"], lower=0.05, upper=0.95, suffix="_w")
+    return out.select(
+        "event_id",
+        F.round("value_w", 6).alias("value_w"),
+        (F.col("value_w") != F.col("value")).alias("clipped"),
+    )
+
+
+_X26_SQL = """
+WITH st AS (SELECT quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events)
+SELECT event_id,
+       CASE WHEN value IS NULL THEN NULL
+            ELSE ROUND(least(st.hi, greatest(st.lo, value)), 6) END AS value_w,
+       CASE WHEN value IS NULL THEN NULL
+            ELSE least(st.hi, greatest(st.lo, value)) <> value END AS clipped
+FROM events, st
+"""
+
+
 def x17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/corpus.py snapshot_diff):
     old = doc_id%4!=1, new = doc_id%4!=2 with every 7th doc's text
@@ -4735,6 +4764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x23_zorder_values": x23_zorder_values,
         "x24_resample_ffill": x24_resample_ffill,
         "x25_funnel": x25_funnel,
+        "x26_winsorize": x26_winsorize,
     }
 
 
@@ -4814,6 +4844,7 @@ def oracle_sql() -> dict[str, str]:
         "x23_zorder_values": _x23_sql(),
         "x24_resample_ffill": _X24_SQL,
         "x25_funnel": _X25_SQL,
+        "x26_winsorize": _X26_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -194,6 +194,9 @@ EVENT_EDGE_QUERIES = [
     # funnel over NULL ts/user rows, duplicate timestamps, and types
     # that never complete the sequence
     "x25_funnel",
+    # winsorize over NULL values: NULL must pass through unclipped on
+    # both engines (least/greatest skip NULLs — the explicit restore)
+    "x26_winsorize",
 ]
 
 

@@ -1,0 +1,50 @@
+"""winsorize (operators/winsorize.py): pinned clipping vs numpy
+percentiles, NULL pass-through, suffix mode, approx dual, and
+validation. 3-SF oracle parity is x26 (+ the events-edge NULL row)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_framework_spark.operators.winsorize import winsorize
+
+
+def test_winsorize_matches_numpy(spark):
+    vals = [float(v) for v in range(1, 101)] + [1000.0, -500.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+    out = {r["id"]: r["v"] for r in winsorize(df, ["v"], 0.05, 0.95).collect()}
+    lo, hi = np.percentile(vals, 5), np.percentile(vals, 95)
+    for i, v in enumerate(vals):
+        assert out[i] == pytest.approx(min(hi, max(lo, v)), rel=1e-12)
+
+
+def test_winsorize_nulls_suffix_and_all_null(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 100.0), (4, -100.0)], "id long, v double"
+    )
+    out = winsorize(df, ["v"], 0.25, 0.75, suffix="_w")
+    rows = {r["id"]: (r["v"], r["v_w"]) for r in out.collect()}
+    assert rows[2] == (None, None)  # NULL passes through
+    assert rows[1][0] == 5.0  # original column untouched in suffix mode
+    assert rows[3][1] < 100.0 and rows[4][1] > -100.0  # both tails clip
+    # all-NULL column: left unchanged, no crash
+    dn = spark.createDataFrame([(1, None), (2, None)], "id long, v double")
+    assert [r["v"] for r in winsorize(dn, ["v"]).collect()] == [None, None]
+
+
+def test_winsorize_approx_and_validation(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "id long, v double"
+    )
+    exact = winsorize(df, ["v"], 0.1, 0.9)
+    appr = winsorize(df, ["v"], 0.1, 0.9, approx=True)
+    # approx (KLL, high accuracy) stays within one value of exact here
+    e = {r["id"]: r["v"] for r in exact.collect()}
+    a = {r["id"]: r["v"] for r in appr.collect()}
+    assert all(abs(e[i] - a[i]) <= 1.0 for i in e)
+    with pytest.raises(ValueError, match="lower"):
+        winsorize(df, ["v"], 0.9, 0.1)
+    with pytest.raises(ValueError, match="at least one"):
+        winsorize(df, [])
