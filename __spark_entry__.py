@@ -3591,8 +3591,11 @@ def x22_contained_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     contained_passage_pairs, window=8): documents sharing ≥1 8-token
     span of normalized text — the contained/quoted-passage case both
     whole-doc fingerprints and bag-of-shingle Jaccard miss. Only
-    (id, md5) pairs shuffle (the MinHash-band-join shape). The oracle
-    replays normalize → token windows → md5 → distinct self-join."""
+    (id, md5) pairs shuffle (the MinHash-band-join shape); the
+    hot-span guard is ON at its default (max_fp_docs=1000 — spans in
+    more docs are boilerplate, not passages, and would be quadratic).
+    The oracle replays normalize → token windows → md5 → hot-span
+    exclusion → distinct self-join."""
     from ai_etl_framework_spark.operators.corpus import contained_passage_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3609,7 +3612,9 @@ fps AS (
     WHEN len(toks) > 0 THEN [md5(array_to_string(toks, ' '))]
     ELSE CAST([] AS VARCHAR[]) END AS fp
   FROM tk),
-e AS (SELECT doc_id, unnest(fp) AS f FROM fps)
+e0 AS (SELECT doc_id, unnest(fp) AS f FROM fps),
+hot AS (SELECT f FROM e0 GROUP BY f HAVING count(*) > 1000),
+e AS (SELECT * FROM e0 WHERE f NOT IN (SELECT f FROM hot))
 SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::BIGINT AS n_shared
 FROM e a JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id
 GROUP BY 1, 2
@@ -3691,20 +3696,21 @@ def x24_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X24_SQL = """
 WITH obs AS (
-  SELECT user_id AS key, date_trunc('hour', ts) AS b, sum(value) AS value
+  SELECT user_id AS key, date_trunc('hour', ts) AS b, sum(value) AS value,
+         count(*) AS n
   FROM events
   WHERE user_id IS NOT NULL AND ts IS NOT NULL
   GROUP BY 1, 2),
 spans AS (SELECT key, min(b) AS lo, max(b) AS hi FROM obs GROUP BY key),
 grid AS (SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
          FROM spans),
-j AS (SELECT g.key, g.b, o.value
+j AS (SELECT g.key, g.b, o.value, o.n
       FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.b = o.b)
 SELECT key AS user_id, b AS bucket_start,
        ROUND(last_value(value IGNORE NULLS) OVER (
          PARTITION BY key ORDER BY b
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
-       value IS NULL AS filled
+       n IS NULL AS filled
 FROM j
 """
 

@@ -704,7 +704,7 @@ def contained_passage_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 8,
-    max_fp_docs: int | None = None,
+    max_fp_docs: int | None = 1000,
 ) -> DataFrame:
     """Partial-overlap detection: document pairs sharing at least one
     ``window``-token span of normalized text — the contained/quoted-
@@ -716,12 +716,18 @@ def contained_passage_pairs(
     Scale shape: the MinHash-band-join shape — only (id, md5) pairs
     shuffle, the self-join key is the span hash, corpus text never
     moves. Hot signatures (boilerplate present in thousands of docs)
-    quadratically inflate the pair count; ``max_fp_docs`` drops spans
-    appearing in more than that many documents before the join (one
-    extra vocab-sized aggregation) — corpus-wide boilerplate is
+    quadratically inflate the pair count — a single span in 10⁶ docs
+    is 5·10¹¹ pairs from ONE key — so the guard defaults ON:
+    ``max_fp_docs`` (default 1000, ≤ ~500k pairs per hot span) drops
+    spans appearing in more than that many documents before the join
+    (one extra vocab-sized aggregation) — corpus-wide boilerplate is
     repeated_line/paragraph/span_dedup's job, not this operator's.
-    Docs shorter than ``window`` tokens fingerprint as one whole-doc
-    span, so exact short dups still pair."""
+    Pass ``max_fp_docs=None`` to disable explicitly (bounded corpora
+    only). The hot-set anti-join carries no mandatory broadcast: AQE
+    broadcasts from measured size; a web corpus can have a large
+    absolute boilerplate set. Docs shorter than ``window`` tokens
+    fingerprint as one whole-doc span, so exact short dups still
+    pair."""
     from ai_etl_framework_spark.functions.text import window_fingerprints
 
     fp = df.select(
@@ -735,7 +741,7 @@ def contained_passage_pairs(
             .where(F.col("ndocs") > max_fp_docs)
             .select("fp")
         )
-        fp = fp.join(F.broadcast(hot), "fp", "left_anti")
+        fp = fp.join(hot, "fp", "left_anti")
     a = fp.select(F.col("__id").alias("id1"), "fp")
     b = fp.select(F.col("__id").alias("id2"), "fp")
     return (

@@ -1455,21 +1455,16 @@ def connected_component_labels(
         .localCheckpoint(eager=True)
     )
 
-    def _label_sum(frame: DataFrame) -> object:
-        # decimal(38,0): exact at any id magnitude/count — a double
-        # sum could round two DIFFERENT label vectors to one value
-        # and declare false convergence
-        return frame.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-
-    # Convergence check = one scalar aggregate per round, not an
-    # anti-join + isEmpty: min-label propagation is MONOTONE (every
-    # id's label is non-increasing round over round — both updates
-    # are least(old, ...)), so the label-vector sum strictly
-    # decreases iff any label changed. Measured: the anti-join check
-    # was ~40% of each round's fixed cost on small graphs.
-    prev_sum = _label_sum(labels)
+    # Convergence check = one scalar COUNT of changed labels per
+    # round, computed over the round's own projection (the previous
+    # label rides along as __old through both joins, so no extra
+    # join and no type assumptions). An earlier revision summed
+    # labels cast to decimal(38,0) — exact and monotone for integral
+    # ids, but silently NULL for string ids (cast → NULL → sum NULL
+    # → None == None "converged" after round 1 with WRONG labels)
+    # and truncating for fractional doubles. The changed-count is
+    # exact for every id type and costs the same one aggregate over
+    # the already-checkpointed frame.
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -1480,6 +1475,7 @@ def connected_component_labels(
             neighbor_min, labels.id == neighbor_min.src, "left"
         ).select(
             "id",
+            F.col("label").alias("__old"),
             F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
         )
         # pointer jumping: label := label(label). Neighbor-min alone
@@ -1491,17 +1487,19 @@ def connected_component_labels(
             x.join(y, F.col("x.label") == F.col("y.id"), "left")
             .select(
                 F.col("x.id").alias("id"),
+                F.col("x.__old").alias("__old"),
                 F.least(
                     F.col("x.label"), F.coalesce(F.col("y.label"), F.col("x.label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = _label_sum(updated)
-        labels = updated
-        if new_sum == prev_sum:
+        n_changed = updated.agg(
+            F.count(F.when(F.col("label") != F.col("__old"), F.lit(1)))
+        ).collect()[0][0]
+        labels = updated.select("id", "label")
+        if n_changed == 0:
             break
-        prev_sum = new_sum
     else:
         # exhausting the round budget without a fixed point means some
         # labels are NOT component minima — the drop-set would be

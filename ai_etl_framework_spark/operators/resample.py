@@ -35,11 +35,16 @@ def resample_ffill(
 ) -> DataFrame:
     """(key, bucket_start, value, filled): ``agg`` of ``value_col``
     per ``step``-wide bucket per key, with every key's grid densified
-    from its first to its last bucket and empty buckets forward-
-    filled from the most recent observed bucket (``filled`` marks
-    them). Rows with NULL key or NULL timestamp are dropped (they
-    belong to no grid); a key's leading bucket is never synthetic, so
-    ``value`` is never NULL. ``agg`` ∈ {sum, count, min, max, avg}.
+    from its first to its last bucket and NULL values forward-filled
+    from the most recent non-NULL bucket. ``filled`` marks DENSIFIED
+    (synthetic) buckets — derived from bucket presence in the
+    observed aggregation, NOT from value-NULLness (r8 advice): an
+    observed bucket whose ``value_col`` inputs are all NULL keeps
+    ``filled = false`` even though its value is forward-filled like
+    pandas ``ffill`` would, and stays NULL if it is a key's leading
+    bucket with nothing before it to fill from. Rows with NULL key or
+    NULL timestamp are dropped (they belong to no grid). ``agg`` ∈
+    {sum, count, min, max, avg}.
     """
     aggs = {
         "sum": F.sum,
@@ -55,7 +60,14 @@ def resample_ffill(
         df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
         .select(F.col(key_col).alias("key"), bucket, F.col(value_col).alias("v"))
         .groupBy("key", "bucket_start")
-        .agg(aggs[agg](F.col("v")).alias("value"))
+        .agg(
+            aggs[agg](F.col("v")).alias("value"),
+            # bucket-presence marker: COUNT(1) is non-NULL for every
+            # observed bucket even when the value agg is NULL (all-
+            # NULL inputs) — the `filled` flag keys off this, not off
+            # value-NULLness
+            F.count(F.lit(1)).alias("__n"),
+        )
     )
     grid = (
         observed.groupBy("key")
@@ -81,6 +93,6 @@ def resample_ffill(
             F.col("key").alias(key_col),
             "bucket_start",
             F.last("value", ignorenulls=True).over(w).alias("value"),
-            F.col("value").isNull().alias("filled"),
+            F.col("__n").isNull().alias("filled"),
         )
     )

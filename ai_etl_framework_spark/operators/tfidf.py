@@ -13,10 +13,13 @@ Definitions (pinned, oracle-replicated):
 - ``score``     = tf · idf, ties broken term-ascending.
 
 Scale shape: one (term, df) hash aggregation to a vocab-sized frame
-(map-side partials collapse the Zipf head), broadcast back over the
-exploded (doc, term, tf) counts — the corpus shuffles once as int/
-short-string pairs, never as documents — and per-doc top-k is a
-rank-over-window that Spark 4 executes as WindowGroupLimit: each
+(map-side partials collapse the Zipf head), joined back over the
+exploded (doc, term, tf) counts with NO mandatory broadcast — AQE
+picks broadcast vs sort-merge from the idf frame's measured size,
+because a web corpus vocabulary is unbounded — the corpus shuffles
+once as int/short-string pairs, never as documents — and per-doc
+top-k is a rank-over-window that Spark 4 executes as
+WindowGroupLimit: each
 partition keeps only k rows per doc BEFORE the shuffle, so the window
 never materializes full per-doc term lists."""
 
@@ -51,11 +54,21 @@ def tfidf_topk_terms(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab_small: bool = False,
 ) -> DataFrame:
     """Top-k terms per document by tf·idf: (id, term, rank, tf_idf).
     Documents with no tokens produce no rows. Deterministic: score
     DESC then term ASC. N is the total document count (one scalar),
-    idf smoothed so unseen/ubiquitous terms stay finite."""
+    idf smoothed so unseen/ubiquitous terms stay finite.
+
+    The tf⋈idf join carries NO mandatory broadcast hint: the idf frame
+    has one row per distinct corpus term, and web-scale text has a
+    billions-row vocabulary (typos, URLs, code) — a forced broadcast
+    is a driver/executor OOM at 100 TB. AQE broadcasts from MEASURED
+    size when the vocab actually fits (same contract as the frequent-
+    set join in repeated_span_dedup); pass ``vocab_small=True`` only
+    when the caller KNOWS the vocabulary is bounded (e.g. a fixed
+    controlled tag set) to pin the hint statically."""
     n_docs = df.count()
     tf = (
         df.select(
@@ -72,7 +85,9 @@ def tfidf_topk_terms(
             "idf"
         ),
     )
-    scored = tf.join(F.broadcast(idf), "term").select(
+    if vocab_small:
+        idf = F.broadcast(idf)
+    scored = tf.join(idf, "term").select(
         "__id",
         "term",
         ((F.col("n") / F.col("n_doc")) * F.col("idf")).alias("tf_idf"),

@@ -31,7 +31,14 @@ def winsorize(
 ) -> DataFrame:
     """Clip each of ``cols`` to its [lower, upper] quantiles. With
     ``suffix`` the clipped values land in new columns (``col+suffix``)
-    instead of replacing. ``0 <= lower < upper <= 1``."""
+    instead of replacing. ``0 <= lower < upper <= 1``.
+
+    Types: suffix mode emits DOUBLE (a derived column; quantile cut
+    points are interpolated doubles). Replace mode (``suffix=""``)
+    casts the clipped value back to the column's ORIGINAL type so
+    winsorize never mutates the frame's schema (r8 advice) — for
+    integral columns the fractional cut point truncates toward zero
+    on the boundary rows it clips."""
     if not cols:
         raise ValueError("winsorize needs at least one column")
     if not (0.0 <= lower < upper <= 1.0):
@@ -59,5 +66,7 @@ def winsorize(
             )
             # least/greatest skip NULL operands — restore NULL inputs
             clipped = F.when(F.col(c).isNull(), F.lit(None)).otherwise(clipped)
+            if not suffix:  # replace mode must not change the schema
+                clipped = clipped.cast(df.schema[c].dataType)
         out = out.withColumn(c + suffix, clipped)
     return out

@@ -141,11 +141,14 @@ def _table_cache_key(spark: SparkSession, path: str):
         if os.path.isdir(path):
             # directory-shaped tables: fold in the member files so a
             # rewritten part file (same dir mtime on some filesystems)
-            # still invalidates
-            for e in os.listdir(path):
-                es = os.stat(os.path.join(path, e))
-                mtime = max(mtime, es.st_mtime_ns)
-                size += es.st_size
+            # still invalidates. Full recursive walk (r8 advice):
+            # partitioned layouts rewrite files in NESTED key=value
+            # subdirectories, which a one-level listdir would miss.
+            for root, _dirs, files in os.walk(path):
+                for e in files:
+                    es = os.stat(os.path.join(root, e))
+                    mtime = max(mtime, es.st_mtime_ns)
+                    size += es.st_size
         return (spark.sparkContext.applicationId, path, mtime, size)
     except OSError:
         return None
@@ -171,11 +174,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     that skips the per-call file listing + footer schema read.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # conf side-effects run on EVERY call, cache hit or miss: the
+    # cached plan was built under (nanosAsLong, UTC) and executing it
+    # under a caller-changed session timezone would diverge from
+    # first-load behavior (r8 advice).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = _table_cache_key(spark, path)
     if key is not None and key in _TABLE_PLAN_CACHE:
         return _TABLE_PLAN_CACHE[key]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F
 

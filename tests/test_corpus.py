@@ -674,3 +674,32 @@ def test_contained_passage_pairs(spark):
     assert (1, 2) in pairs and (4, 5) in pairs
     # the 3-copy boilerplate spans (i%2 buckets of 3 docs) are gone
     assert not any(i1 >= 10 for i1, _ in pairs)
+
+
+def test_contained_passage_guard_defaults_on(spark):
+    """r8 verdict item 2: the hot-span guard ships ON (max_fp_docs
+    defaults to 1000) — a single boilerplate span in 1100 docs would
+    otherwise be ~600k pairs from one key; by default those docs
+    produce ZERO pairs, while a genuine 2-doc passage still pairs.
+    max_fp_docs=None restores unguarded behavior explicitly."""
+    from ai_etl_framework_spark.operators.corpus import contained_passage_pairs
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    boiler = "this cookie banner appears on every single page verbatim"
+    docs = [(i, boiler) for i in range(1100)] + [
+        (2001, f"intro {passage} outro words"),
+        (2002, f"{passage} different continuation here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["id1"], r["id2"]) for r in contained_passage_pairs(df, window=8).collect()
+    }
+    assert pairs == {(2001, 2002)}  # guard dropped the 1100-doc span
+    # explicit opt-out: unguarded run pairs the boilerplate docs too
+    sample = [(i, boiler) for i in range(5)] + docs[-2:]
+    sdf = spark.createDataFrame(sample, "doc_id long, text string")
+    unguarded = {
+        (r["id1"], r["id2"])
+        for r in contained_passage_pairs(sdf, window=8, max_fp_docs=None).collect()
+    }
+    assert (0, 1) in unguarded and (2001, 2002) in unguarded

@@ -170,6 +170,52 @@ def test_sentence_transformer_embedder_import_gate():
         sentence_transformer_embedder()
 
 
+def test_cc_string_ids_distributed_path(spark):
+    """r8 advice (high): the distributed loop's old decimal-sum
+    convergence check was NULL for string ids (cast → NULL), so it
+    declared convergence after round 1 and returned WRONG labels.
+    A string-keyed chain of diameter 5 needs >1 pointer-jumping
+    round; both paths must agree on the true component minima."""
+    from ai_etl_framework_spark.operators.dedup import connected_component_labels
+
+    ids = [f"doc-{i:03d}" for i in range(6)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(5)] + [("zzz-1", "zzz-2")],
+        "id_a string, id_b string",
+    )
+    for thresh in (0, 1_000_000):  # distributed loop, driver union-find
+        labels = {
+            r["id"]: r["label"]
+            for r in connected_component_labels(
+                pairs, driver_edge_threshold=thresh
+            ).collect()
+        }
+        expect = {i: "doc-000" for i in ids}
+        expect.update({"zzz-1": "zzz-1", "zzz-2": "zzz-1"})
+        assert labels == expect, f"threshold={thresh}"
+
+
+def test_cc_fractional_double_ids(spark):
+    """r8 advice (high): fractional double ids could falsely converge
+    via decimal truncation (0.1 and 0.9 both cast to decimal 0). The
+    changed-count check is exact for any type."""
+    from ai_etl_framework_spark.operators.dedup import connected_component_labels
+
+    pairs = spark.createDataFrame(
+        [(0.9, 0.8), (0.8, 0.1), (5.5, 5.25)], "id_a double, id_b double"
+    )
+    for thresh in (0, 1_000_000):
+        labels = {
+            r["id"]: r["label"]
+            for r in connected_component_labels(
+                pairs, driver_edge_threshold=thresh
+            ).collect()
+        }
+        assert labels == {
+            0.1: 0.1, 0.8: 0.1, 0.9: 0.1, 5.25: 5.25, 5.5: 5.25
+        }, f"threshold={thresh}"
+
+
 def test_cc_long_chain_converges(spark):
     """A 2000-node chain has graph diameter 1999 — pointer jumping
     must collapse it to one component within the 20-round cap

@@ -61,6 +61,37 @@ def test_resample_aggs_and_validation(spark):
         resample_ffill(df, agg="median")
 
 
+def test_resample_observed_all_null_bucket(spark):
+    """r8 advice: an OBSERVED bucket whose value inputs are all NULL
+    must keep filled=False (it is not synthetic), get forward-filled
+    like pandas ffill, and stay NULL when it is the key's leading
+    bucket with nothing before it."""
+    rows = [
+        # user 1: leading bucket observed but all-NULL -> value NULL,
+        # filled=False; next bucket observed non-NULL
+        (1, _ts(0, 10), None),
+        (1, _ts(1, 10), 6.0),
+        # user 2: non-NULL lead, then observed all-NULL bucket that
+        # ffills from the lead, then a synthetic gap bucket
+        (2, _ts(0, 0), 3.0),
+        (2, _ts(1, 0), None),
+        (2, _ts(3, 0), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sorted(
+        (r["user_id"], r["bucket_start"], r["value"], r["filled"])
+        for r in resample_ffill(df, step="1 hour", agg="sum").collect()
+    )
+    assert out == [
+        (1, _ts(0), None, False),   # observed, nothing to fill from
+        (1, _ts(1), 6.0, False),
+        (2, _ts(0), 3.0, False),
+        (2, _ts(1), 3.0, False),    # observed all-NULL: ffilled, NOT "filled"
+        (2, _ts(2), 3.0, True),     # synthetic gap bucket
+        (2, _ts(3), 9.0, False),
+    ]
+
+
 def test_resample_empty_and_single(spark):
     empty = spark.createDataFrame([], "user_id long, ts timestamp, value double")
     assert resample_ffill(empty).count() == 0

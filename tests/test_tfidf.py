@@ -1,8 +1,9 @@
 """TF-IDF (operators/tfidf.py): pinned math vs an independent Python
 model (smoothed idf, tf normalization, tie-break), edge semantics
 (NULL/blank docs, ubiquitous terms), and the scale plan pins
-(WindowGroupLimit top-k, broadcast idf join). 3-SF oracle parity is
-x21 in tests/test_oracle_parity.py."""
+(WindowGroupLimit top-k, NO mandatory broadcast on the vocab-sized
+idf join — r8 verdict item 1). 3-SF oracle parity is x21 in
+tests/test_oracle_parity.py."""
 
 from __future__ import annotations
 
@@ -90,4 +91,26 @@ def test_plan_pins(docs_df):
     out = tfidf_topk_terms(docs_df, k=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # per-partition top-k pre-shuffle
-    assert "SortMergeJoin" not in plan  # idf side broadcasts
+
+
+def test_no_mandatory_broadcast_on_idf_join(docs_df):
+    """r8 verdict item 1: the idf frame is vocab-sized — unbounded on
+    web text — so the tf⋈idf join must compile WITHOUT a mandatory
+    broadcast hint (AQE may still choose a broadcast from measured
+    size); ``vocab_small=True`` is the caller's explicit opt-in."""
+    default_plan = (
+        tfidf_topk_terms(docs_df, k=3)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in default_plan
+    pinned_plan = (
+        tfidf_topk_terms(docs_df, k=3, vocab_small=True)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" in pinned_plan
+    # same results either way
+    a = sorted(map(tuple, tfidf_topk_terms(docs_df, k=3).collect()))
+    b = sorted(map(
+        tuple, tfidf_topk_terms(docs_df, k=3, vocab_small=True).collect()
+    ))
+    assert a == b

@@ -34,6 +34,26 @@ def test_winsorize_nulls_suffix_and_all_null(spark):
     assert [r["v"] for r in winsorize(dn, ["v"]).collect()] == [None, None]
 
 
+def test_winsorize_replace_mode_preserves_schema(spark):
+    """r8 advice: replace mode (suffix="") must not silently coerce
+    integer/decimal columns to double — the clipped value casts back
+    to the column's original type; suffix mode stays double."""
+    df = spark.createDataFrame(
+        [(1, 10, None), (2, 500, 5), (3, -500, 7)],
+        "id long, v int, w int",
+    )
+    out = winsorize(df, ["v"], 0.25, 0.75)
+    assert dict(out.dtypes)["v"] == "int"
+    vals = {r["id"]: r["v"] for r in out.collect()}
+    assert vals[2] < 500 and vals[3] > -500  # still clips
+    # NULL pass-through survives the cast-back, and suffix mode is
+    # unchanged (double derived column)
+    out2 = winsorize(df, ["w"], 0.25, 0.75, suffix="_w")
+    assert dict(out2.dtypes)["w_w"] == "double"
+    assert dict(out2.dtypes)["w"] == "int"
+    assert {r["id"]: r["w_w"] for r in out2.collect()}[1] is None
+
+
 def test_winsorize_approx_and_validation(spark):
     df = spark.createDataFrame(
         [(i, float(i)) for i in range(200)], "id long, v double"
