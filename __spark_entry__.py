@@ -4715,6 +4715,222 @@ FROM p
 
 
 # ---------------------------------------------------------------------------
+# r9 additions: knn join, bm25, imputation, char entropy, robust z, melt
+# ---------------------------------------------------------------------------
+
+def x27_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-vectors top-5 cosine KNN join (functions/similarity.py
+    knn_join, exact matmul path): every embedding's 5 nearest
+    neighbors, self excluded, ties neighbor-id-ascending on the
+    6dp-rounded similarity (the sim01 ordering contract). The index
+    side is a bounded fail-loud collect; query rows never shuffle
+    (local top-k inside mapInPandas). The oracle replays the full
+    O(n²) self-join — exact, so the approximate IVF path's recall is
+    measured against THIS in tests/test_knn_join.py."""
+    from ai_etl_framework_spark.functions.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join(emb, "embedding", "vec_id", k=5, method="matmul")
+
+
+_X27_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM p)
+SELECT vec_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cos_sim
+FROM r WHERE rk <= 5
+"""
+
+
+def x28_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (operators/bm25.py, the Lucene variant —
+    k1=1.2, b=0.75): top-15 documents for the query "vector hash
+    query". The corpus explode is filtered to the query's terms
+    BEFORE aggregation (postings only), the (term, df) frame is
+    bounded by the query length (legitimate broadcast), top-k is
+    TakeOrderedAndProject. The oracle replays tf/df/avgdl and the
+    exact formula."""
+    from ai_etl_framework_spark.operators.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "vector hash query", k=15)
+
+
+_X28_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(len(t))::DOUBLE AS tot FROM toks),
+lens AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+       WHERE term IN ('vector', 'hash', 'query')
+       GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::DOUBLE AS dft FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n - dfreq.dft + 0.5) / (dfreq.dft + 0.5))
+         * tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / (stats.tot / stats.n)))
+         AS c
+  FROM tf, stats
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN lens ON tf.doc_id = lens.doc_id)
+SELECT doc_id, ROUND(sum(c), 6) AS score, count(*)::BIGINT AS n_terms
+FROM contrib
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 15
+"""
+
+
+def x29_impute_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median NULL imputation (operators/impute.py): events
+    value nulled deterministically (event_id % 11 == 0) then filled
+    with the per-event_type exact median (global median fallback).
+    One |groups|-row statistics aggregation joined back WITHOUT a
+    mandatory broadcast hint (AQE decides — the tfidf r8 lesson);
+    the oracle replays quantile_cont + coalesce."""
+    from ai_etl_framework_spark.operators.impute import impute_by_group
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    out = impute_by_group(
+        ev, "value", ["event_type"], strategy="median", suffix="_f"
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value_f", 6).alias("value_f"),
+        F.col("value").isNull().alias("was_null"),
+    )
+
+
+_X29_SQL = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v
+  FROM events),
+med AS (SELECT event_type, quantile_cont(v, 0.5) AS m
+        FROM e WHERE v IS NOT NULL GROUP BY event_type),
+g AS (SELECT quantile_cont(v, 0.5) AS gm FROM e WHERE v IS NOT NULL)
+SELECT e.event_id, e.event_type,
+       ROUND(COALESCE(e.v, med.m, g.gm), 6) AS value_f,
+       e.v IS NULL AS was_null
+FROM e LEFT JOIN med ON e.event_type = med.event_type, g
+"""
+
+
+def x30_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character Shannon entropy in bits
+    (operators/textstats.py) — the gibberish/encoding-noise signal
+    (base64 blobs ~6 bits/char, English ~4.2). Raw text, docs with
+    NULL/empty text produce no row. Two hash aggregations, the
+    alphabet collapses the first one's partials. The oracle replays
+    the identical log2 formula (not DuckDB's entropy() builtin, whose
+    summation order could differ in the 6th decimal; the builtin
+    cross-check lives in tests/test_textstats.py with tolerance)."""
+    from ai_etl_framework_spark.operators.textstats import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs)
+
+
+_X30_SQL = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE text IS NOT NULL),
+c AS (SELECT doc_id, ch, count(*)::DOUBLE AS c
+      FROM ch WHERE ch <> '' GROUP BY doc_id, ch)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+       ROUND(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+FROM c GROUP BY doc_id
+"""
+
+
+def x31_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD modified z-score per event_type
+    (operators/anomaly.py robust_zscore, Iglewicz-Hoaglin 0.6745
+    constant, |rz| > 3.5): robust where mean/std masks its own
+    outliers. Exact percentile medians (approx=True is the 100 TB
+    dual); MAD==0 and NULL values give rz NULL. Two group
+    aggregations joined back unhinted. Oracle: median + mad."""
+    from ai_etl_framework_spark.operators.anomaly import robust_zscore
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return robust_zscore(ev, "value", ["event_type"], threshold=3.5)
+
+
+_X31_SQL = """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+             FROM events GROUP BY event_type),
+mad AS (SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS d
+        FROM events e JOIN med ON e.event_type = med.event_type
+        GROUP BY e.event_type),
+s AS (SELECT e.event_id, e.event_type, e.value,
+             CASE WHEN e.value IS NOT NULL AND mad.d <> 0
+                  THEN ROUND(0.6745 * (e.value - med.m) / mad.d, 6) END AS rz
+      FROM events e
+      JOIN med ON e.event_type = med.event_type
+      JOIN mad ON e.event_type = mad.event_type)
+SELECT event_id, event_type, value, rz,
+       CASE WHEN rz IS NOT NULL THEN abs(rz) > 3.5 END AS is_outlier
+FROM s
+"""
+
+
+def x32_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (operators/reshape.py melt) of lineitem's
+    four money/quantity measures keyed by (orderkey, linenumber) —
+    4 output rows per input row, an Expand in the same task, zero
+    shuffle. Values cast to DOUBLE explicitly (pinned common type);
+    NULL cells kept. Oracle: UNION ALL replay (engine-neutral — it
+    needs no UNPIVOT null-handling dialect)."""
+    from ai_etl_framework_spark.operators.reshape import melt
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return melt(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="measure",
+        value_name="amount",
+    )
+
+
+_X32_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       l_quantity::DOUBLE AS amount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       l_extendedprice::DOUBLE FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       l_discount::DOUBLE FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax',
+       l_tax::DOUBLE FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -4838,6 +5054,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # st01): the streaming incremental-corpus loop; stream≡batch
         # equality pinned in tests/test_incremental_ingest.py
         "st03_incremental_ingest": st03_incremental_ingest,
+        "x27_knn_join": x27_knn_join,
+        "x28_bm25_topk": x28_bm25_topk,
+        "x29_impute_by_group": x29_impute_by_group,
+        "x30_char_entropy": x30_char_entropy,
+        "x31_robust_zscore": x31_robust_zscore,
+        "x32_melt": x32_melt,
     }
 
 
@@ -4918,6 +5140,12 @@ def oracle_sql() -> dict[str, str]:
         "x24_resample_ffill": _X24_SQL,
         "x25_funnel": _X25_SQL,
         "x26_winsorize": _X26_SQL,
+        "x27_knn_join": _X27_SQL,
+        "x28_bm25_topk": _X28_SQL,
+        "x29_impute_by_group": _X29_SQL,
+        "x30_char_entropy": _X30_SQL,
+        "x31_robust_zscore": _X31_SQL,
+        "x32_melt": _X32_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -423,3 +423,176 @@ def topk_batch_pandas(
         F.col("cos_sim").desc_nulls_last(), F.col(id_col).asc()
     )
     return partial.withColumn("__rn", row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# KNN join: top-k neighbors for EVERY vector (r9)
+# ---------------------------------------------------------------------------
+
+def knn_join(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    method: str = "matmul",
+    max_index_rows: int = 200_000,
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-``k`` cosine nearest neighbors for EVERY vector —
+    ``(id, neighbor_id, rank, cos_sim)``, self excluded, ties broken
+    neighbor-id ascending on the 6dp-rounded similarity (the shared
+    sim01 ordering contract). NULL and zero-norm vectors have no
+    direction: they produce no query rows and are never neighbors.
+
+    Two paths (the sim01 exact/approx dual, as a JOIN):
+
+    - ``method="matmul"`` — EXACT: the index side (id, unit vector)
+      is collected once under a fail-loud ``max_index_rows`` cap
+      (200k × 64 float64 ≈ 100 MB — the task-broadcast budget; same
+      bounded-collect contract as the IVF centroid fit) and closure-
+      broadcast; one Arrow-batched numpy matmul per partition, local
+      top-k per row, NO shuffle at all — query rows never leave
+      their partition. The oracle-twin path.
+    - ``method="ivf"`` — APPROXIMATE, fully distributed (the 100 TB
+      path): md5-seeded k-means centroids (bounded driver fit), each
+      vector probes its ``nprobe`` nearest cells, neighbors live in
+      their argmax home cell, candidates join ON THE CELL KEY (the
+      shuffle is |probes| int-keyed rows, never all-pairs), exact
+      cosine over candidates, per-query top-k via a rank window
+      Spark 4 executes as WindowGroupLimit (k rows per query survive
+      each partition BEFORE the shuffle). Recall floor vs exact is
+      pinned in tests/test_knn_join.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if method == "matmul":
+        valid = df.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
+        head = valid.limit(max_index_rows + 1).collect()
+        if len(head) > max_index_rows:
+            raise ValueError(
+                f"index side exceeds max_index_rows={max_index_rows}; "
+                "use method='ivf' (distributed cell-blocked join) or "
+                "raise the cap explicitly"
+            )
+        ids_all = np.asarray([r[0] for r in head], dtype=np.int64)
+        V = np.asarray([list(r[1]) for r in head], dtype=np.float64)
+        if V.size == 0:
+            return df.sparkSession.createDataFrame(
+                [], f"{id_col} long, neighbor_id long, rank long, cos_sim double"
+            )
+        norms = np.linalg.norm(V, axis=1)
+        nz = norms > 0.0
+        index_ids = ids_all[nz]
+        index_m = V[nz] / norms[nz, None]
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mask = pdf[vec_col].notna().to_numpy()
+                if not mask.any():
+                    continue
+                q_ids = pdf[id_col].to_numpy()[mask]
+                Q = np.stack(
+                    pdf[vec_col][mask].apply(
+                        lambda v: np.asarray(v, dtype=np.float64)
+                    )
+                )
+                qn = np.linalg.norm(Q, axis=1)
+                qz = qn > 0.0
+                if not qz.any():
+                    continue
+                q_ids = q_ids[qz]
+                Q = Q[qz] / qn[qz, None]
+                sims = _round_half_up(Q @ index_m.T, 6)
+                # self-exclusion by id, not by position: the index is
+                # the whole corpus, queries are this partition's slice
+                for row, qid in enumerate(q_ids):
+                    s = sims[row]
+                    keep = index_ids != qid
+                    cand_ids = index_ids[keep]
+                    cand_s = s[keep]
+                    top = np.lexsort((cand_ids, -cand_s))[:k]
+                    if top.size == 0:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            id_col: qid,
+                            "neighbor_id": cand_ids[top],
+                            "rank": np.arange(1, top.size + 1, dtype=np.int64),
+                            "cos_sim": cand_s[top],
+                        }
+                    )
+
+        return df.select(id_col, vec_col).mapInPandas(
+            score,
+            schema=f"{id_col} long, neighbor_id long, rank long, cos_sim double",
+        )
+
+    if method != "ivf":
+        raise ValueError(f"method must be 'matmul' or 'ivf', got {method!r}")
+
+    from pyspark.sql import Window
+
+    cents = kmeans_cells(df, vec_col, id_col, k=n_cells)
+    C = np.asarray(cents, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    nprobe = min(nprobe, len(cents))
+
+    def probe_fn(vecs):
+        mask = vecs.notna().to_numpy()
+        out = []
+        M = None
+        if mask.any():
+            M = np.stack(
+                vecs[mask].apply(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            n = np.linalg.norm(M, axis=1, keepdims=True)
+            M = M / np.maximum(n, 1e-300)
+            sims = M @ C.T
+            tops = np.argsort(-sims, axis=1)[:, :nprobe]
+        j = 0
+        for ok in mask:
+            if ok:
+                out.append([int(c) for c in tops[j]])
+                j += 1
+            else:
+                out.append(None)
+        return pd.Series(out)
+
+    from pyspark.sql.functions import pandas_udf
+
+    probe_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    _probes = pandas_udf(probe_fn, "array<int>")
+
+    base = df.select(id_col, vec_col).where(
+        F.col(vec_col).isNotNull() & (norm(F.col(vec_col)) > 0)
+    )
+    left = base.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_probes(F.col(vec_col))).alias("__cell"),
+    )
+    right = assign_cells(base, vec_col, cents, "__cell").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nv"),
+        "__cell",
+    )
+    cand = left.join(right, "__cell").where(
+        F.col("__qid") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        F.col("__qid"),
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__nv")), 6).alias("cos_sim"),
+    ).where(F.col("cos_sim").isNotNull())
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("__qid").alias(id_col), "neighbor_id", "rank", "cos_sim")
+    )

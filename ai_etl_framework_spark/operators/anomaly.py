@@ -239,3 +239,85 @@ class AnomalySplitter:
         # want deterministic release can run their action and then
         # ``df.unpersist()`` the INPUT frame themselves.
         return df.filter(~F.coalesce(F.col(self.flag_col), F.lit(False)))
+
+
+def robust_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Optional[Sequence[str]] = None,
+    threshold: float = 3.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Modified z-score (Iglewicz & Hoaglin 1993) — median/MAD-based
+    outlier scoring, optionally per group: adds ``rz`` =
+    0.6745·(x − median)/MAD and ``is_outlier`` = |rz| > threshold
+    (3.5 is the published cut). Robust where the z-score path above
+    is not: a single extreme value drags mean AND std (masking
+    itself), while median/MAD ignore it — the standard choice for
+    per-domain corpus metrics where one crawler bug floods one group.
+    Beyond-reference scope (the reference's detector is mean/std +
+    IQR only, anomaly_detector.py:193-254).
+
+    Pinned semantics (oracle-replicated):
+    - median = linear-interpolation percentile 0.5 (≡ DuckDB
+      ``median``/``quantile_cont``); MAD = median(|x − median|)
+      (≡ DuckDB ``mad``), both EXACT by default — ``approx=True``
+      swaps both for percentile_approx (the IQR dual) at 100 TB;
+    - NULL values: rz NULL, is_outlier NULL (no evidence);
+    - MAD = 0 (≥half the group identical): rz NULL, is_outlier NULL —
+      division by zero has no robust interpretation, same convention
+      as the std==0 skip above; rounded 6dp for cross-engine hashing.
+
+    Scale shape: two hash aggregations on the group key (medians
+    can't share one pass — MAD needs the median first), each joined
+    back WITHOUT a mandatory broadcast hint (group cardinality is
+    data-dependent; AQE decides), then a codegen projection. With no
+    groups the two frames are literal scalars."""
+    groups = list(group_cols or [])
+
+    def med(c):
+        if approx:
+            return F.percentile_approx(c, 0.5, 10000)
+        return F.percentile(c, F.lit(0.5))
+
+    def join_back(left: DataFrame, stat: DataFrame, col: str) -> DataFrame:
+        # NULL-SAFE group equality: a NULL group key is its own group
+        # (groupBy keeps it; a plain equi-join would drop its rows)
+        renamed = stat.select(
+            *[F.col(g).alias(f"__g{i}") for i, g in enumerate(groups)], col
+        )
+        cond = None
+        for i, g in enumerate(groups):
+            c = left[g].eqNullSafe(renamed[f"__g{i}"])
+            cond = c if cond is None else (cond & c)
+        return left.join(renamed, cond, "left").drop(
+            *[f"__g{i}" for i in range(len(groups))]
+        )
+
+    if groups:
+        med1 = df.groupBy(*groups).agg(med(F.col(value_col)).alias("__med"))
+        with_med = join_back(df, med1, "__med")
+    else:
+        med1 = df.groupBy().agg(med(F.col(value_col)).alias("__med"))
+        with_med = df.crossJoin(F.broadcast(med1))
+    absdev = F.abs(F.col(value_col) - F.col("__med"))
+    if groups:
+        mad1 = with_med.groupBy(*groups).agg(med(absdev).alias("__mad"))
+        scored = join_back(with_med, mad1, "__mad")
+    else:
+        mad1 = with_med.groupBy().agg(med(absdev).alias("__mad"))
+        scored = with_med.crossJoin(F.broadcast(mad1))
+    rz = F.when(
+        F.col(value_col).isNotNull() & (F.col("__mad") != 0),
+        F.round(
+            0.6745 * (F.col(value_col) - F.col("__med")) / F.col("__mad"), 6
+        ),
+    )
+    return (
+        scored.withColumn("rz", rz)
+        .withColumn(
+            "is_outlier",
+            F.when(F.col("rz").isNotNull(), F.abs(F.col("rz")) > threshold),
+        )
+        .drop("__med", "__mad")
+    )

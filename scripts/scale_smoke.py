@@ -128,6 +128,23 @@ QUERIES = [
     "x23_zorder_values",
     "x24_resample_ffill",
     "x25_funnel",
+    # r9 additions: bm25's postings/doc-lengths scale linearly under
+    # the rotation (query terms exist in every copy's rotated form
+    # only for copy 0 — the operator still scans + aggregates the full
+    # corpus, which is what the ratio should measure); imputation and
+    # robust-z are two hash aggs + unhinted join-backs on a fixed
+    # group count; char entropy explodes linearly with a fixed
+    # alphabet; melt is a pure Expand. x27 (knn join) is deliberately
+    # NOT smoked: the generator replicates embeddings unchanged, so
+    # BOTH matmul sides grow 10x and the exact all-pairs work grows
+    # 100x by construction — that would measure the generator, not the
+    # operator (the same argument as x13's kmeans exclusion; the IVF
+    # path re-cells at real scale).
+    "x28_bm25_topk",
+    "x29_impute_by_group",
+    "x30_char_entropy",
+    "x31_robust_zscore",
+    "x32_melt",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure
