@@ -4930,6 +4930,101 @@ SELECT l_orderkey, l_linenumber, 'l_tax',
 """
 
 
+def x33_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/retention.py):
+    users cohorted by first-activity week (Monday-start in both
+    engines), distinct (user, week) activity, offset in whole weeks,
+    retention vs the offset-0 cohort size. Two user-keyed
+    aggregations share one partitioning; raw events shuffle once."""
+    from ai_etl_framework_spark.operators.retention import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week")
+
+
+_X33_SQL = """
+WITH base AS (
+  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS p
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+firsts AS (SELECT u, min(p) AS cohort FROM base GROUP BY u),
+activity AS (SELECT DISTINCT u, p FROM base),
+cells AS (
+  SELECT f.cohort, CAST(date_diff('day', f.cohort, a.p) / 7 AS BIGINT)
+           AS "offset",
+         count(DISTINCT a.u)::BIGINT AS n_users
+  FROM activity a JOIN firsts f ON a.u = f.u
+  GROUP BY 1, 2),
+sizes AS (SELECT cohort, n_users AS size FROM cells WHERE "offset" = 0)
+SELECT c.cohort, c."offset" AS offset, c.n_users,
+       ROUND(c.n_users / s.size::DOUBLE, 6) AS retention
+FROM cells c JOIN sizes s ON c.cohort = s.cohort
+"""
+
+
+def x34_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 length-3 consecutive event-type paths
+    (operators/sequences.py): one user-keyed window (lead chains, no
+    per-user collect_list), hash count on the short-string sequence,
+    TakeOrderedAndProject top-k. Ties sequence-ascending; (ts,
+    event_id) ordering makes simultaneous events deterministic."""
+    from ai_etl_framework_spark.operators.sequences import (
+        frequent_event_sequences,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return frequent_event_sequences(ev, n=3, k=20)
+
+
+_X34_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+s AS (
+  SELECT event_type AS t0,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT concat_ws(' > ', t0, t1, t2) AS sequence,
+       count(*)::BIGINT AS n_occurrences
+FROM s WHERE t2 IS NOT NULL
+GROUP BY 1
+ORDER BY n_occurrences DESC, sequence ASC
+LIMIT 20
+"""
+
+
+def x35_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 5-row value features (operators/rolling.py):
+    moving avg/min/max + in-window count over (ts, event_id) order —
+    ONE fused window partitioning for all four functions (single
+    Exchange, plan-pinned in tests/test_rolling.py). SQL window
+    frames are engine-identical, so the oracle is a direct replay."""
+    from ai_etl_framework_spark.operators.rolling import rolling_features
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = rolling_features(ev, "value", k=5, aggs=("avg", "min", "max"))
+    return out.select(
+        "event_id", "value_roll_avg", "value_roll_min",
+        "value_roll_max", "n_in_window",
+    )
+
+
+_X35_SQL = """
+SELECT event_id,
+       ROUND(avg(value) OVER w, 6) AS value_roll_avg,
+       min(value) OVER w AS value_roll_min,
+       max(value) OVER w AS value_roll_max,
+       count(value) OVER w::BIGINT AS n_in_window
+FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5060,6 +5155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x30_char_entropy": x30_char_entropy,
         "x31_robust_zscore": x31_robust_zscore,
         "x32_melt": x32_melt,
+        "x33_cohort_retention": x33_cohort_retention,
+        "x34_event_sequences": x34_event_sequences,
+        "x35_rolling_features": x35_rolling_features,
     }
 
 
@@ -5146,6 +5244,9 @@ def oracle_sql() -> dict[str, str]:
         "x30_char_entropy": _X30_SQL,
         "x31_robust_zscore": _X31_SQL,
         "x32_melt": _X32_SQL,
+        "x33_cohort_retention": _X33_SQL,
+        "x34_event_sequences": _X34_SQL,
+        "x35_rolling_features": _X35_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -1,0 +1,71 @@
+"""Frequent event sequences — the top-k most common length-n event
+paths across users (the "what do users actually do" mining behind
+navigation analysis and funnel DISCOVERY — the funnel operator tests
+a known path; this finds the paths worth testing). Beyond-reference
+analytics scope (grep sequence/path.?mining over /root/reference/src:
+zero hits).
+
+Pinned semantics (oracle-replicated):
+
+- each user's events are ordered by (ts, tiebreak_col) — the explicit
+  integer tie-break makes simultaneous events deterministic (the q07
+  lesson: timestamp ties are real in event data);
+- a length-``n`` sequence is ``n`` CONSECUTIVE events of one user
+  (sliding window, overlapping) joined with " > ";
+- output = top-``k`` sequences by occurrence count, ties broken
+  sequence-ascending; users with fewer than ``n`` events contribute
+  nothing;
+- NULL user/ts/type rows are dropped.
+
+Scale shape: ONE window over (user) ordering by (ts, tiebreak) —
+``lead(type, i)`` chains build the n-gram in the same window pass, so
+raw events shuffle exactly once on the user key; the count is a hash
+aggregation on the (short-string) sequence with map-side partials
+collapsing the popular paths; top-k is TakeOrderedAndProject. No
+per-user event-list materialization (collect_list would hold a whale
+user's whole history in one aggregation buffer — lead() never does)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["frequent_event_sequences"]
+
+
+def frequent_event_sequences(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(sequence, n_occurrences): top-``k`` length-``n`` consecutive
+    event-type paths. See module pins."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    base = df.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    parts = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    seq = F.concat_ws(" > ", *parts)
+    # lead() past the user's last event is NULL; concat_ws skips NULLs,
+    # so a too-short tail would silently emit a SHORTER sequence —
+    # require the last lead to be non-NULL instead
+    complete = base.select(
+        seq.alias("sequence"), parts[-1].isNotNull().alias("__full")
+    ).where(F.col("__full"))
+    return (
+        complete.groupBy("sequence")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("sequence").asc())
+        .limit(k)
+    )

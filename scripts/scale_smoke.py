@@ -145,6 +145,12 @@ QUERIES = [
     "x30_char_entropy",
     "x31_robust_zscore",
     "x32_melt",
+    # retention/sequences/rolling: all user-keyed — the id offsets
+    # make 10x distinct users, so cohort cells, lead-chains and
+    # rolling windows scale linearly with events
+    "x33_cohort_retention",
+    "x34_event_sequences",
+    "x35_rolling_features",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure
