@@ -19,15 +19,17 @@ Pinned semantics (oracle-replicated):
 - ``retention`` = n_users / cohort size, rounded 6dp;
 - NULL user or NULL ts rows are dropped (no cohort to belong to).
 
-Scale shape: everything is keyed on the user — the first-activity
-aggregation and the distinct-(user, period) aggregation shuffle the
-SAME key, so AQE reuses one partitioning; their join is co-located;
-the final (cohort, offset) matrix is a second, dimension-sized hash
-aggregation. Raw events shuffle once, pre-aggregated map-side."""
+Scale shape: raw events collapse to DISTINCT (user, period) pairs in
+one hash aggregation (map-side partials eat the per-period event
+volume), the cohort is a ``min() OVER (PARTITION BY user)`` window on
+that already-small frame — no separate first-activity aggregate and
+no self-join — and the (cohort, offset) matrix is a dimension-sized
+second aggregation; the offset-0 size joins back via AQE broadcast
+(the matrix is |cohorts × offsets| rows). Events shuffle once."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["cohort_retention"]
 
@@ -50,9 +52,10 @@ def cohort_retention(
         F.col(user_col).alias("u"),
         F.date_trunc(period, F.col(ts_col)).cast("date").alias("p"),
     )
-    firsts = base.groupBy("u").agg(F.min("p").alias("cohort"))
     activity = base.distinct()
-    joined = activity.join(firsts, "u")
+    joined = activity.withColumn(
+        "cohort", F.min("p").over(Window.partitionBy("u"))
+    )
     if period == "month":
         offset = (
             (F.year("p") - F.year("cohort")) * 12
