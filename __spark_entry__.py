@@ -5025,6 +5025,109 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def x36_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/expectations.py,
+    deequ-style): 6 constraints over orders compiled into ONE
+    aggregation pass (only `unique` pays the count-distinct Expand).
+    The oracle replays every metric and verdict."""
+    from ai_etl_framework_spark.operators.expectations import run_checks
+
+    orders = load_table(spark, sf_dir, "orders")
+    return run_checks(
+        orders,
+        [
+            {"check": "not_null", "column": "o_custkey"},
+            {"check": "unique", "column": "o_orderkey"},
+            {"check": "min", "column": "o_totalprice", "value": 0.0},
+            {"check": "max", "column": "o_totalprice", "value": 1e6},
+            {"check": "in_set", "column": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"check": "matches", "column": "o_orderpriority",
+             "pattern": "^[1-5]-", "threshold": 0.5},
+        ],
+    )
+
+
+_X36_SQL = """
+WITH m AS (
+  SELECT count(o_custkey) / count(*)::DOUBLE AS m0,
+         count(DISTINCT o_orderkey)
+           / count(*)::DOUBLE AS m1,
+         min(o_totalprice)::DOUBLE AS m2,
+         max(o_totalprice)::DOUBLE AS m3,
+         count(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END)
+           / count(o_orderstatus)::DOUBLE AS m4,
+         count(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                    THEN 1 END) / count(o_orderpriority)::DOUBLE AS m5
+  FROM orders)
+SELECT * FROM (
+  SELECT 'not_null' AS "check", 'o_custkey' AS "column",
+         ROUND(m0, 6) AS metric, 1.0::DOUBLE AS threshold,
+         ROUND(m0, 6) >= 1.0 AS passed FROM m
+  UNION ALL
+  SELECT 'unique', 'o_orderkey', ROUND(m1, 6), 1.0::DOUBLE,
+         ROUND(m1, 6) >= 1.0 FROM m
+  UNION ALL
+  SELECT 'min', 'o_totalprice', ROUND(m2, 6), 0.0::DOUBLE,
+         ROUND(m2, 6) >= 0.0 FROM m
+  UNION ALL
+  SELECT 'max', 'o_totalprice', ROUND(m3, 6), 1000000.0::DOUBLE,
+         ROUND(m3, 6) <= 1000000.0 FROM m
+  UNION ALL
+  SELECT 'in_set', 'o_orderstatus', ROUND(m4, 6), 1.0::DOUBLE,
+         ROUND(m4, 6) >= 1.0 FROM m
+  UNION ALL
+  SELECT 'matches', 'o_orderpriority', ROUND(m5, 6), 0.5::DOUBLE,
+         ROUND(m5, 6) >= 0.5 FROM m)
+"""
+
+
+def x37_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution drift (operators/drift.py): lineitem split
+    into a baseline (odd orderkeys) and a shifted current (even
+    orderkeys, extendedprice × 1.15) — 10 baseline-quantile buckets,
+    per-bucket terms + total. One scalar-quantile agg + two
+    |buckets|-sized histograms. The oracle replays edges, bucket
+    assignment, the eps floor, and both rounded proportions."""
+    from ai_etl_framework_spark.operators.drift import psi_drift
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(F.col("l_orderkey") % 2 == 1).select("l_extendedprice")
+    cur = li.where(F.col("l_orderkey") % 2 == 0).select(
+        (F.col("l_extendedprice") * 1.15).alias("l_extendedprice")
+    )
+    return psi_drift(base, cur, "l_extendedprice", buckets=10)
+
+
+_X37_SQL = """
+WITH base AS (SELECT l_extendedprice AS v FROM lineitem WHERE l_orderkey % 2 = 1),
+cur AS (SELECT l_extendedprice * 1.15 AS v FROM lineitem WHERE l_orderkey % 2 = 0),
+ed AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e
+       FROM base),
+hb AS (SELECT len(list_filter(ed.e, x -> v > x)) AS bucket,
+              count(*)::DOUBLE AS nb
+       FROM base, ed WHERE v IS NOT NULL GROUP BY 1),
+hc AS (SELECT len(list_filter(ed.e, x -> v > x)) AS bucket,
+              count(*)::DOUBLE AS nc
+       FROM cur, ed WHERE v IS NOT NULL GROUP BY 1),
+g AS (SELECT unnest(range(10)) AS bucket),
+j AS (SELECT g.bucket, COALESCE(hb.nb, 0) AS nb, COALESCE(hc.nc, 0) AS nc
+      FROM g LEFT JOIN hb ON g.bucket = hb.bucket
+             LEFT JOIN hc ON g.bucket = hc.bucket),
+t AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM j),
+s AS (SELECT j.bucket,
+             ROUND(j.nb / t.tb, 6) AS p_base,
+             ROUND(j.nc / t.tc, 6) AS p_cur,
+             ROUND((greatest(j.nc / t.tc, 1e-6) - greatest(j.nb / t.tb, 1e-6))
+                   * ln(greatest(j.nc / t.tc, 1e-6)
+                        / greatest(j.nb / t.tb, 1e-6)), 6) AS psi_term
+      FROM j, t)
+SELECT bucket, p_base, p_cur, psi_term,
+       ROUND(sum(psi_term) OVER (), 6) AS psi_total
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5158,6 +5261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x33_cohort_retention": x33_cohort_retention,
         "x34_event_sequences": x34_event_sequences,
         "x35_rolling_features": x35_rolling_features,
+        "x36_quality_checks": x36_quality_checks,
+        "x37_psi_drift": x37_psi_drift,
     }
 
 
@@ -5247,6 +5352,8 @@ def oracle_sql() -> dict[str, str]:
         "x33_cohort_retention": _X33_SQL,
         "x34_event_sequences": _X34_SQL,
         "x35_rolling_features": _X35_SQL,
+        "x36_quality_checks": _X36_SQL,
+        "x37_psi_drift": _X37_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -151,6 +151,10 @@ QUERIES = [
     "x33_cohort_retention",
     "x34_event_sequences",
     "x35_rolling_features",
+    # quality gate = one agg pass (+ the unique Expand); PSI = one
+    # scalar-quantile agg + two bucket histograms — both linear
+    "x36_quality_checks",
+    "x37_psi_drift",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure
