@@ -190,23 +190,30 @@ def main() -> None:
     # stays recorded in queries_warm_runs; eight passes because q07's
     # series was STILL declining at run 8 of a 4-pass warmup), and
     # (b) a median-of-3 re-run of their DuckDB twin. The band is both
-    # RELATIVE (floor-adjusted ratio in [1.2, 3.0]) and ABSOLUTE
+    # RELATIVE (floor-adjusted ratio >= 1.2 — no upper bound, r9: the
+    # r8 band capped at 3.0 on the theory that higher ratios are
+    # "clearly outside", but a floor-hugging query against a ~10ms
+    # twin can blow PAST 3.0 on one noise spike — an r9 run read
+    # sim01 at floor-adj 15 from a 0.17s wobble on a 0.4s query —
+    # and the cap then EXEMPTED exactly the reading that most needed
+    # re-measurement; the deep pass costs 13 sub-second runs, so
+    # there is nothing to save by skipping it) and ABSOLUTE
     # (|(warm - floor) - 2*twin| <= 0.15s): floor-hugging queries
     # (warm within ~50ms of the 0.3s floor against a ~10ms twin) have
     # hypersensitive ratios — a +-30ms wobble flips the adjusted ratio
     # from 0.2 to 4 — so for them the absolute margin, not the ratio,
-    # is what says "noise decides this one". Everything clearly inside
-    # or outside the line keeps the cheaper 3-run median and
-    # single-shot twin. Cold numbers are untouched — the one-time
-    # Janino+JIT cost stays visible in the cold series; on a real
-    # cluster it amortizes per executor-JVM.
+    # is what says "noise decides this one". Everything clearly under
+    # the line keeps the cheaper 3-run median and single-shot twin.
+    # Cold numbers are untouched — the one-time Janino+JIT cost stays
+    # visible in the cold series; on a real cluster it amortizes per
+    # executor-JVM.
     borderline = [
         name
         for name, tw in duck.items()
         if name in warm
         and tw > 0
         and (
-            1.2 <= max(warm[name] - 0.3, 0.0) / tw <= 3.0
+            max(warm[name] - 0.3, 0.0) / tw >= 1.2
             or abs(max(warm[name] - 0.3, 0.0) - 2 * tw) <= 0.15
         )
     ]
