@@ -5128,6 +5128,35 @@ FROM s
 """
 
 
+def x38_fuzzy_string_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance string self-join (operators/fuzzyjoin.py,
+    Ed-Join q-gram prefix filter): customer-name pairs within
+    levenshtein 1 over a deterministic 2000-customer slice (the slice
+    bounds the ORACLE's O(n²) brute force, not the operator — the
+    Spark side's candidates are rare-gram-blocked). The shared
+    "Customer#00…" boilerplate grams sort last in rarity order and
+    never enter a prefix, so the digit-differing neighbor pairs come
+    from small rare-gram buckets. Oracle: exact within-length-band
+    levenshtein."""
+    from ai_etl_framework_spark.operators.fuzzyjoin import fuzzy_string_pairs
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < 2000
+    )
+    return fuzzy_string_pairs(cust, "c_custkey", "c_name", max_dist=1)
+
+
+_X38_SQL = """
+WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+           WHERE c_custkey < 2000 AND c_name IS NOT NULL)
+SELECT a.id AS id_a, b.id AS id_b,
+       levenshtein(a.s, b.s)::BIGINT AS dist
+FROM c a JOIN c b
+  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+WHERE levenshtein(a.s, b.s) <= 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5263,6 +5292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x35_rolling_features": x35_rolling_features,
         "x36_quality_checks": x36_quality_checks,
         "x37_psi_drift": x37_psi_drift,
+        "x38_fuzzy_string_pairs": x38_fuzzy_string_pairs,
     }
 
 
@@ -5354,6 +5384,7 @@ def oracle_sql() -> dict[str, str]:
         "x35_rolling_features": _X35_SQL,
         "x36_quality_checks": _X36_SQL,
         "x37_psi_drift": _X37_SQL,
+        "x38_fuzzy_string_pairs": _X38_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

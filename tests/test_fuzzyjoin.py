@@ -1,0 +1,117 @@
+"""fuzzy_string_pairs (operators/fuzzyjoin.py): exactness vs a brute
+force model (including hypothesis-random strings — the recall check
+that would catch a broken prefix/short-band route), hot-gram pruning,
+degenerate repeats, fail-loud cap. 3-SF oracle parity is x38."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_etl_framework_spark.operators.fuzzyjoin import fuzzy_string_pairs
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _model(strings, d):
+    out = {}
+    for (i, a), (j, b) in itertools.combinations(strings.items(), 2):
+        if a is None or b is None:
+            continue
+        dist = _lev(a, b)
+        if dist <= d:
+            out[(min(i, j), max(i, j))] = dist
+    return out
+
+
+def _run(spark, strings, d, **kw):
+    df = spark.createDataFrame(
+        list(strings.items()), "id long, s string"
+    )
+    return {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_string_pairs(df, "id", "s", max_dist=d, **kw).collect()
+    }
+
+
+def test_pinned_typos(spark):
+    strings = {
+        1: "jonathan smith",
+        2: "jonathan smyth",   # 1 sub
+        3: "jonathan smith ",  # 1 insert
+        4: "completely different name",
+        5: None,
+        6: "jon smith",
+    }
+    got = _run(spark, strings, 1)
+    assert got == _model(strings, 1)
+    assert (1, 2) in got and (1, 3) in got and (4, 1) not in got
+
+
+def test_short_and_degenerate_strings(spark):
+    strings = {
+        1: "a",          # no 2-grams at all
+        2: "b",          # dist 1 from "a"
+        3: "ab",
+        4: "aaaaaaaaaa",  # degenerate: 1 distinct gram at length 10
+        5: "aaaaaaaaab",  # dist 1 from 4
+        6: "",           # empty
+    }
+    got = _run(spark, strings, 1)
+    assert got == _model(strings, 1)
+    # the degenerate pair was found despite the vacuous prefix lemma
+    assert (4, 5) in got
+
+
+def test_hot_gram_self_pruning(spark):
+    """300 strings sharing a long boilerplate prefix: the hot prefix
+    grams sort last in rarity order and never enter any Ed-Join
+    prefix, so candidates stay near-linear — and the result is still
+    exact (distinguishing suffix digits are the rare grams)."""
+    strings = {
+        i: f"Customer#0000{i:03d}" for i in range(300)
+    }
+    got = _run(spark, strings, 1)
+    assert got == _model(strings, 1)
+    assert got, "digit-neighbor pairs must exist"
+
+
+def test_cap_fail_loud(spark):
+    strings = {i: "ab" for i in range(10)}
+    with pytest.raises(ValueError, match="max_short_rows"):
+        _run(spark, strings, 1, max_short_rows=5)
+    with pytest.raises(ValueError, match="max_dist"):
+        _run(spark, {1: "abc"}, 0)
+
+
+def test_random_strings_match_bruteforce(spark):
+    """Hypothesis-style randomized recall check (fixed seed): random
+    short strings over a tiny alphabet maximize collision/edge cases
+    (repeats, shared grams, length boundaries)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        strings = {
+            i: "".join(
+                rng.choice("abc") for _ in range(rng.randint(0, 8))
+            )
+            for i in range(40)
+        }
+        for d in (1, 2):
+            got = _run(spark, strings, d)
+            exp = _model(strings, d)
+            assert got == exp, (trial, d)
