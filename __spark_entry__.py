@@ -5157,6 +5157,33 @@ WHERE levenshtein(a.s, b.s) <= 1
 """
 
 
+def x39_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend (operators/trend.py group_trend):
+    slope/intercept/r² via the ANSI regr_* aggregate family — ONE
+    hash aggregation, map-side partials, no window/join. x anchored
+    at 2024-01-01 for conditioning (slope is shift-invariant; raw
+    epochs put 10 significant digits into the product sums and the
+    engines' summation orders diverge in the rounded low digits).
+    The oracle is DuckDB's own regr_* family over epoch(ts)."""
+    from ai_etl_framework_spark.operators.trend import group_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    return group_trend(ev, origin="2024-01-01")
+
+
+_X39_SQL = """
+SELECT user_id,
+       regr_count(value, x)::BIGINT AS n,
+       ROUND(regr_slope(value, x), 10) AS slope,
+       ROUND(regr_intercept(value, x), 10) AS intercept,
+       ROUND(regr_r2(value, x), 6) AS r2
+FROM (SELECT user_id, value,
+             epoch(ts) - epoch(TIMESTAMP '2024-01-01') AS x
+      FROM events WHERE user_id IS NOT NULL)
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5293,6 +5320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x36_quality_checks": x36_quality_checks,
         "x37_psi_drift": x37_psi_drift,
         "x38_fuzzy_string_pairs": x38_fuzzy_string_pairs,
+        "x39_group_trend": x39_group_trend,
     }
 
 
@@ -5385,6 +5413,7 @@ def oracle_sql() -> dict[str, str]:
         "x36_quality_checks": _X36_SQL,
         "x37_psi_drift": _X37_SQL,
         "x38_fuzzy_string_pairs": _X38_SQL,
+        "x39_group_trend": _X39_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

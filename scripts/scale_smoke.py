@@ -159,6 +159,8 @@ QUERIES = [
     # the x13/x27 replication argument again.
     "x36_quality_checks",
     "x37_psi_drift",
+    # one regr_* hash agg on user_id — linear
+    "x39_group_trend",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure
