@@ -5184,6 +5184,65 @@ GROUP BY user_id
 """
 
 
+def x40_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column scaling (operators/scaling.py): lineitem quantity
+    min-max scaled AND extendedprice z-scored (population std — the
+    anomaly detector's ddof=0 contract) in suffix mode. One scalar
+    stats aggregation per method + codegen projections (the
+    winsorize two-job shape). Oracle replays both formulas."""
+    from ai_etl_framework_spark.operators.scaling import scale_columns
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    out = scale_columns(li, ["l_quantity"], "minmax", suffix="_mm")
+    out = scale_columns(out, ["l_extendedprice"], "zscore", suffix="_z")
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_quantity_mm", "l_extendedprice_z"
+    )
+
+
+_X40_SQL = """
+WITH st AS (SELECT min(l_quantity)::DOUBLE AS lo, max(l_quantity)::DOUBLE AS hi,
+                   ROUND(avg(l_extendedprice), 6) AS mu,
+                   ROUND(stddev_pop(l_extendedprice), 6) AS sd
+            FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity IS NOT NULL AND st.lo <> st.hi
+            THEN ROUND((l_quantity - st.lo) / (st.hi - st.lo), 6) END
+         AS l_quantity_mm,
+       CASE WHEN l_extendedprice IS NOT NULL AND st.sd <> 0
+            THEN ROUND((l_extendedprice - st.mu) / st.sd, 6) + 0 END
+         AS l_extendedprice_z
+FROM lineitem, st
+"""
+
+
+def x41_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth bucketizing (operators/scaling.py): events.value
+    into 8 exact-quantile buckets (KBinsDiscretizer's 'quantile'
+    strategy; the approx dual is the 100 TB path). One scalar edge
+    aggregation + a pure comparison-sum projection. Oracle replays
+    the edges and the strictly-below counting."""
+    from ai_etl_framework_spark.operators.scaling import quantile_bucketize
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return quantile_bucketize(ev, "value", buckets=8)
+
+
+_X41_SQL = """
+WITH ed AS (SELECT list_transform(quantile_cont(value,
+              [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+              x -> ROUND(x, 6)) AS e
+            FROM events)
+SELECT event_id, value,
+       CASE WHEN value IS NOT NULL
+            THEN len(list_filter(ed.e, x -> value > x))::BIGINT END
+         AS value_bucket
+FROM events, ed
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5321,6 +5380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x37_psi_drift": x37_psi_drift,
         "x38_fuzzy_string_pairs": x38_fuzzy_string_pairs,
         "x39_group_trend": x39_group_trend,
+        "x40_feature_scaling": x40_feature_scaling,
+        "x41_quantile_bucketize": x41_quantile_bucketize,
     }
 
 
@@ -5414,6 +5475,8 @@ def oracle_sql() -> dict[str, str]:
         "x37_psi_drift": _X37_SQL,
         "x38_fuzzy_string_pairs": _X38_SQL,
         "x39_group_trend": _X39_SQL,
+        "x40_feature_scaling": _X40_SQL,
+        "x41_quantile_bucketize": _X41_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -1,0 +1,126 @@
+"""Feature scaling — min-max and z-score column scaling plus
+equi-depth quantile bucketizing (the sklearn
+MinMaxScaler/StandardScaler/KBinsDiscretizer triple at corpus scale);
+the model-input companion to winsorize (bounds influence) and
+impute_by_group (fills gaps). Beyond-reference scope (grep
+scaler/minmax/standardize over /root/reference/src: zero hits).
+
+Pinned semantics (oracle-replicated):
+
+- ``minmax``: (x − min) / (max − min), NULL when the column is
+  constant (no range — same convention as winsorize's all-NULL
+  pass-through) or x is NULL;
+- ``zscore``: (x − mean) / stddev_pop — POPULATION std, matching the
+  anomaly detector's documented np.std ddof=0 contract; NULL when
+  std is 0 or x is NULL. The mean and std are themselves rounded
+  HALF-UP to 6dp before use — they are engine-computed floating
+  aggregates whose parallel summation order differs across engines
+  by ~1e-9, and an unpinned stat makes every downstream rounded
+  value a potential boundary flip (measured: one flip per ~10⁵ rows
+  at 6dp); pinning the two SCALARS makes the whole transform
+  bit-reproducible. min/max need no pinning (they are exact data
+  values);
+- scaled values rounded 6dp; with ``suffix`` the scaled values land
+  in new DOUBLE columns, otherwise they replace (and the coercion to
+  DOUBLE is the point — scaling IS a re-typing);
+- ``quantile_bucketize``: bucket(x) = number of interior quantile
+  edges (i/buckets, i=1..buckets−1; exact ``percentile`` /
+  ``percentile_approx`` dual, each edge rounded HALF-UP to 6dp —
+  same scalar-pinning argument: an interpolated edge differing by
+  1 ulp across engines flips the bucket of any value sitting
+  exactly on it) strictly below x → 0..buckets−1; heavy ties leave
+  empty buckets (the PSI convention); NULL x → NULL bucket.
+
+Scale shape: ONE scalar aggregation computes every requested
+column's statistics (or the edge vector) in a single pass; the
+transform is a pure projection inside whole-stage codegen — the
+same two-job shape as winsorize, for any number of columns."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["scale_columns", "quantile_bucketize"]
+
+
+def _round6(v: float) -> float:
+    """Half-up 6dp (≡ F.round and DuckDB ROUND — Python's built-in
+    round is banker's and would diverge on exact .5e-7 boundaries)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def scale_columns(
+    df: DataFrame,
+    cols: Sequence[str],
+    method: str = "minmax",
+    suffix: str = "",
+) -> DataFrame:
+    """Scale each of ``cols`` by ``method`` ∈ {minmax, zscore}."""
+    if not cols:
+        raise ValueError("scale_columns needs at least one column")
+    if method not in ("minmax", "zscore"):
+        raise ValueError(f"method must be minmax or zscore, got {method!r}")
+    if method == "minmax":
+        aggs = [F.min(c).cast("double").alias(f"__lo_{c}") for c in cols] + [
+            F.max(c).cast("double").alias(f"__hi_{c}") for c in cols
+        ]
+    else:
+        aggs = [F.avg(c).alias(f"__mu_{c}") for c in cols] + [
+            F.stddev_pop(c).alias(f"__sd_{c}") for c in cols
+        ]
+    stats = df.agg(*aggs).collect()[0]
+    out = df
+    for c in cols:
+        x = F.col(c).cast("double")
+        if method == "minmax":
+            lo, hi = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
+            if lo is None or hi is None or lo == hi:
+                scaled = F.lit(None).cast("double")
+            else:
+                scaled = F.round((x - lo) / (hi - lo), 6)
+        else:
+            mu, sd = stats[f"__mu_{c}"], stats[f"__sd_{c}"]
+            if mu is None or sd is None or sd == 0:
+                scaled = F.lit(None).cast("double")
+            else:
+                mu, sd = _round6(mu), _round6(sd)
+                # + 0.0 folds IEEE -0.0 (a tiny negative rounding to
+                # zero) into +0.0 — engines/formatters disagree on the
+                # sign of zero, not its value
+                scaled = F.round((x - mu) / sd, 6) + F.lit(0.0)
+        out = out.withColumn(
+            c + suffix, F.when(x.isNotNull(), scaled)
+        )
+    return out
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    col: str,
+    buckets: int = 10,
+    approx: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Add ``out_col`` (default ``<col>_bucket``) = equi-depth bucket
+    id 0..buckets−1. See module pins."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    qs = [i / buckets for i in range(1, buckets)]
+    if approx:
+        edge_agg = F.percentile_approx(col, qs, 10000)
+    else:
+        edge_agg = F.percentile(col, F.array(*[F.lit(q) for q in qs]))
+    edges = df.agg(edge_agg.alias("e")).collect()[0]["e"]
+    if edges is None or any(e is None for e in edges):
+        raise ValueError(f"column {col!r} has no non-NULL values to bucket")
+    edges = [_round6(float(e)) for e in edges]
+    x = F.col(col)
+    bucket = sum((x > F.lit(float(e))).cast("int") for e in edges).cast("long")
+    name = out_col or f"{col}_bucket"
+    return df.withColumn(name, F.when(x.isNotNull(), bucket))

@@ -34,7 +34,8 @@ def canon(rows, cols):
             if isinstance(v, bool):
                 v = int(v)
             if isinstance(v, float):
-                v = f"{v:.9g}"
+                # normalize -0.0/underflow like tests/test_oracle_parity
+                v = "0" if v == 0 else f"{v:.9g}"
             vals.append(str(v))
         out.append("|".join(vals))
     out.sort()

@@ -161,6 +161,9 @@ QUERIES = [
     "x37_psi_drift",
     # one regr_* hash agg on user_id — linear
     "x39_group_trend",
+    # one scalar stats agg + codegen projection each — linear
+    "x40_feature_scaling",
+    "x41_quantile_bucketize",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure
