@@ -5243,6 +5243,82 @@ FROM events, ed
 """
 
 
+def x42_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix (operators/stats.py corr_matrix) over
+    four lineitem measures — six corr + six pairwise-count aggregate
+    expressions in ONE pass (map-side partials, no shuffle beyond the
+    1-row reduce). The oracle is DuckDB's own corr over the same
+    pairs."""
+    from ai_etl_framework_spark.operators.stats import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+_X42_SQL = """
+WITH m AS (SELECT
+  ROUND(corr(l_discount, l_extendedprice), 6) AS c0,
+  count(CASE WHEN l_discount IS NOT NULL AND l_extendedprice IS NOT NULL
+        THEN 1 END) AS n0,
+  ROUND(corr(l_discount, l_quantity), 6) AS c1,
+  count(CASE WHEN l_discount IS NOT NULL AND l_quantity IS NOT NULL
+        THEN 1 END) AS n1,
+  ROUND(corr(l_discount, l_tax), 6) AS c2,
+  count(CASE WHEN l_discount IS NOT NULL AND l_tax IS NOT NULL
+        THEN 1 END) AS n2,
+  ROUND(corr(l_extendedprice, l_quantity), 6) AS c3,
+  count(CASE WHEN l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        THEN 1 END) AS n3,
+  ROUND(corr(l_extendedprice, l_tax), 6) AS c4,
+  count(CASE WHEN l_extendedprice IS NOT NULL AND l_tax IS NOT NULL
+        THEN 1 END) AS n4,
+  ROUND(corr(l_quantity, l_tax), 6) AS c5,
+  count(CASE WHEN l_quantity IS NOT NULL AND l_tax IS NOT NULL
+        THEN 1 END) AS n5
+  FROM lineitem)
+SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+       c0 AS corr, n0::BIGINT AS n FROM m
+UNION ALL SELECT 'l_discount', 'l_quantity', c1, n1::BIGINT FROM m
+UNION ALL SELECT 'l_discount', 'l_tax', c2, n2::BIGINT FROM m
+UNION ALL SELECT 'l_extendedprice', 'l_quantity', c3, n3::BIGINT FROM m
+UNION ALL SELECT 'l_extendedprice', 'l_tax', c4, n4::BIGINT FROM m
+UNION ALL SELECT 'l_quantity', 'l_tax', c5, n5::BIGINT FROM m
+"""
+
+
+def x43_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift (operators/stats.py pair_lift):
+    baskets = users, items = distinct event types per user. One
+    DISTINCT (user, type) agg, a user-co-partitioned self-join whose
+    fan-out is |types-per-user|² (bounded by the type vocabulary,
+    never corpus size), two dimension-sized counts. Oracle replays
+    support/lift exactly."""
+    from ai_etl_framework_spark.operators.stats import pair_lift
+
+    ev = load_table(spark, sf_dir, "events")
+    return pair_lift(ev, "user_id", "event_type")
+
+
+_X43_SQL = """
+WITH base AS (SELECT DISTINCT user_id AS k, event_type AS i FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+nk AS (SELECT count(DISTINCT k)::DOUBLE AS n FROM base),
+singles AS (SELECT i, count(*)::DOUBLE AS n_i FROM base GROUP BY i),
+pr AS (SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_both
+       FROM base a JOIN base b ON a.k = b.k AND a.i < b.i
+       GROUP BY 1, 2)
+SELECT pr.item_a, pr.item_b, pr.n_both,
+       ROUND(pr.n_both / nk.n, 6) AS support,
+       ROUND((pr.n_both / nk.n) / ((sa.n_i / nk.n) * (sb.n_i / nk.n)), 6)
+         AS lift
+FROM pr, nk
+JOIN singles sa ON pr.item_a = sa.i
+JOIN singles sb ON pr.item_b = sb.i
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5382,6 +5458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x39_group_trend": x39_group_trend,
         "x40_feature_scaling": x40_feature_scaling,
         "x41_quantile_bucketize": x41_quantile_bucketize,
+        "x42_corr_matrix": x42_corr_matrix,
+        "x43_pair_lift": x43_pair_lift,
     }
 
 
@@ -5477,6 +5555,8 @@ def oracle_sql() -> dict[str, str]:
         "x39_group_trend": _X39_SQL,
         "x40_feature_scaling": _X40_SQL,
         "x41_quantile_bucketize": _X41_SQL,
+        "x42_corr_matrix": _X42_SQL,
+        "x43_pair_lift": _X43_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

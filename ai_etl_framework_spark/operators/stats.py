@@ -1,0 +1,107 @@
+"""Multi-column statistics — pairwise Pearson correlation matrix in
+ONE aggregation pass, and per-key co-occurrence lift (the
+market-basket support/confidence/lift triple) — the two "how do my
+columns/events relate" profiling tables every analytics surface
+ships. Beyond-reference scope (the reference profiles single columns
+only, schema_profiler; no correlation, no co-occurrence).
+
+Pinned semantics (oracle-replicated):
+
+``corr_matrix``:
+- one row per unordered column pair (col_a < col_b lexically):
+  (col_a, col_b, corr, n) with ``corr`` = ANSI sample Pearson
+  (both engines' own ``corr`` aggregate), rounded 6dp, ``n`` =
+  pairwise-complete count (rows where BOTH are non-NULL — ANSI corr
+  semantics);
+- constant columns → corr NULL (zero variance, ANSI).
+
+``pair_lift``:
+- items = DISTINCT (key, item) pairs (multiplicity within a key does
+  not count — basket semantics);
+- for each unordered item pair: ``n_both`` keys containing both,
+  ``support`` = n_both / n_keys, ``lift`` = support /
+  (support_a · support_b), rounded 6dp; pairs never co-occurring
+  produce no row;
+- n_keys = keys with ≥1 non-NULL item; NULL keys/items dropped.
+
+Scale shape: corr_matrix is k(k−1)/2 aggregate EXPRESSIONS over one
+scan — one job, map-side partials, no shuffle beyond the final
+1-row reduce (30 columns = 435 expressions ≈ still one pass).
+pair_lift: one DISTINCT (key, item) aggregation, then a self-join
+co-partitioned ON THE KEY — the fan-out per key is |items-per-key|²,
+bounded by the vocabulary a key can touch, never by corpus size —
+and two dimension-sized count aggregations."""
+
+from __future__ import annotations
+
+from itertools import combinations
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["corr_matrix", "pair_lift"]
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """(col_a, col_b, corr, n) per unordered pair — see module pins."""
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    pairs = [(a, b) for a, b in combinations(sorted(cols), 2)]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        aggs.append(F.round(F.corr(a, b), 6).alias(f"__c{i}"))
+        aggs.append(
+            F.count(
+                F.when(F.col(a).isNotNull() & F.col(b).isNotNull(), 1)
+            ).cast("long").alias(f"__n{i}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    out = [
+        (a, b, row[f"__c{i}"], row[f"__n{i}"])
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, corr double, n long"
+    )
+
+
+def pair_lift(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+) -> DataFrame:
+    """(item_a, item_b, n_both, support, lift) per co-occurring
+    unordered item pair — see module pins."""
+    base = df.where(
+        F.col(key_col).isNotNull() & F.col(item_col).isNotNull()
+    ).select(F.col(key_col).alias("k"), F.col(item_col).alias("i")).distinct()
+    n_keys = base.select("k").distinct().count()
+    if n_keys == 0:
+        raise ValueError("no keys with non-NULL items")
+    singles = base.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    a = base.select("k", F.col("i").alias("item_a"))
+    b = base.select("k", F.col("i").alias("item_b"))
+    both = (
+        a.join(b, "k")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = singles.select(F.col("i").alias("item_a"), F.col("n_i").alias("__na"))
+    sb = singles.select(F.col("i").alias("item_b"), F.col("n_i").alias("__nb"))
+    n = float(n_keys)
+    return (
+        both.join(sa, "item_a")
+        .join(sb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.round(F.col("n_both") / n, 6).alias("support"),
+            F.round(
+                (F.col("n_both") / n)
+                / ((F.col("__na") / n) * (F.col("__nb") / n)),
+                6,
+            ).alias("lift"),
+        )
+    )

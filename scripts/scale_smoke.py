@@ -164,6 +164,9 @@ QUERIES = [
     # one scalar stats agg + codegen projection each — linear
     "x40_feature_scaling",
     "x41_quantile_bucketize",
+    # corr = one agg pass; pair-lift fan-out is |types/user|² (5 types)
+    "x42_corr_matrix",
+    "x43_pair_lift",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure
