@@ -5319,6 +5319,37 @@ JOIN singles sb ON pr.item_b = sb.i
 """
 
 
+def x44_grouped_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (operators/winsorize.py
+    winsorize_by_group): events.value clipped to each event_type's
+    exact [p10, p90] — one grouped percentile agg, NULL-safe unhinted
+    join-back, codegen clip (the impute shape with two statistics).
+    Oracle replays per-group quantile_cont + clamp."""
+    from ai_etl_framework_spark.operators.winsorize import winsorize_by_group
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = winsorize_by_group(
+        ev, "value", ["event_type"], lower=0.1, upper=0.9, suffix="_w"
+    )
+    return out.select(
+        "event_id", "event_type", F.round("value_w", 6).alias("value_w")
+    )
+
+
+_X44_SQL = """
+WITH st AS (SELECT event_type, quantile_cont(value, 0.1) AS lo,
+                   quantile_cont(value, 0.9) AS hi
+            FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       CASE WHEN e.value IS NULL OR st.lo IS NULL THEN e.value
+            ELSE ROUND(least(st.hi, greatest(st.lo, e.value)), 6) END
+         AS value_w
+FROM events e LEFT JOIN st ON e.event_type = st.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5460,6 +5491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x41_quantile_bucketize": x41_quantile_bucketize,
         "x42_corr_matrix": x42_corr_matrix,
         "x43_pair_lift": x43_pair_lift,
+        "x44_grouped_winsorize": x44_grouped_winsorize,
     }
 
 
@@ -5557,6 +5589,7 @@ def oracle_sql() -> dict[str, str]:
         "x41_quantile_bucketize": _X41_SQL,
         "x42_corr_matrix": _X42_SQL,
         "x43_pair_lift": _X43_SQL,
+        "x44_grouped_winsorize": _X44_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

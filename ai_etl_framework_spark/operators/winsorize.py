@@ -18,7 +18,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["winsorize"]
+__all__ = ["winsorize", "winsorize_by_group"]
 
 
 def winsorize(
@@ -70,3 +70,63 @@ def winsorize(
                 clipped = clipped.cast(df.schema[c].dataType)
         out = out.withColumn(c + suffix, clipped)
     return out
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    approx: bool = False,
+    suffix: str = "",
+) -> DataFrame:
+    """Per-GROUP percentile clipping — the per-domain/per-source form
+    of :func:`winsorize` (one crawler's value distribution must not
+    set another's clip bounds; the same motivation as the robust
+    z-score's grouping). Semantics per group match the global form:
+    NULL passes through, an all-NULL group clips nothing, replace
+    mode keeps the column's type; a NULL group key is its own group
+    (null-safe join-back, the r9 impute convention).
+
+    Scale shape: ONE hash aggregation computes every group's two cut
+    points (exact ``percentile`` / ``percentile_approx`` dual), then
+    a NULL-SAFE join back (no mandatory broadcast — group cardinality
+    is data-dependent, AQE decides) and a codegen clip projection —
+    the impute_by_group shape with two statistics."""
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError(
+            f"need 0 <= lower < upper <= 1, got ({lower}, {upper})"
+        )
+    if not group_cols:
+        raise ValueError("winsorize_by_group needs group columns; "
+                         "use winsorize() for the global form")
+    groups = list(group_cols)
+
+    def cut(q: float, name: str):
+        if approx:
+            return F.percentile_approx(col, q, 10000).alias(name)
+        return F.percentile(col, F.lit(q)).alias(name)
+
+    stats = df.groupBy(*groups).agg(cut(lower, "__lo"), cut(upper, "__hi"))
+    renamed = stats.select(
+        *[F.col(g).alias(f"__g{i}") for i, g in enumerate(groups)],
+        "__lo",
+        "__hi",
+    )
+    cond = None
+    for i, g in enumerate(groups):
+        c = df[g].eqNullSafe(renamed[f"__g{i}"])
+        cond = c if cond is None else (cond & c)
+    joined = df.join(renamed, cond, "left").drop(
+        *[f"__g{i}" for i in range(len(groups))]
+    )
+    x = F.col(col)
+    clipped = F.when(
+        x.isNull() | F.col("__lo").isNull() | F.col("__hi").isNull(), x
+    ).otherwise(
+        F.least(F.col("__hi"), F.greatest(F.col("__lo"), x.cast("double")))
+    )
+    if not suffix:  # replace mode must not change the schema
+        clipped = clipped.cast(df.schema[col].dataType)
+    return joined.withColumn(col + suffix, clipped).drop("__lo", "__hi")

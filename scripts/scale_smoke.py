@@ -167,6 +167,8 @@ QUERIES = [
     # corr = one agg pass; pair-lift fan-out is |types/user|² (5 types)
     "x42_corr_matrix",
     "x43_pair_lift",
+    # grouped percentile agg + join-back — linear on a fixed group count
+    "x44_grouped_winsorize",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure

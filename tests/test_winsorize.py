@@ -54,6 +54,38 @@ def test_winsorize_replace_mode_preserves_schema(spark):
     assert {r["id"]: r["w_w"] for r in out2.collect()}[1] is None
 
 
+def test_winsorize_by_group(spark):
+    """Per-group clipping: each group's bounds come from ITS values;
+    NULL group is its own group; all-NULL group passes through;
+    replace mode keeps the int type."""
+    from ai_etl_framework_spark.operators.winsorize import winsorize_by_group
+
+    rows = (
+        [(i, "a", float(i)) for i in range(1, 11)]        # a: 1..10
+        + [(100 + i, "b", float(i * 100)) for i in range(1, 11)]  # b: 100..1000
+        + [(200, None, 5.0), (201, None, 500.0)]          # NULL group
+        + [(300, "c", None), (301, "c", None)]            # all-NULL group
+    )
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {
+        r["id"]: r["v_w"]
+        for r in winsorize_by_group(
+            df, "v", ["g"], 0.25, 0.75, suffix="_w"
+        ).collect()
+    }
+    assert out[1] > 1.0 and out[10] < 10.0          # a clipped by a's bounds
+    assert out[101] > 100.0 and out[110] < 1000.0   # b by b's (100x larger)
+    assert out[110] > 10.0                          # not leaked from a
+    assert out[200] is not None and out[201] is not None  # NULL group works
+    assert out[300] is None and out[301] is None    # all-NULL passes through
+    # replace mode keeps schema type
+    di = spark.createDataFrame([(1, "a", 10), (2, "a", 500)], "id long, g string, v int")
+    rep = winsorize_by_group(di, "v", ["g"], 0.25, 0.75)
+    assert dict(rep.dtypes)["v"] == "int"
+    with pytest.raises(ValueError, match="group columns"):
+        winsorize_by_group(df, "v", [])
+
+
 def test_winsorize_approx_and_validation(spark):
     df = spark.createDataFrame(
         [(i, float(i)) for i in range(200)], "id long, v double"
