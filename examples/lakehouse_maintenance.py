@@ -116,6 +116,26 @@ def main() -> None:
     ).first()
     print(f"telemetry: ~{n_keys} distinct keys, name-length p50={qs['p50']} p99={qs['p99']}")
 
+    # --- 4. versioned publication (sinks/versioned.py) --------------
+    # each maintenance cycle PUBLISHES the compacted snapshot as an
+    # immutable version: consumers pin a version, snapshot_diff audits
+    # version n vs n-1, vacuum reclaims past the retention window
+    from ai_etl_framework_spark.operators.corpus import snapshot_diff
+    from ai_etl_framework_spark.sinks.versioned import VersionedTable
+
+    table = VersionedTable(spark, os.path.join(work, "published"))
+    v1 = table.commit(spark.read.parquet(cur).where(F.col("k") % 100 != 50))
+    v2 = table.commit(spark.read.parquet(cur))
+    diff = snapshot_diff(
+        table.read(v1), table.read(v2), id_col="k", text_col="segment"
+    )
+    added = diff.where(F.col("status") == "added").count()
+    print(f"published v{v1}->v{v2}: {added} rows added between versions")
+    assert table.read(v2).count() == n_total
+    table.vacuum(keep_last=1)
+    print(f"vacuum kept v{table.latest_version()} only — "
+          f"{len(table.history())} manifest(s) remain")
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
