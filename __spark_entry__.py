@@ -5350,6 +5350,97 @@ FROM events e LEFT JOIN st ON e.event_type = st.event_type
 """
 
 
+def x45_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join key-health report (operators/audit.py join_audit): orders
+    → a deliberately damaged customer dim (keys %7==0 dropped → fact
+    orphans; keys %13==0 duplicated → fan-out 2). Two hash aggs +
+    one co-partitioned left join + scalars. The oracle replays every
+    count."""
+    from ai_etl_framework_spark.operators.audit import join_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.where(F.col("c_custkey") % 7 != 0).unionByName(
+        cust.where(F.col("c_custkey") % 13 == 0)
+    )
+    return join_audit(orders, dim, "o_custkey", "c_custkey")
+
+
+_X45_SQL = """
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0
+  UNION ALL SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0),
+dk AS (SELECT c_custkey AS k, count(*) AS mult FROM dim GROUP BY 1),
+f AS (SELECT o_custkey AS fk FROM orders),
+fs AS (SELECT count(*)::BIGINT AS n_fact,
+              count(CASE WHEN dk.k IS NULL THEN 1 END)::BIGINT AS orphans
+       FROM f LEFT JOIN dk ON f.fk = dk.k),
+refs AS (SELECT DISTINCT fk FROM f WHERE fk IS NOT NULL),
+um AS (SELECT COALESCE(sum(dk.mult), 0)::BIGINT AS unmatched
+       FROM dk LEFT JOIN refs ON dk.k = refs.fk WHERE refs.fk IS NULL),
+mm AS (SELECT COALESCE(sum(mult), 0)::BIGINT AS n_dim,
+              count(CASE WHEN mult > 1 THEN 1 END)::BIGINT AS dup_keys,
+              COALESCE(max(mult), 0)::BIGINT AS max_fanout
+       FROM dk)
+SELECT fs.n_fact, mm.n_dim, fs.orphans AS orphan_fact_rows,
+       um.unmatched AS unmatched_dim_rows, mm.dup_keys AS dup_dim_keys,
+       mm.max_fanout
+FROM fs, um, mm
+"""
+
+
+def x46_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user silence periods > 6 h (operators/audit.py
+    detect_gaps): ONE key-partitioned lag window + a filter (the
+    rolling_features shape). Oracle replays the lag and the epoch
+    arithmetic."""
+    from ai_etl_framework_spark.operators.audit import detect_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    return detect_gaps(ev, threshold_seconds=21600)
+
+
+_X46_SQL = """
+WITH e AS (SELECT user_id, ts, event_id FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+g AS (SELECT user_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_start,
+             ts AS gap_end
+      FROM e)
+SELECT user_id, gap_start, gap_end,
+       ROUND(epoch(gap_end) - epoch(gap_start), 6) AS gap_seconds
+FROM g
+WHERE epoch(gap_end) - epoch(gap_start) > 21600
+"""
+
+
+def x47_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer revenue contribution (operators/audit.py
+    pareto_share, 80/20 analysis): one hash agg to a customer-sized
+    frame, then the cumulative window over THAT (never raw orders).
+    Oracle replays the (total DESC, key ASC) running share."""
+    from ai_etl_framework_spark.operators.audit import pareto_share
+
+    orders = load_table(spark, sf_dir, "orders")
+    return pareto_share(orders, "o_custkey", "o_totalprice", top_frac=0.8)
+
+
+_X47_SQL = """
+WITH t AS (SELECT o_custkey, COALESCE(sum(o_totalprice), 0) AS total
+           FROM orders GROUP BY o_custkey),
+w AS (SELECT o_custkey, total,
+             total / sum(total) OVER () AS share,
+             sum(total) OVER (ORDER BY total DESC, o_custkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(total) OVER () AS cum
+      FROM t)
+SELECT o_custkey, ROUND(total, 6) AS total, ROUND(share, 6) AS share,
+       ROUND(cum, 6) AS cum_share, ROUND(cum - share, 6) < 0.8 AS is_top
+FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5492,6 +5583,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x42_corr_matrix": x42_corr_matrix,
         "x43_pair_lift": x43_pair_lift,
         "x44_grouped_winsorize": x44_grouped_winsorize,
+        "x45_join_audit": x45_join_audit,
+        "x46_gap_detection": x46_gap_detection,
+        "x47_pareto_share": x47_pareto_share,
     }
 
 
@@ -5590,6 +5684,9 @@ def oracle_sql() -> dict[str, str]:
         "x42_corr_matrix": _X42_SQL,
         "x43_pair_lift": _X43_SQL,
         "x44_grouped_winsorize": _X44_SQL,
+        "x45_join_audit": _X45_SQL,
+        "x46_gap_detection": _X46_SQL,
+        "x47_pareto_share": _X47_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -1,0 +1,158 @@
+"""Relationship & distribution audits — the data-contract checks that
+run BETWEEN tables and WITHIN series, complementing the single-table
+constraint gate (operators/expectations.py):
+
+- :func:`join_audit` — key-health report for a fact→dim relationship:
+  orphan rate, unmatched-dim rate, key fan-out, duplicate keys. The
+  first thing to measure before trusting any join's row count.
+- :func:`detect_gaps` — per-key silence periods (inter-event gaps
+  over a threshold): feed outages, sensor downtime, crawl stalls.
+- :func:`pareto_share` — per-group contribution: share of total,
+  cumulative share in descending order, and the "vital few" flag
+  (the 80/20 analysis every cost/volume dashboard runs).
+
+All beyond-reference scope (the reference has no cross-table checks;
+schema_profiler is single-column).
+
+Pinned semantics (oracle-replicated):
+
+``join_audit`` (single row):
+- n_fact / n_dim — raw row counts; NULL fact keys count as orphans
+  (they join to nothing);
+- orphan_fact_rows — fact rows with no dim match; unmatched_dim_rows
+  — dim rows never referenced; dup_dim_keys — dim keys appearing
+  more than once (each inflates the join's row count);
+- max_fanout — the largest per-key dim multiplicity (1 = safe
+  N:1 join).
+
+``detect_gaps``:
+- events per key ordered by (ts, tiebreak); a row per consecutive
+  pair with gap_seconds > threshold: (key, gap_start, gap_end,
+  gap_seconds); NULL key/ts rows dropped.
+
+``pareto_share``:
+- (group, total, share, cum_share, is_top) with cum_share summed in
+  (total DESC, group ASC) order and ``is_top`` = this group is
+  needed to reach ``top_frac`` of the grand total (cum_share −
+  share < top_frac, compared on the 6dp-ROUNDED difference — the
+  raw float difference sits epsilon under the threshold exactly at
+  boundaries like 0.95 − 0.15, flipping the flag); share/cum_share
+  rounded 6dp. Groups with zero or negative totals still rank
+  (share can be ≤ 0).
+
+Scale shape: join_audit = two hash aggregations (dim keys collapse
+to |keys| first) + one co-partitioned left join + one scalar agg;
+detect_gaps = ONE key-partitioned window (lag) + a filter, the
+rolling_features shape; pareto_share = one hash agg to a
+dimension-sized frame, then a window over THAT (never the raw rows) —
+the single-partition window is |groups|-sized by construction."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["join_audit", "detect_gaps", "pareto_share"]
+
+
+def join_audit(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """One-row key-health report — see module pins."""
+    dim_keys = (
+        dim.groupBy(F.col(dim_key).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__mult"))
+    )
+    joined = fact.select(F.col(fact_key).alias("__fk")).join(
+        dim_keys, F.col("__fk").eqNullSafe(F.col("__k")), "left"
+    )
+    fact_side = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fact"),
+        F.count(F.when(F.col("__k").isNull() | F.col("__fk").isNull(), 1))
+        .cast("long")
+        .alias("orphan_fact_rows"),
+    ).collect()[0]
+    referenced = fact.select(
+        F.col(fact_key).alias("__k")
+    ).where(F.col("__k").isNotNull()).distinct()
+    dim_side = dim_keys.join(referenced, "__k", "left_anti").agg(
+        F.coalesce(F.sum("__mult"), F.lit(0)).cast("long").alias("unmatched")
+    ).collect()[0]
+    mult = dim_keys.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.coalesce(F.max("__mult"), F.lit(0)).cast("long").alias("max_fanout"),
+        F.count(F.when(F.col("__mult") > 1, 1)).cast("long").alias("dup_keys"),
+        F.coalesce(F.sum("__mult"), F.lit(0)).cast("long").alias("n_dim"),
+    ).collect()[0]
+    spark = fact.sparkSession
+    return spark.createDataFrame(
+        [(
+            fact_side["n_fact"], mult["n_dim"],
+            fact_side["orphan_fact_rows"], dim_side["unmatched"],
+            mult["dup_keys"], mult["max_fanout"],
+        )],
+        "n_fact long, n_dim long, orphan_fact_rows long, "
+        "unmatched_dim_rows long, dup_dim_keys long, max_fanout long",
+    )
+
+
+def detect_gaps(
+    df: DataFrame,
+    threshold_seconds: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(key, gap_start, gap_end, gap_seconds) — see module pins."""
+    if threshold_seconds <= 0:
+        raise ValueError(
+            f"threshold_seconds must be > 0, got {threshold_seconds}"
+        )
+    from ai_etl_framework_spark.session import epoch_seconds
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    base = df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+    prev = F.lag(ts_col).over(w)
+    gap = epoch_seconds(ts_col) - epoch_seconds(prev)
+    return (
+        base.select(
+            F.col(key_col),
+            prev.alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            F.round(gap, 6).alias("gap_seconds"),
+        )
+        .where(F.col("gap_seconds") > threshold_seconds)
+    )
+
+
+def pareto_share(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    top_frac: float = 0.8,
+) -> DataFrame:
+    """(group, total, share, cum_share, is_top) — see module pins."""
+    if not (0 < top_frac <= 1):
+        raise ValueError(f"top_frac must be in (0, 1], got {top_frac}")
+    totals = df.groupBy(group_col).agg(
+        F.coalesce(F.sum(value_col), F.lit(0.0)).alias("total")
+    )
+    grand = Window.partitionBy()
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("total").desc(), F.col(group_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    share = F.col("total") / F.sum("total").over(grand)
+    cum = F.sum("total").over(w) / F.sum("total").over(grand)
+    return totals.select(
+        group_col,
+        F.round("total", 6).alias("total"),
+        F.round(share, 6).alias("share"),
+        F.round(cum, 6).alias("cum_share"),
+        (F.round(cum - share, 6) < top_frac).alias("is_top"),
+    )

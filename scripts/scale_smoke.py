@@ -169,6 +169,11 @@ QUERIES = [
     "x43_pair_lift",
     # grouped percentile agg + join-back — linear on a fixed group count
     "x44_grouped_winsorize",
+    # join audit: dim keys collapse first, fact side one co-partitioned
+    # probe; gaps: one lag window; pareto: windows over the GROUP frame
+    "x45_join_audit",
+    "x46_gap_detection",
+    "x47_pareto_share",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure
