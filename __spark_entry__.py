@@ -5441,6 +5441,55 @@ FROM w
 """
 
 
+def x48_funnel_timings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel stage-transition timing summary (operators/funnel.py
+    funnel_timings): per transition (view→click, click→purchase) the
+    conversion counts and exact p50/p90/mean time-to-convert over
+    x25's first-touch stage timestamps — one reused key partitioning
+    + one |transitions|-row aggregation. Oracle replays x25's chained
+    CTEs then the epoch-delta percentiles."""
+    from ai_etl_framework_spark.operators.funnel import funnel_timings
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_timings(ev, ["view", "click", "purchase"], within="1 day")
+
+
+_X48_SQL = """
+WITH ev AS (SELECT user_id AS key, ts, event_type AS tp FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+s1 AS (SELECT key, min(ts) AS t1 FROM ev WHERE tp = 'view' GROUP BY key),
+s2 AS (SELECT ev.key, min(ev.ts) AS t2
+       FROM ev JOIN s1 ON ev.key = s1.key
+       WHERE ev.tp = 'click' AND ev.ts >= s1.t1
+         AND ev.ts <= s1.t1 + INTERVAL 1 DAY
+       GROUP BY ev.key),
+s3 AS (SELECT ev.key, min(ev.ts) AS t3
+       FROM ev JOIN s1 ON ev.key = s1.key JOIN s2 ON ev.key = s2.key
+       WHERE ev.tp = 'purchase' AND ev.ts >= s2.t2
+         AND ev.ts <= s1.t1 + INTERVAL 1 DAY
+       GROUP BY ev.key),
+st AS (SELECT s1.key, s1.t1, s2.t2, s3.t3
+       FROM s1 LEFT JOIN s2 ON s1.key = s2.key
+               LEFT JOIN s3 ON s1.key = s3.key),
+agg AS (SELECT
+  count(t1)::BIGINT AS r1, count(t2)::BIGINT AS c1,
+  ROUND(quantile_cont(epoch(t2) - epoch(t1), 0.5), 4) AS p50_1,
+  ROUND(quantile_cont(epoch(t2) - epoch(t1), 0.9), 4) AS p90_1,
+  ROUND(avg(epoch(t2) - epoch(t1)), 4) AS mu_1,
+  count(t2)::BIGINT AS r2, count(t3)::BIGINT AS c2,
+  ROUND(quantile_cont(epoch(t3) - epoch(t2), 0.5), 4) AS p50_2,
+  ROUND(quantile_cont(epoch(t3) - epoch(t2), 0.9), 4) AS p90_2,
+  ROUND(avg(epoch(t3) - epoch(t2)), 4) AS mu_2
+  FROM st)
+SELECT 'view -> click' AS transition, r1 AS n_reached, c1 AS n_converted,
+       ROUND(c1 / r1::DOUBLE, 6) AS conv_rate, p50_1 AS p50_seconds,
+       p90_1 AS p90_seconds, mu_1 AS mean_seconds FROM agg
+UNION ALL
+SELECT 'click -> purchase', r2, c2, ROUND(c2 / r2::DOUBLE, 6),
+       p50_2, p90_2, mu_2 FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5586,6 +5635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x45_join_audit": x45_join_audit,
         "x46_gap_detection": x46_gap_detection,
         "x47_pareto_share": x47_pareto_share,
+        "x48_funnel_timings": x48_funnel_timings,
     }
 
 
@@ -5687,6 +5737,7 @@ def oracle_sql() -> dict[str, str]:
         "x45_join_audit": _X45_SQL,
         "x46_gap_detection": _X46_SQL,
         "x47_pareto_share": _X47_SQL,
+        "x48_funnel_timings": _X48_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

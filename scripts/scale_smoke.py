@@ -174,6 +174,8 @@ QUERIES = [
     "x45_join_audit",
     "x46_gap_detection",
     "x47_pareto_share",
+    # x25's reused key partitioning + one transitions-row agg
+    "x48_funnel_timings",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure

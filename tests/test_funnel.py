@@ -90,3 +90,46 @@ def test_funnel_single_partitioning(spark):
 
     for m in re.findall(r"hashpartitioning\((\w+)#", plan):
         assert m in ("key", "user_id"), plan[:500]
+
+
+def test_funnel_timings_pinned(spark):
+    """Transition timings vs hand math: deltas from first-touch
+    stages, exact percentiles, reached/converted counts."""
+    import datetime as dt
+
+    from ai_etl_framework_spark.operators.funnel import funnel_timings
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1 full funnel: a@0, b@10, c@40  (a->b 600s, b->c 1800s)
+        (1, ts(0), "a"), (1, ts(10), "b"), (1, ts(40), "c"),
+        # u2 reaches b only: a@0, b@30            (a->b 1800s)
+        (2, ts(0), "a"), (2, ts(30), "b"),
+        # u3 stage 1 only
+        (3, ts(5), "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["transition"]: r
+        for r in funnel_timings(df, ["a", "b", "c"], within="1 day").collect()
+    }
+    ab = got["a -> b"]
+    assert (ab["n_reached"], ab["n_converted"]) == (3, 2)
+    assert ab["conv_rate"] == pytest.approx(2 / 3, abs=1e-6)
+    assert ab["p50_seconds"] == pytest.approx(1200.0)  # median of 600, 1800
+    assert ab["mean_seconds"] == pytest.approx(1200.0)
+    bc = got["b -> c"]
+    assert (bc["n_reached"], bc["n_converted"]) == (2, 1)
+    assert bc["p50_seconds"] == pytest.approx(1800.0)
+    # approx dual agrees on this tiny frame
+    appr = {
+        r["transition"]: r["p50_seconds"]
+        for r in funnel_timings(
+            df, ["a", "b", "c"], within="1 day", approx=True
+        ).collect()
+    }
+    assert abs(appr["a -> b"] - 1200.0) <= 600.0
