@@ -468,6 +468,30 @@ def knn_join(
     import pandas as pd
 
     if method == "matmul":
+        # Derive the output id type from the input (ADVICE r9): the IVF
+        # path keeps the id column natively, so the matmul path must not
+        # silently assume int64 — integral ids ride as int64, string ids
+        # as object arrays (both lexsort/compare fine); anything else is
+        # a clear up-front error instead of an opaque numpy cast failure.
+        from pyspark.sql import types as T
+
+        id_type = df.schema[id_col].dataType
+        if isinstance(
+            id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            id_sql, id_np = "long", np.int64
+        elif isinstance(id_type, T.StringType):
+            id_sql, id_np = "string", object
+        else:
+            raise TypeError(
+                f"knn_join(method='matmul') needs an integral or string "
+                f"id column; {id_col!r} is {id_type.simpleString()} — "
+                "cast it first, or use method='ivf' (keeps the id type)"
+            )
+        out_schema = (
+            f"{id_col} {id_sql}, neighbor_id {id_sql}, "
+            "rank long, cos_sim double"
+        )
         valid = df.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
         head = valid.limit(max_index_rows + 1).collect()
         if len(head) > max_index_rows:
@@ -476,12 +500,10 @@ def knn_join(
                 "use method='ivf' (distributed cell-blocked join) or "
                 "raise the cap explicitly"
             )
-        ids_all = np.asarray([r[0] for r in head], dtype=np.int64)
+        ids_all = np.asarray([r[0] for r in head], dtype=id_np)
         V = np.asarray([list(r[1]) for r in head], dtype=np.float64)
         if V.size == 0:
-            return df.sparkSession.createDataFrame(
-                [], f"{id_col} long, neighbor_id long, rank long, cos_sim double"
-            )
+            return df.sparkSession.createDataFrame([], out_schema)
         norms = np.linalg.norm(V, axis=1)
         nz = norms > 0.0
         index_ids = ids_all[nz]
@@ -526,10 +548,7 @@ def knn_join(
                         }
                     )
 
-        return df.select(id_col, vec_col).mapInPandas(
-            score,
-            schema=f"{id_col} long, neighbor_id long, rank long, cos_sim double",
-        )
+        return df.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
 
     if method != "ivf":
         raise ValueError(f"method must be 'matmul' or 'ivf', got {method!r}")

@@ -41,23 +41,29 @@ _FRACTION_CHECKS = ("not_null", "unique", "in_set", "matches")
 
 
 def _metric_expr(check: Mapping[str, Any]):
+    # try_divide, not `/`: a zero denominator (empty frame; all-NULL
+    # column for in_set/matches) must yield the documented metric NULL
+    # under ANSI sessions too — plain division raises DIVIDE_BY_ZERO
+    # when spark.sql.ansi.enabled=true (the Spark 4 default session).
     kind, col = check["check"], check["column"]
     c = F.col(col)
     n = F.count(F.lit(1))
     if kind == "not_null":
-        return F.count(c) / n
+        return F.try_divide(F.count(c), n)
     if kind == "unique":
         nulls = n - F.count(c)
-        return (F.countDistinct(c) + nulls) / n
+        return F.try_divide(F.countDistinct(c) + nulls, n)
     if kind == "min":
         return F.min(c).cast("double")
     if kind == "max":
         return F.max(c).cast("double")
     if kind == "in_set":
         vals = list(check["values"])
-        return F.count(F.when(c.isin(vals), 1)) / F.count(c)
+        return F.try_divide(F.count(F.when(c.isin(vals), 1)), F.count(c))
     if kind == "matches":
-        return F.count(F.when(c.rlike(check["pattern"]), 1)) / F.count(c)
+        return F.try_divide(
+            F.count(F.when(c.rlike(check["pattern"]), 1)), F.count(c)
+        )
     raise ValueError(f"unknown check type {kind!r}")
 
 

@@ -127,6 +127,8 @@ def funnel_timings(
             F.round(p90, 4).alias(f"__p90_{i}"),
             F.round(F.avg(delta), 4).alias(f"__mu_{i}"),
         ]
+    from ai_etl_framework_spark.operators.scaling import _round6
+
     row = stages.agg(*aggs).collect()[0]
     out = []
     for i in range(1, k):
@@ -135,7 +137,10 @@ def funnel_timings(
             f"{steps[i - 1]} -> {steps[i]}",
             reached,
             conv,
-            round(conv / reached, 6) if reached else None,
+            # half-up 6dp (repo convention, matches F.round / DuckDB
+            # ROUND in the x48 oracle) — builtin round() is banker's
+            # and flips the 6th digit on exact .5e-7 boundaries
+            _round6(conv / reached) if reached else None,
             row[f"__p50_{i}"],
             row[f"__p90_{i}"],
             row[f"__mu_{i}"],

@@ -25,10 +25,19 @@ the x14/x15 batch rows pin, driven through foreachBatch.
 
 Stream-vs-batch determinism: given the same batch sequence, the
 stream and the plain loop produce the same accepted set (asserted in
-tests/test_incremental_ingest.py) — survivor choice depends only on
-batch ORDER (earlier batches win cross-batch collisions; within a
-batch, min doc_id wins), which the file source fixes by modification
-time under ``maxFilesPerTrigger``.
+tests/test_incremental_ingest.py) — survivor choice depends on batch
+ORDER (earlier batches win cross-batch collisions; within a batch,
+min doc_id wins, for BOTH exact and near dedup), which the file
+source fixes by modification time under ``maxFilesPerTrigger``.
+
+Known boundary sensitivity (documented, not a bug): near-dup CHAINS
+(a~b, b~c, a≁c) can yield different survivor sets under different
+batch splits — in one batch the min-id anti-join keeps only ``a``
+(b and c each collide with a smaller id), while across batches ``b``
+is rejected and therefore never indexed, so ``c`` survives. Only the
+band index of ACCEPTED docs is persisted (indexing rejects would let
+junk suppress good docs forever). Pair-shaped duplicates — the
+overwhelmingly common case — are boundary-independent.
 """
 
 from __future__ import annotations
@@ -99,6 +108,27 @@ class IncrementalCorpusIngest:
             self.num_hashes, self.bands, self.k,
         )
 
+    def _within_batch_near_dedup(self, batch: DataFrame) -> DataFrame:
+        """Drop batch docs that LSH band-collide with a SMALLER id in
+        the same batch (min-id-wins, same policy as
+        :func:`~ai_etl_framework_spark.operators.dedup.minhash_dedup`'s
+        keep-canonical-smallest). The self-join shuffles batch-sized
+        band hashes only — never text, never the corpus."""
+        bands = self._band_frame(batch)
+        a = bands.select(
+            F.col(self.id_col).alias("__a"), "band_idx", "band_hash"
+        )
+        b = bands.select(
+            F.col(self.id_col).alias("__b"), "band_idx", "band_hash"
+        )
+        losers = (
+            a.join(b, ["band_idx", "band_hash"])
+            .where(F.col("__b") > F.col("__a"))
+            .select(F.col("__b").alias(self.id_col))
+            .distinct()
+        )
+        return batch.join(losers, on=self.id_col, how="left_anti")
+
     def _read_or_none(self, path: str) -> Optional[DataFrame]:
         # _spark_metadata-free plain parquet dirs; absence = empty store
         if not os.path.isdir(path):
@@ -153,6 +183,11 @@ class IncrementalCorpusIngest:
                 self.num_hashes, self.bands, self.k,
                 history_bands=band_store,
             )
+        # near-dedup the batch WITHIN itself (ADVICE r9): two near-dup
+        # docs arriving in the same micro-batch would otherwise both be
+        # accepted (and both indexed) — the store probe above only sees
+        # PRIOR batches. Min doc_id wins, mirroring the exact path.
+        accepted = self._within_batch_near_dedup(accepted)
         # Materialize the accepted batch ONCE before the three writes:
         # the silver append and both store appends would otherwise each
         # re-run the dedup joins, and the fingerprint append would race

@@ -59,6 +59,39 @@ def test_checks_empty_frame_and_validation(spark):
         run_checks(df, [{"check": "positive", "column": "v"}]).collect()
 
 
+def test_checks_empty_under_ansi(spark):
+    """Zero denominators yield metric NULL / passed NULL under ANSI
+    sessions too (ADVICE r9: plain division raises DIVIDE_BY_ZERO when
+    spark.sql.ansi.enabled=true — the driver's plain-session default)."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        empty = spark.createDataFrame([], "id long, v double, s string")
+        all_null = spark.createDataFrame(
+            [(1, None), (2, None)], "id long, s string"
+        )
+        rows = run_checks(
+            empty,
+            [
+                {"check": "not_null", "column": "v"},
+                {"check": "unique", "column": "id"},
+                {"check": "in_set", "column": "s", "values": ["a"]},
+                {"check": "matches", "column": "s", "pattern": "^a"},
+            ],
+        ).collect()
+        assert all(r["metric"] is None and r["passed"] is None for r in rows)
+        rows = run_checks(
+            all_null,
+            [
+                {"check": "in_set", "column": "s", "values": ["a"]},
+                {"check": "matches", "column": "s", "pattern": "^a"},
+            ],
+        ).collect()
+        assert all(r["metric"] is None and r["passed"] is None for r in rows)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_checks_single_pass(spark):
     """Non-distinct constraints compile into ONE aggregate over one
     scan (plan-asserted) — 30 checks on 100 TB cost one pass."""

@@ -112,6 +112,32 @@ def test_no_history_first_batch(spark, tmp_path):
     assert _accepted_ids(ing) == [5, 7]
 
 
+def test_within_batch_near_dedup(spark, tmp_path):
+    """Two NEAR-dup docs in the SAME micro-batch (ADVICE r9): min id
+    survives, the loser is neither accepted nor indexed in the band
+    store — and on a cold start (no band store at all) the same
+    within-batch pass still runs."""
+    ing = IncrementalCorpusIngest(spark, str(tmp_path / "c"))
+    b = [
+        (20, "alpha beta gamma delta epsilon zeta eta theta", "en", "s"),
+        (21, "alpha beta gamma delta epsilon zeta eta iota", "en", "s"),
+        (22, "wholly different content lives over here now", "en", "s"),
+    ]
+    ing.run_batches([_mk(spark, b)])
+    assert _accepted_ids(ing) == [20, 22]
+    indexed = {
+        r["doc_id"]
+        for r in spark.read.parquet(ing.band_dir).select("doc_id").collect()
+    }
+    assert indexed == {20, 22}
+    # a later near-dup of the ACCEPTED doc is still caught cross-batch
+    ing.run_batches([_mk(
+        spark,
+        [(23, "alpha beta gamma delta epsilon zeta eta kappa", "en", "s")],
+    )])
+    assert _accepted_ids(ing) == [20, 22]
+
+
 def test_st03_registry_entry(spark):
     """The rows-only registry row runs end-to-end at sf0.001 and its
     floor holds: accepted ⊆ input, history all present, report joined."""

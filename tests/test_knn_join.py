@@ -63,6 +63,35 @@ def test_matmul_matches_model(vec_df):
     assert 5 not in all_neighbors and 6 not in all_neighbors
 
 
+def test_string_ids_matmul(spark):
+    """The matmul path derives its output schema from the id type
+    (ADVICE r9): string ids work end-to-end and agree with the long-id
+    result; unsupported id types fail with a clear TypeError instead
+    of an opaque numpy cast error."""
+    sdf = spark.createDataFrame(
+        [(f"d{i}", v) for i, v in VECS],
+        "vec_id string, embedding array<double>",
+    )
+    got = knn_join(sdf, "embedding", "vec_id", k=3)
+    assert dict(got.dtypes)["vec_id"] == "string"
+    assert dict(got.dtypes)["neighbor_id"] == "string"
+    exp = _model(VECS, 3)
+    by_q: dict[str, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert set(by_q) == {f"d{q}" for q in exp}
+    for qid in exp:
+        assert sorted(by_q[f"d{qid}"]) == [
+            (i + 1, f"d{n}") for i, (n, _) in enumerate(exp[qid])
+        ]
+
+    bad = spark.createDataFrame(
+        [(1.5, [1.0, 0.0])], "vec_id double, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="integral or string"):
+        knn_join(bad, "embedding", "vec_id", k=1)
+
+
 def test_index_cap_fail_loud(vec_df):
     with pytest.raises(ValueError, match="max_index_rows"):
         knn_join(vec_df, "embedding", "vec_id", k=2, max_index_rows=3)
