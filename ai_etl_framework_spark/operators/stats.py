@@ -42,24 +42,49 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["corr_matrix", "pair_lift"]
 
 
-def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """(col_a, col_b, corr, n) per unordered pair — see module pins."""
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    max_columns: int = 40,
+    chunked: bool = False,
+) -> DataFrame:
+    """(col_a, col_b, corr, n) per unordered pair — see module pins.
+
+    One aggregation pass holds k(k−1)/2 × 2 expressions: one job at 30
+    columns, codegen-hostile at hundreds (r9 verdict item 5). Above
+    ``max_columns`` the call fails loud unless ``chunked=True``, which
+    splits the PAIR list into ≤ max_columns(max_columns−1)/2-pair
+    aggregations run as sequential passes — ⌈P/chunk⌉ scans instead of
+    one unplannable one. Results are identical (each pair's corr/n is
+    an independent aggregate)."""
     if len(cols) < 2:
         raise ValueError("corr_matrix needs at least two columns")
-    pairs = [(a, b) for a, b in combinations(sorted(cols), 2)]
-    aggs = []
-    for i, (a, b) in enumerate(pairs):
-        aggs.append(F.round(F.corr(a, b), 6).alias(f"__c{i}"))
-        aggs.append(
-            F.count(
-                F.when(F.col(a).isNotNull() & F.col(b).isNotNull(), 1)
-            ).cast("long").alias(f"__n{i}")
+    if len(cols) > max_columns and not chunked:
+        raise ValueError(
+            f"corr_matrix got {len(cols)} columns (> max_columns="
+            f"{max_columns}): {len(cols) * (len(cols) - 1) // 2} paired "
+            "aggregate expressions in one pass is codegen-hostile. Pass "
+            "chunked=True for a multi-pass fallback, or raise "
+            "max_columns explicitly."
         )
-    row = df.agg(*aggs).collect()[0]
-    out = [
-        (a, b, row[f"__c{i}"], row[f"__n{i}"])
-        for i, (a, b) in enumerate(pairs)
-    ]
+    pairs = [(a, b) for a, b in combinations(sorted(cols), 2)]
+    chunk = max(1, max_columns * (max_columns - 1) // 2)
+    out = []
+    for start in range(0, len(pairs), chunk):
+        part = pairs[start:start + chunk]
+        aggs = []
+        for i, (a, b) in enumerate(part):
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"__c{i}"))
+            aggs.append(
+                F.count(
+                    F.when(F.col(a).isNotNull() & F.col(b).isNotNull(), 1)
+                ).cast("long").alias(f"__n{i}")
+            )
+        row = df.agg(*aggs).collect()[0]
+        out.extend(
+            (a, b, row[f"__c{i}"], row[f"__n{i}"])
+            for i, (a, b) in enumerate(part)
+        )
     return df.sparkSession.createDataFrame(
         out, "col_a string, col_b string, corr double, n long"
     )

@@ -17,13 +17,16 @@ Guarantees and HONEST limits:
 - **Immutable versions**: ``read(version)`` is reproducible until a
   ``vacuum`` drops that version's files (vacuum refuses to break
   versions it was told to keep).
-- **SINGLE WRITER**: the next version number is read-then-claimed
-  without a lock — concurrent committers can race. Real systems CAS
-  the log entry (Delta's putIfAbsent); on a shared deployment, put
-  commits behind one scheduler or a lock service. Readers are always
-  safe.
-- Local/posix + any fuse-mounted store; on an object store, swap the
-  rename for a putIfAbsent.
+- **SINGLE WINNER per version (posix CAS)**: the manifest is claimed
+  with ``os.link`` (atomic create-if-absent on posix — Delta's
+  putIfAbsent shape): of two concurrent committers racing for the
+  same version number, exactly one wins; the loser raises
+  :class:`~ai_etl_framework_spark.errors.WriteError` (its staged data
+  files become orphans, reclaimed by ``vacuum``) and can simply
+  retry. Readers are always safe. CAVEAT: object stores without
+  atomic create-if-absent (plain S3) still need an external lock or
+  a putIfAbsent-capable commit service — the posix CAS only holds on
+  local/NFS-with-proper-link/fuse-posix mounts.
 
 Scale shape: the manifest holds file NAMES (the compaction module's
 contract — driver memory is O(files), never O(rows)); reads hand the
@@ -116,7 +119,24 @@ class VersionedTable:
         tmp = self._manifest_path(version) + f".tmp{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, self._manifest_path(version))
+        # CAS claim: os.link is atomic create-if-absent on posix — if a
+        # concurrent committer already claimed this version number, the
+        # link fails and THIS commit loses (its data files are orphans
+        # until vacuum). rename() would silently overwrite the winner.
+        try:
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError:
+            from ai_etl_framework_spark.errors import WriteError
+
+            raise WriteError(
+                f"concurrent commit detected: version {version} was "
+                "claimed by another writer while this commit staged its "
+                "files. Retry the commit (staged files are orphans; "
+                "vacuum() reclaims them)."
+            ) from None
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         return version
 
     # -- reads -----------------------------------------------------------

@@ -72,3 +72,48 @@ def test_pareto_share_pinned(spark):
     assert got["d"][3] is False
     with pytest.raises(ValueError, match="top_frac"):
         pareto_share(df, "g", "v", top_frac=0.0)
+
+
+def test_pareto_share_max_groups_guard(spark):
+    """The window path fails loud past max_groups (r9 verdict item 3),
+    naming the distributed alternative; max_groups=None skips."""
+    rows = [(f"g{i}", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    with pytest.raises(ValueError, match="distributed"):
+        pareto_share(df, "g", "v", max_groups=5)
+    assert pareto_share(df, "g", "v", max_groups=None).count() == 10
+    with pytest.raises(ValueError, match="method"):
+        pareto_share(df, "g", "v", method="magic")
+
+
+def test_pareto_share_distributed_matches_window(spark):
+    """The range-partitioned two-pass prefix sum produces the window
+    path's exact output (many groups spread over several ranges, ties
+    on total included so the (total DESC, group ASC) ordering crosses
+    partition boundaries deterministically)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"g{i:04d}", float(rng.randint(0, 50))) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    win = {
+        r["g"]: (r["total"], r["share"], r["cum_share"], r["is_top"])
+        for r in pareto_share(df, "g", "v", max_groups=None).collect()
+    }
+    dist = {
+        r["g"]: (r["total"], r["share"], r["cum_share"], r["is_top"])
+        for r in pareto_share(
+            df, "g", "v", method="distributed", num_partitions=8
+        ).collect()
+    }
+    assert set(win) == set(dist)
+    for g in win:
+        wt, ws, wc, wf = win[g]
+        dt, ds, dc, df_ = dist[g]
+        assert dt == wt
+        assert ds == pytest.approx(ws, abs=2e-6)
+        assert dc == pytest.approx(wc, abs=2e-6)
+        assert df_ == wf
+    # empty frame: schema preserved, zero rows
+    empty = spark.createDataFrame([], "g string, v double")
+    assert pareto_share(empty, "g", "v", method="distributed").count() == 0

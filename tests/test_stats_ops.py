@@ -38,6 +38,32 @@ def test_corr_constant_column_and_validation(spark):
         corr_matrix(df, ["a"])
 
 
+def test_corr_matrix_cap_and_chunked(spark):
+    """Past max_columns the single-pass form fails loud (r9 verdict
+    item 5); chunked=True runs multi-pass and matches the per-pair
+    F.corr truth on a 60-column frame (1770 pairs, several chunks at
+    max_columns=10 → chunk size 45)."""
+    import random
+
+    rng = random.Random(11)
+    k, n = 60, 40
+    cols = [f"c{i:02d}" for i in range(k)]
+    data = [tuple(rng.gauss(0, 1) for _ in range(k)) for _ in range(n)]
+    df = spark.createDataFrame(data, ", ".join(f"{c} double" for c in cols))
+    with pytest.raises(ValueError, match="chunked=True"):
+        corr_matrix(df, cols)
+    got = corr_matrix(df, cols, max_columns=10, chunked=True)
+    rows = got.collect()
+    assert len(rows) == k * (k - 1) // 2
+    # spot-check a handful of pairs against a direct single-pair agg
+    from pyspark.sql import functions as F
+
+    by_pair = {(r["col_a"], r["col_b"]): (r["corr"], r["n"]) for r in rows}
+    for a, b in [("c00", "c01"), ("c00", "c59"), ("c29", "c30"), ("c57", "c58")]:
+        truth = df.agg(F.round(F.corr(a, b), 6).alias("c")).collect()[0]["c"]
+        assert by_pair[(a, b)] == (truth, n)
+
+
 def test_pair_lift_pinned(spark):
     rows = [
         # user 1: a,b   user 2: a,b   user 3: a,c   user 4: b (twice)

@@ -74,3 +74,44 @@ def test_new_handle_sees_existing_log(spark, tmp_path):
     VersionedTable(spark, root).commit(_df(spark, [7]))
     t2 = VersionedTable(spark, root)               # fresh handle, same root
     assert t2.latest_version() == 1 and _ids(t2.read()) == [7]
+
+
+def test_concurrent_commit_loser_raises(spark, tmp_path):
+    """The posix CAS (os.link claim): when another writer claims the
+    same version number between staging and claiming, the loser raises
+    WriteError, the winner's manifest is intact, and vacuum reclaims
+    the loser's orphaned data files."""
+    from ai_etl_framework_spark.errors import WriteError
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [1, 2]))
+
+    # simulate the race: a second handle claims v2 while the first
+    # handle's commit has already read latest_version()==1
+    orig_latest = t.latest_version
+
+    def hijack():
+        v = orig_latest()
+        t2 = VersionedTable(spark, str(tmp_path / "t"))
+        t2.commit(_df(spark, [99]))  # claims v2 first
+        t.latest_version = orig_latest  # restore
+        return v
+
+    t.latest_version = hijack
+    with pytest.raises(WriteError, match="concurrent commit"):
+        t.commit(_df(spark, [3, 4]))
+
+    # winner intact: v2 is the hijacker's frame
+    assert _ids(t.read(2)) == [99]
+    assert t.latest_version() == 2
+    # no stray tmp manifests
+    assert all(
+        f.endswith(".json") for f in os.listdir(t.manifest_dir)
+    )
+    # loser's staged data files are orphans; vacuum(keep_last=2) keeps
+    # both real versions and removes only the orphans
+    before = set(os.listdir(t.data_dir))
+    res = t.vacuum(keep_last=2)
+    assert res["removed_files"] > 0
+    assert _ids(t.read(1)) == [1, 2] and _ids(t.read(2)) == [99]
+    assert set(os.listdir(t.data_dir)) < before
