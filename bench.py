@@ -473,6 +473,11 @@ def main() -> None:
         "sf": full["sf"],
         "queries": {k: round(v, 3) for k, v in times.items()},
         "queries_warm": {k: round(v, 3) for k, v in warm.items()},
+        # twin timings ride in the DRIVER artifact too (r9 verdict item
+        # 7): cross-round twin drift is the evidence that separates a
+        # real regression from a throttled host (both engines move
+        # together) — without it, that adjudication is unverifiable.
+        "duckdb_twin_sec": {k: round(v, 3) for k, v in duck.items()},
         "warm_total": full["warm_total"],
         "vs_duckdb_ratio": full["vs_duckdb_ratio"],
         "vs_duckdb_ratio_ex_dedup": full["vs_duckdb_ratio_ex_dedup"],
