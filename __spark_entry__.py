@@ -5594,6 +5594,456 @@ SELECT 'click -> purchase', r2, c2, ROUND(c2 / r2::DOUBLE, 6),
 """
 
 
+def x49_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event_type (operators/timeseries.py
+    ohlc_bars): ONE hash aggregation — open/close via min_by/max_by on
+    the whole-second+tiebreak BIGINT position key (HashAggregate fast
+    path). Oracle: arg_min/arg_max on the same key."""
+    from ai_etl_framework_spark.operators.timeseries import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(ev, "event_type", "ts", "value", "event_id", "hour")
+
+
+_X49_SQL = """
+WITH t AS (SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+                  CAST(floor(epoch(ts)) AS BIGINT) * 1000000
+                    + event_id % 1000000 AS k
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL)
+SELECT event_type, bucket,
+       ROUND(arg_min(value, k), 6) AS "open",
+       ROUND(max(value), 6)        AS high,
+       ROUND(min(value), 6)        AS low,
+       ROUND(arg_max(value, k), 6) AS "close",
+       ROUND(sum(value), 6)        AS volume,
+       count(*)::BIGINT            AS n
+FROM t GROUP BY event_type, bucket
+"""
+
+
+def x50_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per event_type over irregular ticks
+    (operators/timeseries.py): ONE lead window + ONE hash agg — each
+    value weighted by its holding interval. Oracle replays the lead
+    deltas."""
+    from ai_etl_framework_spark.operators.timeseries import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "event_type", "ts", "value", "event_id")
+
+
+_X50_SQL = """
+WITH t AS (SELECT event_type, value, ts, event_id FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL),
+d AS (SELECT event_type, value,
+             epoch(lead(ts) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)) - epoch(ts) AS dt
+      FROM t)
+SELECT event_type,
+       ROUND(sum(value * dt) / sum(dt), 6) AS twap,
+       ROUND(avg(value), 6) AS simple_avg,
+       count(*)::BIGINT AS n
+FROM d GROUP BY event_type
+"""
+
+
+def x51_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample experiment readout (operators/abtest.py):
+    variant derived as user_id % 3 (control/v1/v2), experiment =
+    event_type — one (experiment, variant) moment aggregation + a
+    broadcast control join; t/dof closed-form. Oracle replays the
+    Welch formulas on var_samp."""
+    from ai_etl_framework_spark.operators.abtest import ab_test
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    df = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 3 == 0, F.lit("control"))
+        .when(F.col("user_id") % 3 == 1, F.lit("v1"))
+        .otherwise(F.lit("v2"))
+        .alias("variant"),
+        "value",
+    )
+    return ab_test(df, "event_type", "variant", "value", control="control")
+
+
+_X51_SQL = """
+WITH base AS (SELECT event_type,
+                     CASE WHEN user_id % 3 = 0 THEN 'control'
+                          WHEN user_id % 3 = 1 THEN 'v1'
+                          ELSE 'v2' END AS variant,
+                     value
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND value IS NOT NULL),
+arms AS (SELECT event_type, variant, count(*)::BIGINT AS n,
+                avg(value) AS m, var_samp(value) AS s2
+         FROM base GROUP BY event_type, variant),
+c AS (SELECT event_type, n AS n_control, m AS m_c, s2 AS s2_c
+      FROM arms WHERE variant = 'control'),
+v AS (SELECT * FROM arms WHERE variant <> 'control'),
+j AS (SELECT v.event_type, v.variant, c.n_control, v.n, v.m, v.s2,
+             c.m_c, c.s2_c,
+             v.s2 / v.n + c.s2_c / c.n_control AS se2
+      FROM v JOIN c ON v.event_type = c.event_type
+      WHERE v.n >= 2 AND c.n_control >= 2)
+SELECT event_type AS experiment, variant, n_control, n AS n_variant,
+       ROUND(m_c, 6) AS mean_control, ROUND(m, 6) AS mean_variant,
+       ROUND(m - m_c, 6) AS lift,
+       CASE WHEN s2 + s2_c = 0 THEN NULL
+            ELSE ROUND((m - m_c) / sqrt(se2), 6) END AS t_stat,
+       CASE WHEN s2 + s2_c = 0 THEN NULL
+            ELSE ROUND(se2 * se2 /
+                 ((s2 / n) * (s2 / n) / (n - 1)
+                  + (s2_c / n_control) * (s2_c / n_control)
+                    / (n_control - 1)), 6) END AS dof,
+       CASE WHEN s2 + s2_c = 0 THEN NULL
+            ELSE abs(ROUND((m - m_c) / sqrt(se2), 6)) > 1.96 END
+         AS significant
+FROM j
+"""
+
+
+def x52_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly scores (operators/anomaly.py
+    seasonal_zscore): z against the (event_type, hour-of-week)
+    profile — one ≤(types×168)-row baseline aggregation + a broadcast
+    join back. Oracle maps DuckDB's 0-based dayofweek to Spark's
+    1-based convention."""
+    from ai_etl_framework_spark.operators.anomaly import seasonal_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_zscore(
+        ev, "ts", "value", key_col="event_type", threshold=3.0
+    )
+
+
+_X52_SQL = """
+WITH base AS (SELECT *, (dayofweek(ts) + 1) * 24 + hour(ts) AS season_bucket
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+bl AS (SELECT event_type, season_bucket, avg(value) AS mu,
+              stddev_pop(value) AS sd, count(*) AS nn
+       FROM base GROUP BY event_type, season_bucket)
+SELECT b.event_id, b.ts, b.user_id, b.event_type, b.value, b.props,
+       b.season_bucket,
+       CASE WHEN bl.nn >= 3 AND bl.sd > 0
+            THEN ROUND((b.value - bl.mu) / bl.sd, 6) END AS sz,
+       CASE WHEN bl.nn >= 3 AND bl.sd > 0
+            THEN abs(ROUND((b.value - bl.mu) / bl.sd, 6)) > 3.0 END
+         AS is_anomaly
+FROM base b JOIN bl ON b.event_type = bl.event_type
+                   AND b.season_bucket = bl.season_bucket
+"""
+
+
+def x53_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Gini concentration of order revenue
+    (operators/stats.py gini): one key-partitioned row_number window +
+    one hash aggregation; ties need no tiebreak (Σ i·x is invariant
+    within tied blocks). Oracle replays the sorted-rank identity."""
+    from ai_etl_framework_spark.operators.stats import gini
+
+    orders = load_table(spark, sf_dir, "orders")
+    return gini(orders, "o_orderpriority", "o_totalprice")
+
+
+_X53_SQL = """
+WITH base AS (SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS x
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL),
+r AS (SELECT g, x,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY x)
+                  AS DOUBLE) AS i
+      FROM base)
+SELECT g AS o_orderpriority, count(*)::BIGINT AS n,
+       ROUND(sum(x), 2) AS total,
+       CASE WHEN sum(x) <> 0
+            THEN ROUND(2.0 * sum(i * x) / (count(*) * sum(x))
+                       - (count(*) + 1.0) / count(*), 6) END AS gini
+FROM r GROUP BY g
+"""
+
+
+def x54_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus provenance per domain (operators/provenance.py
+    domain_stats) over a deterministically derived URL column (mixed
+    case, www., ports/paths/query noise, unparseable and NULL rows) —
+    one regexp projection + one domain-sized aggregation. Oracle runs
+    the same RE2-safe host pattern."""
+    from ai_etl_framework_spark.operators.provenance import domain_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit("not a url"))
+        .when(F.col("doc_id") % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.when(F.col("doc_id") % 4 == 0, F.lit("HTTPS://WWW."))
+                .otherwise(F.lit("https://")),
+                F.lit("cdn"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("."),
+                F.col("source"),
+                F.lit(".example.org/p/"),
+                F.col("doc_id").cast("string"),
+                F.when(F.col("doc_id") % 11 == 0, F.lit("?q=1"))
+                .otherwise(F.lit("")),
+            )
+        )
+    )
+    return domain_stats(
+        docs.withColumn("url", url), "url", "text", "lang"
+    )
+
+
+_X54_SQL = r"""
+WITH d AS (SELECT *,
+             CASE WHEN doc_id % 13 = 0 THEN 'not a url'
+                  WHEN doc_id % 17 = 0 THEN NULL
+                  ELSE (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.'
+                             ELSE 'https://' END)
+                       || 'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.'
+                       || source || '.example.org/p/'
+                       || CAST(doc_id AS VARCHAR)
+                       || (CASE WHEN doc_id % 11 = 0 THEN '?q=1'
+                                ELSE '' END)
+             END AS url
+           FROM documents),
+e AS (SELECT lower(COALESCE(regexp_extract(lower(url),
+               '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1), '')) AS h0,
+             length(COALESCE(text, '')) AS len, lang
+      FROM d),
+e2 AS (SELECT CASE WHEN regexp_replace(h0, '^www\.', '') <> ''
+                   THEN regexp_replace(h0, '^www\.', '') END AS domain,
+              len, lang
+       FROM e),
+tot AS (SELECT count(domain)::BIGINT AS attr,
+               count(CASE WHEN domain IS NULL THEN 1 END)::BIGINT AS unattr
+        FROM e2)
+SELECT domain, count(*)::BIGINT AS n_docs,
+       ROUND(count(*) / attr::DOUBLE, 6) AS share,
+       ROUND(avg(len), 6) AS avg_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       unattr AS n_unattributed
+FROM e2 CROSS JOIN tot
+WHERE domain IS NOT NULL
+GROUP BY domain, attr, unattr
+"""
+
+
+def x55_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record consolidation per customer (operators/
+    survivorship.py): latest status by order date (struct max), modal
+    priority (per-cluster WindowGroupLimit), max price, earliest date
+    — one SortAggregate + one dimension-sized mode pick joined back.
+    Oracle mirrors the struct comparison with struct_pack max."""
+    from ai_etl_framework_spark.operators.survivorship import golden_record
+
+    orders = load_table(spark, sf_dir, "orders")
+    return golden_record(
+        orders,
+        "o_custkey",
+        {
+            "o_orderstatus": "latest",
+            "o_orderpriority": "mode",
+            "o_totalprice": "max",
+            "o_orderdate": "min",
+        },
+        order_col="o_orderdate",
+    )
+
+
+_X55_SQL = """
+WITH base AS (SELECT * FROM orders WHERE o_custkey IS NOT NULL),
+agg AS (SELECT o_custkey,
+          (max(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderdate IS NOT NULL
+                    THEN struct_pack(o := o_orderdate, v := o_orderstatus)
+               END)).v AS o_orderstatus,
+          max(o_totalprice) AS o_totalprice,
+          min(o_orderdate) AS o_orderdate
+        FROM base GROUP BY o_custkey),
+cnts AS (SELECT o_custkey, o_orderpriority, count(*) AS cnt
+         FROM base WHERE o_orderpriority IS NOT NULL
+         GROUP BY o_custkey, o_orderpriority),
+md AS (SELECT o_custkey, o_orderpriority FROM (
+         SELECT o_custkey, o_orderpriority,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY cnt DESC, o_orderpriority ASC)
+                  AS rk
+         FROM cnts) WHERE rk = 1)
+SELECT a.o_custkey, a.o_orderstatus, md.o_orderpriority,
+       a.o_totalprice, a.o_orderdate
+FROM agg a LEFT JOIN md ON a.o_custkey = md.o_custkey
+"""
+
+
+def x56_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table per-key reconciliation (operators/reconcile.py)
+    of lineitem vs a derived migrated copy (dropped keys → a_only,
+    synthetic keys → b_only, shifted quantities → mismatch): two
+    key-collapsing aggregations + one full outer join. Oracle replays
+    both sides."""
+    from ai_etl_framework_spark.operators.reconcile import reconcile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.where(F.col("l_orderkey") % 97 != 0).withColumn(
+        "l_quantity",
+        F.when(
+            F.col("l_orderkey") % 31 == 0, F.col("l_quantity") + 1.0
+        ).otherwise(F.col("l_quantity")),
+    )
+    extra = li.where(F.col("l_orderkey") % 53 == 0).withColumn(
+        "l_orderkey", F.col("l_orderkey") + 500000000
+    )
+    return reconcile(
+        li, b.unionByName(extra), "l_orderkey", "l_quantity"
+    )
+
+
+_X56_SQL = """
+WITH a AS (SELECT l_orderkey, sum(l_quantity) AS sum_a,
+                  count(*)::BIGINT AS n_a
+           FROM lineitem WHERE l_orderkey IS NOT NULL
+           GROUP BY l_orderkey),
+bsrc AS (SELECT l_orderkey,
+                CASE WHEN l_orderkey % 31 = 0 THEN l_quantity + 1.0
+                     ELSE l_quantity END AS q
+         FROM lineitem WHERE l_orderkey % 97 <> 0
+         UNION ALL
+         SELECT l_orderkey + 500000000, l_quantity
+         FROM lineitem WHERE l_orderkey % 53 = 0),
+b AS (SELECT l_orderkey, sum(q) AS sum_b, count(*)::BIGINT AS n_b
+      FROM bsrc WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey),
+j AS (SELECT COALESCE(a.l_orderkey, b.l_orderkey) AS l_orderkey,
+             sum_a, n_a, sum_b, n_b,
+             ROUND(COALESCE(sum_a, 0) - COALESCE(sum_b, 0), 6) AS delta
+      FROM a FULL OUTER JOIN b ON a.l_orderkey = b.l_orderkey)
+SELECT l_orderkey, ROUND(sum_a, 6) AS sum_a, n_a,
+       ROUND(sum_b, 6) AS sum_b, n_b, delta,
+       CASE WHEN n_a IS NULL THEN 'b_only'
+            WHEN n_b IS NULL THEN 'a_only'
+            WHEN delta = 0 AND n_a = n_b THEN 'match'
+            ELSE 'mismatch' END AS status
+FROM j
+"""
+
+
+def x57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (operators/sampling.py
+    stratified_sample): per-source keep fractions via the shared
+    md5-uniform primitive — one projection + filter, no RNG, no join.
+    Oracle computes the identical hash bytes (the smp01 twin)."""
+    from ai_etl_framework_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.75},
+        "doc_id",
+        salt="r10",
+        default=0.2,
+    )
+
+
+_X57_SQL = """
+SELECT * FROM documents
+WHERE ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(0))
+                          || 'r10'), 1, 8))::BIGINT / 4294967296.0
+      < CASE source WHEN 'src0' THEN 1.0
+                    WHEN 'src1' THEN 0.5
+                    WHEN 'src2' THEN 0.25
+                    WHEN 'src3' THEN 0.75
+                    ELSE 0.2 END
+"""
+
+
+def x58_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile diff between two snapshots
+    (operators/drift.py profile_drift): orders vs a derived drifted
+    copy (rows dropped, prices scaled + partially nulled, one status
+    collapsed) — ONE aggregation pass per side, long-format per-column
+    report. Oracle builds both 1-row profiles and unions per column."""
+    from ai_etl_framework_spark.operators.drift import profile_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice") * 1.1)
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("C"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_orderpriority",
+    )
+    return profile_drift(
+        orders,
+        b,
+        numeric_cols=["o_totalprice"],
+        categorical_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+_X58_SQL = """
+WITH bsrc AS (SELECT o_orderkey,
+                CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                     ELSE o_totalprice * 1.1 END AS o_totalprice,
+                CASE WHEN o_orderstatus = 'F' THEN 'C'
+                     ELSE o_orderstatus END AS o_orderstatus,
+                o_orderpriority
+              FROM orders WHERE o_orderkey % 5 <> 0),
+pa AS (SELECT
+  ROUND(count(CASE WHEN o_totalprice IS NULL THEN 1 END)
+        / count(*)::DOUBLE, 6) AS nr_tp,
+  count(DISTINCT o_totalprice)::BIGINT AS nd_tp,
+  ROUND(avg(o_totalprice), 6) AS mu_tp,
+  ROUND(count(CASE WHEN o_orderstatus IS NULL THEN 1 END)
+        / count(*)::DOUBLE, 6) AS nr_st,
+  count(DISTINCT o_orderstatus)::BIGINT AS nd_st,
+  ROUND(count(CASE WHEN o_orderpriority IS NULL THEN 1 END)
+        / count(*)::DOUBLE, 6) AS nr_pr,
+  count(DISTINCT o_orderpriority)::BIGINT AS nd_pr
+  FROM orders),
+pb AS (SELECT
+  ROUND(count(CASE WHEN o_totalprice IS NULL THEN 1 END)
+        / count(*)::DOUBLE, 6) AS nr_tp,
+  count(DISTINCT o_totalprice)::BIGINT AS nd_tp,
+  ROUND(avg(o_totalprice), 6) AS mu_tp,
+  ROUND(count(CASE WHEN o_orderstatus IS NULL THEN 1 END)
+        / count(*)::DOUBLE, 6) AS nr_st,
+  count(DISTINCT o_orderstatus)::BIGINT AS nd_st,
+  ROUND(count(CASE WHEN o_orderpriority IS NULL THEN 1 END)
+        / count(*)::DOUBLE, 6) AS nr_pr,
+  count(DISTINCT o_orderpriority)::BIGINT AS nd_pr
+  FROM bsrc)
+SELECT 'o_totalprice' AS "column", 'numeric' AS kind,
+       pa.nr_tp AS null_rate_a, pb.nr_tp AS null_rate_b,
+       pa.nd_tp AS n_distinct_a, pb.nd_tp AS n_distinct_b,
+       pa.mu_tp AS mean_a, pb.mu_tp AS mean_b,
+       ROUND(pb.nr_tp - pa.nr_tp, 6) AS null_rate_delta,
+       ROUND(pb.mu_tp - pa.mu_tp, 6) AS mean_delta
+FROM pa CROSS JOIN pb
+UNION ALL
+SELECT 'o_orderstatus', 'categorical', pa.nr_st, pb.nr_st,
+       pa.nd_st, pb.nd_st, NULL, NULL,
+       ROUND(pb.nr_st - pa.nr_st, 6), NULL
+FROM pa CROSS JOIN pb
+UNION ALL
+SELECT 'o_orderpriority', 'categorical', pa.nr_pr, pb.nr_pr,
+       pa.nd_pr, pb.nd_pr, NULL, NULL,
+       ROUND(pb.nr_pr - pa.nr_pr, 6), NULL
+FROM pa CROSS JOIN pb
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5753,6 +6203,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x45_join_audit": x45_join_audit,
         "x46_gap_detection": x46_gap_detection,
         "x47_pareto_share": x47_pareto_share,
+        "x49_ohlc_bars": x49_ohlc_bars,
+        "x50_time_weighted_avg": x50_time_weighted_avg,
+        "x51_ab_test": x51_ab_test,
+        "x52_seasonal_zscore": x52_seasonal_zscore,
+        "x53_gini": x53_gini,
+        "x54_domain_stats": x54_domain_stats,
+        "x55_golden_record": x55_golden_record,
+        "x56_reconcile": x56_reconcile,
+        "x57_stratified_sample": x57_stratified_sample,
+        "x58_profile_drift": x58_profile_drift,
     }
 
 
@@ -5857,6 +6317,16 @@ def oracle_sql() -> dict[str, str]:
         "x46_gap_detection": _X46_SQL,
         "x47_pareto_share": _X47_SQL,
         "x48_funnel_timings": _X48_SQL,
+        "x49_ohlc_bars": _X49_SQL,
+        "x50_time_weighted_avg": _X50_SQL,
+        "x51_ab_test": _X51_SQL,
+        "x52_seasonal_zscore": _X52_SQL,
+        "x53_gini": _X53_SQL,
+        "x54_domain_stats": _X54_SQL,
+        "x55_golden_record": _X55_SQL,
+        "x56_reconcile": _X56_SQL,
+        "x57_stratified_sample": _X57_SQL,
+        "x58_profile_drift": _X58_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

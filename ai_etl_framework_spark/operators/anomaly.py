@@ -321,3 +321,68 @@ def robust_zscore(
         )
         .drop("__med", "__mad")
     )
+
+
+def seasonal_zscore(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: Optional[str] = None,
+    threshold: float = 3.0,
+    min_samples: int = 3,
+    broadcast_baseline: bool = True,
+) -> DataFrame:
+    """Seasonal-baseline anomaly score: z against the (key,
+    hour-of-week) profile instead of the global mean — the detector
+    every ops-metrics pipeline needs once traffic has a weekly shape
+    (a Monday-9am spike is normal; the same level at Sunday-3am is
+    not). Beyond-reference scope (the reference's statistical detector
+    is global-mean only, anomaly_detector.py:201).
+
+    Pinned semantics (oracle-replicated):
+    - season bucket = ``dayofweek(ts) * 24 + hour(ts)`` under SPARK's
+      dayofweek convention (1=Sunday..7=Saturday ⇒ buckets 24..191);
+      DuckDB's dayofweek is 0=Sunday..6, so the oracle twin maps it
+      as ``(dayofweek(ts) + 1) * 24 + hour(ts)``;
+    - baseline per (key?, bucket): mean + POPULATION std over non-NULL
+      values; buckets with < ``min_samples`` observations or zero std
+      yield NULL sz/is_anomaly (no baseline evidence);
+    - sz = (value − mean)/std rounded 6dp; is_anomaly = |sz(rounded)|
+      > threshold; NULL ts/value rows are dropped (no bucket / no
+      observation).
+
+    Scale shape: ONE hash aggregation to a (keys × ≤168)-row baseline
+    frame + ONE broadcast join back to the rows — the AnomalyDetector
+    shape with a season key; no window over raw rows, no second scan
+    of anything row-scale. With a HIGH-cardinality ``key_col``
+    (per-user baselines) pass ``broadcast_baseline=False``: the join
+    then shuffles on (key, season) like any co-partitioned equi-join
+    instead of forcing a keys×168-row broadcast."""
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    bucket = (F.dayofweek(ts_col) * 24 + F.hour(ts_col)).alias("__season")
+    base = df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+    keys = [key_col] if key_col else []
+    with_b = base.select("*", bucket)
+    baseline = with_b.groupBy(*keys, "__season").agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_pop(value_col).alias("__sd"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    if broadcast_baseline:
+        baseline = F.broadcast(baseline)
+    joined = with_b.join(baseline, [*keys, "__season"])
+    ok = (F.col("__n") >= min_samples) & (F.col("__sd") > 0)
+    sz = F.when(
+        ok,
+        F.round((F.col(value_col) - F.col("__mu")) / F.col("__sd"), 6),
+    )
+    return (
+        joined.withColumn("sz", sz)
+        .withColumn(
+            "is_anomaly",
+            F.when(F.col("sz").isNotNull(), F.abs(F.col("sz")) > threshold),
+        )
+        .drop("__mu", "__sd", "__n")
+        .withColumnRenamed("__season", "season_bucket")
+    )

@@ -30,9 +30,11 @@ for its histogram; persist the baseline frame if it is expensive)."""
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["psi_drift"]
+__all__ = ["psi_drift", "profile_drift"]
 
 
 def psi_drift(
@@ -101,3 +103,84 @@ def _full():
     return Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+
+
+def profile_drift(
+    a,
+    b,
+    numeric_cols: Sequence[str] = (),
+    categorical_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Column-level profile diff between two snapshots — the schema/
+    content drift report a data contract checks BEFORE anything joins
+    on the data: per column, how did null rate, cardinality and (for
+    numerics) the mean move between snapshot ``a`` (baseline) and
+    ``b`` (current)? The structural companion to :func:`psi_drift`
+    (which diffs one column's DISTRIBUTION in depth; this sweeps every
+    column one level deep). Beyond-reference scope (the reference's
+    schema_profiler profiles ONE frame; it never compares two).
+
+    Pinned semantics (oracle-replicated): one row per profiled column,
+    long format (column, kind, null_rate_a, null_rate_b, n_distinct_a,
+    n_distinct_b, mean_a, mean_b, null_rate_delta, mean_delta):
+
+    - null_rate = NULL count / row count (6dp; NULL on an empty
+      side — try_divide, no evidence);
+    - n_distinct = exact DISTINCT non-NULL count (both engines'
+      count-distinct);
+    - mean (numeric columns only, 6dp) — categorical rows carry NULL
+      mean/mean_delta;
+    - deltas = b − a on the ROUNDED inputs (house float rule), NULL
+      when either side is NULL.
+
+    Scale shape: ONE aggregation pass per side (every column's three
+    statistics are expressions in the same Aggregate — the run_checks
+    single-pass shape; count_distinct over k columns plans one Expand
+    of factor k, the standard multi-distinct rewrite) + a 1-row cross
+    join. Nothing row-scale moves: each side collapses to one row."""
+    numeric_cols = list(numeric_cols)
+    categorical_cols = list(categorical_cols)
+    cols = numeric_cols + categorical_cols
+    if not cols:
+        raise ValueError("profile_drift needs at least one column")
+    if set(numeric_cols) & set(categorical_cols):
+        raise ValueError("a column cannot be both numeric and categorical")
+
+    def side(df, tag):
+        n = F.count(F.lit(1))
+        aggs = []
+        for c in cols:
+            aggs.append(
+                F.round(
+                    F.try_divide(F.count(F.when(F.col(c).isNull(), 1)), n), 6
+                ).alias(f"__nr_{tag}_{c}")
+            )
+            aggs.append(
+                F.countDistinct(F.col(c)).cast("long").alias(f"__nd_{tag}_{c}")
+            )
+        for c in numeric_cols:
+            aggs.append(F.round(F.avg(c), 6).alias(f"__mu_{tag}_{c}"))
+        return df.agg(*aggs)
+
+    j = side(a, "a").crossJoin(side(b, "b"))
+    rows = []
+    for c in cols:
+        kind = "numeric" if c in numeric_cols else "categorical"
+        nra, nrb = F.col(f"__nr_a_{c}"), F.col(f"__nr_b_{c}")
+        mu_a = F.col(f"__mu_a_{c}") if kind == "numeric" else F.lit(None).cast("double")
+        mu_b = F.col(f"__mu_b_{c}") if kind == "numeric" else F.lit(None).cast("double")
+        rows.append(F.struct(
+            F.lit(c).alias("column"),
+            F.lit(kind).alias("kind"),
+            nra.alias("null_rate_a"),
+            nrb.alias("null_rate_b"),
+            F.col(f"__nd_a_{c}").alias("n_distinct_a"),
+            F.col(f"__nd_b_{c}").alias("n_distinct_b"),
+            mu_a.alias("mean_a"),
+            mu_b.alias("mean_b"),
+            F.round(nrb - nra, 6).alias("null_rate_delta"),
+            F.round(mu_b - mu_a, 6).alias("mean_delta"),
+        ))
+    return j.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.*")

@@ -37,6 +37,7 @@ __all__ = [
     "deterministic_sample",
     "hash_split",
     "stratified_quota",
+    "stratified_sample",
     "weighted_mixture",
     "pack_documents",
     "shuffle_deterministic",
@@ -72,6 +73,38 @@ def deterministic_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return df.where(hash_uniform(F.col(id_col), salt) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions,
+    id_col: str,
+    salt: str = "",
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the ``sampleBy`` shape,
+    hash-deterministic): keep a row iff
+    ``hash_uniform(id) < fractions[stratum]`` — each stratum gets its
+    own fraction (downweight boilerplate sources, keep all rare
+    languages), with every guarantee ``deterministic_sample``
+    documents (repartition-stable, engine-portable, monotone in the
+    fraction per stratum). Strata absent from ``fractions`` — and
+    NULL strata — use ``default`` (0.0 = drop, the sampleBy
+    convention). One projection + filter; membership is a CASE over
+    the stratum, no join, no RNG."""
+    fractions = dict(fractions)
+    if not fractions:
+        raise ValueError("stratified_sample needs at least one fraction")
+    for k, v in fractions.items():
+        if not 0.0 <= float(v) <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default must be in [0, 1], got {default}")
+    frac = F.lit(float(default))
+    for k, v in fractions.items():
+        frac = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(frac)
+    return df.where(hash_uniform(F.col(id_col), salt) < frac)
 
 
 def hash_split(

@@ -39,7 +39,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["corr_matrix", "pair_lift"]
+__all__ = ["corr_matrix", "pair_lift", "gini"]
 
 
 def corr_matrix(
@@ -129,4 +129,61 @@ def pair_lift(
                 6,
             ).alias("lift"),
         )
+    )
+
+
+def gini(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Gini concentration coefficient — "how unequal is the
+    contribution distribution inside each group" (0 = all members
+    equal, →1 = one member carries everything): the inequality lens
+    pareto_share's cumulative-share table summarizes into one number.
+    Standard sorted-rank identity (e.g. Dixon et al. 1987):
+    G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over values sorted ascending,
+    i = 1..n.
+
+    Pinned semantics (oracle-replicated):
+    - NULL values and NULL groups are dropped; one row per remaining
+      group: (group, n, total, gini) with gini rounded 6dp and total
+      rounded 2dp — totals are raw-magnitude SUMS whose cross-engine
+      last-ulp noise can reach the 6dp grain at 1e8+ magnitudes (the
+      house float rule), while gini is a RATIO whose relative error
+      stays ~1e-15 at any scale;
+    - ties in x need no tie-break: equal values make Σ i·x invariant
+      under any rank assignment within the tied block, so the
+      row_number order is deterministic across engines BY ALGEBRA,
+      not by tiebreak columns;
+    - groups with Σx = 0 (including all-zero and sign-cancelling
+      inputs) yield gini NULL (the denominator is meaningless);
+      negative values are accepted arithmetically but the standard
+      interpretation assumes x ≥ 0 — callers filter.
+
+    Scale shape: ONE key-partitioned window (row_number over the
+    group frame — raw rows, but PARTITIONED by group, never a global
+    single task) + ONE hash aggregation on the group. The
+    rolling_features/detect_gaps shape."""
+    from pyspark.sql import Window
+
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = base.select(
+        F.col(group_col),
+        F.col(value_col).cast("double").alias("__x"),
+        F.row_number().over(w).cast("double").alias("__i"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    total = F.sum("__x")
+    g = (
+        F.lit(2.0) * F.sum(F.col("__i") * F.col("__x")) / (n * total)
+        - (n + F.lit(1.0)) / n
+    )
+    return ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(total, 2).alias("total"),
+        F.round(F.when(total != 0, g), 6).alias("gini"),
     )

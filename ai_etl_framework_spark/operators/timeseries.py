@@ -1,0 +1,133 @@
+"""Irregular time-series summarization — OHLC candle bars and
+time-weighted averages, the two resampling shapes finance/sensor
+pipelines run that plain bucket-avg (operators/resample.py) gets
+wrong: a mean over irregular ticks overweights bursts (TWAP weights
+by holding time instead), and open/close need positional, not
+extremal, semantics. Beyond-reference scope (the reference has no
+time-series operators; grep 'ohlc\\|time.weighted' over
+/root/reference/src: zero hits).
+
+Pinned semantics (oracle-replicated):
+
+``ohlc_bars`` (one row per (key, bucket) with ≥1 valid tick):
+- bucket = ``date_trunc(bucket_unit, ts)``;
+- open/close = value at the smallest/largest position key within the
+  bucket, encoded as ONE BIGINT
+  ``floor(epoch_seconds(ts)) * 10^6 + tiebreak % 10^6`` — WHOLE-second
+  resolution deliberately (a double-µs epoch times 10^6 rounds
+  differently across engines): same-second ordering falls to the
+  tiebreak column, which must be unique modulo 10^6 within any
+  same-second burst (event ids are). min_by / arg_min on one long is
+  total-ordered, HashAggregate-friendly and engine-identical;
+- high/low = max/min value; volume = sum; n = tick count;
+- rows with NULL key/ts/value are dropped (a NULL value has no
+  price; a NULL ts no bucket) — documented divergence from pandas'
+  NaN-skipping resample, which keeps the row for count.
+
+``time_weighted_avg`` (one row per key):
+- ticks ordered by (ts, tiebreak); each tick's value holds until the
+  NEXT tick: twap = Σ value_i · Δt_i / Σ Δt_i with
+  Δt_i = epoch(ts_{i+1}) − epoch(ts_i); the LAST tick has no holding
+  interval and contributes no weight (standard left-closed TWAP);
+- keys with <2 valid ticks yield NULL twap (no interval evidence);
+  simple_avg rides alongside for comparison; both rounded 6dp;
+- NULL ts/value rows are dropped before pairing.
+
+Scale shape: ohlc_bars is ONE hash aggregation on (key, bucket) —
+min_by/max_by over a plain BIGINT key keep the HashAggregate fast
+path (fixed-width buffers, map-side partials; the r8 lesson: struct
+keys or var-width picked values fall back to SortAggregate). TWAP is
+ONE key-partitioned window (lead) + one hash aggregation on the key —
+the detect_gaps/rolling_features shape; no self-join, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["ohlc_bars", "time_weighted_avg"]
+
+_TIEBREAK_MOD = 1_000_000
+
+
+def _pos_key(ts_col: str, tiebreak_col: str) -> Column:
+    """Total-ordered BIGINT position key: epoch seconds scaled, plus a
+    bounded tiebreak component (ties on ts resolve by tiebreak %
+    10^6 — unique ids below 10^6 per same-second burst, the realistic
+    envelope; the encoding is pinned so the DuckDB twin replicates it
+    verbatim)."""
+    from ai_etl_framework_spark.session import epoch_seconds
+
+    return (
+        epoch_seconds(ts_col).cast("long") * _TIEBREAK_MOD
+        + F.pmod(F.col(tiebreak_col).cast("long"), F.lit(_TIEBREAK_MOD))
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    bucket_unit: str = "hour",
+) -> DataFrame:
+    """(key, bucket, open, high, low, close, volume, n) — module pins."""
+    if bucket_unit not in ("minute", "hour", "day", "week", "month"):
+        raise ValueError(f"unsupported bucket_unit {bucket_unit!r}")
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    k = _pos_key(ts_col, tiebreak_col)
+    return (
+        base.groupBy(
+            F.col(key_col),
+            F.date_trunc(bucket_unit, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(
+            F.round(F.min_by(F.col(value_col), k), 6).alias("open"),
+            F.round(F.max(value_col), 6).alias("high"),
+            F.round(F.min(value_col), 6).alias("low"),
+            F.round(F.max_by(F.col(value_col), k), 6).alias("close"),
+            F.round(F.sum(value_col), 6).alias("volume"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(key, twap, simple_avg, n) per key — module pins."""
+    from ai_etl_framework_spark.session import epoch_seconds
+
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    dt = epoch_seconds(F.lead(ts_col).over(w)) - epoch_seconds(ts_col)
+    paired = base.select(
+        F.col(key_col),
+        F.col(value_col),
+        dt.alias("__dt"),
+    )
+    return paired.groupBy(key_col).agg(
+        F.round(
+            F.try_divide(
+                F.sum(F.col(value_col) * F.col("__dt")), F.sum("__dt")
+            ),
+            6,
+        ).alias("twap"),
+        F.round(F.avg(value_col), 6).alias("simple_avg"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

@@ -176,6 +176,25 @@ QUERIES = [
     "x47_pareto_share",
     # x25's reused key partitioning + one transitions-row agg
     "x48_funnel_timings",
+    # r10 additions: OHLC = one hash agg on (type, hour) with BIGINT
+    # min_by/max_by keys; TWAP = one lead window + one agg; A/B = one
+    # moment agg + broadcast control join; seasonal z = ≤types×168
+    # baseline agg + broadcast join-back; gini = one key-partitioned
+    # row_number window + one agg; golden record = one SortAggregate +
+    # a per-cluster mode pick; reconcile = two key-collapsing aggs +
+    # full outer join (keys 10x under the offsets — linear); profile
+    # drift = one agg pass per side. x54 (domain stats) and x57
+    # (stratified sample) are projection+filter/agg over documents —
+    # smoked implicitly by the same shapes in txt08/smp01; skipped to
+    # keep the smoke's doc-table passes bounded.
+    "x49_ohlc_bars",
+    "x50_time_weighted_avg",
+    "x51_ab_test",
+    "x52_seasonal_zscore",
+    "x53_gini",
+    "x55_golden_record",
+    "x56_reconcile",
+    "x58_profile_drift",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure

@@ -1,0 +1,335 @@
+"""r10 operator families (timeseries OHLC/TWAP, Welch A/B, seasonal
+z, Gini, domain provenance, golden record, reconciliation, stratified
+sampling, profile drift): pinned hand-computed values, NULL/edge
+semantics, and validation errors. 3-SF oracle parity is x49–x58."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+T0 = datetime(2024, 1, 1, 10, 0, 0)
+
+
+def ts(minutes, seconds=0):
+    from datetime import timedelta
+
+    return T0 + timedelta(minutes=minutes, seconds=seconds)
+
+
+# -- ohlc ---------------------------------------------------------------
+
+
+def test_ohlc_pinned(spark):
+    from ai_etl_framework_spark.operators.timeseries import ohlc_bars
+
+    rows = [
+        # one hour bucket, out-of-order arrival: open=first by ts
+        (1, ts(30), "a", 5.0),
+        (2, ts(5), "a", 1.0),
+        (3, ts(50), "a", 2.0),
+        (4, ts(70), "a", 9.0),   # next hour
+        (5, ts(10), None, 1.0),  # NULL key dropped
+        (6, None, "a", 1.0),     # NULL ts dropped
+        (7, ts(11), "a", None),  # NULL value dropped
+        # same-second tie: event_id breaks it (8 before 9)
+        (8, ts(0, 7), "b", 3.0),
+        (9, ts(0, 7), "b", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        (r["event_type"], r["bucket"].hour): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"], r["n"]
+        )
+        for r in ohlc_bars(df).collect()
+    }
+    assert got[("a", 10)] == (1.0, 5.0, 1.0, 2.0, 8.0, 3)
+    assert got[("a", 11)] == (9.0, 9.0, 9.0, 9.0, 9.0, 1)
+    assert got[("b", 10)] == (3.0, 4.0, 3.0, 4.0, 7.0, 2)
+    with pytest.raises(ValueError, match="bucket_unit"):
+        ohlc_bars(df, bucket_unit="fortnight")
+
+
+def test_twap_pinned(spark):
+    from ai_etl_framework_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        # value 10 held 60s, value 20 held 180s -> twap = (600+3600)/240
+        (1, ts(0), "a", 10.0),
+        (2, ts(1), "a", 20.0),
+        (3, ts(4), "a", 99.0),   # last tick: no interval
+        (4, ts(0), "b", 7.0),    # single tick: twap NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        r["event_type"]: (r["twap"], r["simple_avg"], r["n"])
+        for r in time_weighted_avg(df).collect()
+    }
+    assert got["a"] == (pytest.approx(17.5), 43.0, 3)
+    assert got["b"] == (None, 7.0, 1)
+
+
+# -- ab test ------------------------------------------------------------
+
+
+def test_ab_test_matches_manual_welch(spark):
+    import statistics as st
+
+    from ai_etl_framework_spark.operators.abtest import ab_test
+
+    ctrl = [10.0, 12.0, 11.0, 13.0, 9.0]
+    var = [14.0, 15.0, 13.0, 16.0]
+    rows = [("e1", "control", v) for v in ctrl] + [("e1", "t", v) for v in var]
+    df = spark.createDataFrame(rows, "exp string, variant string, v double")
+    r = ab_test(df, "exp", "variant", "v", control="control").collect()[0]
+    m_c, m_v = st.mean(ctrl), st.mean(var)
+    s2_c, s2_v = st.variance(ctrl), st.variance(var)
+    se2 = s2_v / len(var) + s2_c / len(ctrl)
+    t = (m_v - m_c) / se2 ** 0.5
+    dof = se2 * se2 / (
+        (s2_v / len(var)) ** 2 / (len(var) - 1)
+        + (s2_c / len(ctrl)) ** 2 / (len(ctrl) - 1)
+    )
+    assert r["n_control"] == 5 and r["n_variant"] == 4
+    assert r["lift"] == pytest.approx(round(m_v - m_c, 6), abs=1e-9)
+    assert r["t_stat"] == pytest.approx(round(t, 6), abs=1e-9)
+    assert r["dof"] == pytest.approx(round(dof, 6), abs=1e-9)
+    assert r["significant"] == (abs(round(t, 6)) > 1.96)
+    # degenerate arms: both variances zero -> NULL t/dof/significant
+    const = [("e2", "control", 5.0)] * 3 + [("e2", "t", 6.0)] * 3
+    df2 = spark.createDataFrame(const, "exp string, variant string, v double")
+    r2 = ab_test(df2, "exp", "variant", "v", control="control").collect()[0]
+    assert r2["t_stat"] is None and r2["dof"] is None
+    assert r2["significant"] is None
+    # single-observation arms are excluded
+    tiny = [("e3", "control", 1.0), ("e3", "t", 2.0)]
+    df3 = spark.createDataFrame(tiny, "exp string, variant string, v double")
+    assert ab_test(df3, "exp", "variant", "v", control="control").count() == 0
+    with pytest.raises(ValueError, match="z_crit"):
+        ab_test(df, "exp", "variant", "v", control="control", z_crit=0)
+
+
+# -- seasonal z ---------------------------------------------------------
+
+
+def test_seasonal_zscore_pinned(spark):
+    from ai_etl_framework_spark.operators.anomaly import seasonal_zscore
+
+    # same hour-of-week bucket (Mondays 10:00): values 10,10,10,40
+    from datetime import timedelta
+
+    mon = datetime(2024, 1, 1, 10, 0, 0)  # 2024-01-01 is a Monday
+    rows = [
+        (i, mon + timedelta(weeks=i), "a", v)
+        for i, v in enumerate([10.0, 10.0, 10.0, 40.0])
+    ]
+    # a different bucket with too few samples -> NULL sz
+    rows.append((10, mon + timedelta(hours=3), "a", 5.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["event_id"]: r for r in seasonal_zscore(
+        df, key_col="event_type", threshold=2.0
+    ).collect()}
+    # mean 17.5, pop std sqrt(168.75) = 12.9904
+    assert out[3]["sz"] == pytest.approx(round(22.5 / 168.75 ** 0.5, 6))
+    assert out[3]["is_anomaly"] is False  # 1.73 < 2.0
+    assert out[0]["sz"] == out[1]["sz"] == out[2]["sz"]
+    assert out[10]["sz"] is None and out[10]["is_anomaly"] is None
+    # buckets are hour-of-week: Monday 10:00 -> (2*24 + 10) Spark conv.
+    assert out[0]["season_bucket"] == 2 * 24 + 10
+
+
+# -- gini ---------------------------------------------------------------
+
+
+def test_gini_pinned(spark):
+    from ai_etl_framework_spark.operators.stats import gini
+
+    rows = (
+        [("eq", 5.0)] * 4                      # perfect equality -> 0
+        + [("one", 0.0), ("one", 0.0), ("one", 9.0)]  # concentrated
+        + [("zero", 0.0), ("zero", 0.0)]       # sum 0 -> NULL
+        + [("eq", None), (None, 3.0)]          # dropped
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: (r["n"], r["total"], r["gini"]) for r in gini(df, "g", "v").collect()}
+    assert got["eq"] == (4, 20.0, 0.0)
+    # sorted [0,0,9]: G = 2*27/(3*9) - 4/3 = 2 - 1.333333 = 0.666667
+    assert got["one"] == (3, 9.0, pytest.approx(0.666667))
+    assert got["zero"] == (2, 0.0, None)
+
+
+# -- provenance ---------------------------------------------------------
+
+
+def test_extract_domain_and_stats(spark):
+    from ai_etl_framework_spark.operators.provenance import domain_stats
+
+    rows = [
+        (1, "https://www.Example.COM/path?q=1", "hello", "en"),
+        (2, "HTTP://EXAMPLE.com:8080/x", "worlds", "de"),
+        (3, "https://user:pw@sub.example.org/a", "abc", "en"),
+        (4, "not a url", "x", "en"),
+        (5, None, "y", "en"),
+        (6, "ftp://files.example.net/f", "12345", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, text string, lang string")
+    got = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert set(got) == {"example.com", "sub.example.org", "files.example.net"}
+    ec = got["example.com"]
+    assert ec["n_docs"] == 2 and ec["n_langs"] == 2
+    assert ec["share"] == pytest.approx(0.5)          # 2 of 4 attributed
+    assert ec["avg_chars"] == pytest.approx(5.5)      # hello/worlds
+    assert ec["n_unattributed"] == 2                  # rows 4 and 5
+    assert got["files.example.net"]["n_langs"] == 0   # NULL lang
+
+
+# -- golden record ------------------------------------------------------
+
+
+def test_golden_record_pinned(spark):
+    from datetime import timedelta
+
+    from ai_etl_framework_spark.operators.survivorship import golden_record
+
+    d0 = T0
+    rows = [
+        # cluster 1: latest status by date = "B" (tie on date -> larger
+        # value wins under max); mode city = "x" (2 vs 1); max amt 9
+        (1, d0, "A", "x", 5.0),
+        (1, d0 + timedelta(days=1), "B", "x", 9.0),
+        (1, d0 + timedelta(days=1), "A", "y", 7.0),
+        # cluster 2: all-NULL status -> NULL; mode tie alphabetical
+        (2, d0, None, "m", 1.0),
+        (2, d0 + timedelta(days=2), None, "k", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "c long, ts timestamp, status string, city string, amt double"
+    )
+    got = {
+        r["c"]: (r["status"], r["city"], r["amt"], r["ts"])
+        for r in golden_record(
+            df,
+            "c",
+            {"status": "latest", "city": "mode", "amt": "max", "ts": "min"},
+            order_col="ts",
+        ).collect()
+    }
+    assert got[1] == ("B", "x", 9.0, d0)
+    assert got[2] == (None, "k", 2.0, d0)
+    with pytest.raises(ValueError, match="order_col"):
+        golden_record(df, "c", {"status": "latest"})
+    with pytest.raises(ValueError, match="unknown rule"):
+        golden_record(df, "c", {"status": "newest"}, order_col="ts")
+    with pytest.raises(ValueError, match="at least one"):
+        golden_record(df, "c", {})
+    # mode-only spec still yields a row per cluster
+    mo = golden_record(df, "c", {"status": "mode"})
+    assert {r["c"]: r["status"] for r in mo.collect()} == {1: "A", 2: None}
+
+
+# -- reconcile ----------------------------------------------------------
+
+
+def test_reconcile_pinned(spark):
+    from ai_etl_framework_spark.operators.reconcile import (
+        reconcile,
+        reconcile_summary,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0), (3, 1.0), (None, 9.0)],
+        "k long, v double",
+    )
+    b = spark.createDataFrame(
+        [(1, 15.0), (2, 7.0), (2, 0.0), (4, 2.0)], "k long, v double"
+    )
+    got = {r["k"]: (r["delta"], r["status"], r["n_a"], r["n_b"])
+           for r in reconcile(a, b, "k", "v").collect()}
+    # key 1: sums match but row counts differ -> mismatch
+    assert got[1] == (0.0, "mismatch", 2, 1)
+    assert got[2] == (0.0, "mismatch", 1, 2)
+    assert got[3] == (1.0, "a_only", 1, None)
+    assert got[4] == (-2.0, "b_only", None, 1)
+    assert None not in got  # NULL keys dropped
+    summ = {r["status"]: (r["n_keys"], r["total_abs_delta"])
+            for r in reconcile_summary(a, b, "k", "v").collect()}
+    assert summ["a_only"] == (1, 1.0)
+    assert summ["b_only"] == (1, 2.0)
+    assert summ["mismatch"] == (2, 0.0)
+    with pytest.raises(ValueError, match="key"):
+        reconcile(a, b, [], "v")
+
+
+# -- stratified sample --------------------------------------------------
+
+
+def test_stratified_sample_semantics(spark):
+    from ai_etl_framework_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = stratified_sample(
+        df, "s", {"s0": 1.0, "s1": 0.5}, "id", salt="t", default=0.0
+    )
+    by = {s: n for s, n in out.groupBy("s").count().collect()}
+    assert by.get("s0") == 100            # fraction 1.0 keeps all
+    assert by.get("s2") is None           # default 0.0 drops
+    assert 25 <= by.get("s1", 0) <= 75    # ~half
+    # per-stratum membership == plain deterministic_sample at the same
+    # fraction/salt (the strata only SELECT the fraction)
+    s1 = {r["id"] for r in out.where(F.col("s") == "s1").collect()}
+    ref = {
+        r["id"]
+        for r in deterministic_sample(
+            df.where(F.col("s") == "s1"), "id", 0.5, salt="t"
+        ).collect()
+    }
+    assert s1 == ref
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(df, "s", {"s0": 1.5}, "id")
+    with pytest.raises(ValueError, match="at least one"):
+        stratified_sample(df, "s", {}, "id")
+
+
+# -- profile drift ------------------------------------------------------
+
+
+def test_profile_drift_pinned(spark):
+    from ai_etl_framework_spark.operators.drift import profile_drift
+
+    a = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y"), (3, None, "x")],
+        "id long, v double, c string",
+    )
+    b = spark.createDataFrame(
+        [(1, 40.0, "x"), (2, None, None)], "id long, v double, c string"
+    )
+    rows = {r["column"]: r for r in profile_drift(
+        a, b, numeric_cols=["v"], categorical_cols=["c"]
+    ).collect()}
+    v = rows["v"]
+    assert v["kind"] == "numeric"
+    assert v["null_rate_a"] == pytest.approx(round(1 / 3, 6))
+    assert v["null_rate_b"] == 0.5
+    assert v["n_distinct_a"] == 2 and v["n_distinct_b"] == 1
+    assert v["mean_a"] == 15.0 and v["mean_b"] == 40.0
+    assert v["mean_delta"] == 25.0
+    c = rows["c"]
+    assert c["kind"] == "categorical"
+    assert c["mean_a"] is None and c["mean_delta"] is None
+    assert c["n_distinct_a"] == 2 and c["n_distinct_b"] == 1
+    with pytest.raises(ValueError, match="at least one"):
+        profile_drift(a, b)
+    with pytest.raises(ValueError, match="both"):
+        profile_drift(a, b, numeric_cols=["v"], categorical_cols=["v"])
