@@ -6044,6 +6044,177 @@ FROM pa CROSS JOIN pb
 """
 
 
+def x59_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis deterministic weighted sampling
+    (operators/sampling.py weighted_sample): 100 documents drawn
+    ∝ n_chars via the md5-uniform key — one projection + distributed
+    top-k; the 9dp-rounded key + doc_id tiebreak pin the rank-n
+    boundary across engines. Oracle computes the identical key."""
+    from ai_etl_framework_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", 100, "doc_id", salt="es")
+
+
+_X59_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *,
+         ROUND(pow(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+                                                chr(0)) || 'es'),
+                                   1, 8))::BIGINT / 4294967296.0,
+                   1.0 / CAST(n_chars AS DOUBLE)), 9) AS k
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+ORDER BY k DESC, doc_id ASC
+LIMIT 100
+"""
+
+
+def x60_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-quantile normalization per priority class
+    (operators/scaling.py quantile_normalize): percent_rank over one
+    key-partitioned window; ties share quantiles by definition.
+    Oracle is the same percent_rank."""
+    from ai_etl_framework_spark.operators.scaling import quantile_normalize
+
+    orders = load_table(spark, sf_dir, "orders")
+    return quantile_normalize(
+        orders, "o_totalprice", group_col="o_orderpriority"
+    )
+
+
+_X60_SQL = """
+SELECT *,
+       ROUND(percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice ASC), 6) AS qn
+FROM orders
+WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+"""
+
+
+def x61_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-burst alerts per (event_type, hour) vs the trailing
+    6-observed-bucket baseline (operators/timeseries.py
+    burst_detection): one hash agg to the bucket frame + one
+    key-partitioned window over THAT. Oracle replays the frame."""
+    from ai_etl_framework_spark.operators.timeseries import burst_detection
+
+    ev = load_table(spark, sf_dir, "events")
+    return burst_detection(
+        ev, "event_type", "ts", "hour", trailing=6, factor=2.0
+    )
+
+
+_X61_SQL = """
+WITH c AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                  count(*)::BIGINT AS n
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+w AS (SELECT *,
+             avg(n) OVER (PARTITION BY event_type ORDER BY bucket ASC
+                          ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS bl,
+             count(n) OVER (PARTITION BY event_type ORDER BY bucket ASC
+                            ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS np
+      FROM c)
+SELECT event_type, bucket, n,
+       CASE WHEN np >= 3 THEN ROUND(bl, 6) END AS baseline,
+       CASE WHEN np >= 3 THEN ROUND(n / bl, 6) END AS ratio,
+       CASE WHEN np >= 3 THEN ROUND(n / bl, 6) >= 2.0 END AS is_burst
+FROM w
+"""
+
+
+def x62_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + norm profile in long format
+    (operators/embstats.py): norms as one codegen expression, the
+    per-position explode into ONE hash aggregation, label-sized norm
+    scalars broadcast back. Oracle uses unnest + generate_subscripts."""
+    from ai_etl_framework_spark.operators.embstats import (
+        embedding_label_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_label_stats(emb, "embedding", "label")
+
+
+_X62_SQL = """
+WITH base AS (SELECT label, embedding FROM embeddings
+              WHERE label IS NOT NULL AND embedding IS NOT NULL),
+nr AS (SELECT label,
+              sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       FROM base),
+norms AS (SELECT label, count(*)::BIGINT AS n,
+                 ROUND(avg(nrm), 6) AS avg_norm,
+                 ROUND(stddev_pop(nrm), 6) AS sd_norm
+          FROM nr GROUP BY label),
+comps AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS comp
+          FROM base),
+cent AS (SELECT label, CAST(pos AS BIGINT) AS pos,
+                ROUND(avg(comp), 6) AS centroid
+         FROM comps GROUP BY label, pos)
+SELECT cent.label, pos, centroid, n, avg_norm, sd_norm
+FROM cent JOIN norms ON cent.label = norms.label
+"""
+
+
+def x63_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (operators/attribution.py):
+    purchases credit the user's most recent preceding view/click via
+    the repo's as-of join, rolled up per channel. Oracle: DuckDB ASOF
+    LEFT JOIN (the q34 pattern)."""
+    from ai_etl_framework_spark.operators.attribution import attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution(
+        ev, ["purchase"], ["view", "click"], mode="last"
+    )
+
+
+_X63_SQL = """
+WITH base AS (SELECT * FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+conv AS (SELECT user_id, ts, value AS val FROM base
+         WHERE event_type IN ('purchase')),
+touch AS (SELECT user_id, ts, event_type AS channel FROM base
+          WHERE event_type IN ('view', 'click')),
+j AS (SELECT conv.val, t.channel
+      FROM conv ASOF LEFT JOIN touch t
+        ON conv.user_id = t.user_id AND conv.ts >= t.ts)
+SELECT COALESCE(channel, '(none)') AS channel,
+       count(*)::BIGINT AS n_conversions,
+       ROUND(sum(val), 6) AS attributed_value
+FROM j GROUP BY 1
+"""
+
+
+def x64_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generator (operators/calendar.py date_dim):
+    sequence + explode, one codegen projection, no driver loop —
+    fixed range so the row is sf-independent. Oracle:
+    generate_series with the dayofweek convention mapping."""
+    from ai_etl_framework_spark.operators.calendar import date_dim
+
+    return date_dim(spark, "2023-11-20", "2024-03-10")
+
+
+_X64_SQL = """
+SELECT CAST(d AS DATE) AS date,
+       year(d)::INT AS year,
+       quarter(d)::INT AS quarter,
+       month(d)::INT AS month,
+       day(d)::INT AS day,
+       weekofyear(d)::INT AS iso_week,
+       (dayofweek(d) + 1)::INT AS dow,
+       (dayofweek(d) + 1) IN (1, 7) AS is_weekend,
+       day(d) = 1 AS is_month_start,
+       CAST(d AS DATE) = last_day(CAST(d AS DATE)) AS is_month_end
+FROM (SELECT unnest(generate_series(DATE '2023-11-20', DATE '2024-03-10',
+                                    INTERVAL 1 DAY)) AS d)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6213,6 +6384,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x56_reconcile": x56_reconcile,
         "x57_stratified_sample": x57_stratified_sample,
         "x58_profile_drift": x58_profile_drift,
+        "x59_weighted_sample": x59_weighted_sample,
+        "x60_quantile_normalize": x60_quantile_normalize,
+        "x61_burst_detection": x61_burst_detection,
+        "x62_embedding_label_stats": x62_embedding_label_stats,
+        "x63_attribution": x63_attribution,
+        "x64_date_dim": x64_date_dim,
     }
 
 
@@ -6327,6 +6504,12 @@ def oracle_sql() -> dict[str, str]:
         "x56_reconcile": _X56_SQL,
         "x57_stratified_sample": _X57_SQL,
         "x58_profile_drift": _X58_SQL,
+        "x59_weighted_sample": _X59_SQL,
+        "x60_quantile_normalize": _X60_SQL,
+        "x61_burst_detection": _X61_SQL,
+        "x62_embedding_label_stats": _X62_SQL,
+        "x63_attribution": _X63_SQL,
+        "x64_date_dim": _X64_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

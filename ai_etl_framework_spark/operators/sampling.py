@@ -38,6 +38,7 @@ __all__ = [
     "hash_split",
     "stratified_quota",
     "stratified_sample",
+    "weighted_sample",
     "weighted_mixture",
     "pack_documents",
     "shuffle_deterministic",
@@ -105,6 +106,43 @@ def stratified_sample(
     for k, v in fractions.items():
         frac = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(frac)
     return df.where(hash_uniform(F.col(id_col), salt) < frac)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis (2006) one-pass reservoir scheme with the
+    repo's hash-uniform in place of an RNG: each row draws
+    ``u = hash_uniform(id)`` and scores ``key = u^(1/w)``; the ``n``
+    LARGEST keys are the sample. Inclusion probability is
+    proportional to weight, the draw is reproducible (same id+salt ⇒
+    same u on any engine/partitioning), and the whole thing is one
+    projection + a distributed top-k (TakeOrdered — per-partition
+    heaps, no global sort).
+
+    Pinned for the oracle: the ranking key is ROUNDED to 9dp with
+    ``id_col`` ascending as the tiebreak — pow/ln differ in the last
+    ulp across engines, and an unpinned continuous key would make the
+    rank-n boundary row engine-dependent. Rows with NULL, zero or
+    negative weight are excluded (they have no selection mass;
+    E-S defines keys for w > 0 only)."""
+    if n <= 0:
+        raise ValueError(f"n must be > 0, got {n}")
+    w = F.col(weight_col).cast("double")
+    u = hash_uniform(F.col(id_col), salt)
+    key = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__es_key")
+    )
 
 
 def hash_split(

@@ -42,7 +42,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["scale_columns", "quantile_bucketize"]
+__all__ = ["scale_columns", "quantile_bucketize", "quantile_normalize"]
 
 
 def _round6(v: float) -> float:
@@ -124,3 +124,43 @@ def quantile_bucketize(
     bucket = sum((x > F.lit(float(e))).cast("int") for e in edges).cast("long")
     name = out_col or f"{col}_bucket"
     return df.withColumn(name, F.when(x.isNotNull(), bucket))
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: "str | None" = None,
+    out_col: str = "qn",
+) -> DataFrame:
+    """Empirical-quantile normalization: replace each value with its
+    percent rank within its group (0 = group minimum, 1 = group
+    maximum) — the rank-based feature transform that makes columns
+    with arbitrary distributions comparable (and the building block
+    of cross-sample quantile normalization). Complements
+    scale_columns' parametric min-max/z forms with the
+    distribution-free one.
+
+    Pinned semantics (oracle-replicated):
+    - percent_rank ≡ (rank − 1)/(n − 1) over ``value_col`` ascending;
+      TIES share a rank in both engines, so no tiebreak is needed
+      (equal values get equal quantiles — the definition, not an
+      accident); single-row groups yield 0.0;
+    - rows with NULL value (or NULL group when grouped) are DROPPED —
+      a NULL has no rank, and letting it ride would shift every other
+      row's quantile by engine-specific NULL placement; rounded 6dp.
+
+    Scale shape: ONE key-partitioned window (grouped) over raw rows —
+    the gini/rolling shape. UNGROUPED, the window is global: fine for
+    feature tables that fit one task's sort, a wall at raw-corpus
+    scale — partition by a key, or bucketize instead (the same
+    documented trade as pareto_share's window, which is why group_col
+    comes first in spirit: pass one)."""
+    from pyspark.sql import Window
+
+    base = df.where(F.col(value_col).isNotNull())
+    if group_col is not None:
+        base = base.where(F.col(group_col).isNotNull())
+        w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    else:
+        w = Window.partitionBy().orderBy(F.col(value_col).asc())
+    return base.withColumn(out_col, F.round(F.percent_rank().over(w), 6))

@@ -45,7 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["ohlc_bars", "time_weighted_avg"]
+__all__ = ["ohlc_bars", "time_weighted_avg", "burst_detection"]
 
 _TIEBREAK_MOD = 1_000_000
 
@@ -130,4 +130,71 @@ def time_weighted_avg(
         ).alias("twap"),
         F.round(F.avg(value_col), 6).alias("simple_avg"),
         F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+def burst_detection(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_unit: str = "hour",
+    trailing: int = 24,
+    factor: float = 3.0,
+    min_baseline_buckets: int = 3,
+) -> DataFrame:
+    """Volume-burst detection: per (key, bucket) event counts compared
+    to the trailing per-key baseline — the rate alert every ingest/ops
+    dashboard runs (crawler loops, bot floods, feed replays all show
+    up as a bucket count far above the key's recent norm).
+
+    Pinned semantics (oracle-replicated):
+    - counts per (key, date_trunc(bucket_unit, ts)); NULL key/ts rows
+      dropped;
+    - baseline = avg count over the PRECEDING ``trailing`` OBSERVED
+      buckets of the same key (ROWS BETWEEN trailing PRECEDING AND 1
+      PRECEDING, bucket ascending) — observed, not calendar: silent
+      periods produce no buckets and therefore do not dilute the
+      baseline (detect_gaps is the silence detector; this is the
+      volume one);
+    - buckets with fewer than ``min_baseline_buckets`` preceding
+      observed buckets yield NULL ratio/is_burst (no baseline
+      evidence);
+    - ratio = n / baseline rounded 6dp; is_burst = ratio(rounded) ≥
+      factor.
+
+    Scale shape: ONE hash aggregation collapses raw rows to the
+    (key, bucket) frame, then ONE key-partitioned window over THAT
+    dimension-sized frame (≤ spans/bucket_unit rows per key — never
+    raw rows). The pareto-style two-stage shape."""
+    if bucket_unit not in ("minute", "hour", "day", "week", "month"):
+        raise ValueError(f"unsupported bucket_unit {bucket_unit!r}")
+    if trailing < 1:
+        raise ValueError(f"trailing must be >= 1, got {trailing}")
+    counts = (
+        df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(key_col),
+            F.date_trunc(bucket_unit, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(-trailing, -1)
+    )
+    baseline = F.avg("n").over(w)
+    n_prev = F.count("n").over(w)
+    ratio = F.when(
+        n_prev >= min_baseline_buckets, F.round(F.col("n") / baseline, 6)
+    )
+    return counts.select(
+        key_col,
+        "bucket",
+        "n",
+        F.when(n_prev >= min_baseline_buckets, F.round(baseline, 6)).alias(
+            "baseline"
+        ),
+        ratio.alias("ratio"),
+        F.when(ratio.isNotNull(), ratio >= factor).alias("is_burst"),
     )

@@ -195,6 +195,17 @@ QUERIES = [
     "x55_golden_record",
     "x56_reconcile",
     "x58_profile_drift",
+    # r10 batch 2: quantile normalize = one key-partitioned window;
+    # burst detection = bucket agg + window over the bucket frame;
+    # attribution = one as-of join + channel agg — all linear. x59
+    # (weighted sample) returns a FIXED n=100 rows (top-k over 10x
+    # candidates — TakeOrdered, linear scan); x62's explode is
+    # rows×dim linear; x64 is sf-independent — all three skipped as
+    # constant-output generators that would measure the smoke's
+    # fixed-cost floor, not scaling.
+    "x60_quantile_normalize",
+    "x61_burst_detection",
+    "x63_attribution",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure

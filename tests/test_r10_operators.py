@@ -333,3 +333,169 @@ def test_profile_drift_pinned(spark):
         profile_drift(a, b)
     with pytest.raises(ValueError, match="both"):
         profile_drift(a, b, numeric_cols=["v"], categorical_cols=["v"])
+
+
+# -- weighted sample ------------------------------------------------
+
+
+def test_weighted_sample_semantics(spark):
+    from ai_etl_framework_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0 if i < 500 else 100.0) for i in range(600)]
+    rows += [(900, None), (901, 0.0), (902, -3.0)]  # no selection mass
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample(df, "w", 80, "id", salt="t").collect()
+    assert len(got) == 80
+    ids = {r["id"] for r in got}
+    assert not ids & {900, 901, 902}
+    # heavy-weight items dominate: 100 heavy ids vs 500 light at 100x
+    heavy = sum(1 for i in ids if i >= 500)
+    assert heavy > 60
+    # deterministic across calls and independent of partitioning
+    again = {r["id"] for r in weighted_sample(
+        df.repartition(7), "w", 80, "id", salt="t"
+    ).collect()}
+    assert again == ids
+    with pytest.raises(ValueError, match="n must"):
+        weighted_sample(df, "w", 0, "id")
+
+
+# -- quantile normalize ----------------------------------------------
+
+
+def test_quantile_normalize_pinned(spark):
+    from ai_etl_framework_spark.operators.scaling import quantile_normalize
+
+    rows = [("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 30.0),
+            ("b", 7.0), ("a", None), (None, 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = quantile_normalize(df, "v", group_col="g")
+    got = sorted(
+        (r["g"], r["v"], r["qn"]) for r in out.collect()
+    )
+    # ranks in a: 10->0, 20/20 tie -> 1/3, 30 -> 1; b single row -> 0
+    assert got == [
+        ("a", 10.0, 0.0),
+        ("a", 20.0, pytest.approx(round(1 / 3, 6))),
+        ("a", 20.0, pytest.approx(round(1 / 3, 6))),
+        ("a", 30.0, 1.0),
+        ("b", 7.0, 0.0),
+    ]
+
+
+# -- burst detection --------------------------------------------------
+
+
+def test_burst_detection_pinned(spark):
+    from datetime import timedelta
+
+    from ai_etl_framework_spark.operators.timeseries import burst_detection
+
+    rows = []
+    eid = 0
+    # key a: 4 calm hours of 2 events, then an hour with 10
+    for h, n in enumerate([2, 2, 2, 2, 10]):
+        for _ in range(n):
+            rows.append((eid, T0 + timedelta(hours=h), "a"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r["bucket"].hour: r for r in burst_detection(
+        df, "event_type", "ts", "hour", trailing=6, factor=3.0,
+        min_baseline_buckets=3,
+    ).collect()}
+    assert out[10]["ratio"] is None          # no baseline yet
+    assert out[12]["ratio"] is None          # only 2 preceding buckets
+    assert out[13]["ratio"] == 1.0 and out[13]["is_burst"] is False
+    assert out[14]["ratio"] == 5.0 and out[14]["is_burst"] is True
+    assert out[14]["baseline"] == 2.0
+    with pytest.raises(ValueError, match="trailing"):
+        burst_detection(df, trailing=0)
+
+
+# -- embedding label stats ---------------------------------------------
+
+
+def test_embedding_label_stats_pinned(spark):
+    from ai_etl_framework_spark.operators.embstats import (
+        embedding_label_stats,
+    )
+
+    rows = [
+        (1, [3.0, 4.0]),   # norm 5
+        (1, [0.0, 0.0]),   # norm 0
+        (2, [1.0, 0.0, 2.0]),
+        (None, [9.9]),     # NULL label dropped
+        (3, None),         # NULL vector dropped
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    got = {(r["label"], r["pos"]): r for r in embedding_label_stats(df).collect()}
+    assert set(got) == {(1, 1), (1, 2), (2, 1), (2, 2), (2, 3)}
+    r = got[(1, 1)]
+    assert r["centroid"] == 1.5 and r["n"] == 2
+    assert r["avg_norm"] == 2.5 and r["sd_norm"] == 2.5  # pop std of {5,0}
+    assert got[(1, 2)]["centroid"] == 2.0
+    assert got[(2, 3)]["centroid"] == 2.0 and got[(2, 3)]["n"] == 1
+
+
+# -- attribution --------------------------------------------------------
+
+
+def test_attribution_pinned(spark):
+    from datetime import timedelta
+
+    from ai_etl_framework_spark.operators.attribution import attribution
+
+    rows = [
+        # user 1: view@0, click@10, purchase@20 (last touch = click),
+        # purchase@5 (last touch = view)
+        (1, 1, T0, "view", 0.0),
+        (2, 1, T0 + timedelta(minutes=10), "click", 0.0),
+        (3, 1, T0 + timedelta(minutes=20), "purchase", 50.0),
+        (4, 1, T0 + timedelta(minutes=5), "purchase", 10.0),
+        # user 2: purchase with NO preceding touch -> (none)
+        (5, 2, T0, "purchase", 7.0),
+        (6, 2, T0 + timedelta(minutes=1), "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double",
+    )
+    last = {r["channel"]: (r["n_conversions"], r["attributed_value"])
+            for r in attribution(df, ["purchase"], ["view", "click"]).collect()}
+    assert last == {"click": (1, 50.0), "view": (1, 10.0), "(none)": (1, 7.0)}
+    first = {r["channel"]: (r["n_conversions"], r["attributed_value"])
+             for r in attribution(
+                 df, ["purchase"], ["view", "click"], mode="first"
+             ).collect()}
+    # user 1's first touch (view@0) precedes both purchases
+    assert first == {"view": (2, 60.0), "(none)": (1, 7.0)}
+    with pytest.raises(ValueError, match="mode"):
+        attribution(df, ["purchase"], ["view"], mode="linear")
+    with pytest.raises(ValueError, match="at least one"):
+        attribution(df, [], ["view"])
+
+
+# -- date dim -----------------------------------------------------------
+
+
+def test_date_dim_pinned(spark):
+    from ai_etl_framework_spark.operators.calendar import date_dim
+
+    out = {str(r["date"]): r for r in date_dim(
+        spark, "2024-01-28", "2024-02-03"
+    ).collect()}
+    assert len(out) == 7  # inclusive span
+    jan31 = out["2024-01-31"]
+    assert jan31["is_month_end"] is True and jan31["month"] == 1
+    feb1 = out["2024-02-01"]
+    assert feb1["is_month_start"] is True and feb1["quarter"] == 1
+    sun = out["2024-01-28"]  # a Sunday
+    assert sun["dow"] == 1 and sun["is_weekend"] is True
+    mon = out["2024-01-29"]
+    assert mon["dow"] == 2 and mon["is_weekend"] is False
+    assert mon["iso_week"] == 5
+    with pytest.raises(ValueError, match="after end"):
+        date_dim(spark, "2024-02-01", "2024-01-01")
+    with pytest.raises(ValueError, match="ISO"):
+        date_dim(spark, "02/01/2024", "2024-03-01")
