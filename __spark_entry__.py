@@ -6215,6 +6215,157 @@ FROM (SELECT unnest(generate_series(DATE '2023-11-20', DATE '2024-03-10',
 """
 
 
+def x65_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram PMI collocations (operators/collocations.py):
+    shared tokenizer, within-doc adjacent pairs, two hash aggs + two
+    vocabulary-sized joins; ordered on the 6dp-rounded score with word
+    tiebreaks so the top-k cut is engine-stable. Oracle zips parallel
+    unnests of the two token slices."""
+    from ai_etl_framework_spark.operators.collocations import (
+        pmi_collocations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=5, top_k=100)
+
+
+_X65_SQL = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM toks),
+bi AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+       FROM toks WHERE len(t) >= 2),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+tot AS (SELECT (SELECT count(*) FROM uni) AS n_tok,
+               (SELECT count(*) FROM bi) AS n_bi),
+pc AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM bi
+       GROUP BY w1, w2 HAVING count(*) >= 5)
+SELECT w1, w2, n_pair,
+       ROUND(ln((n_pair / n_bi)
+                / ((ca.c / n_tok) * (cb.c / n_tok))), 6) AS pmi
+FROM pc JOIN uc ca ON pc.w1 = ca.w
+        JOIN uc cb ON pc.w2 = cb.w
+        CROSS JOIN tot
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 100
+"""
+
+
+def x66_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document (operators/textstats.py
+    readability, vowel-group syllable heuristic): one projection, two
+    regexp counts + the shared tokenizer, no shuffle. Oracle counts
+    the same RE2 matches via regexp_extract_all."""
+    from ai_etl_framework_spark.operators.textstats import readability
+
+    docs = load_table(spark, sf_dir, "documents")
+    return readability(docs, "doc_id", "text")
+
+
+_X66_SQL = f"""
+SELECT doc_id,
+       len({_TOKS})::BIGINT AS words,
+       CASE WHEN len({_TOKS}) > 0 THEN
+         greatest(len(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '[.!?]+')), 1)::BIGINT
+       END AS sentences,
+       CASE WHEN len({_TOKS}) > 0 THEN
+         len(regexp_extract_all(lower(COALESCE(text, '')),
+                                '[aeiouy]+'))::BIGINT
+       END AS syllables,
+       CASE WHEN len({_TOKS}) > 0 THEN
+         ROUND(206.835
+               - 1.015 * (len({_TOKS})
+                 / greatest(len(regexp_extract_all(
+                     lower(COALESCE(text, '')), '[.!?]+')), 1))
+               - 84.6 * (len(regexp_extract_all(
+                     lower(COALESCE(text, '')), '[aeiouy]+'))
+                 / len({_TOKS})), 4)
+       END AS flesch
+FROM documents
+"""
+
+
+def x67_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per event_type
+    (operators/timeseries.py seasonal_naive_eval): hourly actuals,
+    same-hour-last-week predictions via one calendar-shifted
+    self-equi-join on the bucket frame, MAE/MAPE/bias per key. Oracle
+    replays the shift join."""
+    from ai_etl_framework_spark.operators.timeseries import (
+        seasonal_naive_eval,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_naive_eval(
+        ev, "event_type", "ts", "value", "hour", season="7 days"
+    )
+
+
+_X67_SQL = """
+WITH a AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                  avg(value) AS actual
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL
+           GROUP BY 1, 2),
+p AS (SELECT event_type, bucket + INTERVAL 7 DAY AS bucket,
+             actual AS pred
+      FROM a),
+s AS (SELECT a.event_type, a.actual, p.pred
+      FROM a LEFT JOIN p ON a.event_type = p.event_type
+                        AND a.bucket = p.bucket)
+SELECT event_type, count(*)::BIGINT AS n_buckets,
+       count(pred)::BIGINT AS n_scored,
+       ROUND(avg(abs(actual - pred)), 6) AS mae,
+       ROUND(avg(CASE WHEN actual <> 0
+                      THEN abs(actual - pred) / abs(actual) END), 6)
+         AS mape,
+       ROUND(avg(actual - pred), 6) AS bias
+FROM s GROUP BY event_type
+"""
+
+
+def x68_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join sizing (operators/audit.py
+    join_cardinality_estimate) for lineitem⋈orders: two key-collapsing
+    aggs + a key-count join reduced to one row — the exact join output
+    size WITHOUT running the join. Oracle replays the count algebra."""
+    from ai_etl_framework_spark.operators.audit import (
+        join_cardinality_estimate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return join_cardinality_estimate(li, orders, "l_orderkey", "o_orderkey")
+
+
+_X68_SQL = """
+WITH fc AS (SELECT l_orderkey AS k, count(*) AS cf FROM lineitem
+            WHERE l_orderkey IS NOT NULL GROUP BY 1),
+dc AS (SELECT o_orderkey AS k, count(*) AS cd FROM orders
+       WHERE o_orderkey IS NOT NULL GROUP BY 1),
+fs AS (SELECT COALESCE(sum(cf), 0)::BIGINT AS n_fact,
+              count(*)::BIGINT AS keys_fact,
+              COALESCE(max(cf), 0)::BIGINT AS max_per_key_fact,
+              ROUND(quantile_cont(cf::DOUBLE, 0.99), 6)
+                AS p99_per_key_fact
+       FROM fc),
+ds AS (SELECT COALESCE(sum(cd), 0)::BIGINT AS n_dim,
+              count(*)::BIGINT AS keys_dim,
+              COALESCE(max(cd), 0)::BIGINT AS max_per_key_dim,
+              ROUND(quantile_cont(cd::DOUBLE, 0.99), 6)
+                AS p99_per_key_dim
+       FROM dc),
+m AS (SELECT count(*)::BIGINT AS matched_keys,
+             COALESCE(sum(cf * cd), 0)::BIGINT AS est_join_rows
+      FROM fc JOIN dc USING (k))
+SELECT n_fact, n_dim, keys_fact, keys_dim, matched_keys, est_join_rows,
+       max_per_key_fact, p99_per_key_fact, max_per_key_dim,
+       p99_per_key_dim
+FROM fs CROSS JOIN ds CROSS JOIN m
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6390,6 +6541,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x62_embedding_label_stats": x62_embedding_label_stats,
         "x63_attribution": x63_attribution,
         "x64_date_dim": x64_date_dim,
+        "x65_pmi_collocations": x65_pmi_collocations,
+        "x66_readability": x66_readability,
+        "x67_seasonal_naive_eval": x67_seasonal_naive_eval,
+        "x68_join_size_estimate": x68_join_size_estimate,
     }
 
 
@@ -6510,6 +6665,10 @@ def oracle_sql() -> dict[str, str]:
         "x62_embedding_label_stats": _X62_SQL,
         "x63_attribution": _X63_SQL,
         "x64_date_dim": _X64_SQL,
+        "x65_pmi_collocations": _X65_SQL,
+        "x66_readability": _X66_SQL,
+        "x67_seasonal_naive_eval": _X67_SQL,
+        "x68_join_size_estimate": _X68_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

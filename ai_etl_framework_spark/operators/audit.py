@@ -57,7 +57,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["join_audit", "detect_gaps", "pareto_share"]
+__all__ = ["join_audit", "detect_gaps", "pareto_share", "join_cardinality_estimate"]
 
 
 def join_audit(
@@ -249,4 +249,71 @@ def pareto_share(
             F.round((cum_abs - F.col("total")) / F.lit(grand_total), 6)
             < top_frac
         ).alias("is_top"),
+    )
+
+
+def join_cardinality_estimate(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """Pre-flight join sizing — the one-row report to read BEFORE
+    running a big join: per-side row/key counts, fan-out extremes and
+    p99s, and the EXACT output row count the equi-join would produce
+    (Σ over matched keys of cnt_a·cnt_b — computed from the two
+    key-count frames, so you never pay the join to learn it would
+    explode). Complements join_audit (key health) with size health;
+    the skew columns say whether the join needs salting/AQE skew
+    handling before you run it.
+
+    Pinned semantics (oracle-replicated): one row —
+    (n_fact, n_dim, keys_fact, keys_dim, matched_keys, est_join_rows,
+    max_per_key_fact, p99_per_key_fact, max_per_key_dim,
+    p99_per_key_dim); NULL keys are excluded on both sides (an
+    equi-join never matches them); p99 = exact linear-interpolation
+    percentile over the per-key count frames (6dp).
+
+    Scale shape: two key-collapsing hash aggregations, an inner join
+    of the two KEY-COUNT frames (key-sized, co-partitioned) reduced
+    to one scalar, and two percentile aggregations over key-sized
+    frames. Raw rows are touched exactly once per side."""
+    fc = (
+        fact.where(F.col(fact_key).isNotNull())
+        .groupBy(F.col(fact_key).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__cf"))
+    )
+    dc = (
+        dim.where(F.col(dim_key).isNotNull())
+        .groupBy(F.col(dim_key).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__cd"))
+    )
+    fstats = fc.agg(
+        F.coalesce(F.sum("__cf"), F.lit(0)).cast("long").alias("n_fact"),
+        F.count(F.lit(1)).cast("long").alias("keys_fact"),
+        F.coalesce(F.max("__cf"), F.lit(0)).cast("long").alias("max_per_key_fact"),
+        F.round(F.percentile(F.col("__cf").cast("double"), F.lit(0.99)), 6)
+        .alias("p99_per_key_fact"),
+    )
+    dstats = dc.agg(
+        F.coalesce(F.sum("__cd"), F.lit(0)).cast("long").alias("n_dim"),
+        F.count(F.lit(1)).cast("long").alias("keys_dim"),
+        F.coalesce(F.max("__cd"), F.lit(0)).cast("long").alias("max_per_key_dim"),
+        F.round(F.percentile(F.col("__cd").cast("double"), F.lit(0.99)), 6)
+        .alias("p99_per_key_dim"),
+    )
+    matched = fc.join(dc, "__k").agg(
+        F.count(F.lit(1)).cast("long").alias("matched_keys"),
+        F.coalesce(F.sum(F.col("__cf") * F.col("__cd")), F.lit(0))
+        .cast("long")
+        .alias("est_join_rows"),
+    )
+    return (
+        fstats.crossJoin(dstats)
+        .crossJoin(matched)
+        .select(
+            "n_fact", "n_dim", "keys_fact", "keys_dim", "matched_keys",
+            "est_join_rows", "max_per_key_fact", "p99_per_key_fact",
+            "max_per_key_dim", "p99_per_key_dim",
+        )
     )

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["char_entropy"]
+__all__ = ["char_entropy", "readability"]
 
 
 def char_entropy(
@@ -57,4 +57,53 @@ def char_entropy(
             ).alias("entropy"),
         )
         .select(F.col("__id").alias(id_col), "n_chars", "entropy")
+    )
+
+
+def readability(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease per document with the classic vowel-group
+    syllable heuristic — the readability axis of corpus quality
+    scoring (very low scores flag legalese/boilerplate; implausibly
+    high ones flag token soup). Formula (Flesch 1948):
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+
+    Pinned semantics (oracle-replicated):
+    - words = the shared case-folded whitespace tokenizer's count;
+    - sentences = number of ``[.!?]+`` runs, floored at 1 whenever the
+      doc has words (unterminated text is one sentence);
+    - syllables = number of ``[aeiouy]+`` vowel groups in the
+      lower-cased text — whitespace breaks groups, so the corpus total
+      equals the per-word sum without per-word processing (the
+      heuristic undercounts hiatus and overcounts silent e; it is THE
+      standard cheap estimator and is pinned as such);
+    - docs with zero words (NULL/blank text) yield NULL sentences /
+      flesch (a readability score of nothing is not a number);
+      flesch rounded 4dp, unclamped (the raw formula can leave
+      [0, 100] on degenerate text — clamping would hide exactly the
+      outliers this exists to flag).
+
+    Scale shape: one projection — two regexp counts + one split per
+    row, no shuffle, no UDF; whole-stage codegen end to end."""
+    from ai_etl_framework_spark.functions.text import tokens
+
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    words = F.size(tokens(F.col(text_col)))
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syl = F.regexp_count(t, F.lit(r"[aeiouy]+"))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sents)
+        - F.lit(84.6) * (syl / words)
+    )
+    has_words = words > 0
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("words"),
+        F.when(has_words, sents).cast("long").alias("sentences"),
+        F.when(has_words, syl).cast("long").alias("syllables"),
+        F.when(has_words, F.round(flesch, 4)).alias("flesch"),
     )

@@ -45,7 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["ohlc_bars", "time_weighted_avg", "burst_detection"]
+__all__ = ["ohlc_bars", "time_weighted_avg", "burst_detection", "seasonal_naive_eval"]
 
 _TIEBREAK_MOD = 1_000_000
 
@@ -197,4 +197,73 @@ def burst_detection(
         ),
         ratio.alias("ratio"),
         F.when(ratio.isNotNull(), ratio >= factor).alias("is_burst"),
+    )
+
+
+def seasonal_naive_eval(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_unit: str = "hour",
+    season: str = "7 days",
+) -> DataFrame:
+    """Seasonal-naive forecast backtest — predict each bucket's mean
+    value with the SAME bucket one season earlier (same hour last
+    week) and score the corpus: the baseline every real forecasting
+    effort must beat, and the cheapest drift alarm for strongly
+    periodic metrics. Output per key: (key, n_buckets, n_scored, mae,
+    mape, bias).
+
+    Pinned semantics (oracle-replicated):
+    - actuals = avg(value) per (key, date_trunc(bucket_unit, ts)),
+      NULL key/ts/value rows dropped;
+    - prediction for bucket t = the actual at calendar bucket
+      t − season (an equi-join on the shifted bucket — CALENDAR
+      alignment: a missing last-week bucket means no prediction, it
+      does NOT fall back to the most recent observation);
+    - n_scored = buckets with a prediction; mae = mean |err|, bias =
+      mean err (err = actual − predicted), mape = mean(|err| /
+      |actual|) over scored buckets with actual ≠ 0 — all 6dp; keys
+      with zero scored buckets yield NULL mae/mape/bias.
+
+    Scale shape: ONE hash aggregation to the (key, bucket) frame, one
+    co-partitioned self-equi-join ON (key, shifted bucket) — both
+    sides dimension-sized — and one per-key reduce. No windows over
+    raw rows, no calendar spine materialization."""
+    if bucket_unit not in ("minute", "hour", "day", "week", "month"):
+        raise ValueError(f"unsupported bucket_unit {bucket_unit!r}")
+    actuals = (
+        df.where(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(key_col),
+            F.date_trunc(bucket_unit, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(F.avg(value_col).alias("__actual"))
+    )
+    prev = actuals.select(
+        F.col(key_col),
+        (F.col("bucket") + F.expr(f"INTERVAL {season}")).alias("bucket"),
+        F.col("__actual").alias("__pred"),
+    )
+    scored = actuals.join(prev, [key_col, "bucket"], "left")
+    err = F.col("__actual") - F.col("__pred")
+    return scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.count("__pred").cast("long").alias("n_scored"),
+        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("__actual") != 0,
+                    F.abs(err) / F.abs(F.col("__actual")),
+                )
+            ),
+            6,
+        ).alias("mape"),
+        F.round(F.avg(err), 6).alias("bias"),
     )

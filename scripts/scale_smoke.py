@@ -206,6 +206,14 @@ QUERIES = [
     "x60_quantile_normalize",
     "x61_burst_detection",
     "x63_attribution",
+    # r10 batch 3: PMI = explode + two hash aggs + vocab-sized joins
+    # (the letter rotation grows vocab linearly — txt09's argument);
+    # readability = one projection; forecast backtest = bucket agg +
+    # calendar-shift self-join; join sizing = two key-collapsing aggs.
+    "x65_pmi_collocations",
+    "x66_readability",
+    "x67_seasonal_naive_eval",
+    "x68_join_size_estimate",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure

@@ -499,3 +499,118 @@ def test_date_dim_pinned(spark):
         date_dim(spark, "2024-02-01", "2024-01-01")
     with pytest.raises(ValueError, match="ISO"):
         date_dim(spark, "02/01/2024", "2024-03-01")
+
+
+# -- pmi collocations ----------------------------------------------------
+
+
+def test_pmi_pinned(spark):
+    import math
+
+    from ai_etl_framework_spark.operators.collocations import (
+        pmi_collocations,
+    )
+
+    # "new york" always adjacent; "the cat" vs "the dog" split
+    docs = (
+        ["new york is big"] * 5
+        + ["the cat sat", "the dog sat", "the cat ran", "a b"] * 3
+    )
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    out = {(r["w1"], r["w2"]): (r["n_pair"], r["pmi"])
+           for r in pmi_collocations(df, min_count=3, top_k=50).collect()}
+    # totals: tokens and bigrams counted over ALL docs
+    n_tok = sum(len(t.split()) for t in docs)
+    n_bi = sum(len(t.split()) - 1 for t in docs)
+    c_new = 5
+    c_york = 5
+    exp = math.log((5 / n_bi) / ((c_new / n_tok) * (c_york / n_tok)))
+    assert out[("new", "york")] == (5, pytest.approx(round(exp, 6)))
+    # bigrams never cross documents: ("big", "new") from doc joins absent
+    assert ("big", "new") not in out
+    # min_count prunes: ("the","dog") has 3, kept; ("dog","sat") has 3
+    assert ("the", "cat") in out and out[("the", "cat")][0] == 6
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(df, min_count=0)
+
+
+# -- readability ----------------------------------------------------------
+
+
+def test_readability_pinned(spark):
+    from ai_etl_framework_spark.operators.textstats import readability
+
+    rows = [
+        (1, "The cat sat on the mat. It was happy!"),
+        (2, "word"),
+        (3, None),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    r1 = got[1]
+    assert r1["words"] == 9 and r1["sentences"] == 2
+    # vowel groups: the(1) cat(1) sat(1) on(1) the(1) mat(1) it(1)
+    # was(1) happy(2: a, y) = 10
+    assert r1["syllables"] == 10
+    exp = 206.835 - 1.015 * (9 / 2) - 84.6 * (10 / 9)
+    assert r1["flesch"] == pytest.approx(round(exp, 4))
+    # unterminated single word: one sentence
+    assert got[2]["sentences"] == 1 and got[2]["words"] == 1
+    # empty docs: zero words, NULL everything else
+    for d in (3, 4):
+        assert got[d]["words"] == 0
+        assert got[d]["sentences"] is None and got[d]["flesch"] is None
+
+
+# -- seasonal naive eval ----------------------------------------------------
+
+
+def test_seasonal_naive_eval_pinned(spark):
+    from datetime import timedelta
+
+    from ai_etl_framework_spark.operators.timeseries import (
+        seasonal_naive_eval,
+    )
+
+    rows = []
+    eid = 0
+    # week 1: hours 0,1 with means 10, 20; week 2 same hours: 12, 18
+    for week, vals in ((0, [10.0, 20.0]), (1, [12.0, 18.0])):
+        for h, v in enumerate(vals):
+            rows.append((eid, T0 + timedelta(days=7 * week, hours=h), "a", v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r = seasonal_naive_eval(df, season="7 days").collect()[0]
+    assert r["n_buckets"] == 4 and r["n_scored"] == 2
+    # errs: 12-10=2, 18-20=-2 -> mae 2, bias 0, mape (2/12 + 2/18)/2
+    assert r["mae"] == 2.0 and r["bias"] == 0.0
+    assert r["mape"] == pytest.approx(round((2 / 12 + 2 / 18) / 2, 6))
+    with pytest.raises(ValueError, match="bucket_unit"):
+        seasonal_naive_eval(df, bucket_unit="epoch")
+
+
+# -- join size estimate ------------------------------------------------------
+
+
+def test_join_size_estimate_pinned(spark):
+    from ai_etl_framework_spark.operators.audit import (
+        join_cardinality_estimate,
+    )
+
+    fact = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,), (None,)], "k long"
+    )
+    dim = spark.createDataFrame([(1,), (1,), (2,), (9,)], "d long")
+    r = join_cardinality_estimate(fact, dim, "k", "d").collect()[0]
+    assert r["n_fact"] == 5 and r["n_dim"] == 4       # NULL key excluded
+    assert r["keys_fact"] == 3 and r["keys_dim"] == 3
+    assert r["matched_keys"] == 2
+    # key 1: 3*2=6, key 2: 1*1=1 -> 7 exact output rows
+    assert r["est_join_rows"] == 7
+    assert r["max_per_key_fact"] == 3 and r["max_per_key_dim"] == 2
+    # truth check against the actual join
+    actual = fact.join(dim, fact["k"] == dim["d"]).count()
+    assert actual == r["est_join_rows"]
