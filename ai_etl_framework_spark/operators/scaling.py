@@ -131,6 +131,7 @@ def quantile_normalize(
     value_col: str,
     group_col: "str | None" = None,
     out_col: str = "qn",
+    method: str = "window",
 ) -> DataFrame:
     """Empirical-quantile normalization: replace each value with its
     percent rank within its group (0 = group minimum, 1 = group
@@ -149,17 +150,42 @@ def quantile_normalize(
       a NULL has no rank, and letting it ride would shift every other
       row's quantile by engine-specific NULL placement; rounded 6dp.
 
-    Scale shape: ONE key-partitioned window (grouped) over raw rows —
-    the gini/rolling shape. UNGROUPED, the window is global: fine for
-    feature tables that fit one task's sort, a wall at raw-corpus
-    scale — partition by a key, or bucketize instead (the same
-    documented trade as pareto_share's window, which is why group_col
-    comes first in spirit: pass one)."""
+    Scale shape: ``method="window"`` (default) is ONE key-partitioned
+    window over raw rows — each group sorts in one task; right for
+    per-key groups, a wall for FEW giant groups or the UNGROUPED form
+    (a global single-task sort). ``method="distributed"`` ranks via
+    the shared two-pass range-partitioned machinery
+    (operators/ranks.py): equal values co-locate, local RANK + group
+    size arrive by broadcast offset, qn = (rank−1)/(n−1) — identical
+    output including tie sharing (differential-tested), two extra
+    exchanges, fully distributed sort; it also makes the ungrouped
+    form scale (a constant group ranges on the value alone)."""
     from pyspark.sql import Window
 
+    if method not in ("window", "distributed"):
+        raise ValueError(
+            f"method must be 'window' or 'distributed', got {method!r}"
+        )
     base = df.where(F.col(value_col).isNotNull())
     if group_col is not None:
         base = base.where(F.col(group_col).isNotNull())
+    if method == "distributed":
+        from ai_etl_framework_spark.operators.ranks import group_ranks
+
+        g = group_col
+        if g is None:
+            base = base.withColumn("__qn_g", F.lit(1))
+            g = "__qn_g"
+        ranked = group_ranks(base, g, value_col, rank_col="__qn_rank")
+        qn = F.when(
+            F.col("__n") > 1,
+            F.round(
+                (F.col("__qn_rank") - 1) / (F.col("__n") - 1), 6
+            ),
+        ).otherwise(F.lit(0.0))
+        out = ranked.withColumn(out_col, qn).drop("__qn_rank", "__rn", "__n")
+        return out.drop("__qn_g") if group_col is None else out
+    if group_col is not None:
         w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
     else:
         w = Window.partitionBy().orderBy(F.col(value_col).asc())

@@ -136,6 +136,7 @@ def gini(
     df: DataFrame,
     group_col: str,
     value_col: str,
+    method: str = "window",
 ) -> DataFrame:
     """Per-group Gini concentration coefficient — "how unequal is the
     contribution distribution inside each group" (0 = all members
@@ -161,21 +162,47 @@ def gini(
       negative values are accepted arithmetically but the standard
       interpretation assumes x ≥ 0 — callers filter.
 
-    Scale shape: ONE key-partitioned window (row_number over the
-    group frame — raw rows, but PARTITIONED by group, never a global
-    single task) + ONE hash aggregation on the group. The
-    rolling_features/detect_gaps shape."""
+    Scale shape: ``method="window"`` (default) is ONE key-partitioned
+    window (row_number) + ONE hash aggregation — each group's sort
+    runs in one task, right for per-key groups, a wall for FEW giant
+    groups (a 5-value status column over 100 TB). For that case
+    ``method="distributed"`` ranks via the shared two-pass
+    range-partitioned machinery (operators/ranks.py — equal values
+    co-locate, local ranks + broadcast offsets), trading two extra
+    exchanges for a fully distributed sort — the pareto_share /
+    Aggregator distribute_sort trade, identical output (Σ i·x is
+    tie-invariant, differential-tested)."""
     from pyspark.sql import Window
 
+    if method not in ("window", "distributed"):
+        raise ValueError(
+            f"method must be 'window' or 'distributed', got {method!r}"
+        )
     base = df.where(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     )
-    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
-    ranked = base.select(
-        F.col(group_col),
-        F.col(value_col).cast("double").alias("__x"),
-        F.row_number().over(w).cast("double").alias("__i"),
-    )
+    if method == "distributed":
+        from ai_etl_framework_spark.operators.ranks import group_ranks
+
+        ranked = group_ranks(
+            base.select(
+                F.col(group_col), F.col(value_col).cast("double").alias("__x")
+            ),
+            group_col,
+            "__x",
+            rn_col="__irn",
+        ).select(
+            F.col(group_col),
+            F.col("__x"),
+            F.col("__irn").cast("double").alias("__i"),
+        )
+    else:
+        w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+        ranked = base.select(
+            F.col(group_col),
+            F.col(value_col).cast("double").alias("__x"),
+            F.row_number().over(w).cast("double").alias("__i"),
+        )
     n = F.count(F.lit(1)).cast("double")
     total = F.sum("__x")
     g = (

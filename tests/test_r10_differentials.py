@@ -174,3 +174,52 @@ def test_ohlc_matches_sorted_model(spark):
         assert r["high"] == pytest.approx(max(t[2] for t in ticks))
         assert r["low"] == pytest.approx(min(t[2] for t in ticks))
         assert r["n"] == len(ticks)
+
+
+def test_gini_distributed_equals_window(spark):
+    from ai_etl_framework_spark.operators.stats import gini
+
+    rng = random.Random(55)
+    # FEW giant-ish groups with heavy ties — the distributed method's
+    # target shape; equality must hold exactly (tie-invariant algebra)
+    rows = [(f"g{i % 3}", float(rng.randint(0, 9))) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    win = {r["g"]: (r["n"], r["total"], r["gini"])
+           for r in gini(df, "g", "v").collect()}
+    dist = {r["g"]: (r["n"], r["total"], r["gini"])
+            for r in gini(df, "g", "v", method="distributed").collect()}
+    assert set(win) == set(dist)
+    for g in win:
+        assert win[g][0] == dist[g][0]
+        assert dist[g][1] == pytest.approx(win[g][1], abs=1e-6)
+        assert dist[g][2] == pytest.approx(win[g][2], abs=2e-6)
+    with pytest.raises(ValueError, match="method"):
+        gini(df, "g", "v", method="magic")
+
+
+def test_quantile_normalize_distributed_equals_window(spark):
+    from ai_etl_framework_spark.operators.scaling import quantile_normalize
+
+    rng = random.Random(77)
+    rows = [(i, f"g{i % 2}", float(rng.randint(0, 50))) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    win = {r["id"]: r["qn"] for r in quantile_normalize(
+        df, "v", group_col="g"
+    ).collect()}
+    dist = {r["id"]: r["qn"] for r in quantile_normalize(
+        df, "v", group_col="g", method="distributed"
+    ).collect()}
+    assert win == dist  # ties share quantiles -> exact equality
+    # ungrouped distributed form (the global-sort case the window
+    # method cannot scale): equals the global window result
+    gw = {r["id"]: r["qn"] for r in quantile_normalize(df, "v").collect()}
+    gd = {r["id"]: r["qn"] for r in quantile_normalize(
+        df, "v", method="distributed"
+    ).collect()}
+    assert gw == gd
+    # single-row group -> 0.0 on both paths
+    one = spark.createDataFrame([(1, "a", 5.0)], "id long, g string, v double")
+    assert quantile_normalize(one, "v", group_col="g").collect()[0]["qn"] == 0.0
+    assert quantile_normalize(
+        one, "v", group_col="g", method="distributed"
+    ).collect()[0]["qn"] == 0.0
