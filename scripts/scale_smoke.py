@@ -265,8 +265,12 @@ ADJUDICATIONS = {
         "sublinear); hot-span guard ON at its default throughout."
     ),
     "q07_agg_semantics": (
-        "known sort-heavy profile; distributed range-sort path verified "
-        "by x06 (r7/r8 adjudications unchanged — q07 untouched in r9)."
+        "known sort-heavy profile; r10 split: only concat rides the "
+        "range-sorted frame, scalar aggregates broadcast-join back "
+        "(aggregator._distributed) — sf1 warm 4.2 -> 2.8s under the "
+        "alternating-order protocol (scripts/profile_q07_sf1.py, ratio "
+        "3.28 -> 2.96); the smoke's min-of-2 reads higher from "
+        "cache-state asymmetry between the two dirs (r9 lesson)."
     ),
 }
 
