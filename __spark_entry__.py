@@ -6366,6 +6366,79 @@ FROM fs CROSS JOIN ds CROSS JOIN m
 """
 
 
+def x69_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement profile by day-of-week over the session table
+    (streaming/sessions.py session_stats_batch): q28's one lag/cumsum
+    sessionization + ONE bucket-sized aggregation — bounce rate, mean
+    duration/depth, value. Oracle composes q28's session CTEs with
+    the dayofweek-convention mapping."""
+    from ai_etl_framework_spark.streaming.sessions import (
+        session_stats_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats_batch(ev, gap_minutes=30.0, by="dow")
+
+
+_X69_SQL = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s2 AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+),
+sess AS (
+  SELECT user_id, sess, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         COUNT(*) AS n_events, SUM(value) AS total_value
+  FROM s2 GROUP BY user_id, sess
+)
+SELECT (dayofweek(session_start) + 1)::INT AS dow,
+       count(*)::BIGINT AS n_sessions,
+       ROUND(avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 6)
+         AS bounce_rate,
+       ROUND(avg(epoch(session_end) - epoch(session_start)), 6)
+         AS avg_duration_sec,
+       ROUND(avg(n_events::DOUBLE), 6) AS avg_events,
+       ROUND(SUM(total_value), 2) AS total_value
+FROM sess GROUP BY 1
+"""
+
+
+def x70_heatmap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D density grid over (l_quantity, l_extendedprice)
+    (operators/viz_prep.py heatmap_bins): one bounds agg + one
+    (x_bin, y_bin) hash aggregation — the scatter-at-scale surface.
+    Oracle repeats the identical floor-bin arithmetic per axis."""
+    from ai_etl_framework_spark.operators.viz_prep import heatmap_bins
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return heatmap_bins(li, "l_quantity", "l_extendedprice", 10, 12)
+
+
+_X70_SQL = """
+WITH b AS (SELECT MIN(l_quantity) AS xlo, MAX(l_quantity) AS xhi,
+                  MIN(l_extendedprice) AS ylo, MAX(l_extendedprice) AS yhi
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+SELECT CAST(LEAST(FLOOR((l_quantity - xlo) / (xhi - xlo) * 10) + 1, 10)
+            AS INT) AS x_bin,
+       CAST(LEAST(FLOOR((l_extendedprice - ylo) / (yhi - ylo) * 12) + 1, 12)
+            AS INT) AS y_bin,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM lineitem, b
+WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6545,6 +6618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x66_readability": x66_readability,
         "x67_seasonal_naive_eval": x67_seasonal_naive_eval,
         "x68_join_size_estimate": x68_join_size_estimate,
+        "x69_session_stats": x69_session_stats,
+        "x70_heatmap_bins": x70_heatmap_bins,
     }
 
 
@@ -6669,6 +6744,8 @@ def oracle_sql() -> dict[str, str]:
         "x66_readability": _X66_SQL,
         "x67_seasonal_naive_eval": _X67_SQL,
         "x68_join_size_estimate": _X68_SQL,
+        "x69_session_stats": _X69_SQL,
+        "x70_heatmap_bins": _X70_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

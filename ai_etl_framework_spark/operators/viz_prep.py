@@ -122,3 +122,57 @@ def heatmap_prep(
     job to discover pivot columns)."""
     pivoted = df.groupBy(y).pivot(x, list(x_values) if x_values else None)
     return pivoted.sum(z)
+
+
+def heatmap_bins(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_bins: int = 20,
+    y_bins: int = 20,
+) -> DataFrame:
+    """2-D equal-width density grid — the numeric heatmap behind every
+    scatter-at-scale view (a raw scatter of 10⁹ points is unplottable
+    AND undeliverable; the grid is x_bins·y_bins rows whatever the
+    input size). The 2-D sibling of :func:`histogram_prep`, same
+    engine-portability contract: bin ids are explicit floor arithmetic
+    on the same IEEE doubles (never width_bucket), the max value folds
+    into the last bin, rows where EITHER axis is NULL/NaN are dropped
+    up front (one NaN would poison the bounds — see histogram_prep).
+
+    Output: (x_bin, y_bin, count) for non-empty cells, bins 1-based;
+    a degenerate axis (min == max) collapses to one bin on that axis.
+
+    Scale shape: one bounds aggregation (4 scalars) + ONE hash
+    aggregation on (x_bin, y_bin) — two scans, map-side partials,
+    output bounded by the grid."""
+    if x_bins < 1 or y_bins < 1:
+        raise ValueError(f"bins must be >= 1, got {x_bins}x{y_bins}")
+    x, y = F.col(x_col), F.col(y_col)
+    clean = df.where(
+        x.isNotNull() & ~F.isnan(x.cast("double"))
+        & y.isNotNull() & ~F.isnan(y.cast("double"))
+    )
+    b = clean.agg(
+        F.min(x_col).alias("xlo"), F.max(x_col).alias("xhi"),
+        F.min(y_col).alias("ylo"), F.max(y_col).alias("yhi"),
+    ).first()
+    if b["xlo"] is None:
+        return clean.groupBy(
+            F.lit(1).alias("x_bin"), F.lit(1).alias("y_bin")
+        ).agg(F.count(F.lit(1)).alias("count"))
+
+    def bin_expr(col, lo, hi, bins):
+        lo, hi = float(lo), float(hi)
+        if lo == hi:
+            return F.lit(1)
+        raw = F.floor((col - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * bins) + 1
+        return F.least(raw, F.lit(bins)).cast("int")
+
+    return (
+        clean.groupBy(
+            bin_expr(x, b["xlo"], b["xhi"], x_bins).alias("x_bin"),
+            bin_expr(y, b["ylo"], b["yhi"], y_bins).alias("y_bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
+    )

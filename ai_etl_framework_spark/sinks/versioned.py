@@ -163,6 +163,32 @@ class VersionedTable:
         """All manifests, oldest first."""
         return [self._load_manifest(v) for v in self._versions()]
 
+    def diff(
+        self,
+        from_version: int,
+        to_version: Optional[int] = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        include_unchanged: bool = False,
+    ) -> DataFrame:
+        """Change feed between two committed versions — time travel
+        composed with the corpus snapshot differ
+        (:func:`~ai_etl_framework_spark.operators.corpus.snapshot_diff`,
+        the x17 operator): which rows were added / removed / modified
+        between ``from_version`` and ``to_version`` (default: latest).
+        Both versions must still be readable (vacuum respects kept
+        versions); the diff itself is the x17 shape — two (id,
+        fingerprint) aggregations + one co-partitioned full outer
+        join, never a content sort."""
+        from ai_etl_framework_spark.operators.corpus import snapshot_diff
+
+        old = self.read(from_version)
+        new = self.read(to_version)
+        return snapshot_diff(
+            old, new, id_col=id_col, text_col=text_col,
+            include_unchanged=include_unchanged,
+        )
+
     # -- maintenance ------------------------------------------------------
 
     def vacuum(self, keep_last: int = 1) -> dict:

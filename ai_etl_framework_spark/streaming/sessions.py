@@ -269,3 +269,50 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def session_stats_batch(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: float = 30.0,
+    by: str = "dow",
+) -> DataFrame:
+    """Engagement profile over the SESSION table — when do users
+    engage and how deeply: per ``by`` bucket (``dow`` of session
+    start under Spark's 1=Sunday convention, or ``hour``), the
+    session count, bounce rate (single-event sessions — the classic
+    web-analytics definition), mean duration/depth and total value.
+    Builds on :func:`sessionize_batch` (one lag/cumsum shuffle on the
+    user) and adds ONE bucket-sized aggregation — sessions collapse
+    before anything groups.
+
+    Pinned semantics (oracle-replicated): bounce_rate = single-event
+    sessions / sessions (6dp); avg_duration_sec = mean of
+    (session_end − session_start) epoch seconds (6dp — bounces
+    contribute 0); avg_events (6dp); total_value summed over sessions
+    (2dp, money-grade)."""
+    if by not in ("dow", "hour"):
+        raise ValueError(f"by must be 'dow' or 'hour', got {by!r}")
+    from ai_etl_framework_spark.session import epoch_seconds
+
+    sessions = sessionize_batch(df, user_col, ts_col, value_col, gap_minutes)
+    bucket = (
+        F.dayofweek("session_start") if by == "dow"
+        else F.hour("session_start")
+    )
+    dur = epoch_seconds("session_end") - epoch_seconds("session_start")
+    return (
+        sessions.groupBy(bucket.cast("int").alias(by))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.round(
+                F.avg(F.when(F.col("n_events") == 1, 1.0).otherwise(0.0)), 6
+            ).alias("bounce_rate"),
+            F.round(F.avg(dur), 6).alias("avg_duration_sec"),
+            F.round(F.avg(F.col("n_events").cast("double")), 6)
+            .alias("avg_events"),
+            F.round(F.sum("total_value"), 2).alias("total_value"),
+        )
+    )

@@ -214,6 +214,10 @@ QUERIES = [
     "x66_readability",
     "x67_seasonal_naive_eval",
     "x68_join_size_estimate",
+    # session stats = q28's lag/cumsum + one bucket agg; heatmap bins
+    # = bounds agg + one grid agg — both linear
+    "x69_session_stats",
+    "x70_heatmap_bins",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure

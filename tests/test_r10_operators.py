@@ -614,3 +614,84 @@ def test_join_size_estimate_pinned(spark):
     # truth check against the actual join
     actual = fact.join(dim, fact["k"] == dim["d"]).count()
     assert actual == r["est_join_rows"]
+
+
+# -- session stats -------------------------------------------------------
+
+
+def test_session_stats_pinned(spark):
+    from datetime import timedelta
+
+    from ai_etl_framework_spark.streaming.sessions import session_stats_batch
+
+    sun = datetime(2024, 1, 7, 10, 0, 0)  # a Sunday
+    rows = [
+        # user 1, Sunday: 3-event session spanning 10 min, value 6
+        (1, 1, sun, 1.0), (2, 1, sun + timedelta(minutes=5), 2.0),
+        (3, 1, sun + timedelta(minutes=10), 3.0),
+        # user 1, Sunday: bounce 2h later
+        (4, 1, sun + timedelta(hours=2), 10.0),
+        # user 2, Monday: bounce
+        (5, 2, sun + timedelta(days=1), 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {r["dow"]: r for r in session_stats_batch(df, gap_minutes=30).collect()}
+    sunr = got[1]  # Spark dow: Sunday = 1
+    assert sunr["n_sessions"] == 2
+    assert sunr["bounce_rate"] == 0.5
+    assert sunr["avg_duration_sec"] == 300.0  # (600 + 0) / 2
+    assert sunr["avg_events"] == 2.0
+    assert sunr["total_value"] == 16.0
+    mon = got[2]
+    assert mon["n_sessions"] == 1 and mon["bounce_rate"] == 1.0
+    with pytest.raises(ValueError, match="by must"):
+        session_stats_batch(df, by="minute")
+
+
+# -- heatmap bins ---------------------------------------------------------
+
+
+def test_heatmap_bins_pinned(spark):
+    from ai_etl_framework_spark.operators.viz_prep import heatmap_bins
+
+    rows = [
+        (0.0, 0.0), (10.0, 100.0),      # corners
+        (5.0, 50.0), (5.1, 50.0),       # middle cell
+        (None, 1.0), (1.0, float("nan")),  # dropped
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {(r["x_bin"], r["y_bin"]): r["count"]
+           for r in heatmap_bins(df, "x", "y", 2, 2).collect()}
+    # bounds x:[0,10] y:[0,100]; max folds into last bin; the exact
+    # midpoints (5.0, 50.0) land in the UPPER bin (floor(0.5*2)+1 = 2)
+    assert got[(1, 1)] == 1 and got[(2, 2)] == 3
+    assert sum(got.values()) == 4
+    # degenerate y axis collapses to one y bin
+    d2 = spark.createDataFrame([(1.0, 7.0), (2.0, 7.0)], "x double, y double")
+    got2 = {(r["x_bin"], r["y_bin"]) for r in heatmap_bins(d2, "x", "y", 2, 2).collect()}
+    assert got2 == {(1, 1), (2, 1)}
+    with pytest.raises(ValueError, match="bins"):
+        heatmap_bins(df, "x", "y", 0, 2)
+
+
+# -- versioned diff --------------------------------------------------------
+
+
+def test_versioned_table_diff(spark, tmp_path):
+    from ai_etl_framework_spark.sinks.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    ))
+    t.commit(spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string"
+    ))
+    got = {r["doc_id"]: r["status"] for r in t.diff(1, 2).collect()}
+    assert got == {2: "modified", 3: "removed", 4: "added"}
+    # default to_version = latest; include_unchanged keeps row 1
+    all_rows = {r["doc_id"]: r["status"]
+                for r in t.diff(1, include_unchanged=True).collect()}
+    assert all_rows[1] == "unchanged"
