@@ -695,3 +695,38 @@ def test_versioned_table_diff(spark, tmp_path):
     all_rows = {r["doc_id"]: r["status"]
                 for r in t.diff(1, include_unchanged=True).collect()}
     assert all_rows[1] == "unchanged"
+
+
+# -- entity resolution composition ----------------------------------------
+
+
+def test_entity_resolution_composition(spark):
+    """The examples/entity_resolution.py loop end to end on a frame
+    with known near-duplicate clusters: fuzzy pairs -> connected
+    components -> golden record."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from examples.entity_resolution import resolve_entities
+
+    rows = [
+        # cluster: acme corp / acme corp. / acme cor (chain, dist<=1)
+        (1, "acme corp", "AUTO", 10.0),
+        (2, "acme corp.", "AUTO", 30.0),
+        (3, "acme cor", "RETAIL", 20.0),
+        # cluster: zenith labs / zenith lab
+        (10, "zenith labs", "MACH", 5.0),
+        (11, "zenith lab", "MACH", 7.0),
+        # singleton
+        (20, "wholly unique industries", "FURN", 1.0),
+    ]
+    cust = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_mktsegment string, c_acctbal double"
+    )
+    golden, n = resolve_entities(cust)
+    got = {r["entity_id"]: (r["c_name"], r["c_mktsegment"], r["c_acctbal"])
+           for r in golden.collect()}
+    assert n == 3
+    assert got[1] == ("acme cor", "AUTO", 30.0)       # min name, modal seg, max bal
+    assert got[10] == ("zenith lab", "MACH", 7.0)
+    assert got[20] == ("wholly unique industries", "FURN", 1.0)
