@@ -6439,6 +6439,55 @@ GROUP BY 1, 2
 """
 
 
+def st04_burst_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental burst monitor (pipeline/monitor.py):
+    events split into two mtime-ordered files, driven through
+    readStream → foreachBatch [batch counts MERGE into the persisted
+    (key, bucket, n) store] → alert recompute over the store. Counts
+    are ADDITIVE, so the final store — and the alert table — is
+    independent of micro-batch boundaries: this streaming row carries
+    the REAL x61 hash oracle, not a rows-only check (the first
+    streaming entry that can). Stream≡batch equality is additionally
+    pinned in tests/test_burst_monitor.py."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ai_etl_framework_spark.pipeline.monitor import (
+        IncrementalBurstMonitor,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="st04_")
+    try:
+        bronze = os.path.join(root, "bronze")
+        os.makedirs(bronze)
+        for i in (0, 1):
+            stage = os.path.join(root, f"stage{i}")
+            ev.where(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            src = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(bronze, f"feed_{i}.parquet")
+            shutil.move(os.path.join(stage, src), dst)
+            os.utime(dst, (_time.time() + i, _time.time() + i))
+        mon = IncrementalBurstMonitor(
+            spark, root, bucket_unit="hour", trailing=6, factor=2.0
+        )
+        mon.run_stream(
+            bronze, os.path.join(root, "ckpt"), schema=ev.schema,
+            max_files_per_trigger=1,
+        )
+        # materialize before the tempdir vanishes
+        out = mon.alerts()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6620,6 +6669,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x68_join_size_estimate": x68_join_size_estimate,
         "x69_session_stats": x69_session_stats,
         "x70_heatmap_bins": x70_heatmap_bins,
+        # streaming with a REAL hash oracle: the burst monitor's
+        # additive count store makes its alert table micro-batch-
+        # boundary-independent, so it shares x61's SQL twin verbatim
+        "st04_burst_monitor": st04_burst_monitor,
     }
 
 
@@ -6746,6 +6799,9 @@ def oracle_sql() -> dict[str, str]:
         "x68_join_size_estimate": _X68_SQL,
         "x69_session_stats": _X69_SQL,
         "x70_heatmap_bins": _X70_SQL,
+        # the streaming monitor's alerts ARE x61 over the full input
+        # (additive store => boundary-independent) — same twin
+        "st04_burst_monitor": _X61_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

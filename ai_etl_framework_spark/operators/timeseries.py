@@ -45,7 +45,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["ohlc_bars", "time_weighted_avg", "burst_detection", "seasonal_naive_eval"]
+__all__ = [
+    "ohlc_bars",
+    "time_weighted_avg",
+    "burst_detection",
+    "burst_flags",
+    "seasonal_naive_eval",
+]
 
 _TIEBREAK_MOD = 1_000_000
 
@@ -178,20 +184,43 @@ def burst_detection(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    return burst_flags(
+        counts, key_col, trailing=trailing, factor=factor,
+        min_baseline_buckets=min_baseline_buckets,
+    )
+
+
+def burst_flags(
+    counts: DataFrame,
+    key_col: str = "event_type",
+    bucket_col: str = "bucket",
+    n_col: str = "n",
+    trailing: int = 24,
+    factor: float = 3.0,
+    min_baseline_buckets: int = 3,
+) -> DataFrame:
+    """The window half of :func:`burst_detection`, over an ALREADY
+    AGGREGATED (key, bucket, n) frame — shared with the streaming
+    incremental monitor (pipeline/monitor.py), whose persisted
+    bucket-count store is exactly such a frame. Semantics identical
+    to burst_detection's pins (trailing OBSERVED buckets, NULL below
+    ``min_baseline_buckets``, ratio on the rounded value)."""
+    if trailing < 1:
+        raise ValueError(f"trailing must be >= 1, got {trailing}")
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col("bucket").asc())
+        .orderBy(F.col(bucket_col).asc())
         .rowsBetween(-trailing, -1)
     )
-    baseline = F.avg("n").over(w)
-    n_prev = F.count("n").over(w)
+    baseline = F.avg(n_col).over(w)
+    n_prev = F.count(n_col).over(w)
     ratio = F.when(
-        n_prev >= min_baseline_buckets, F.round(F.col("n") / baseline, 6)
+        n_prev >= min_baseline_buckets, F.round(F.col(n_col) / baseline, 6)
     )
     return counts.select(
         key_col,
-        "bucket",
-        "n",
+        bucket_col,
+        n_col,
         F.when(n_prev >= min_baseline_buckets, F.round(baseline, 6)).alias(
             "baseline"
         ),

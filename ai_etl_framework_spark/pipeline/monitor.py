@@ -1,0 +1,137 @@
+"""Incremental streaming burst monitor — the production form of
+operators/timeseries.burst_detection: an event stream updates a
+persisted (key, bucket, n) COUNT store per micro-batch, and the alert
+table is recomputed from the store's trailing windows — so the
+monitor sees corpus-lifetime baselines, not just the current batch.
+
+The store is ADDITIVE (per-bucket counts sum across batches), which
+makes the final state — and therefore ``alerts()`` — independent of
+micro-batch BOUNDARIES entirely: after any partition of the same
+events into batches, ``alerts()`` equals the batch operator
+``burst_detection`` over the full event set (pinned in
+tests/test_burst_monitor.py). That is a stronger determinism
+guarantee than the dedup loops can offer (their survivor choice is
+order-dependent by nature); it is why the st04 registry row carries a
+REAL hash oracle (the x61 SQL) rather than a rows-only check.
+
+Scale shape: each micro-batch is one batch-sized hash aggregation +
+a store-sized merge aggregation; the store is (keys × observed
+buckets) — dimension-sized by construction, never event-scale. The
+merged store is localCheckpointed before the overwrite (reading and
+rewriting the same path in one lazy plan is the classic
+read-your-own-write corruption; the checkpoint materializes first —
+the ingest.py precedent, and the store is bounded so the checkpoint
+is too). Alerts run :func:`burst_flags` — one key-partitioned window
+over the store."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["IncrementalBurstMonitor"]
+
+
+class IncrementalBurstMonitor:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_col: str = "event_type",
+        ts_col: str = "ts",
+        bucket_unit: str = "hour",
+        trailing: int = 24,
+        factor: float = 3.0,
+        min_baseline_buckets: int = 3,
+    ) -> None:
+        if bucket_unit not in ("minute", "hour", "day", "week", "month"):
+            raise ValueError(f"unsupported bucket_unit {bucket_unit!r}")
+        self.spark = spark
+        self.root = root
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.bucket_unit = bucket_unit
+        self.trailing = trailing
+        self.factor = factor
+        self.min_baseline_buckets = min_baseline_buckets
+        self.store_dir = os.path.join(root, "bucket_counts")
+
+    def _store(self) -> Optional[DataFrame]:
+        if not os.path.isdir(self.store_dir):
+            return None
+        return self.spark.read.parquet(self.store_dir)
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        """Aggregate the batch to (key, bucket, n) and MERGE into the
+        store (counts add). Runs identically under foreachBatch and in
+        a plain loop."""
+        counts = (
+            batch.where(
+                F.col(self.key_col).isNotNull()
+                & F.col(self.ts_col).isNotNull()
+            )
+            .groupBy(
+                F.col(self.key_col),
+                F.date_trunc(self.bucket_unit, F.col(self.ts_col)).alias(
+                    "bucket"
+                ),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        store = self._store()
+        merged = (
+            counts if store is None else store.unionByName(counts)
+        ).groupBy(self.key_col, "bucket").agg(
+            F.sum("n").cast("long").alias("n")
+        )
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(self.store_dir)
+
+    def alerts(self) -> DataFrame:
+        """Burst table over the CURRENT store state — identical to
+        batch burst_detection over every event the monitor has seen."""
+        from ai_etl_framework_spark.operators.timeseries import burst_flags
+
+        store = self._store()
+        if store is None:
+            raise ValueError("no events processed yet: store is empty")
+        return burst_flags(
+            store,
+            self.key_col,
+            trailing=self.trailing,
+            factor=self.factor,
+            min_baseline_buckets=self.min_baseline_buckets,
+        )
+
+    def run_stream(
+        self,
+        bronze_dir: str,
+        checkpoint_dir: str,
+        schema,
+        max_files_per_trigger: int = 1,
+        timeout_sec: int = 300,
+    ) -> None:
+        """Drive the loop over a file-source stream to completion
+        (Trigger.AvailableNow)."""
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(bronze_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"burst monitor stream did not finish in {timeout_sec}s"
+            )
+
+    def run_batches(self, batches) -> None:
+        for i, b in enumerate(batches):
+            self.process_batch(b, i)

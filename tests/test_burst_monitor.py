@@ -1,0 +1,106 @@
+"""IncrementalBurstMonitor (pipeline/monitor.py): the additive-store
+boundary-independence claim — alerts after ANY batch split equal the
+batch operator over the full event set — plus store merge semantics
+and the st04 registry row's oracle equivalence."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from datetime import datetime, timedelta
+
+import pytest
+
+from ai_etl_framework_spark.operators.timeseries import burst_detection
+from ai_etl_framework_spark.pipeline.monitor import IncrementalBurstMonitor
+
+T0 = datetime(2024, 5, 1, 0, 0, 0)
+
+
+def _events(spark):
+    rows = []
+    eid = 0
+    for h, n in enumerate([3, 3, 3, 3, 12, 3, 2]):
+        for _ in range(n):
+            rows.append((eid, T0 + timedelta(hours=h, minutes=eid % 50), "a"))
+            eid += 1
+    rows.append((eid, None, "a"))        # NULL ts dropped
+    rows.append((eid + 1, T0, None))     # NULL key dropped
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+
+
+def _key(rows):
+    return sorted(
+        (r["event_type"], r["bucket"], r["n"], r["baseline"], r["ratio"],
+         r["is_burst"])
+        for r in rows
+    )
+
+
+@pytest.mark.parametrize("split", [1, 2, 3])
+def test_alerts_boundary_independent(spark, tmp_path, split):
+    """The SAME events through 1, 2 or 3 batches (split by event_id
+    mod) produce identical alerts, equal to batch burst_detection."""
+    ev = _events(spark)
+    from pyspark.sql import functions as F
+
+    mon = IncrementalBurstMonitor(
+        spark, str(tmp_path / f"m{split}"), trailing=3, factor=2.0,
+        min_baseline_buckets=2,
+    )
+    mon.run_batches(
+        [ev.where(F.col("event_id") % split == i) for i in range(split)]
+    )
+    expected = burst_detection(
+        ev, trailing=3, factor=2.0, min_baseline_buckets=2
+    )
+    assert _key(mon.alerts().collect()) == _key(expected.collect())
+
+
+def test_burst_row_flagged(spark, tmp_path):
+    ev = _events(spark)
+    mon = IncrementalBurstMonitor(
+        spark, str(tmp_path / "m"), trailing=3, factor=2.0,
+        min_baseline_buckets=2,
+    )
+    mon.run_batches([ev])
+    got = {r["bucket"].hour: r for r in mon.alerts().collect()}
+    assert got[4]["is_burst"] is True and got[4]["ratio"] == 4.0
+    assert got[0]["is_burst"] is None  # no baseline yet
+    assert got[5]["is_burst"] is False
+    with pytest.raises(ValueError, match="bucket_unit"):
+        IncrementalBurstMonitor(spark, str(tmp_path / "x"), bucket_unit="ns")
+
+
+def test_stream_equals_batch_loop(spark, tmp_path):
+    """foreachBatch drive == plain loop == batch operator."""
+    ev = _events(spark)
+    from pyspark.sql import functions as F
+
+    bronze = str(tmp_path / "bronze")
+    os.makedirs(bronze)
+    for i in range(2):
+        stage = str(tmp_path / f"stage{i}")
+        ev.where(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        src = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(bronze, f"feed_{i}.parquet")
+        shutil.move(os.path.join(stage, src), dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+    mon = IncrementalBurstMonitor(
+        spark, str(tmp_path / "m"), trailing=3, factor=2.0,
+        min_baseline_buckets=2,
+    )
+    mon.run_stream(bronze, str(tmp_path / "ckpt"), schema=ev.schema)
+    expected = burst_detection(
+        ev, trailing=3, factor=2.0, min_baseline_buckets=2
+    )
+    assert _key(mon.alerts().collect()) == _key(expected.collect())
+    # empty store errors loudly
+    fresh = IncrementalBurstMonitor(spark, str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="store is empty"):
+        fresh.alerts()
