@@ -6488,6 +6488,49 @@ def st04_burst_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def st05_ohlc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candle service (pipeline/monitor.py
+    IncrementalOhlcStore): two mtime-ordered tick files through
+    readStream → foreachBatch candle merge (open/close re-reduce via
+    their stored BIGINT position keys; high/low/volume/n are plain
+    mergeable aggregates) → the public candle table. Mergeability ⇒
+    micro-batch-boundary independence ⇒ the row shares x49's hash
+    oracle verbatim (the st04 argument). Stream≡batch equality pinned
+    in tests/test_burst_monitor.py."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ai_etl_framework_spark.pipeline.monitor import IncrementalOhlcStore
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="st05_")
+    try:
+        bronze = os.path.join(root, "bronze")
+        os.makedirs(bronze)
+        for i in (0, 1):
+            stage = os.path.join(root, f"stage{i}")
+            ev.where(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            src = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(bronze, f"ticks_{i}.parquet")
+            shutil.move(os.path.join(stage, src), dst)
+            os.utime(dst, (_time.time() + i, _time.time() + i))
+        store = IncrementalOhlcStore(spark, root, bucket_unit="hour")
+        store.run_stream(
+            bronze, os.path.join(root, "ckpt"), schema=ev.schema,
+            max_files_per_trigger=1,
+        )
+        out = store.candles()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6673,6 +6716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # additive count store makes its alert table micro-batch-
         # boundary-independent, so it shares x61's SQL twin verbatim
         "st04_burst_monitor": st04_burst_monitor,
+        "st05_ohlc_store": st05_ohlc_store,
     }
 
 
@@ -6802,6 +6846,7 @@ def oracle_sql() -> dict[str, str]:
         # the streaming monitor's alerts ARE x61 over the full input
         # (additive store => boundary-independent) — same twin
         "st04_burst_monitor": _X61_SQL,
+        "st05_ohlc_store": _X49_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

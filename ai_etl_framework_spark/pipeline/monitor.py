@@ -31,7 +31,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["IncrementalBurstMonitor"]
+__all__ = ["IncrementalBurstMonitor", "IncrementalOhlcStore"]
 
 
 class IncrementalBurstMonitor:
@@ -130,6 +130,143 @@ class IncrementalBurstMonitor:
             q.stop()
             raise TimeoutError(
                 f"burst monitor stream did not finish in {timeout_sec}s"
+            )
+
+    def run_batches(self, batches) -> None:
+        for i, b in enumerate(batches):
+            self.process_batch(b, i)
+
+
+class IncrementalOhlcStore:
+    """Streaming OHLC candle service — the incremental twin of
+    operators/timeseries.ohlc_bars: each micro-batch folds its ticks
+    into a persisted per-(key, bucket) candle store. Every candle
+    component is MERGEABLE (open/close carry their BIGINT position
+    keys so min_by/max_by re-reduce exactly; high/low/volume/n are
+    plain min/max/sum), so the final store is independent of
+    micro-batch boundaries and ``candles()`` equals the batch operator
+    over all ticks seen — the st04 argument again, giving this
+    streaming row a real hash oracle (x49's SQL).
+
+    Store columns: (key, bucket, open_k, open, high, low, close_k,
+    close, volume, n) — the position keys stay INSIDE the store;
+    ``candles()`` projects the public OHLC shape with the operator's
+    rounding. Scale: batch-sized candle agg + store-sized merge agg
+    per batch; the store is (keys × observed buckets)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_col: str = "event_type",
+        ts_col: str = "ts",
+        value_col: str = "value",
+        tiebreak_col: str = "event_id",
+        bucket_unit: str = "hour",
+    ) -> None:
+        if bucket_unit not in ("minute", "hour", "day", "week", "month"):
+            raise ValueError(f"unsupported bucket_unit {bucket_unit!r}")
+        self.spark = spark
+        self.root = root
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.tiebreak_col = tiebreak_col
+        self.bucket_unit = bucket_unit
+        self.store_dir = os.path.join(root, "candles")
+
+    def _store(self) -> Optional[DataFrame]:
+        if not os.path.isdir(self.store_dir):
+            return None
+        return self.spark.read.parquet(self.store_dir)
+
+    def _batch_candles(self, batch: DataFrame) -> DataFrame:
+        from ai_etl_framework_spark.operators.timeseries import _pos_key
+
+        k = _pos_key(self.ts_col, self.tiebreak_col)
+        v = F.col(self.value_col)
+        return (
+            batch.where(
+                F.col(self.key_col).isNotNull()
+                & F.col(self.ts_col).isNotNull()
+                & v.isNotNull()
+            )
+            .groupBy(
+                F.col(self.key_col),
+                F.date_trunc(self.bucket_unit, F.col(self.ts_col)).alias(
+                    "bucket"
+                ),
+            )
+            .agg(
+                F.min(k).alias("open_k"),
+                F.min_by(v, k).alias("open"),
+                F.max(v).alias("high"),
+                F.min(v).alias("low"),
+                F.max(k).alias("close_k"),
+                F.max_by(v, k).alias("close"),
+                F.sum(v).alias("volume"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        part = self._batch_candles(batch)
+        store = self._store()
+        merged = (
+            part if store is None else store.unionByName(part)
+        ).groupBy(self.key_col, "bucket").agg(
+            F.min("open_k").alias("open_k"),
+            F.min_by(F.col("open"), F.col("open_k")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max("close_k").alias("close_k"),
+            F.max_by(F.col("close"), F.col("close_k")).alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("n").cast("long").alias("n"),
+        )
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(self.store_dir)
+
+    def candles(self) -> DataFrame:
+        """Public OHLC table over the store — the ohlc_bars shape and
+        rounding."""
+        store = self._store()
+        if store is None:
+            raise ValueError("no ticks processed yet: store is empty")
+        return store.select(
+            self.key_col,
+            "bucket",
+            F.round("open", 6).alias("open"),
+            F.round("high", 6).alias("high"),
+            F.round("low", 6).alias("low"),
+            F.round("close", 6).alias("close"),
+            F.round("volume", 6).alias("volume"),
+            "n",
+        )
+
+    def run_stream(
+        self,
+        bronze_dir: str,
+        checkpoint_dir: str,
+        schema,
+        max_files_per_trigger: int = 1,
+        timeout_sec: int = 300,
+    ) -> None:
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(bronze_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"ohlc store stream did not finish in {timeout_sec}s"
             )
 
     def run_batches(self, batches) -> None:

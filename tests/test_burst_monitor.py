@@ -104,3 +104,63 @@ def test_stream_equals_batch_loop(spark, tmp_path):
     fresh = IncrementalBurstMonitor(spark, str(tmp_path / "empty"))
     with pytest.raises(ValueError, match="store is empty"):
         fresh.alerts()
+
+
+# -- incremental OHLC store ------------------------------------------------
+
+
+def _ticks(spark):
+    rows = []
+    eid = 0
+    for h in range(3):
+        for m, v in ((5, 10.0), (20, 30.0), (40, 5.0), (55, 20.0)):
+            rows.append((eid, T0 + timedelta(hours=h, minutes=m), "a", v))
+            eid += 1
+    rows.append((eid, T0, "b", 7.0))
+    rows.append((eid + 1, None, "a", 1.0))    # dropped
+    rows.append((eid + 2, T0, "a", None))     # dropped
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def _ckey(rows):
+    return sorted(
+        (r["event_type"], r["bucket"], r["open"], r["high"], r["low"],
+         r["close"], r["volume"], r["n"])
+        for r in rows
+    )
+
+
+@pytest.mark.parametrize("split", [1, 2, 3])
+def test_ohlc_store_boundary_independent(spark, tmp_path, split):
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.operators.timeseries import ohlc_bars
+    from ai_etl_framework_spark.pipeline.monitor import IncrementalOhlcStore
+
+    ev = _ticks(spark)
+    store = IncrementalOhlcStore(spark, str(tmp_path / f"o{split}"))
+    store.run_batches(
+        [ev.where(F.col("event_id") % split == i) for i in range(split)]
+    )
+    assert _ckey(store.candles().collect()) == _ckey(ohlc_bars(ev).collect())
+
+
+def test_ohlc_store_pinned(spark, tmp_path):
+    from ai_etl_framework_spark.pipeline.monitor import IncrementalOhlcStore
+
+    ev = _ticks(spark)
+    store = IncrementalOhlcStore(spark, str(tmp_path / "o"))
+    store.run_batches([ev])
+    got = {(r["event_type"], r["bucket"].hour): r
+           for r in store.candles().collect()}
+    a0 = got[("a", 0)]
+    assert (a0["open"], a0["high"], a0["low"], a0["close"]) == (
+        10.0, 30.0, 5.0, 20.0
+    )
+    assert a0["volume"] == 65.0 and a0["n"] == 4
+    assert got[("b", 0)]["n"] == 1
+    fresh = IncrementalOhlcStore(spark, str(tmp_path / "fresh"))
+    with pytest.raises(ValueError, match="store is empty"):
+        fresh.candles()
