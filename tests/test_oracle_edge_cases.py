@@ -197,6 +197,18 @@ EVENT_EDGE_QUERIES = [
     # winsorize over NULL values: NULL must pass through unclipped on
     # both engines (least/greatest skip NULLs — the explicit restore)
     "x26_winsorize",
+    # r10 event-table families: NULL ts/value/type rows must drop
+    # identically, duplicate (user, ts) pairs must tie-break
+    # identically (position keys / lead ordering / ASOF), and the
+    # dayofweek-convention mapping must hold on boundary rows
+    "x49_ohlc_bars",
+    "x50_time_weighted_avg",
+    "x51_ab_test",
+    "x52_seasonal_zscore",
+    "x61_burst_detection",
+    "x63_attribution",
+    "x67_seasonal_naive_eval",
+    "x69_session_stats",
 ]
 
 
@@ -275,6 +287,12 @@ TPCH_EDGE_QUERIES = [
     "q32_agg_list", "q36_rollup_grouping", "q37_set_ops",
     "q40_exists_antijoin", "q42_local_supplier_revenue",
     "q43_merge_scd2_suite",
+    # r10 relational families over NULL join keys / prices / dates /
+    # flags: NULL-group drops, NULL-order exclusion in survivorship,
+    # NULL-key reconciliation and sizing must match per engine
+    "x53_gini", "x55_golden_record", "x56_reconcile",
+    "x58_profile_drift", "x60_quantile_normalize",
+    "x68_join_size_estimate", "x70_heatmap_bins",
 ]
 
 _SF001 = "/root/testdata/sf0.001"
