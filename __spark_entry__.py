@@ -6531,6 +6531,69 @@ def st05_ohlc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def x71_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty (operators/novelty.py): fraction
+    of each doc's distinct 3-shingles appearing in NO other document,
+    plus mean ln(df) — one explode, one vocabulary-sized df
+    aggregation, unhinted join-back, per-doc reduce. Oracle reuses
+    the shared _SHINGLES fragment (list_distinct'd, the dd04
+    contract)."""
+    from ai_etl_framework_spark.operators.novelty import novelty_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return novelty_scores(docs, "doc_id", "text", k=3)
+
+
+_X71_SQL = f"""
+WITH s AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shl FROM documents),
+e AS (SELECT doc_id, unnest(shl) AS sh FROM s),
+dfq AS (SELECT sh, count(*) AS dfr FROM e GROUP BY sh),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_shingles,
+               ROUND(avg(CASE WHEN dfr = 1 THEN 1.0 ELSE 0.0 END), 6)
+                 AS novelty,
+               ROUND(avg(ln(dfr::DOUBLE)), 6) AS mean_log_df
+        FROM e JOIN dfq USING (sh) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(per.n_shingles, 0)::BIGINT AS n_shingles,
+       per.novelty, per.mean_log_df
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per USING (doc_id)
+"""
+
+
+def x72_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day quantity↔price correlation per returnflag
+    (operators/timeseries.py rolling_corr): one bucket-mean hash agg
+    + one key-partitioned windowed corr over the bucket frame. Oracle
+    runs the same windowed sample Pearson."""
+    from ai_etl_framework_spark.operators.timeseries import rolling_corr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return rolling_corr(
+        li, "l_quantity", "l_extendedprice", ts_col="l_shipdate",
+        key_col="l_returnflag", bucket_unit="day", window=14,
+        min_periods=5,
+    )
+
+
+_X72_SQL = """
+WITH series AS (
+  SELECT l_returnflag,
+         CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS bucket,
+         avg(l_quantity) AS x, avg(l_extendedprice) AS y
+  FROM lineitem
+  WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1, 2)
+SELECT l_returnflag, bucket,
+       ROUND(x, 6) AS x_mean, ROUND(y, 6) AS y_mean,
+       CASE WHEN count(*) OVER w >= 5
+            THEN ROUND(corr(x, y) OVER w, 6) END AS rolling_corr
+FROM series
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY bucket ASC
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6717,6 +6780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boundary-independent, so it shares x61's SQL twin verbatim
         "st04_burst_monitor": st04_burst_monitor,
         "st05_ohlc_store": st05_ohlc_store,
+        "x71_novelty_scores": x71_novelty_scores,
+        "x72_rolling_corr": x72_rolling_corr,
     }
 
 
@@ -6847,6 +6912,8 @@ def oracle_sql() -> dict[str, str]:
         # (additive store => boundary-independent) — same twin
         "st04_burst_monitor": _X61_SQL,
         "st05_ohlc_store": _X49_SQL,
+        "x71_novelty_scores": _X71_SQL,
+        "x72_rolling_corr": _X72_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -51,6 +51,7 @@ __all__ = [
     "burst_detection",
     "burst_flags",
     "seasonal_naive_eval",
+    "rolling_corr",
 ]
 
 _TIEBREAK_MOD = 1_000_000
@@ -295,4 +296,67 @@ def seasonal_naive_eval(
             6,
         ).alias("mape"),
         F.round(F.avg(err), 6).alias("bias"),
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    ts_col: str = "ts",
+    key_col: "str | None" = None,
+    bucket_unit: str = "hour",
+    window: int = 24,
+    min_periods: int = 5,
+) -> DataFrame:
+    """Rolling correlation between two metrics — is their coupling
+    drifting (pairs trading, metric-dependency monitoring, feature
+    stability): per bucket, the sample Pearson corr of the two
+    bucket-MEAN series over the trailing ``window`` OBSERVED buckets
+    (current inclusive).
+
+    Pinned semantics (oracle-replicated):
+    - series = avg(x), avg(y) per (key?, date_trunc(bucket_unit, ts))
+      over rows where BOTH metrics and the ts are non-NULL (a row
+      missing one metric has no pair evidence);
+    - corr = both engines' sample Pearson over the ROWS frame
+      [window−1 PRECEDING, CURRENT], NULL below ``min_periods``
+      observed buckets in the frame or under zero variance (ANSI corr
+      semantics), rounded 6dp (a ratio — scale-free error).
+
+    Scale shape: ONE hash aggregation to the bucket frame + ONE
+    window over THAT (key-partitioned when ``key_col`` is given;
+    global-single-task otherwise — fine for ONE dimension-sized
+    series, the pareto-style documented bound)."""
+    if bucket_unit not in ("minute", "hour", "day", "week", "month"):
+        raise ValueError(f"unsupported bucket_unit {bucket_unit!r}")
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    base = df.where(
+        F.col(ts_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    keys = [key_col] if key_col else []
+    if key_col:
+        base = base.where(F.col(key_col).isNotNull())
+    series = base.groupBy(
+        *keys, F.date_trunc(bucket_unit, F.col(ts_col)).alias("bucket")
+    ).agg(
+        F.avg(x_col).alias("__x"),
+        F.avg(y_col).alias("__y"),
+    )
+    w = (
+        (Window.partitionBy(key_col) if key_col else Window.partitionBy())
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(-(window - 1), 0)
+    )
+    n_obs = F.count(F.lit(1)).over(w)
+    c = F.when(n_obs >= min_periods, F.round(F.corr("__x", "__y").over(w), 6))
+    return series.select(
+        *keys,
+        "bucket",
+        F.round("__x", 6).alias("x_mean"),
+        F.round("__y", 6).alias("y_mean"),
+        c.alias("rolling_corr"),
     )

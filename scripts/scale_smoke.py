@@ -218,6 +218,11 @@ QUERIES = [
     # = bounds agg + one grid agg — both linear
     "x69_session_stats",
     "x70_heatmap_bins",
+    # novelty = explode + vocab df agg + join-back (rotation keeps
+    # shingle collisions within copies — linear); rolling corr =
+    # bucket agg + window over the bucket frame
+    "x71_novelty_scores",
+    "x72_rolling_corr",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure

@@ -730,3 +730,78 @@ def test_entity_resolution_composition(spark):
     assert got[1] == ("acme cor", "AUTO", 30.0)       # min name, modal seg, max bal
     assert got[10] == ("zenith lab", "MACH", 7.0)
     assert got[20] == ("wholly unique industries", "FURN", 1.0)
+
+
+# -- novelty ----------------------------------------------------------------
+
+
+def test_novelty_pinned(spark):
+    from ai_etl_framework_spark.operators.novelty import novelty_scores
+
+    docs = [
+        (1, "a b c d"),          # shingles {a b c, b c d}
+        (2, "a b c e"),          # shares "a b c" with doc 1
+        (3, "x y z w"),          # fully unique
+        (4, ""),                 # no shingles
+        (5, None),               # no shingles
+        (6, "q r"),              # short doc -> one whole-doc shingle
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in novelty_scores(df, k=3).collect()}
+    import math
+
+    # doc 1: "a b c" df=2, "b c d" df=1 -> novelty 0.5
+    assert got[1]["n_shingles"] == 2
+    assert got[1]["novelty"] == 0.5
+    assert got[1]["mean_log_df"] == pytest.approx(
+        round((math.log(2) + math.log(1)) / 2, 6)
+    )
+    assert got[3]["novelty"] == 1.0 and got[3]["mean_log_df"] == 0.0
+    for d in (4, 5):
+        assert got[d]["n_shingles"] == 0 and got[d]["novelty"] is None
+    assert got[6]["n_shingles"] == 1 and got[6]["novelty"] == 1.0
+    with pytest.raises(ValueError, match="k must"):
+        novelty_scores(df, k=0)
+
+
+# -- rolling correlation -----------------------------------------------------
+
+
+def test_rolling_corr_matches_numpy(spark):
+    from datetime import timedelta
+
+    import numpy as np
+
+    from ai_etl_framework_spark.operators.timeseries import rolling_corr
+
+    rng = __import__("random").Random(3)
+    rows = []
+    xs, ys = [], []
+    for d in range(20):
+        x = rng.uniform(0, 10)
+        y = 2 * x + rng.uniform(-1, 1)
+        xs.append(x)
+        ys.append(y)
+        # two raw rows per day so the bucket MEAN matters
+        rows.append((T0 + timedelta(days=d), "k", x - 1.0, y + 2.0))
+        rows.append((T0 + timedelta(days=d), "k", x + 1.0, y - 2.0))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, g string, xv double, yv double"
+    )
+    out = sorted(
+        rolling_corr(
+            df, "xv", "yv", ts_col="ts", key_col="g",
+            bucket_unit="day", window=7, min_periods=4,
+        ).collect(),
+        key=lambda r: r["bucket"],
+    )
+    for i, r in enumerate(out):
+        assert r["x_mean"] == pytest.approx(round(xs[i], 6), abs=1e-6)
+        lo = max(0, i - 6)
+        if i - lo + 1 < 4:
+            assert r["rolling_corr"] is None
+        else:
+            model = float(np.corrcoef(xs[lo:i + 1], ys[lo:i + 1])[0, 1])
+            assert r["rolling_corr"] == pytest.approx(model, abs=2e-6)
+    with pytest.raises(ValueError, match="window"):
+        rolling_corr(df, "xv", "yv", window=1)
