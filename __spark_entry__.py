@@ -6594,6 +6594,158 @@ WINDOW w AS (PARTITION BY l_returnflag ORDER BY bucket ASC
 """
 
 
+def x73_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the stopword lang-id against
+    the documents table's lang labels (operators/evaluation.py
+    classification_report over txt02's predictor): one confusion-cell
+    aggregation + class-sized reshapes. Oracle composes txt02's SQL
+    with the same confusion algebra."""
+    from ai_etl_framework_spark.functions.text import lang_id
+    from ai_etl_framework_spark.operators.evaluation import (
+        classification_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("lang"), lang_id(F.col("text")).alias("lang_pred")
+    )
+    return classification_report(scored, "lang", "lang_pred")
+
+
+def _x73_sql() -> str:
+    return f"""
+WITH scored AS (SELECT d.lang AS __y, p.lang_pred AS __p
+                FROM documents d JOIN ({_txt02_sql()}) p USING (doc_id)
+                WHERE d.lang IS NOT NULL AND p.lang_pred IS NOT NULL),
+cells AS (SELECT __y, __p, count(*) AS n FROM scored GROUP BY 1, 2),
+classes AS (SELECT DISTINCT __y AS class FROM cells
+            UNION SELECT DISTINCT __p FROM cells),
+tp AS (SELECT __y AS class, n AS tp FROM cells WHERE __y = __p),
+nt AS (SELECT __y AS class, sum(n) AS n_true FROM cells GROUP BY 1),
+np AS (SELECT __p AS class, sum(n) AS n_pred FROM cells GROUP BY 1),
+tot AS (SELECT COALESCE(sum(CASE WHEN __y = __p THEN n END), 0) AS tp_all,
+               sum(n) AS n_all
+        FROM cells),
+j AS (SELECT c.class,
+             COALESCE(n_true, 0)::BIGINT AS n_true,
+             COALESCE(n_pred, 0)::BIGINT AS n_pred,
+             COALESCE(tp, 0)::BIGINT AS tp,
+             tp_all, n_all
+      FROM classes c LEFT JOIN nt USING (class)
+                     LEFT JOIN np USING (class)
+                     LEFT JOIN tp USING (class)
+                     CROSS JOIN tot)
+SELECT class, n_true, n_pred, tp,
+       (n_pred - tp)::BIGINT AS fp,
+       (n_true - tp)::BIGINT AS fn,
+       ROUND(CASE WHEN n_pred > 0 THEN tp / n_pred::DOUBLE END, 6)
+         AS precision,
+       ROUND(CASE WHEN n_true > 0 THEN tp / n_true::DOUBLE END, 6)
+         AS recall,
+       ROUND(CASE WHEN n_pred > 0 AND n_true > 0
+                   AND tp / n_pred::DOUBLE + tp / n_true::DOUBLE > 0
+                  THEN 2.0 * (tp / n_pred::DOUBLE) * (tp / n_true::DOUBLE)
+                       / (tp / n_pred::DOUBLE + tp / n_true::DOUBLE)
+             END, 6) AS f1,
+       ROUND(tp_all / n_all::DOUBLE, 6) AS accuracy
+FROM j
+"""
+
+
+def x74_regression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row regression metrics (operators/evaluation.py
+    regression_report) for a derived deterministic predictor of
+    o_totalprice — ONE scalar aggregation (MAE/RMSE/R²/bias). Oracle
+    repeats the identity-form sums."""
+    from ai_etl_framework_spark.operators.evaluation import (
+        regression_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.col("o_totalprice").alias("actual"),
+        (
+            F.col("o_totalprice")
+            * (F.lit(0.9) + (F.col("o_orderkey") % 21) / F.lit(100.0))
+        ).alias("pred"),
+    )
+    return regression_report(scored, "actual", "pred")
+
+
+_X74_SQL = """
+WITH scored AS (SELECT o_totalprice AS actual,
+                       o_totalprice * (0.9 + (o_orderkey % 21) / 100.0)
+                         AS pred
+                FROM orders
+                WHERE o_totalprice IS NOT NULL),
+base AS (SELECT actual, pred, actual - pred AS err FROM scored)
+SELECT count(*)::BIGINT AS n,
+       ROUND(avg(abs(err)), 6) AS mae,
+       ROUND(sqrt(avg(err * err)), 6) AS rmse,
+       ROUND(CASE WHEN ROUND(sum(actual * actual)
+                             - sum(actual) * sum(actual) / count(*), 9) > 0
+                  THEN 1.0 - sum(err * err)
+                        / (sum(actual * actual)
+                           - sum(actual) * sum(actual) / count(*))
+             END, 6) AS r2,
+       ROUND(avg(err), 6) AS bias
+FROM base
+"""
+
+
+def x75_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per event_type (operators/evaluation.py ndcg_at_k):
+    system ranking by value, graded relevance derived from event_id —
+    two WindowGroupLimit rank passes + one per-query reduce. Oracle
+    replays both rankings."""
+    from ai_etl_framework_spark.operators.evaluation import ndcg_at_k
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        (
+            F.when(F.col("event_id") % 5 == 0, 2)
+            .when(F.col("event_id") % 5 == 1, 1)
+            .otherwise(0)
+        ).cast("int").alias("rel"),
+    )
+    return ndcg_at_k(scored, "event_type", "event_id", "value", "rel", k=10)
+
+
+_X75_SQL = """
+WITH scored AS (SELECT event_type, event_id, value,
+                       CASE WHEN event_id % 5 = 0 THEN 2
+                            WHEN event_id % 5 = 1 THEN 1
+                            ELSE 0 END AS rel
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL),
+ranked AS (SELECT event_type, rel::DOUBLE AS rel,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id ASC)
+                    AS r_sys,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY rel DESC, event_id ASC)
+                    AS r_ideal
+           FROM scored)
+SELECT event_type,
+       ROUND(
+         CASE WHEN sum(CASE WHEN r_ideal <= 10
+                            THEN rel / log2(r_ideal + 1)
+                            ELSE 0.0 END) <> 0
+              THEN sum(CASE WHEN r_sys <= 10
+                            THEN rel / log2(r_sys + 1)
+                            ELSE 0.0 END)
+                   / sum(CASE WHEN r_ideal <= 10
+                              THEN rel / log2(r_ideal + 1)
+                              ELSE 0.0 END)
+         END, 6) AS ndcg,
+       count(*)::BIGINT AS n_docs
+FROM ranked GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6782,6 +6934,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st05_ohlc_store": st05_ohlc_store,
         "x71_novelty_scores": x71_novelty_scores,
         "x72_rolling_corr": x72_rolling_corr,
+        "x73_classification_report": x73_classification_report,
+        "x74_regression_report": x74_regression_report,
+        "x75_ndcg": x75_ndcg,
     }
 
 
@@ -6914,6 +7069,9 @@ def oracle_sql() -> dict[str, str]:
         "st05_ohlc_store": _X49_SQL,
         "x71_novelty_scores": _X71_SQL,
         "x72_rolling_corr": _X72_SQL,
+        "x73_classification_report": _x73_sql(),
+        "x74_regression_report": _X74_SQL,
+        "x75_ndcg": _X75_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

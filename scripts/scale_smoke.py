@@ -223,6 +223,11 @@ QUERIES = [
     # bucket agg + window over the bucket frame
     "x71_novelty_scores",
     "x72_rolling_corr",
+    # evaluation reports: confusion cells / one scalar agg / two
+    # WindowGroupLimit rank passes — all linear
+    "x73_classification_report",
+    "x74_regression_report",
+    "x75_ndcg",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure

@@ -805,3 +805,82 @@ def test_rolling_corr_matches_numpy(spark):
             assert r["rolling_corr"] == pytest.approx(model, abs=2e-6)
     with pytest.raises(ValueError, match="window"):
         rolling_corr(df, "xv", "yv", window=1)
+
+
+# -- evaluation reports ------------------------------------------------------
+
+
+def test_classification_report_pinned(spark):
+    from ai_etl_framework_spark.operators.evaluation import (
+        classification_report,
+    )
+
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),   # a: tp2 fn1
+        ("b", "b"), ("b", "a"),               # b: tp1 fn1; a gets fp1
+        ("c", "a"),                           # c never predicted
+        (None, "a"), ("a", None),             # dropped
+    ]
+    df = spark.createDataFrame(rows, "y string, p string")
+    got = {r["class"]: r for r in classification_report(df, "y", "p").collect()}
+    a = got["a"]
+    assert (a["tp"], a["fp"], a["fn"]) == (2, 2, 1)
+    assert a["precision"] == 0.5 and a["recall"] == pytest.approx(
+        round(2 / 3, 6)
+    )
+    assert a["f1"] == pytest.approx(round(2 * 0.5 * (2 / 3) / (0.5 + 2 / 3), 6))
+    c = got["c"]
+    assert c["n_pred"] == 0 and c["precision"] is None  # 0-division -> NULL
+    assert c["recall"] == 0.0 and c["f1"] is None
+    # micro accuracy = 3 correct of 6 scored rows, on every row
+    assert all(r["accuracy"] == 0.5 for r in got.values())
+
+
+def test_regression_report_matches_numpy(spark):
+    import numpy as np
+
+    from ai_etl_framework_spark.operators.evaluation import regression_report
+
+    rng = __import__("random").Random(17)
+    actual = [rng.uniform(0, 100) for _ in range(200)]
+    pred = [a + rng.gauss(0, 5) for a in actual]
+    df = spark.createDataFrame(list(zip(actual, pred)), "a double, p double")
+    r = regression_report(df, "a", "p").collect()[0]
+    a, p = np.asarray(actual), np.asarray(pred)
+    err = a - p
+    assert r["n"] == 200
+    assert r["mae"] == pytest.approx(round(float(np.abs(err).mean()), 6), abs=1e-6)
+    assert r["rmse"] == pytest.approx(round(float(np.sqrt((err ** 2).mean())), 6), abs=1e-6)
+    r2 = 1 - float((err ** 2).sum()) / float(((a - a.mean()) ** 2).sum())
+    assert r["r2"] == pytest.approx(r2, abs=1e-5)
+    assert r["bias"] == pytest.approx(round(float(err.mean()), 6), abs=1e-6)
+    # constant actual -> r2 NULL
+    const = spark.createDataFrame([(5.0, 4.0), (5.0, 6.0)], "a double, p double")
+    assert regression_report(const, "a", "p").collect()[0]["r2"] is None
+
+
+def test_ndcg_pinned(spark):
+    import math
+
+    from ai_etl_framework_spark.operators.evaluation import ndcg_at_k
+
+    rows = [
+        # query q1: system order by score = d1(rel2), d2(rel0), d3(rel1)
+        ("q1", 1, 9.0, 2), ("q1", 2, 8.0, 0), ("q1", 3, 7.0, 1),
+        # query q2: no relevant docs -> NULL
+        ("q2", 4, 5.0, 0), ("q2", 5, 4.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "q string, id long, score double, rel int")
+    got = {r["q"]: r for r in ndcg_at_k(df, "q", "id", "score", "rel", k=10).collect()}
+    dcg = 2 / math.log2(2) + 0 / math.log2(3) + 1 / math.log2(4)
+    idcg = 2 / math.log2(2) + 1 / math.log2(3) + 0 / math.log2(4)
+    assert got["q1"]["ndcg"] == pytest.approx(round(dcg / idcg, 6))
+    assert got["q2"]["ndcg"] is None and got["q2"]["n_docs"] == 2
+    # perfect ranking -> 1.0
+    perf = spark.createDataFrame(
+        [("q", 1, 3.0, 2), ("q", 2, 2.0, 1), ("q", 3, 1.0, 0)],
+        "q string, id long, score double, rel int",
+    )
+    assert ndcg_at_k(perf, "q", "id", "score", "rel").collect()[0]["ndcg"] == 1.0
+    with pytest.raises(ValueError, match="k must"):
+        ndcg_at_k(df, "q", "id", "score", "rel", k=0)
