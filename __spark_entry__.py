@@ -6746,6 +6746,47 @@ FROM ranked GROUP BY event_type
 """
 
 
+def x76_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank per event_type at k=10 (operators/evaluation.py
+    mrr_at_k): first relevant result's 1/rank in the value ordering,
+    0 when none makes the cut — one rank pass + one per-query reduce.
+    Oracle replays the rank window (x75's derived relevance)."""
+    from ai_etl_framework_spark.operators.evaluation import mrr_at_k
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        (
+            F.when(F.col("event_id") % 5 == 0, 2)
+            .when(F.col("event_id") % 5 == 1, 1)
+            .otherwise(0)
+        ).cast("int").alias("rel"),
+    )
+    return mrr_at_k(scored, "event_type", "event_id", "value", "rel", k=10)
+
+
+_X76_SQL = """
+WITH scored AS (SELECT event_type, event_id, value,
+                       CASE WHEN event_id % 5 = 0 THEN 2
+                            WHEN event_id % 5 = 1 THEN 1
+                            ELSE 0 END AS rel
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL),
+ranked AS (SELECT event_type, rel::DOUBLE AS rel,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id ASC)
+                    AS r
+           FROM scored)
+SELECT event_type,
+       ROUND(COALESCE(1.0 / min(CASE WHEN rel > 0 AND r <= 10 THEN r END),
+                      0.0), 6) AS rr,
+       count(*)::BIGINT AS n_docs
+FROM ranked GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6937,6 +6978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x73_classification_report": x73_classification_report,
         "x74_regression_report": x74_regression_report,
         "x75_ndcg": x75_ndcg,
+        "x76_mrr": x76_mrr,
     }
 
 
@@ -7072,6 +7114,7 @@ def oracle_sql() -> dict[str, str]:
         "x73_classification_report": _x73_sql(),
         "x74_regression_report": _X74_SQL,
         "x75_ndcg": _X75_SQL,
+        "x76_mrr": _X76_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -41,7 +41,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["classification_report", "regression_report", "ndcg_at_k"]
+__all__ = [
+    "classification_report",
+    "regression_report",
+    "ndcg_at_k",
+    "mrr_at_k",
+]
 
 
 def classification_report(
@@ -184,5 +189,47 @@ def ndcg_at_k(
     )
     return ranked.groupBy(query_col).agg(
         F.round(F.try_divide(dcg, idcg), 6).alias("ndcg"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+def mrr_at_k(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    relevance_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Mean reciprocal rank — the sibling of :func:`ndcg_at_k` for
+    the "did the FIRST relevant result come up high" question (QA /
+    known-item retrieval): per query, RR = 1/rank of the first
+    relevant document (relevance > 0) within the top-k of the system
+    ordering (score DESC, id ASC — the pinned total order), 0.0 when
+    no relevant document makes the cut; the global table mean is the
+    reported MRR (callers average the per-query column). One
+    WindowGroupLimit rank pass + one per-query reduce; 6dp."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = df.where(
+        F.col(query_col).isNotNull()
+        & F.col(score_col).isNotNull()
+        & F.col(relevance_col).isNotNull()
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = base.select(
+        F.col(query_col),
+        F.col(relevance_col).cast("double").alias("__rel"),
+        F.row_number().over(w).alias("__r"),
+    )
+    first_rel = F.min(
+        F.when((F.col("__rel") > 0) & (F.col("__r") <= k), F.col("__r"))
+    )
+    return ranked.groupBy(query_col).agg(
+        F.round(
+            F.coalesce(F.lit(1.0) / first_rel, F.lit(0.0)), 6
+        ).alias("rr"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )

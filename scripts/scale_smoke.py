@@ -228,6 +228,7 @@ QUERIES = [
     "x73_classification_report",
     "x74_regression_report",
     "x75_ndcg",
+    "x76_mrr",
     # txt13 (unigram-LM) is deliberately NOT smoked: its EM cost
     # scales with DISTINCT words, and the letter rotation inflates the
     # sf1 vocabulary ~10× by construction — the ratio would measure

@@ -1,0 +1,189 @@
+"""Property-based tests (hypothesis) for the r10 families whose
+semantics reduce to set/arithmetic identities an independent Python
+model can check on arbitrary inputs: reconcile's status algebra,
+golden_record's mode rule vs collections.Counter, stratified
+sampling's per-stratum membership law, classification_report vs a
+dict-based confusion model, and mrr vs a scan."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=12)
+vals = st.floats(
+    min_value=-50, max_value=50, allow_nan=False, allow_infinity=False
+).map(lambda v: round(v, 3))
+
+
+@SET
+@given(
+    a=st.lists(st.tuples(keys, vals), max_size=40),
+    b=st.lists(st.tuples(keys, vals), max_size=40),
+)
+def test_reconcile_status_algebra(spark, a, b):
+    from ai_etl_framework_spark.operators.reconcile import reconcile
+
+    da = spark.createDataFrame(a, "k long, v double") if a else (
+        spark.createDataFrame([], "k long, v double")
+    )
+    db = spark.createDataFrame(b, "k long, v double") if b else (
+        spark.createDataFrame([], "k long, v double")
+    )
+    got = {r["k"]: r for r in reconcile(da, db, "k", "v").collect()}
+    ka, kb = {k for k, _ in a}, {k for k, _ in b}
+    assert set(got) == ka | kb
+    for k, r in got.items():
+        sa = sum(v for kk, v in a if kk == k)
+        sb = sum(v for kk, v in b if kk == k)
+        na = sum(1 for kk, _ in a if kk == k)
+        nb = sum(1 for kk, _ in b if kk == k)
+        if k not in ka:
+            assert r["status"] == "b_only"
+        elif k not in kb:
+            assert r["status"] == "a_only"
+        elif round(sa - sb, 6) == 0 and na == nb:
+            assert r["status"] == "match"
+        else:
+            assert r["status"] == "mismatch"
+        assert r["delta"] == pytest.approx(round(sa - sb, 6), abs=1e-6)
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d"])),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_golden_record_mode_matches_counter(spark, rows):
+    from ai_etl_framework_spark.operators.survivorship import golden_record
+
+    df = spark.createDataFrame(rows, "c long, v string")
+    got = {r["c"]: r["v"] for r in golden_record(df, "c", {"v": "mode"}).collect()}
+    by_c: dict[int, list] = {}
+    for c, v in rows:
+        by_c.setdefault(c, []).append(v)
+    for c, vs in by_c.items():
+        nn = [v for v in vs if v is not None]
+        if not nn:
+            assert got[c] is None
+        else:
+            counts = Counter(nn)
+            top = max(counts.values())
+            expect = min(v for v, n in counts.items() if n == top)
+            assert got[c] == expect, (c, counts)
+
+
+@SET
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1, max_size=80, unique=True,
+    ),
+    frac=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+)
+def test_stratified_membership_law(spark, ids, frac):
+    """Every kept row satisfies hash_uniform(id) < fraction(stratum),
+    every dropped row violates it — recomputed independently with
+    hashlib."""
+    import hashlib
+
+    from ai_etl_framework_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "s%d" % (i % 2)) for i in ids]
+    df = spark.createDataFrame(rows, "id long, s string")
+    kept = {
+        r["id"]
+        for r in stratified_sample(
+            df, "s", {"s0": frac}, "id", salt="h", default=1.0
+        ).collect()
+    }
+    for i, s in rows:
+        u = int(hashlib.md5(f"{i}h".encode()).hexdigest()[:8], 16) / 2**32
+        f = frac if s == "s0" else 1.0
+        assert (i in kept) == (u < f), (i, s, u, f)
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z"]),
+            st.sampled_from(["x", "y", "z", "w"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_classification_report_matches_model(spark, rows):
+    from ai_etl_framework_spark.operators.evaluation import (
+        classification_report,
+    )
+
+    df = spark.createDataFrame(rows, "y string, p string")
+    got = {r["class"]: r for r in classification_report(df, "y", "p").collect()}
+    classes = {y for y, _ in rows} | {p for _, p in rows}
+    assert set(got) == classes
+    for c in classes:
+        tp = sum(1 for y, p in rows if y == p == c)
+        n_true = sum(1 for y, _ in rows if y == c)
+        n_pred = sum(1 for _, p in rows if p == c)
+        r = got[c]
+        assert (r["tp"], r["n_true"], r["n_pred"]) == (tp, n_true, n_pred)
+        if n_pred:
+            assert r["precision"] == pytest.approx(round(tp / n_pred, 6))
+        else:
+            assert r["precision"] is None
+        if n_true:
+            assert r["recall"] == pytest.approx(round(tp / n_true, 6))
+        else:
+            assert r["recall"] is None
+    acc = sum(1 for y, p in rows if y == p) / len(rows)
+    assert all(
+        r["accuracy"] == pytest.approx(round(acc, 6)) for r in got.values()
+    )
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # unique-ified below
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_mrr_matches_scan(spark, rows):
+    from ai_etl_framework_spark.operators.evaluation import mrr_at_k
+
+    rows = [(i, r[1], r[2]) for i, r in enumerate(rows)]  # unique ids
+    df = spark.createDataFrame(
+        [("q", i, s, rel) for i, s, rel in rows],
+        "q string, id long, score double, rel int",
+    )
+    r = mrr_at_k(df, "q", "id", "score", "rel", k=5).collect()[0]
+    ordered = sorted(rows, key=lambda t: (-t[1], t[0]))[:5]
+    rr = 0.0
+    for rank, (_, _, rel) in enumerate(ordered, start=1):
+        if rel > 0:
+            rr = 1.0 / rank
+            break
+    assert r["rr"] == pytest.approx(round(rr, 6))
+    assert r["n_docs"] == len(rows)
