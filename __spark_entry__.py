@@ -6787,6 +6787,349 @@ FROM ranked GROUP BY event_type
 """
 
 
+def x77_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-fulfillment survival (operators/
+    survival.py): subjects = orders — duration = days from order date
+    to the LAST lineitem ship date, observed = 1 for fully-shipped
+    orders (o_orderstatus = 'F'), open/partial orders censored at
+    their last observed ship; cohort = order year. One subject
+    aggregation + curve-frame windows; the oracle replays the
+    estimator with the same zero-flag arithmetic."""
+    from ai_etl_framework_spark.operators.survival import kaplan_meier
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("__last_ship")
+    )
+    subjects = orders.join(
+        shipped, orders.o_orderkey == shipped.l_orderkey, "inner"
+    ).select(
+        F.year("o_orderdate").cast("int").alias("cohort"),
+        F.datediff(F.col("__last_ship"), F.col("o_orderdate"))
+        .cast("double")
+        .alias("duration"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias(
+            "observed"
+        ),
+    )
+    return kaplan_meier(
+        subjects, "duration", "observed", group_cols=["cohort"]
+    )
+
+
+_X77_SQL = """
+WITH shipped AS (SELECT l_orderkey, max(l_shipdate) AS last_ship
+                 FROM lineitem GROUP BY l_orderkey),
+subj AS (SELECT year(o_orderdate)::INT AS cohort,
+                date_diff('day', o_orderdate::DATE,
+                          last_ship::DATE)::DOUBLE AS duration,
+                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                  AS observed
+         FROM orders JOIN shipped ON o_orderkey = l_orderkey),
+filt AS (SELECT * FROM subj
+         WHERE duration IS NOT NULL AND duration >= 0),
+agg AS (SELECT cohort, duration AS t,
+               sum(observed)::BIGINT AS n_events,
+               (count(*) - sum(observed))::BIGINT AS n_censored
+        FROM filt GROUP BY cohort, duration),
+risked AS (SELECT *,
+                  sum(n_events + n_censored) OVER
+                    (PARTITION BY cohort ORDER BY t
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    ::BIGINT AS n_risk
+           FROM agg),
+curved AS (SELECT *,
+                  sum(CASE WHEN n_events > 0
+                            AND n_events::DOUBLE < n_risk::DOUBLE
+                           THEN ln(1.0 - n_events::DOUBLE
+                                         / n_risk::DOUBLE)
+                           ELSE 0.0 END) OVER
+                    (PARTITION BY cohort ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_ln,
+                  max(CASE WHEN n_events > 0
+                            AND n_events::DOUBLE >= n_risk::DOUBLE
+                           THEN 1 ELSE 0 END) OVER
+                    (PARTITION BY cohort ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_zero
+           FROM risked)
+SELECT cohort, t, n_risk, n_events, n_censored,
+       CASE WHEN cum_zero = 1 THEN 0.0
+            ELSE ROUND(exp(cum_ln), 6) END AS survival
+FROM curved WHERE n_events > 0
+"""
+
+
+def x78_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (operators/sequences.py
+    transition_matrix): P(next event type | current) from consecutive
+    within-user event pairs ordered by (ts, event_id). One user-keyed
+    window + one pair-count hash agg; the probability window runs over
+    the |states|² frame."""
+    from ai_etl_framework_spark.operators.sequences import (
+        transition_matrix,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(ev)
+
+
+_X78_SQL = """
+WITH base AS (SELECT user_id, ts, event_type, event_id FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type IS NOT NULL),
+pairs AS (SELECT event_type AS src,
+                 lead(event_type) OVER
+                   (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC) AS dst
+          FROM base),
+counts AS (SELECT src, dst, count(*)::BIGINT AS n FROM pairs
+           WHERE dst IS NOT NULL GROUP BY src, dst)
+SELECT src, dst, n,
+       ROUND(n::DOUBLE / sum(n) OVER (PARTITION BY src), 6) AS prob
+FROM counts
+"""
+
+
+def x79_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence + Cramér's V (operators/stats.py
+    chi_square) between order status and priority: one contingency
+    hash agg + dimension-sized broadcast joins; the observed-cells
+    identity χ² = n(Σ o²/(ra·cb) − 1) covers zero cells without
+    generating them."""
+    from ai_etl_framework_spark.operators.stats import chi_square
+
+    orders = load_table(spark, sf_dir, "orders")
+    return chi_square(orders, "o_orderstatus", "o_orderpriority")
+
+
+_X79_SQL = """
+WITH base AS (SELECT o_orderstatus::VARCHAR AS a,
+                     o_orderpriority::VARCHAR AS b
+              FROM orders
+              WHERE o_orderstatus IS NOT NULL
+                AND o_orderpriority IS NOT NULL),
+cells AS (SELECT a, b, count(*)::DOUBLE AS o FROM base GROUP BY a, b),
+rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+agg AS (SELECT sum(o)::BIGINT AS n,
+               sum(o * o / (ra * cb)) AS s,
+               count(DISTINCT cells.a)::BIGINT AS a_levels,
+               count(DISTINCT cells.b)::BIGINT AS b_levels
+        FROM cells JOIN rt USING (a) JOIN ct USING (b))
+SELECT n, a_levels, b_levels,
+       ((a_levels - 1) * (b_levels - 1))::BIGINT AS dof,
+       ROUND(greatest(n * (s - 1.0), 0.0), 6) AS chi2,
+       CASE WHEN least(a_levels, b_levels) > 1
+            THEN ROUND(sqrt(greatest(n * (s - 1.0), 0.0)
+                            / (n * least(a_levels - 1, b_levels - 1))),
+                       6) END AS cramers_v
+FROM agg
+"""
+
+
+def x80_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (operators/audit.py benford_audit)
+    over lineitem extended prices: digit via %.6e string formatting
+    (identical IEEE rendering in both engines — floor(log10) is a
+    last-ulp coin flip at decade boundaries), χ²/MAD conformity
+    riders on every row."""
+    from ai_etl_framework_spark.operators.audit import benford_audit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return benford_audit(li, "l_extendedprice")
+
+
+_X80_SQL = """
+WITH vals AS (SELECT abs(l_extendedprice) AS v FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND isfinite(l_extendedprice)
+                AND abs(l_extendedprice) > 0),
+d AS (SELECT substring(printf('%.6e', v), 1, 1)::BIGINT AS digit
+      FROM vals),
+counts AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+spine AS (SELECT range::BIGINT AS digit FROM range(1, 10)),
+dig AS (SELECT spine.digit, coalesce(n, 0)::BIGINT AS n
+        FROM spine LEFT JOIN counts USING (digit)),
+w AS (SELECT digit, n,
+             sum(n) OVER ()::DOUBLE AS total,
+             log10(1.0 + 1.0 / digit::DOUBLE) AS ep
+      FROM dig),
+w2 AS (SELECT digit, n, ep, total,
+              CASE WHEN total > 0 THEN n::DOUBLE / total END AS op
+       FROM w)
+SELECT digit, n,
+       ROUND(op, 6) AS observed_p,
+       ROUND(ep, 6) AS expected_p,
+       ROUND(total * sum((op - ep) * (op - ep) / ep) OVER (), 6)
+         AS chi2,
+       ROUND(avg(abs(op - ep)) OVER (), 6) AS mad
+FROM w2
+"""
+
+
+def x81_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA (operators/timeseries.py ewma) of the daily
+    mean value per event type — alpha 0.3, 20 trailing observed
+    buckets, pandas adjust=True renormalization at the series head.
+    One hash agg to the bucket frame + one window over that; the
+    oracle replays the identical lag-chain arithmetic with the same
+    float weight literals."""
+    from ai_etl_framework_spark.operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma(
+        ev,
+        value_col="value",
+        ts_col="ts",
+        key_col="event_type",
+        bucket_unit="day",
+        alpha=0.3,
+        n_terms=20,
+    )
+
+
+def _x81_sql() -> str:
+    r = 1.0 - 0.3
+    num = []
+    den = []
+    for j in range(20):
+        lx = "x" if j == 0 else f"lag(x, {j}) OVER w"
+        wj = repr(r ** j)
+        num.append(f"coalesce(({lx}) * {wj}, 0.0)")
+        den.append(f"CASE WHEN ({lx}) IS NOT NULL THEN {wj} ELSE 0.0 END")
+    return f"""
+WITH series AS (SELECT event_type,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                       avg(value) AS x
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_type IS NOT NULL
+                GROUP BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
+SELECT event_type, bucket, ROUND(x, 6) AS x_mean,
+       ROUND(({' + '.join(num)})
+             / ({' + '.join(den)}), 6) AS ewma
+FROM series
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket ASC)
+"""
+
+
+def x82_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation on the resample grid (operators/
+    resample.py resample_interpolate — pandas interpolate('time') at
+    scale): per-user hourly MEAN purchase value, gaps filled
+    time-proportionally between observed neighbors, leading gaps
+    NULL, trailing gaps held. The oracle replays grid → IGNORE NULLS
+    neighbor edges → the same proportional arithmetic."""
+    from ai_etl_framework_spark.operators.resample import (
+        resample_interpolate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    return resample_interpolate(
+        ev, "user_id", "ts", "value", step="1 hour", agg="avg"
+    )
+
+
+_X82_SQL = """
+WITH obs AS (
+  SELECT user_id AS key, date_trunc('hour', ts) AS b, avg(value) AS x,
+         count(*) AS n
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type = 'purchase'
+  GROUP BY 1, 2),
+spans AS (SELECT key, min(b) AS lo, max(b) AS hi FROM obs GROUP BY key),
+grid AS (SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+         FROM spans),
+j AS (SELECT g.key, g.b, o.x, o.n
+      FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.b = o.b),
+wv AS (SELECT key, b, x, n,
+              last_value(x IGNORE NULLS) OVER wp AS pv,
+              last_value(CASE WHEN x IS NOT NULL THEN b END
+                         IGNORE NULLS) OVER wp AS pt,
+              first_value(x IGNORE NULLS) OVER wn AS nv,
+              first_value(CASE WHEN x IS NOT NULL THEN b END
+                          IGNORE NULLS) OVER wn AS nt
+       FROM j
+       WINDOW wp AS (PARTITION BY key ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wn AS (PARTITION BY key ORDER BY b
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+interp AS (SELECT key, b, n,
+                   CASE WHEN x IS NOT NULL THEN x
+                        WHEN pv IS NULL THEN NULL
+                        WHEN nv IS NULL THEN pv
+                        ELSE pv + (nv - pv) * ((epoch(b) - epoch(pt))
+                                             / (epoch(nt) - epoch(pt)))
+                   END AS v
+            FROM wv)
+SELECT key AS user_id, b AS bucket_start,
+       sign(v) * floor(abs(v) * 1000000.0 + 0.5) / 1000000.0 AS value,
+       n IS NULL AS filled
+FROM interp
+"""
+
+
+def x83_level_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided windowed mean-shift screen (operators/timeseries.py
+    level_shifts): per event type's daily-mean series, compare the 7
+    buckets before vs the 7 from the current bucket on, score by the
+    per-key sample stddev, flag |rounded score| > 1. All windows run
+    over the aggregated bucket frame; full windows only."""
+    from ai_etl_framework_spark.operators.timeseries import level_shifts
+
+    ev = load_table(spark, sf_dir, "events")
+    return level_shifts(
+        ev,
+        value_col="value",
+        ts_col="ts",
+        key_col="event_type",
+        bucket_unit="day",
+        k=7,
+        threshold=1.0,
+    )
+
+
+_X83_SQL = """
+WITH series AS (SELECT event_type,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP)
+                         AS bucket,
+                       avg(value) AS x
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_type IS NOT NULL
+                GROUP BY 1, 2),
+w AS (SELECT event_type, bucket,
+             avg(x) OVER wb AS b,
+             avg(x) OVER wa AS a,
+             count(x) OVER wb AS nb,
+             count(x) OVER wa AS na,
+             stddev_samp(x) OVER wl AS sd
+      FROM series
+      WINDOW wb AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+             wa AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING),
+             wl AS (PARTITION BY event_type)),
+scored AS (SELECT event_type, bucket, b, a, nb, na,
+                  ROUND(CASE WHEN sd > 0 THEN (a - b) / sd END, 6)
+                    AS score
+           FROM w)
+SELECT event_type, bucket,
+       ROUND(b, 6) AS before_mean,
+       ROUND(a, 6) AS after_mean,
+       ROUND(a - b, 6) AS shift,
+       score,
+       abs(score) > 1.0 AS is_shift
+FROM scored WHERE nb = 7 AND na = 7
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6979,6 +7322,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x74_regression_report": x74_regression_report,
         "x75_ndcg": x75_ndcg,
         "x76_mrr": x76_mrr,
+        "x77_kaplan_meier": x77_kaplan_meier,
+        "x78_transition_matrix": x78_transition_matrix,
+        "x79_chi_square": x79_chi_square,
+        "x80_benford": x80_benford,
+        "x81_ewma": x81_ewma,
+        "x82_interpolate": x82_interpolate,
+        "x83_level_shifts": x83_level_shifts,
     }
 
 
@@ -7115,6 +7465,13 @@ def oracle_sql() -> dict[str, str]:
         "x74_regression_report": _X74_SQL,
         "x75_ndcg": _X75_SQL,
         "x76_mrr": _X76_SQL,
+        "x77_kaplan_meier": _X77_SQL,
+        "x78_transition_matrix": _X78_SQL,
+        "x79_chi_square": _X79_SQL,
+        "x80_benford": _X80_SQL,
+        "x81_ewma": _x81_sql(),
+        "x82_interpolate": _X82_SQL,
+        "x83_level_shifts": _X83_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

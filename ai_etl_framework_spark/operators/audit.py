@@ -10,6 +10,10 @@ constraint gate (operators/expectations.py):
 - :func:`pareto_share` — per-group contribution: share of total,
   cumulative share in descending order, and the "vital few" flag
   (the 80/20 analysis every cost/volume dashboard runs).
+- :func:`benford_audit` — first-significant-digit distribution vs
+  Benford's law (Newcomb 1881 / Benford 1938): the classic
+  fabricated-amounts screen for financial columns, plus the χ² and
+  MAD (Nigrini) conformity statistics.
 
 All beyond-reference scope (the reference has no cross-table checks;
 schema_profiler is single-column).
@@ -40,6 +44,22 @@ Pinned semantics (oracle-replicated):
   rounded 6dp. Groups with zero or negative totals still rank
   (share can be ≤ 0).
 
+``benford_audit``:
+- the first significant digit of |value| is the leading character of
+  the value's ``%.6e`` scientific rendering — STRING formatting, not
+  floor(log10): both engines format the same IEEE double with the
+  same round-half-even rule, while log10-at-power-of-ten boundaries
+  is a last-ulp coin flip between them. Values that round up to the
+  next decade (9.9999997e2 → 1.000000e+03) land on digit 1 in BOTH
+  engines — pinned behavior, not an artifact;
+- NULL, zero, non-finite values are excluded (no leading digit);
+- output: 9 rows, one per digit 1–9 (absent digits appear with
+  n = 0), (digit, n, observed_p, expected_p) with expected_p =
+  log10(1 + 1/d), plus two same-on-every-row summary riders
+  (domain_stats convention): ``chi2`` = n_total · Σ (obs−exp)²/exp
+  and ``mad`` = mean |obs−exp| (Nigrini's conformity bands: <0.006
+  close, >0.015 nonconformity); all 6dp.
+
 Scale shape: join_audit = two hash aggregations (dim keys collapse
 to |keys| first) + one co-partitioned left join + one scalar agg;
 detect_gaps = ONE key-partitioned window (lag) + a filter, the
@@ -49,7 +69,9 @@ the single-partition window is |groups|-sized by construction and
 fail-loud capped at ``max_groups``; past the cap,
 ``method="distributed"`` runs a range-partitioned two-pass prefix sum
 (parallel per-range cumsums + a broadcast offset join) — the
-billion-group path."""
+billion-group path. benford_audit: one projection (format on the
+value only) + ONE 9-bucket hash aggregation; every window after that
+runs over the 9-row digit spine."""
 
 from __future__ import annotations
 
@@ -57,7 +79,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["join_audit", "detect_gaps", "pareto_share", "join_cardinality_estimate"]
+__all__ = ["join_audit", "detect_gaps", "pareto_share", "benford_audit", "join_cardinality_estimate"]
 
 
 def join_audit(
@@ -316,4 +338,48 @@ def join_cardinality_estimate(
             "est_join_rows", "max_per_key_fact", "p99_per_key_fact",
             "max_per_key_dim", "p99_per_key_dim",
         )
+    )
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """(digit, n, observed_p, expected_p, chi2, mad) — 9 rows, one per
+    first significant digit, with same-on-every-row conformity riders.
+    See module pins (digit via %.6e formatting, NOT floor(log10))."""
+    v = F.col(value_col).cast("double")
+    absv = F.abs(v)
+    base = df.where(
+        v.isNotNull()
+        & ~F.isnan(v)
+        & (absv > 0)
+        & (absv != F.lit(float("inf")))
+    )
+    digit = F.substring(F.format_string("%.6e", absv), 1, 1).cast("long")
+    counts = base.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("long").alias("digit")
+    )
+    full = spine.join(F.broadcast(counts), "digit", "left").select(
+        "digit", F.coalesce("__n", F.lit(0)).cast("long").alias("n")
+    )
+    w9 = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    total = F.sum("n").over(w9).cast("double")
+    op = F.when(total > 0, F.col("n").cast("double") / total)
+    ep = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    chi2 = total * F.sum((op - ep) * (op - ep) / ep).over(w9)
+    mad = F.avg(F.abs(op - ep)).over(w9)
+    return full.select(
+        "digit",
+        "n",
+        F.round(op, round_to).alias("observed_p"),
+        F.round(ep, round_to).alias("expected_p"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(mad, round_to).alias("mad"),
     )

@@ -17,19 +17,29 @@ Pinned semantics (oracle-replicated):
   nothing;
 - NULL user/ts/type rows are dropped.
 
+``transition_matrix`` — the first-order Markov chain over the same
+ordered event stream: P(next state | current state) from consecutive
+event pairs WITHIN a user (never across users). Output one row per
+observed (src, dst) pair: (src, dst, n, prob) with prob =
+n / Σ n over src, rounded 6dp; a user's last event has no successor
+and contributes no pair. Same NULL-drop and (ts, tiebreak) ordering
+pins as the sequence miner.
+
 Scale shape: ONE window over (user) ordering by (ts, tiebreak) —
 ``lead(type, i)`` chains build the n-gram in the same window pass, so
 raw events shuffle exactly once on the user key; the count is a hash
 aggregation on the (short-string) sequence with map-side partials
 collapsing the popular paths; top-k is TakeOrderedAndProject. No
 per-user event-list materialization (collect_list would hold a whale
-user's whole history in one aggregation buffer — lead() never does)."""
+user's whole history in one aggregation buffer — lead() never does).
+transition_matrix's row-probability window runs over the collapsed
+(src, dst) frame — |states|² rows, never event-sized."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["frequent_event_sequences"]
+__all__ = ["frequent_event_sequences", "transition_matrix"]
 
 
 def frequent_event_sequences(
@@ -68,4 +78,41 @@ def frequent_event_sequences(
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("sequence").asc())
         .limit(k)
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """(src, dst, n, prob): first-order Markov transition counts and
+    per-source probabilities over consecutive within-user events.
+    See module pins."""
+    base = df.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = base.select(
+        F.col(type_col).alias("src"),
+        F.lead(type_col, 1).over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_src = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_src), round_to
+        ).alias("prob"),
     )

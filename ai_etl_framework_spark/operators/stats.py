@@ -24,13 +24,30 @@ Pinned semantics (oracle-replicated):
   produce no row;
 - n_keys = keys with ≥1 non-NULL item; NULL keys/items dropped.
 
+``chi_square`` — Pearson's χ² test of independence between two
+categorical columns + Cramér's V effect size (the "are these two
+dimensions related" gate behind segmentation and drift review):
+- rows with NULL in either column are dropped (no evidence); both
+  columns are compared as strings;
+- observed = count per (a, b) cell; expected = row_total ·
+  col_total / n; χ² = Σ over observed cells of (o − e)²/e PLUS the
+  Σ e of never-observed cells (o = 0 contributes e — pinned via the
+  identity χ² = Σ o²/e − n, which needs only observed cells);
+- dof = (|a| − 1)(|b| − 1); cramers_v = sqrt(χ² / (n · min(|a| − 1,
+  |b| − 1))) — NULL when either column has a single level (dof 0);
+- output is ONE row: (n, a_levels, b_levels, dof, chi2, cramers_v),
+  χ²/V rounded 6dp. No p-value (neither engine ships a χ² CDF; join
+  the χ² against a critical-value table downstream).
+
 Scale shape: corr_matrix is k(k−1)/2 aggregate EXPRESSIONS over one
 scan — one job, map-side partials, no shuffle beyond the final
 1-row reduce (30 columns = 435 expressions ≈ still one pass).
 pair_lift: one DISTINCT (key, item) aggregation, then a self-join
 co-partitioned ON THE KEY — the fan-out per key is |items-per-key|²,
 bounded by the vocabulary a key can touch, never by corpus size —
-and two dimension-sized count aggregations."""
+and two dimension-sized count aggregations. chi_square: ONE hash
+aggregation to contingency cells (|a|·|b| bound), then
+dimension-sized broadcast joins and a 1-row reduce."""
 
 from __future__ import annotations
 
@@ -39,7 +56,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["corr_matrix", "pair_lift", "gini"]
+__all__ = ["corr_matrix", "pair_lift", "gini", "chi_square"]
 
 
 def corr_matrix(
@@ -213,4 +230,61 @@ def gini(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(total, 2).alias("total"),
         F.round(F.when(total != 0, g), 6).alias("gini"),
+    )
+
+
+def chi_square(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """(n, a_levels, b_levels, dof, chi2, cramers_v) — Pearson χ²
+    independence test via the observed-cells-only identity
+    χ² = n·(Σ o²/(row_tot·col_tot) − 1). See module pins."""
+    base = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(
+        F.col(col_a).cast("string").alias("__a"),
+        F.col(col_b).cast("string").alias("__b"),
+    )
+    cells = base.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("double").alias("__o")
+    )
+    row_t = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    col_t = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    joined = cells.join(F.broadcast(row_t), "__a").join(
+        F.broadcast(col_t), "__b"
+    )
+    agg = joined.agg(
+        F.sum("__o").cast("long").alias("n"),
+        F.sum(
+            F.col("__o") * F.col("__o") / (F.col("__ra") * F.col("__cb"))
+        ).alias("__s"),
+        F.countDistinct("__a").alias("a_levels"),
+        F.countDistinct("__b").alias("b_levels"),
+    )
+    # float round-off can push the identity epsilon-negative at χ²≈0
+    chi2 = F.greatest(
+        F.col("n").cast("double") * (F.col("__s") - F.lit(1.0)),
+        F.lit(0.0),
+    )
+    min_side = F.least(F.col("a_levels"), F.col("b_levels")) - F.lit(1)
+    return agg.select(
+        "n",
+        "a_levels",
+        "b_levels",
+        ((F.col("a_levels") - 1) * (F.col("b_levels") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(
+            F.when(
+                min_side > 0,
+                F.sqrt(
+                    chi2 / (F.col("n").cast("double") * min_side)
+                ),
+            ),
+            round_to,
+        ).alias("cramers_v"),
     )

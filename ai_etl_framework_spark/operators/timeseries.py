@@ -33,12 +33,49 @@ Pinned semantics (oracle-replicated):
   simple_avg rides alongside for comparison; both rounded 6dp;
 - NULL ts/value rows are dropped before pairing.
 
+``ewma`` (one row per (key?, bucket)):
+- series = avg(value) per (key?, date_trunc(bucket_unit, ts)) over
+  non-NULL rows (the rolling_corr spine);
+- ewma_t = Σ_{j=0..n_terms−1} w_j · x_{t−j} / Σ_present w_j with
+  w_j = (1−alpha)^j over the trailing n_terms OBSERVED buckets
+  (rows frame, current inclusive) — the TRUNCATED exponential
+  moving average: at alpha ≥ 0.3, n_terms = 20 leaves < 0.08% of
+  the mass outside the window, and truncation is what makes the
+  recursion window-expressible (the exact recursive EWMA is a
+  sequential scan no engine parallelizes; the power-ratio rewrite
+  overflows r^{−rownum} at series length). Weights are Python
+  float literals — bit-identical in both engines; missing
+  leading-edge lags (series start) drop out of numerator AND
+  denominator (partial-window renormalization, pandas
+  ewm(adjust=True) semantics);
+- rounded 6dp; bucket-mean riders x_mean for context.
+
+``level_shifts`` (one row per (key?, bucket) with FULL windows both
+sides):
+- series = avg(value) per (key?, date_trunc(bucket_unit, ts)) over
+  non-NULL rows (the shared spine);
+- before = mean of the ``k`` buckets strictly preceding, after =
+  mean of the current bucket and the ``k−1`` following (ROWS
+  frames); rows lacking ``k`` observed buckets on EITHER side emit
+  nothing (a shift needs full evidence on both sides);
+- scale = per-key SAMPLE stddev of the whole bucket-mean series;
+  score = (after − before)/scale, NULL when the series is constant
+  (zero variance); ``is_shift`` = |round(score, 6)| > threshold —
+  the boundary compares the ROUNDED score (the pareto_share lesson:
+  raw float epsilon at the threshold flips flags across engines);
+- before/after/shift/score rounded 6dp. This is the two-sided
+  sliding-window mean-shift screen (CUSUM's windowed cousin — exact
+  CUSUM is a sequential recursion no engine parallelizes).
+
 Scale shape: ohlc_bars is ONE hash aggregation on (key, bucket) —
 min_by/max_by over a plain BIGINT key keep the HashAggregate fast
 path (fixed-width buffers, map-side partials; the r8 lesson: struct
 keys or var-width picked values fall back to SortAggregate). TWAP is
 ONE key-partitioned window (lead) + one hash aggregation on the key —
 the detect_gaps/rolling_features shape; no self-join, no collect.
+ewma/level_shifts run their windows over the AGGREGATED bucket frame
+(key-partitioned when keyed; dimension-sized single task otherwise —
+the rolling_corr documented bound).
 """
 
 from __future__ import annotations
@@ -52,6 +89,8 @@ __all__ = [
     "burst_flags",
     "seasonal_naive_eval",
     "rolling_corr",
+    "ewma",
+    "level_shifts",
 ]
 
 _TIEBREAK_MOD = 1_000_000
@@ -359,4 +398,106 @@ def rolling_corr(
         F.round("__x", 6).alias("x_mean"),
         F.round("__y", 6).alias("y_mean"),
         c.alias("rolling_corr"),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: "str | None" = None,
+    bucket_unit: str = "day",
+    alpha: float = 0.3,
+    n_terms: int = 20,
+) -> DataFrame:
+    """(key?, bucket, x_mean, ewma) — truncated exponential moving
+    average over the trailing ``n_terms`` observed buckets. See
+    module pins (adjust=True renormalization, literal weights)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if n_terms < 1:
+        raise ValueError(f"n_terms must be >= 1, got {n_terms}")
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    keys = [key_col] if key_col else []
+    if key_col:
+        base = base.where(F.col(key_col).isNotNull())
+    series = base.groupBy(
+        *keys, F.date_trunc(bucket_unit, F.col(ts_col)).alias("bucket")
+    ).agg(F.avg(value_col).alias("__x"))
+    w = (
+        Window.partitionBy(key_col) if key_col else Window.partitionBy()
+    ).orderBy(F.col("bucket").asc())
+    r = 1.0 - alpha
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(n_terms):
+        lx = F.col("__x") if j == 0 else F.lag("__x", j).over(w)
+        wj = F.lit(r ** j)
+        num = num + F.coalesce(lx * wj, F.lit(0.0))
+        den = den + F.when(lx.isNotNull(), wj).otherwise(F.lit(0.0))
+    return series.select(
+        *keys,
+        "bucket",
+        F.round("__x", 6).alias("x_mean"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+def level_shifts(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: "str | None" = None,
+    bucket_unit: str = "day",
+    k: int = 7,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """(key?, bucket, before_mean, after_mean, shift, score,
+    is_shift) — two-sided windowed mean-shift screen over the bucket
+    spine. See module pins (full windows only, rounded-score
+    boundary)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    keys = [key_col] if key_col else []
+    if key_col:
+        base = base.where(F.col(key_col).isNotNull())
+    series = base.groupBy(
+        *keys, F.date_trunc(bucket_unit, F.col(ts_col)).alias("bucket")
+    ).agg(F.avg(value_col).alias("__x"))
+    part = (
+        Window.partitionBy(key_col) if key_col else Window.partitionBy()
+    )
+    ordered = part.orderBy(F.col("bucket").asc())
+    w_before = ordered.rowsBetween(-k, -1)
+    w_after = ordered.rowsBetween(0, k - 1)
+    w_all = ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    before = F.avg("__x").over(w_before)
+    after = F.avg("__x").over(w_after)
+    n_b = F.count("__x").over(w_before)
+    n_a = F.count("__x").over(w_after)
+    sd = F.stddev_samp("__x").over(w_all)
+    score = F.round(
+        F.when(sd > 0, (after - before) / sd), 6
+    )
+    return (
+        series.select(
+            *keys,
+            "bucket",
+            F.round(before, 6).alias("before_mean"),
+            F.round(after, 6).alias("after_mean"),
+            F.round(after - before, 6).alias("shift"),
+            score.alias("score"),
+            (F.abs(score) > F.lit(threshold)).alias("is_shift"),
+            n_b.alias("__nb"),
+            n_a.alias("__na"),
+        )
+        .where((F.col("__nb") == k) & (F.col("__na") == k))
+        .drop("__nb", "__na")
     )
