@@ -7130,6 +7130,141 @@ FROM scored WHERE nb = 7 AND na = 7
 """
 
 
+def x84_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift (operators/drift.py
+    ks_drift): first half of the month vs the second, on values
+    quantized to 2dp first (the operator's own at-scale advice: KS on
+    raw continuous doubles makes the distinct-value frame
+    corpus-sized). One hash agg per side + one ordered window over
+    the distinct-value frame."""
+    from ai_etl_framework_spark.operators.drift import ks_drift
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", F.round("value", 2).alias("v")
+    )
+    cut = "2024-01-16"
+    base = ev.where(F.col("ts") < F.lit(cut).cast("timestamp"))
+    cur = ev.where(F.col("ts") >= F.lit(cut).cast("timestamp"))
+    return ks_drift(base, cur, "v")
+
+
+_X84_SQL = """
+WITH b AS (SELECT round(value, 2) AS v FROM events
+           WHERE value IS NOT NULL
+             AND ts < TIMESTAMP '2024-01-16'),
+c AS (SELECT round(value, 2) AS v FROM events
+      WHERE value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-16'),
+bc AS (SELECT v, count(*) AS c1 FROM b GROUP BY v),
+cc AS (SELECT v, count(*) AS c2 FROM c GROUP BY v),
+u AS (SELECT coalesce(bc.v, cc.v) AS v,
+             coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+      FROM bc FULL OUTER JOIN cc ON bc.v = cc.v),
+w AS (SELECT sum(c1) OVER ()::DOUBLE AS n1,
+             sum(c2) OVER ()::DOUBLE AS n2,
+             CASE WHEN sum(c1) OVER () > 0 AND sum(c2) OVER () > 0
+                  THEN abs(sum(c1) OVER wo::DOUBLE
+                             / sum(c1) OVER ()::DOUBLE
+                           - sum(c2) OVER wo::DOUBLE
+                             / sum(c2) OVER ()::DOUBLE)
+             END AS gap
+      FROM u
+      WINDOW wo AS (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+agg AS (SELECT max(n1)::BIGINT AS n_base, max(n2)::BIGINT AS n_cur,
+               max(gap) AS d
+        FROM w)
+SELECT n_base, n_cur, ROUND(d, 6) AS ks_d,
+       ROUND(CASE WHEN d IS NOT NULL THEN
+               least(1.0, 2.0 * exp(-2.0
+                 * (n_base::DOUBLE * n_cur::DOUBLE
+                    / (n_base + n_cur)::DOUBLE)
+                 * d * d))
+             END, 6) AS p_approx
+FROM agg
+"""
+
+
+def x85_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (operators/timeseries.py acf): lags
+    1..7 of each event type's daily-mean series — one bucket agg, one
+    lag-chain window pass, one corr-per-lag aggregation, exploded to
+    long format. The oracle replays the identical lag frame with
+    UNION ALL per lag."""
+    from ai_etl_framework_spark.operators.timeseries import acf
+
+    ev = load_table(spark, sf_dir, "events")
+    return acf(
+        ev,
+        value_col="value",
+        ts_col="ts",
+        key_col="event_type",
+        bucket_unit="day",
+        max_lag=7,
+    )
+
+
+def _x85_sql() -> str:
+    lags = range(1, 8)
+    lag_cols = ",\n                 ".join(
+        f"lag(x, {l}) OVER w AS l{l}" for l in lags
+    )
+    agg_cols = ",\n               ".join(
+        f"corr(x, l{l}) AS a{l}, count(l{l})::BIGINT AS n{l}"
+        for l in lags
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT event_type, {l}::INT AS lag, ROUND(a{l}, 6) AS acf, "
+        f"n{l} AS n_pairs FROM agg"
+        for l in lags
+    )
+    return f"""
+WITH series AS (SELECT event_type,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP)
+                         AS bucket,
+                       avg(value) AS x
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_type IS NOT NULL
+                GROUP BY 1, 2),
+lagged AS (SELECT event_type, x,
+                 {lag_cols}
+           FROM series
+           WINDOW w AS (PARTITION BY event_type ORDER BY bucket ASC)),
+agg AS (SELECT event_type,
+               {agg_cols}
+        FROM lagged GROUP BY event_type)
+{selects}
+"""
+
+
+def x86_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users (operators/activity.py
+    rolling_active_users): the sweep-line rewrite — per-user coverage
+    islands emit ±1 deltas, the day spine prefix-sums them — verified
+    against the NAIVE per-day COUNT(DISTINCT) oracle, so the rewrite
+    is checked against the definition, not itself."""
+    from ai_etl_framework_spark.operators.activity import (
+        rolling_active_users,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_active_users(ev, window_days=7)
+
+
+_X86_SQL = """
+WITH days AS (SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM days),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+            AS day
+          FROM bounds)
+SELECT day, count(DISTINCT u)::BIGINT AS active_users
+FROM spine LEFT JOIN days ON d >= day - 6 AND d <= day
+GROUP BY day
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7329,6 +7464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x81_ewma": x81_ewma,
         "x82_interpolate": x82_interpolate,
         "x83_level_shifts": x83_level_shifts,
+        "x84_ks_drift": x84_ks_drift,
+        "x85_acf": x85_acf,
+        "x86_rolling_active": x86_rolling_active,
     }
 
 
@@ -7472,6 +7610,9 @@ def oracle_sql() -> dict[str, str]:
         "x81_ewma": _x81_sql(),
         "x82_interpolate": _X82_SQL,
         "x83_level_shifts": _X83_SQL,
+        "x84_ks_drift": _X84_SQL,
+        "x85_acf": _x85_sql(),
+        "x86_rolling_active": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -22,6 +22,28 @@ Pinned semantics (oracle-replicated):
   ``psi_total`` column repeated on every row for one-frame
   convenience).
 
+``ks_drift`` — the two-sample Kolmogorov–Smirnov statistic, PSI's
+bucket-free exact companion (PSI quantizes into baseline-quantile
+buckets; KS measures the SUP of the ECDF gap at full resolution):
+- D = max over distinct values of |F_base(x) − F_cur(x)| with
+  right-continuous ECDFs (ties collapse to one evaluation point
+  AFTER accumulating the whole tied block — the textbook
+  evaluation);
+- NULL values excluded both sides; either side empty → NULL ks_d
+  (max over an empty frame — no distribution to compare, never a
+  division error);
+- one row: (n_base, n_cur, ks_d, p_approx) with p_approx =
+  min(1, 2·exp(−2·m·D²)), m = n1·n2/(n1+n2) — the one-term Smirnov
+  tail approximation (both engines' own exp), both rounded 6dp.
+
+Scale shape (ks_drift): each side collapses to a per-VALUE count
+frame (one hash agg each), the union is one more |distinct values|
+frame, and the running ECDFs are ONE ordered window over that frame
+— |distinct|-sized, single-partition (the pareto regime), guarded by
+a fail-loud ``max_distinct`` cap: continuous doubles at corpus scale
+should be rounded/quantized first (the cap message says so), which
+is exactly what KS-on-floats needs anyway for a stable sup.
+
 Scale shape: one scalar-quantile aggregation on the baseline (driver
 gets buckets−1 doubles), then each side is one projection + one
 |buckets|-sized hash count; the bucket join is dimension-sized. Two
@@ -34,7 +56,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["psi_drift", "profile_drift"]
+__all__ = ["psi_drift", "profile_drift", "ks_drift"]
 
 
 def psi_drift(
@@ -184,3 +206,87 @@ def profile_drift(
     return j.select(
         F.explode(F.array(*rows)).alias("r")
     ).select("r.*")
+
+
+def ks_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    max_distinct: "int | None" = 5_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """(n_base, n_cur, ks_d, p_approx) — two-sample KS. See module
+    pins (right-continuous tie handling, fail-loud distinct cap)."""
+    b = baseline.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("__v")
+    )
+    c = current.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("__v")
+    )
+    counts = (
+        b.groupBy("__v").agg(F.count(F.lit(1)).alias("__c1"))
+        .join(
+            c.groupBy("__v").agg(F.count(F.lit(1)).alias("__c2")),
+            "__v",
+            "full_outer",
+        )
+        .select(
+            "__v",
+            F.coalesce("__c1", F.lit(0)).alias("__c1"),
+            F.coalesce("__c2", F.lit(0)).alias("__c2"),
+        )
+    )
+    if max_distinct is not None:
+        n_vals = counts.count()
+        if n_vals > max_distinct:
+            raise ValueError(
+                f"ks_drift: {n_vals} distinct values exceeds "
+                f"max_distinct={max_distinct}; the ECDF window would "
+                "run one task that size. Quantize the column first "
+                "(F.round / quantile_bucketize) — a stable KS on "
+                "continuous doubles needs that anyway — or raise the "
+                "cap explicitly."
+            )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy().orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n1 = F.sum("__c1").over(w_all).cast("double")
+    n2 = F.sum("__c2").over(w_all).cast("double")
+    gap = F.when(
+        (n1 > 0) & (n2 > 0),
+        F.abs(
+            F.sum("__c1").over(w).cast("double") / n1
+            - F.sum("__c2").over(w).cast("double") / n2
+        ),
+    )
+    stat = (
+        counts.select(
+            n1.alias("__n1"), n2.alias("__n2"), gap.alias("__gap")
+        )
+        .agg(
+            F.max("__n1").cast("long").alias("n_base"),
+            F.max("__n2").cast("long").alias("n_cur"),
+            F.max("__gap").alias("__d"),
+        )
+    )
+    d = F.col("__d")
+    m = (
+        F.col("n_base").cast("double")
+        * F.col("n_cur").cast("double")
+        / (F.col("n_base") + F.col("n_cur")).cast("double")
+    )
+    p = F.when(
+        d.isNotNull(),
+        F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * m * d * d)),
+    )
+    return stat.select(
+        "n_base",
+        "n_cur",
+        F.round(d, round_to).alias("ks_d"),
+        F.round(p, round_to).alias("p_approx"),
+    )

@@ -67,6 +67,18 @@ sides):
   sliding-window mean-shift screen (CUSUM's windowed cousin — exact
   CUSUM is a sequential recursion no engine parallelizes).
 
+``acf`` (long format, one row per (key?, lag)):
+- series = avg(value) per (key?, date_trunc(bucket_unit, ts)) — the
+  shared spine; lags are positional over the OBSERVED bucket order
+  (missing buckets are skipped, not NULL-padded — densify with
+  resample first when calendar-lag semantics matter; pinned);
+- acf_l = both engines' own sample Pearson ``corr(x_t, x_{t−l})``
+  over pairs where the lag exists (ANSI corr NULL-pair skipping),
+  the STATISTICAL autocorrelation estimate (per-lag re-centered),
+  not the signal-processing r_l = c_l/c_0 form; n_pairs rides along;
+  NULL under 2 pairs or zero variance (ANSI);
+- rounded 6dp (a ratio — scale-free error).
+
 Scale shape: ohlc_bars is ONE hash aggregation on (key, bucket) —
 min_by/max_by over a plain BIGINT key keep the HashAggregate fast
 path (fixed-width buffers, map-side partials; the r8 lesson: struct
@@ -91,6 +103,7 @@ __all__ = [
     "rolling_corr",
     "ewma",
     "level_shifts",
+    "acf",
 ]
 
 _TIEBREAK_MOD = 1_000_000
@@ -500,4 +513,57 @@ def level_shifts(
         )
         .where((F.col("__nb") == k) & (F.col("__na") == k))
         .drop("__nb", "__na")
+    )
+
+
+def acf(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: "str | None" = None,
+    bucket_unit: str = "day",
+    max_lag: int = 7,
+) -> DataFrame:
+    """(key?, lag, acf, n_pairs) for lag = 1..max_lag — sample
+    autocorrelation of the bucket-mean series. See module pins
+    (observed-bucket lags, per-lag corr)."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    keys = [key_col] if key_col else []
+    if key_col:
+        base = base.where(F.col(key_col).isNotNull())
+    series = base.groupBy(
+        *keys, F.date_trunc(bucket_unit, F.col(ts_col)).alias("bucket")
+    ).agg(F.avg(value_col).alias("__x"))
+    w = (
+        Window.partitionBy(key_col) if key_col else Window.partitionBy()
+    ).orderBy(F.col("bucket").asc())
+    lagged = series.select(
+        *keys,
+        "__x",
+        *[F.lag("__x", l).over(w).alias(f"__l{l}") for l in range(1, max_lag + 1)],
+    )
+    aggs = []
+    for l in range(1, max_lag + 1):
+        aggs.append(F.corr("__x", f"__l{l}").alias(f"__a{l}"))
+        aggs.append(F.count(f"__l{l}").cast("long").alias(f"__n{l}"))
+    wide = lagged.groupBy(*keys).agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(l).cast("int").alias("lag"),
+                F.round(F.col(f"__a{l}"), 6).alias("acf"),
+                F.col(f"__n{l}").alias("n_pairs"),
+            )
+            for l in range(1, max_lag + 1)
+        ]
+    )
+    return wide.select(*keys, F.explode(rows).alias("__r")).select(
+        *keys,
+        F.col("__r.lag").alias("lag"),
+        F.col("__r.acf").alias("acf"),
+        F.col("__r.n_pairs").alias("n_pairs"),
     )
