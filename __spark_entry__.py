@@ -7265,6 +7265,50 @@ GROUP BY day
 """
 
 
+def st06_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rolling-active-users service (pipeline/monitor.py
+    IncrementalActiveUsers): two mtime-ordered event files through
+    readStream → foreachBatch [batch's distinct (user, day) pairs
+    merge into the persisted activity store — union+distinct is
+    idempotent AND commutative, so the store is boundary- and
+    replay-independent] → sweep-line curve. Carries x86's REAL hash
+    oracle (the naive per-day COUNT DISTINCT definition)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ai_etl_framework_spark.pipeline.monitor import (
+        IncrementalActiveUsers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="st06_")
+    try:
+        bronze = os.path.join(root, "bronze")
+        os.makedirs(bronze)
+        for i in (0, 1):
+            stage = os.path.join(root, f"stage{i}")
+            ev.where(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            src = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(bronze, f"feed_{i}.parquet")
+            shutil.move(os.path.join(stage, src), dst)
+            os.utime(dst, (_time.time() + i, _time.time() + i))
+        mon = IncrementalActiveUsers(spark, root, window_days=7)
+        mon.run_stream(
+            bronze, os.path.join(root, "ckpt"), schema=ev.schema,
+            max_files_per_trigger=1,
+        )
+        out = mon.curve()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7467,6 +7511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x84_ks_drift": x84_ks_drift,
         "x85_acf": x85_acf,
         "x86_rolling_active": x86_rolling_active,
+        "st06_active_users": st06_active_users,
     }
 
 
@@ -7613,6 +7658,7 @@ def oracle_sql() -> dict[str, str]:
         "x84_ks_drift": _X84_SQL,
         "x85_acf": _x85_sql(),
         "x86_rolling_active": _X86_SQL,
+        "st06_active_users": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based
         # -> rows-only by design

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["rolling_active_users"]
+__all__ = ["rolling_active_users", "rolling_active_from_days"]
 
 
 def rolling_active_users(
@@ -49,9 +49,6 @@ def rolling_active_users(
     """(day, active_users) per day of the observed span — trailing
     ``window_days`` distinct-user counts via the sweep-line rewrite.
     See module pins."""
-    if window_days < 1:
-        raise ValueError(f"window_days must be >= 1, got {window_days}")
-    w = window_days
     days = (
         df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
         .select(
@@ -59,6 +56,19 @@ def rolling_active_users(
         )
         .distinct()
     )
+    return rolling_active_from_days(days, window_days)
+
+
+def rolling_active_from_days(
+    days: DataFrame,
+    window_days: int = 7,
+) -> DataFrame:
+    """The sweep-line core over an already-distinct (u, d DATE) frame
+    — the seam the incremental monitor's persisted activity store
+    feeds directly (pipeline/monitor.py IncrementalActiveUsers)."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    w = window_days
     wu = Window.partitionBy("u").orderBy("d")
     prev = F.lag("d").over(wu)
     brk = F.when(

@@ -31,7 +31,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["IncrementalBurstMonitor", "IncrementalOhlcStore"]
+__all__ = ["IncrementalBurstMonitor", "IncrementalOhlcStore", "IncrementalActiveUsers"]
 
 
 class IncrementalBurstMonitor:
@@ -267,6 +267,108 @@ class IncrementalOhlcStore:
             q.stop()
             raise TimeoutError(
                 f"ohlc store stream did not finish in {timeout_sec}s"
+            )
+
+    def run_batches(self, batches) -> None:
+        for i, b in enumerate(batches):
+            self.process_batch(b, i)
+
+
+class IncrementalActiveUsers:
+    """Streaming rolling-active-users service — the incremental twin
+    of operators/activity.rolling_active_users: each micro-batch
+    collapses to its distinct (user, day) pairs and MERGES into a
+    persisted activity-day store (union + distinct — idempotent and
+    commutative, the strongest mergeability there is: re-delivered
+    events are absorbed, so the store is independent of micro-batch
+    boundaries AND of at-least-once replays). ``curve()`` runs the
+    sweep-line core over the store, so it equals the batch operator
+    over every event seen — the st04 argument; the st06 registry row
+    therefore carries x86's REAL hash oracle (which is itself the
+    NAIVE per-day COUNT DISTINCT definition).
+
+    Scale shape per batch: one batch-sized distinct + one store-sized
+    distinct merge; the store is the (users × active days) frame —
+    the same frame ANY correct rolling-distinct needs, persisted once
+    instead of recomputed per refresh. Compact it on the maintenance
+    cadence like the dedup stores."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        window_days: int = 7,
+    ) -> None:
+        if window_days < 1:
+            raise ValueError(f"window_days must be >= 1, got {window_days}")
+        self.spark = spark
+        self.root = root
+        self.user_col = user_col
+        self.ts_col = ts_col
+        self.window_days = window_days
+        self.store_dir = os.path.join(root, "active_days")
+
+    def _store(self) -> Optional[DataFrame]:
+        if not os.path.isdir(self.store_dir):
+            return None
+        return self.spark.read.parquet(self.store_dir)
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        days = (
+            batch.where(
+                F.col(self.user_col).isNotNull()
+                & F.col(self.ts_col).isNotNull()
+            )
+            .select(
+                F.col(self.user_col).alias("u"),
+                F.to_date(self.ts_col).alias("d"),
+            )
+            .distinct()
+        )
+        store = self._store()
+        merged = (
+            days if store is None else store.unionByName(days).distinct()
+        )
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(self.store_dir)
+
+    def curve(self) -> DataFrame:
+        """(day, active_users) over everything seen — identical to the
+        batch operator on the full event set."""
+        from ai_etl_framework_spark.operators.activity import (
+            rolling_active_from_days,
+        )
+
+        store = self._store()
+        if store is None:
+            raise ValueError("no events processed yet: store is empty")
+        return rolling_active_from_days(store, self.window_days)
+
+    def run_stream(
+        self,
+        bronze_dir: str,
+        checkpoint_dir: str,
+        schema,
+        max_files_per_trigger: int = 1,
+        timeout_sec: int = 300,
+    ) -> None:
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(bronze_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"active-users stream did not finish in {timeout_sec}s"
             )
 
     def run_batches(self, batches) -> None:

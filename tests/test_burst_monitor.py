@@ -164,3 +164,97 @@ def test_ohlc_store_pinned(spark, tmp_path):
     fresh = IncrementalOhlcStore(spark, str(tmp_path / "fresh"))
     with pytest.raises(ValueError, match="store is empty"):
         fresh.candles()
+
+
+# ---------------------------------------------------------------------------
+# IncrementalActiveUsers (st06)
+# ---------------------------------------------------------------------------
+
+def _activity_events(spark):
+    rows = []
+    eid = 0
+    for u in range(6):
+        for d in (0, 1, 2, 9, 10, 20):
+            if (u + d) % 2 == 0:
+                rows.append(
+                    (eid, T0 + timedelta(days=d, minutes=u), u)
+                )
+                eid += 1
+    rows.append((eid, None, 1))      # NULL ts dropped
+    rows.append((eid + 1, T0, None))  # NULL user dropped
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+
+
+def _curve_key(rows):
+    return sorted((r["day"], r["active_users"]) for r in rows)
+
+
+@pytest.mark.parametrize("split", [1, 2, 3])
+def test_active_users_boundary_independent(spark, tmp_path, split):
+    from ai_etl_framework_spark.operators.activity import (
+        rolling_active_users,
+    )
+    from ai_etl_framework_spark.pipeline.monitor import (
+        IncrementalActiveUsers,
+    )
+
+    ev = _activity_events(spark)
+    expected = _curve_key(rolling_active_users(ev, window_days=7).collect())
+    root = tmp_path / f"au{split}"
+    mon = IncrementalActiveUsers(spark, str(root), window_days=7)
+    import pyspark.sql.functions as F
+
+    mon.run_batches(
+        [ev.where(F.col("event_id") % split == i) for i in range(split)]
+    )
+    assert _curve_key(mon.curve().collect()) == expected
+
+
+def test_active_users_replay_idempotent(spark, tmp_path):
+    """At-least-once delivery: re-processing the SAME batch changes
+    nothing (union+distinct absorbs replays)."""
+    from ai_etl_framework_spark.pipeline.monitor import (
+        IncrementalActiveUsers,
+    )
+
+    ev = _activity_events(spark)
+    root = tmp_path / "replay"
+    mon = IncrementalActiveUsers(spark, str(root), window_days=7)
+    mon.process_batch(ev, 0)
+    once = _curve_key(mon.curve().collect())
+    mon.process_batch(ev, 1)
+    assert _curve_key(mon.curve().collect()) == once
+
+
+def test_active_users_stream_equals_batch(spark, tmp_path):
+    from ai_etl_framework_spark.operators.activity import (
+        rolling_active_users,
+    )
+    from ai_etl_framework_spark.pipeline.monitor import (
+        IncrementalActiveUsers,
+    )
+    import pyspark.sql.functions as F
+
+    ev = _activity_events(spark)
+    bronze = tmp_path / "bronze"
+    bronze.mkdir()
+    for i in (0, 1):
+        stage = tmp_path / f"stage{i}"
+        ev.where(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        src = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        dst = bronze / f"feed_{i}.parquet"
+        shutil.move(str(stage / src), str(dst))
+        os.utime(dst, (time.time() + i, time.time() + i))
+    mon = IncrementalActiveUsers(spark, str(tmp_path / "root"), window_days=7)
+    mon.run_stream(
+        str(bronze), str(tmp_path / "ckpt"), schema=ev.schema,
+        max_files_per_trigger=1,
+    )
+    expected = _curve_key(rolling_active_users(ev, window_days=7).collect())
+    assert _curve_key(mon.curve().collect()) == expected
