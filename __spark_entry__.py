@@ -7309,6 +7309,153 @@ def st06_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def x87_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Spearman rank correlation (operators/stats.py
+    spearman_matrix): avg ranks via the distinct-value identity — the
+    rank map is a window over the per-column VALUE-COUNT frame (never
+    the corpus) and broadcasts back; all pairs reduce in one
+    corr_matrix-style pass. Price quantized to whole units so the
+    value frame stays range-bounded (~104k distinct at ANY sf — the
+    ks_drift quantize-first convention)."""
+    from ai_etl_framework_spark.operators.stats import spearman_matrix
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round("l_extendedprice", 0).alias("price"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_discount").alias("disc"),
+    )
+    return spearman_matrix(li, ["price", "qty", "disc"])
+
+
+_X87_SQL = """
+WITH base AS (SELECT round(l_extendedprice, 0) AS price,
+                     l_quantity AS qty, l_discount AS disc
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+mp AS (SELECT v, cum - c + (c + 1) / 2.0 AS r FROM (
+         SELECT price AS v, count(*) AS c,
+                sum(count(*)) OVER (ORDER BY price ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM base GROUP BY price)),
+mq AS (SELECT v, cum - c + (c + 1) / 2.0 AS r FROM (
+         SELECT qty AS v, count(*) AS c,
+                sum(count(*)) OVER (ORDER BY qty ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM base GROUP BY qty)),
+md AS (SELECT v, cum - c + (c + 1) / 2.0 AS r FROM (
+         SELECT disc AS v, count(*) AS c,
+                sum(count(*)) OVER (ORDER BY disc ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM base GROUP BY disc)),
+ranked AS (SELECT mp.r AS rp, mq.r AS rq, md.r AS rd
+           FROM base b
+           JOIN mp ON b.price = mp.v
+           JOIN mq ON b.qty = mq.v
+           JOIN md ON b.disc = md.v)
+SELECT 'disc' AS col_a, 'price' AS col_b,
+       round(corr(rd, rp), 6) AS spearman, count(*)::BIGINT AS n
+FROM ranked
+UNION ALL
+SELECT 'disc', 'qty', round(corr(rd, rq), 6), count(*)::BIGINT
+FROM ranked
+UNION ALL
+SELECT 'price', 'qty', round(corr(rp, rq), 6), count(*)::BIGINT
+FROM ranked
+"""
+
+
+def x88_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test (operators/abtest.py
+    mann_whitney): click vs purchase event values (2dp-quantized, the
+    ks_drift convention) — tie-corrected normal approximation, both
+    engines evaluating the identical Zelen–Severo tail polynomial so
+    the p-value parity is arithmetic, not library."""
+    from ai_etl_framework_spark.operators.abtest import mann_whitney
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 2).alias("v")
+    )
+    return mann_whitney(ev, "event_type", "v", "click", "purchase")
+
+
+_X88_SQL = """
+WITH base AS (SELECT event_type AS g, round(value, 2) AS v FROM events
+              WHERE value IS NOT NULL
+                AND event_type IN ('click', 'purchase')),
+vc AS (SELECT v,
+              sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::DOUBLE AS ca,
+              sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+                AS cb
+       FROM base GROUP BY v),
+rk AS (SELECT ca, cb, ca + cb AS t,
+              sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW)
+                - (ca + cb) + (ca + cb + 1) / 2.0 AS r
+       FROM vc),
+agg AS (SELECT sum(ca) AS na, sum(cb) AS nb, sum(ca * r) AS ra,
+               sum(t * t * t - t) AS ties
+        FROM rk),
+calc AS (SELECT na, nb,
+                ra - na * (na + 1.0) / 2.0 AS ua,
+                na * nb / 12.0 * ((na + nb + 1.0)
+                  - ties / ((na + nb) * (na + nb - 1.0))) AS s2
+         FROM agg),
+zc AS (SELECT na, nb, ua, s2,
+              (ua - na * nb / 2.0) / sqrt(s2) AS z
+       FROM calc),
+pc AS (SELECT na, nb, ua, s2, z, abs(z) AS x,
+              1.0 / (1.0 + 0.2316419 * abs(z)) AS tt
+       FROM zc)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       CASE WHEN na > 0 AND nb > 0 THEN ua END AS u_a,
+       CASE WHEN na > 0 AND nb > 0 AND s2 > 0 THEN round(z, 6) END AS z,
+       CASE WHEN na > 0 AND nb > 0 AND s2 > 0 THEN
+         round(least(1.0,
+           2.0 * (exp(-x * x / 2.0) / sqrt(2.0 * pi()))
+               * (tt * (0.319381530 + tt * (-0.356563782
+                   + tt * (1.781477937 + tt * (-1.821255978
+                   + tt * 1.330274429)))))), 6) END AS p_approx,
+       CASE WHEN na > 0 AND nb > 0 THEN
+         round(1.0 - 2.0 * ua / (na * nb), 6) END AS rank_biserial
+FROM pc
+"""
+
+
+def x89_cat_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix profile (operators/stats.py
+    categorical_entropy): Shannon entropy in bits via the
+    H = log2(n) − Σ c·log2(c)/n identity, normalized entropy,
+    top-category share, deterministic min-string tie-break on the top
+    value. Two dimension-sized hash aggregations, no windows."""
+    from ai_etl_framework_spark.operators.stats import categorical_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return categorical_entropy(docs, "source", "lang")
+
+
+_X89_SQL = """
+WITH cells AS (SELECT source AS g, lang AS v, count(*)::DOUBLE AS c
+               FROM documents
+               WHERE source IS NOT NULL AND lang IS NOT NULL
+               GROUP BY 1, 2),
+pg AS (SELECT g, sum(c)::BIGINT AS n, count(*)::BIGINT AS levels,
+              sum(c * log2(c)) AS clogc, max(c) AS top
+       FROM cells GROUP BY g),
+tops AS (SELECT cells.g, min(v) AS top_value
+         FROM cells JOIN pg ON cells.g = pg.g AND cells.c = pg.top
+         GROUP BY cells.g)
+SELECT pg.g AS source, n, levels,
+       round(log2(n::DOUBLE) - clogc / n::DOUBLE, 6) AS entropy_bits,
+       round(CASE WHEN levels > 1 THEN
+         (log2(n::DOUBLE) - clogc / n::DOUBLE)
+           / log2(levels::DOUBLE) END, 6) AS norm_entropy,
+       round(top / n::DOUBLE, 6) AS top_share,
+       top_value
+FROM pg JOIN tops ON pg.g = tops.g
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7511,6 +7658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x84_ks_drift": x84_ks_drift,
         "x85_acf": x85_acf,
         "x86_rolling_active": x86_rolling_active,
+        "x87_spearman": x87_spearman,
+        "x88_mann_whitney": x88_mann_whitney,
+        "x89_cat_entropy": x89_cat_entropy,
         "st06_active_users": st06_active_users,
     }
 
@@ -7658,6 +7808,9 @@ def oracle_sql() -> dict[str, str]:
         "x84_ks_drift": _X84_SQL,
         "x85_acf": _x85_sql(),
         "x86_rolling_active": _X86_SQL,
+        "x87_spearman": _X87_SQL,
+        "x88_mann_whitney": _X88_SQL,
+        "x89_cat_entropy": _X89_SQL,
         "st06_active_users": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based

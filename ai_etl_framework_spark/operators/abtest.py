@@ -35,9 +35,11 @@ Nothing row-scale crosses the network after the first aggregation.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["ab_test"]
+__all__ = ["ab_test", "mann_whitney"]
 
 
 def ab_test(
@@ -97,4 +99,128 @@ def ab_test(
         t_out.alias("t_stat"),
         F.when(~zero_se, F.round(dof, 6)).alias("dof"),
         F.when(~zero_se, F.abs(F.round(t, 6)) > z_crit).alias("significant"),
+    )
+
+
+def mann_whitney(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    max_distinct: int = 200_000,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test (Wilcoxon two-sample) — the
+    distribution-free companion to ``ab_test``'s Welch readout: no
+    normality assumption, robust to outliers, the standard screen when
+    a metric is heavy-tailed (latency, spend). Beyond-reference scope
+    (grep 'mann\\|whitney\\|wilcoxon' over /root/reference/src: zero
+    hits). Standard formulas (Mann & Whitney 1947): U₁ = R₁ −
+    n₁(n₁+1)/2 with R₁ the sum of arm A's average ranks over the
+    pooled sample; normal approximation with the tie-corrected
+    variance σ² = (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1))).
+
+    Pinned semantics (oracle-replicated):
+    - NULL values dropped; only rows whose group equals ``group_a`` or
+      ``group_b`` participate;
+    - average ranks via the distinct-value identity (ranks depend only
+      on the VALUE): r(v) = (# pooled rows < v) + (ties(v)+1)/2 —
+      computed as a cumulative window over the pooled per-value count
+      frame, never over the corpus;
+    - z has NO continuity correction (pinned; with ties the ±0.5
+      correction is not uniformly closer);
+    - p_approx = two-sided normal tail via the Zelen–Severo
+      (Abramowitz–Stegun 26.2.17) polynomial — BOTH engines evaluate
+      the identical closed form, so parity is arithmetic, not library;
+    - rank_biserial = 1 − 2U₁/(n₁n₂) (positive ⇒ arm A stochastically
+      larger... sign pinned by the formula, not by folklore);
+    - one output row: (n_a, n_b, u_a, z, p_approx, rank_biserial),
+      u_a exact double, z/p/effect rounded 6dp; z, p and the effect
+      are NULL when σ = 0 (every pooled value tied) or either arm is
+      empty.
+
+    Scale shape: ONE hash aggregation to the pooled per-value count
+    frame (≤ ``max_distinct`` rows, fail-loud — quantize first, like
+    ks_drift/spearman), one ordered cumulative window over that
+    DISTINCT-VALUE frame, one 1-row reduce. Nothing row-scale moves
+    after the first aggregation."""
+    from pyspark.sql import Window
+
+    if group_a == group_b:
+        raise ValueError("mann_whitney: group_a and group_b must differ")
+    g = F.col(group_col)
+    base = df.where(
+        F.col(value_col).isNotNull() & g.isin([group_a, group_b])
+    )
+    vc = base.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0))
+        .cast("double")
+        .alias("__ca"),
+        F.sum(F.when(g == group_b, 1).otherwise(0))
+        .cast("double")
+        .alias("__cb"),
+    )
+    n_distinct = vc.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"mann_whitney: {n_distinct} distinct values (> max_distinct="
+            f"{max_distinct}); the pooled value frame must stay "
+            "window-sized. Quantize first (e.g. F.round(value, 2)) or "
+            "raise max_distinct."
+        )
+    w = Window.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t_all = F.col("__ca") + F.col("__cb")
+    ranked = vc.select(
+        "__ca",
+        "__cb",
+        t_all.alias("__t"),
+        (
+            F.sum(t_all).over(w) - t_all + (t_all + F.lit(1)) / F.lit(2.0)
+        ).alias("__r"),
+    )
+    agg = ranked.agg(
+        F.sum("__ca").alias("na"),
+        F.sum("__cb").alias("nb"),
+        F.sum(F.col("__ca") * F.col("__r")).alias("ra"),
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+        .alias("ties"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    n = na + nb
+    u_a = F.col("ra") - na * (na + F.lit(1.0)) / F.lit(2.0)
+    sigma2 = (
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("ties") / (n * (n - F.lit(1.0))))
+    )
+    z = (u_a - na * nb / F.lit(2.0)) / F.sqrt(sigma2)
+    # Zelen–Severo / A–S 26.2.17 upper-tail Q(x) for x ≥ 0; the oracle
+    # evaluates the byte-identical polynomial (both engines: IEEE
+    # doubles, same operation order).
+    x = F.abs(z)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * x)
+    poly = tt * (
+        F.lit(0.319381530)
+        + tt * (
+            F.lit(-0.356563782)
+            + tt * (
+                F.lit(1.781477937)
+                + tt * (F.lit(-1.821255978) + tt * F.lit(1.330274429))
+            )
+        )
+    )
+    pdf = F.exp(-x * x / F.lit(2.0)) / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+    p_two = F.least(F.lit(1.0), F.lit(2.0) * pdf * poly)
+    ok = (na > 0) & (nb > 0) & (sigma2 > 0)
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.when((na > 0) & (nb > 0), u_a).alias("u_a"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok, F.round(p_two, 6)).alias("p_approx"),
+        F.when(
+            (na > 0) & (nb > 0),
+            F.round(F.lit(1.0) - F.lit(2.0) * u_a / (na * nb), 6),
+        ).alias("rank_biserial"),
     )

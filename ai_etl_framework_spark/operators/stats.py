@@ -39,6 +39,10 @@ dimensions related" gate behind segmentation and drift review):
   χ²/V rounded 6dp. No p-value (neither engine ships a χ² CDF; join
   the χ² against a critical-value table downstream).
 
+``spearman_matrix`` and ``categorical_entropy`` carry their own
+pinned-semantics blocks on the functions (added r10; both
+oracle-replicated).
+
 Scale shape: corr_matrix is k(k−1)/2 aggregate EXPRESSIONS over one
 scan — one job, map-side partials, no shuffle beyond the final
 1-row reduce (30 columns = 435 expressions ≈ still one pass).
@@ -56,7 +60,14 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["corr_matrix", "pair_lift", "gini", "chi_square"]
+__all__ = [
+    "corr_matrix",
+    "pair_lift",
+    "gini",
+    "chi_square",
+    "spearman_matrix",
+    "categorical_entropy",
+]
 
 
 def corr_matrix(
@@ -287,4 +298,165 @@ def chi_square(
             ),
             round_to,
         ).alias("cramers_v"),
+    )
+
+
+def spearman_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    max_distinct: int = 200_000,
+) -> DataFrame:
+    """Pairwise Spearman rank correlation over ``cols`` — the
+    monotone-association companion to ``corr_matrix`` (Pearson finds
+    lines; Spearman finds any monotone link and shrugs at outliers).
+    Beyond-reference scope (grep 'spearman' over /root/reference/src:
+    zero hits). Standard definition: Pearson correlation of the
+    AVERAGE ranks (ties share the mean of their positions).
+
+    Pinned semantics (oracle-replicated):
+    - COMPLETE-CASE: rows with NULL in ANY of ``cols`` are dropped
+      first (unlike corr_matrix's pairwise-complete ANSI corr) — all
+      pairs share one row set so every column is ranked exactly once;
+    - average ranks via the distinct-value identity
+      ``r(v) = (# rows < v) + (ties(v) + 1) / 2`` — rank depends only
+      on the VALUE, so ranking is a window over the per-column
+      value-count frame, never over the corpus;
+    - one row per unordered pair (col_a < col_b lexically):
+      (col_a, col_b, spearman, n), spearman = sample Pearson of the
+      two rank columns rounded 6dp (NULL when a column is constant),
+      n = complete-case row count.
+
+    Scale shape: one complete-case scan feeds k per-column value-count
+    hash aggregations (map-side partials); each ordered cumulative
+    window runs over a DISTINCT-VALUE frame capped fail-loud at
+    ``max_distinct`` (quantize first — F.round(col, 2) — exactly like
+    ks_drift); the rank maps broadcast back (k broadcast joins, no
+    row-scale shuffle), and all pairs reduce in ONE corr aggregation
+    pass, corr_matrix-style."""
+    from pyspark.sql import Window
+
+    if len(cols) < 2:
+        raise ValueError("spearman_matrix needs at least two columns")
+    base = df.select(*cols).na.drop("any").persist()
+    try:
+        distinct_counts = base.agg(
+            *[F.countDistinct(c).alias(c) for c in cols]
+        ).collect()[0]
+        for c in cols:
+            if distinct_counts[c] > max_distinct:
+                raise ValueError(
+                    f"spearman_matrix: column {c!r} has "
+                    f"{distinct_counts[c]} distinct values (> "
+                    f"max_distinct={max_distinct}); the rank map must "
+                    "stay broadcast-sized. Quantize first (e.g. "
+                    f"F.round({c!r}, 2)) or raise max_distinct."
+                )
+        ranked = base
+        for c in cols:
+            vc = base.groupBy(F.col(c).alias("__v")).agg(
+                F.count(F.lit(1)).alias("__c")
+            )
+            w = Window.orderBy(F.col("__v").asc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            rmap = vc.select(
+                F.col("__v").alias(c),
+                (
+                    F.sum("__c").over(w)
+                    - F.col("__c")
+                    + (F.col("__c") + F.lit(1)) / F.lit(2.0)
+                ).alias(f"__r_{c}"),
+            )
+            ranked = ranked.join(F.broadcast(rmap), c)
+        pairs = [(a, b) for a, b in combinations(sorted(cols), 2)]
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+        for i, (a, b) in enumerate(pairs):
+            aggs.append(
+                F.round(F.corr(f"__r_{a}", f"__r_{b}"), 6).alias(f"__s{i}")
+            )
+        row = ranked.agg(*aggs).collect()[0]
+        out = [
+            (a, b, row[f"__s{i}"], row["__n"]) for i, (a, b) in enumerate(pairs)
+        ]
+        return df.sparkSession.createDataFrame(
+            out, "col_a string, col_b string, spearman double, n long"
+        )
+    finally:
+        base.unpersist()
+
+
+def categorical_entropy(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Per-group categorical distribution profile — Shannon entropy
+    (bits), normalized entropy, top-category share and level count for
+    ``cat_col`` within each ``group_col``: the "how concentrated is
+    this dimension inside each segment" screen behind mix-shift and
+    data-balance review. Beyond-reference scope (the reference's
+    schema_profiler counts distincts only; no entropy). Standard
+    definition: H = −Σ p·log2(p) over the group's category shares.
+
+    Pinned semantics (oracle-replicated):
+    - rows with NULL group or NULL category are dropped (no evidence);
+    - one row per group: (group, n, levels, entropy_bits,
+      norm_entropy, top_share, top_value) — entropy/norm/top_share
+      rounded 6dp;
+    - norm_entropy = H / log2(levels), NULL when levels = 1 (a
+      single-level group has no scale to normalize against);
+    - top_value = the most frequent category, ties broken by the
+      SMALLEST category string (deterministic cross-engine).
+
+    Scale shape: ONE hash aggregation to (group, category) cells —
+    bounded by |groups|·|levels|, never corpus size — then one hash
+    aggregation over the cell frame plus one cell-frame join-back for
+    the deterministic top_value tie-break. No windows, nothing
+    row-scale crosses the network after the first aggregation.
+    Entropy uses the identity H = log2(n) − Σ c·log2(c) / n, so the
+    per-cell term needs no per-cell division."""
+    cells = (
+        df.where(F.col(group_col).isNotNull() & F.col(cat_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias(group_col),
+            F.col(cat_col).cast("string").alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    per_group = cells.groupBy(group_col).agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("levels"),
+        F.sum(F.col("__c") * F.log2("__c")).alias("__clogc"),
+        F.max("__c").alias("__top"),
+    )
+    tops = (
+        cells.join(
+            F.broadcast(
+                per_group.select(group_col, F.col("__top").alias("__t"))
+            ),
+            group_col,
+        )
+        .where(F.col("__c") == F.col("__t"))
+        .groupBy(group_col)
+        .agg(F.min("__v").alias("top_value"))
+    )
+    nd = F.col("n").cast("double")
+    entropy = F.log2(nd) - F.col("__clogc") / nd
+    return (
+        per_group.join(F.broadcast(tops), group_col)
+        .select(
+            group_col,
+            "n",
+            "levels",
+            F.round(entropy, 6).alias("entropy_bits"),
+            F.round(
+                F.when(
+                    F.col("levels") > 1,
+                    entropy / F.log2(F.col("levels").cast("double")),
+                ),
+                6,
+            ).alias("norm_entropy"),
+            F.round(F.col("__top") / nd, 6).alias("top_share"),
+            "top_value",
+        )
     )
