@@ -7456,6 +7456,202 @@ FROM pg JOIN tops ON pg.g = tops.g
 """
 
 
+def x90_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (operators/rfm.py rfm_segments): one hash agg
+    to the customer frame, deterministic (metric, custkey) NTILE
+    quintiles, classic (r, f) segment labels, segment-level output.
+    The oracle replays the identical NTILE orderings and label
+    table."""
+    from ai_etl_framework_spark.operators.rfm import rfm_segments
+
+    orders = load_table(spark, sf_dir, "orders")
+    return rfm_segments(orders, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+_X90_SQL = """
+WITH base AS (SELECT o_custkey, o_orderdate, o_totalprice FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                AND o_totalprice IS NOT NULL),
+cust AS (SELECT o_custkey AS c,
+                date_diff('day', max(o_orderdate),
+                          (SELECT max(o_orderdate) FROM base))::BIGINT
+                  AS rec,
+                count(*)::BIGINT AS freq,
+                sum(o_totalprice) AS mon
+         FROM base GROUP BY o_custkey),
+scored AS (SELECT rec, freq, mon,
+                  ntile(5) OVER (ORDER BY rec DESC, c ASC) AS r_score,
+                  ntile(5) OVER (ORDER BY freq ASC, c ASC) AS f_score,
+                  ntile(5) OVER (ORDER BY mon ASC, c ASC) AS m_score
+           FROM cust)
+SELECT r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score = 3 AND f_score >= 4 THEN 'loyal'
+            WHEN r_score >= 4 AND f_score <= 3 THEN 'promising'
+            WHEN r_score = 3 AND f_score <= 3 THEN 'needs_attention'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            ELSE 'hibernating' END AS segment,
+       count(*)::BIGINT AS n_customers,
+       round(avg(rec), 6) AS avg_recency_days,
+       round(avg(freq), 6) AS avg_frequency,
+       round(avg(mon), 6) AS avg_monetary,
+       round(sum(mon), 2) AS total_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+def x91_weighted_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentiles (operators/scaling.py
+    weighted_percentiles): quantity-weighted p25/p50/p75 of the
+    order-line price per return flag — the inverse weighted ECDF
+    (lower quantile, no interpolation) over a (group, value) weight
+    cell frame. Price quantized to whole units (the spearman/ks
+    range-bound convention); quantities are integer-valued so the
+    cumulative-weight comparison is exact in both engines."""
+    from ai_etl_framework_spark.operators.scaling import (
+        weighted_percentiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_extendedprice", 0).alias("price"),
+        "l_quantity",
+    )
+    return weighted_percentiles(li, "l_returnflag", "price", "l_quantity")
+
+
+_X91_SQL = """
+WITH base AS (SELECT l_returnflag AS g, round(l_extendedprice, 0) AS v,
+                     l_quantity AS w
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL AND l_quantity > 0),
+cells AS (SELECT g, v, sum(w)::DOUBLE AS w, count(*)::BIGINT AS n
+          FROM base GROUP BY g, v),
+cum AS (SELECT g, v, n,
+               sum(w) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(w) OVER (PARTITION BY g) AS tw
+        FROM cells)
+SELECT g AS l_returnflag, sum(n)::BIGINT AS n,
+       round(max(tw), 6) AS total_weight,
+       min(CASE WHEN cw >= 0.25 * tw THEN v END) AS p25,
+       min(CASE WHEN cw >= 0.5 * tw THEN v END) AS p50,
+       min(CASE WHEN cw >= 0.75 * tw THEN v END) AS p75
+FROM cum GROUP BY g
+"""
+
+
+def x92_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per order priority
+    (operators/timeseries.py period_growth): one hash agg to the
+    (key, month) frame + one lag window over THAT frame; growth NULL
+    on the first observed bucket and on prev = 0."""
+    from ai_etl_framework_spark.operators.timeseries import period_growth
+
+    orders = load_table(spark, sf_dir, "orders")
+    return period_growth(
+        orders, "o_orderdate", "o_totalprice", key_col="o_orderpriority"
+    )
+
+
+_X92_SQL = """
+WITH base AS (SELECT o_orderpriority AS k,
+                     date_trunc('month', o_orderdate) AS b,
+                     o_totalprice AS v
+              FROM orders
+              WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+                AND o_orderpriority IS NOT NULL),
+series AS (SELECT k, b, sum(v) AS t FROM base GROUP BY k, b),
+lagged AS (SELECT k, b, t,
+                  lag(t) OVER (PARTITION BY k ORDER BY b) AS p
+           FROM series)
+SELECT k AS o_orderpriority, CAST(b AS TIMESTAMP) AS bucket,
+       round(t, 2) AS total, round(p, 2) AS prev_total,
+       round(CASE WHEN p IS NOT NULL AND p <> 0
+                  THEN 100.0 * (t - p) / p END, 6) AS growth_pct
+FROM lagged
+"""
+
+
+def x93_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves (operators/retention.py cohort_ltv):
+    cohort_retention's revenue twin — per-(user, month) revenue agg,
+    min() cohort window over that frame, dimension-sized (cohort,
+    offset) matrix with a cumulative window and broadcast size
+    join-back."""
+    from ai_etl_framework_spark.operators.retention import cohort_ltv
+
+    orders = load_table(spark, sf_dir, "orders")
+    return cohort_ltv(
+        orders, "o_custkey", "o_orderdate", "o_totalprice", period="month"
+    )
+
+
+_X93_SQL = """
+WITH base AS (SELECT o_custkey AS u,
+                     date_trunc('month', o_orderdate)::DATE AS p,
+                     o_totalprice AS a
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                AND o_totalprice IS NOT NULL),
+per_up AS (SELECT u, p, sum(a) AS rev FROM base GROUP BY u, p),
+j AS (SELECT u, p, rev, min(p) OVER (PARTITION BY u) AS cohort
+      FROM per_up),
+cells AS (SELECT cohort,
+                 ((date_part('year', p) - date_part('year', cohort)) * 12
+                  + (date_part('month', p) - date_part('month', cohort)))
+                   ::BIGINT AS off,
+                 count(DISTINCT u)::BIGINT AS n_active,
+                 sum(rev) AS r
+          FROM j GROUP BY 1, 2),
+cum AS (SELECT cohort, off, n_active, r,
+               sum(r) OVER (PARTITION BY cohort ORDER BY off ROWS
+                 BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM cells),
+sizes AS (SELECT cohort, n_active AS size FROM cells WHERE off = 0)
+SELECT cum.cohort AS cohort, off AS "offset", size AS cohort_size,
+       n_active, round(r, 2) AS revenue, round(c, 2) AS cum_revenue,
+       round(c / size, 6) AS ltv_per_user
+FROM cum JOIN sizes ON cum.cohort = sizes.cohort
+"""
+
+
+def x94_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival rhythm profile (operators/timeseries.py
+    interarrival_stats): per-event-type gap mean/sd/cv + Goh–Barabási
+    burstiness via one lag window + one hash agg; tied timestamps are
+    order-invariant zero gaps."""
+    from ai_etl_framework_spark.operators.timeseries import (
+        interarrival_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return interarrival_stats(ev, "event_type", "ts")
+
+
+_X94_SQL = """
+WITH e AS (SELECT event_type AS k, ts FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+g AS (SELECT k, epoch(ts) - lag(epoch(ts)) OVER
+               (PARTITION BY k ORDER BY ts) AS gap
+      FROM e),
+gg AS (SELECT k, gap FROM g WHERE gap IS NOT NULL),
+agg AS (SELECT k, count(*)::BIGINT AS n_gaps, avg(gap) AS m,
+               stddev_samp(gap) AS s, min(gap) AS mn, max(gap) AS mx
+        FROM gg GROUP BY k)
+SELECT k AS event_type, n_gaps,
+       round(m, 6) AS mean_gap_s, round(s, 6) AS sd_gap_s,
+       round(CASE WHEN m <> 0 AND s IS NOT NULL THEN s / m END, 6)
+         AS cv,
+       round(CASE WHEN s IS NOT NULL AND (s + m) <> 0
+                  THEN (s - m) / (s + m) END, 6) AS burstiness,
+       mn AS min_gap_s, mx AS max_gap_s
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7661,6 +7857,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x87_spearman": x87_spearman,
         "x88_mann_whitney": x88_mann_whitney,
         "x89_cat_entropy": x89_cat_entropy,
+        "x90_rfm": x90_rfm,
+        "x91_weighted_pct": x91_weighted_pct,
+        "x92_period_growth": x92_period_growth,
+        "x93_cohort_ltv": x93_cohort_ltv,
+        "x94_interarrival": x94_interarrival,
         "st06_active_users": st06_active_users,
     }
 
@@ -7811,6 +8012,11 @@ def oracle_sql() -> dict[str, str]:
         "x87_spearman": _X87_SQL,
         "x88_mann_whitney": _X88_SQL,
         "x89_cat_entropy": _X89_SQL,
+        "x90_rfm": _X90_SQL,
+        "x91_weighted_pct": _X91_SQL,
+        "x92_period_growth": _X92_SQL,
+        "x93_cohort_ltv": _X93_SQL,
+        "x94_interarrival": _X94_SQL,
         "st06_active_users": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based

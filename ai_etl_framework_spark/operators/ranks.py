@@ -39,17 +39,24 @@ def group_ranks(
     rank_col: str = "__rank",
     rn_col: str = "__rn",
     n_col: str = "__n",
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """``df`` + ``rank_col`` (SQL RANK, ties share min), ``rn_col``
     (ROW_NUMBER) and ``n_col`` (group size), each ascending in
     ``value_col`` within ``group_col`` — computed with NO single-task
-    window. See module docstring."""
+    window. Optional ``tiebreak_cols`` extend the ordering (ascending)
+    after ``value_col``: with a unique tiebreak (an id column) the
+    ROW_NUMBER becomes DETERMINISTIC, not merely tie-invariant —
+    required by positional consumers (rfm's ntile). The range
+    partitioner and the local window share the composite order, so
+    co-location still holds. See module docstring."""
     from pyspark import StorageLevel
 
+    order = [F.col(group_col).asc(), F.col(value_col).asc()] + [
+        F.col(c).asc() for c in tiebreak_cols
+    ]
     staged = (
-        df.repartitionByRange(
-            num_partitions, F.col(group_col).asc(), F.col(value_col).asc()
-        )
+        df.repartitionByRange(num_partitions, *order)
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -69,7 +76,7 @@ def group_ranks(
         F.sum("__c").over(w_n).alias(n_col),
     )
     w_local = Window.partitionBy("__pid", group_col).orderBy(
-        F.col(value_col).asc()
+        F.col(value_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
     )
     return (
         staged.join(F.broadcast(offs), ["__pid", group_col])

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["cohort_retention"]
+__all__ = ["cohort_retention", "cohort_ltv"]
 
 _PERIOD_DAYS = {"week": 7, "day": 1}
 
@@ -81,5 +81,96 @@ def cohort_retention(
             "offset",
             "n_users",
             F.round(F.col("n_users") / F.col("__size"), 6).alias("retention"),
+        )
+    )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    amount_col: str = "amount",
+    period: str = "month",
+) -> DataFrame:
+    """Cohort lifetime-value curves — cohort_retention's revenue twin:
+    users cohort by FIRST activity period, and each (cohort, offset)
+    cell carries that period's revenue, the running cumulative
+    revenue, and the cumulative LTV per cohort member. The
+    "how much is a January customer worth by month 6" table behind
+    payback-period review. Beyond-reference analytics scope (same
+    grep as cohort_retention: zero hits).
+
+    Pinned semantics (oracle-replicated):
+    - cohort/offset conventions are cohort_retention's exactly
+      (date_trunc periods, month arithmetic for months);
+    - rows with NULL user, ts or amount are dropped;
+    - revenue/cum_revenue rounded 2dp (raw-magnitude SUMS — the house
+      float rule), ltv_per_user = cum_revenue / cohort_size rounded
+      6dp; cohort_size = distinct users at offset 0 (every cohort
+      member is active in its cohort period by construction);
+    - only OBSERVED (cohort, offset) cells appear (no densified
+      zero rows); the cumulative sum over observed offsets still
+      includes every preceding cell.
+
+    Scale shape: raw events collapse to per-(user, period) revenue in
+    one hash aggregation, cohort = min() window over that frame (the
+    cohort_retention shape, no self-join), the (cohort, offset)
+    matrix is a dimension-sized second aggregation, and the
+    cumulative window + size join run over the MATRIX frame only
+    (|cohorts × offsets| rows). Events shuffle once."""
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day, week or month, got {period!r}")
+    base = df.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(amount_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.date_trunc(period, F.col(ts_col)).cast("date").alias("p"),
+        F.col(amount_col).alias("a"),
+    )
+    per_up = base.groupBy("u", "p").agg(F.sum("a").alias("rev"))
+    joined = per_up.withColumn(
+        "cohort", F.min("p").over(Window.partitionBy("u"))
+    )
+    if period == "month":
+        offset = (
+            (F.year("p") - F.year("cohort")) * 12
+            + (F.month("p") - F.month("cohort"))
+        ).cast("long")
+    else:
+        offset = (
+            F.datediff(F.col("p"), F.col("cohort"))
+            / _PERIOD_DAYS[period]
+        ).cast("long")
+    cells = (
+        joined.select("u", "cohort", offset.alias("offset"), "rev")
+        .groupBy("cohort", "offset")
+        .agg(
+            F.countDistinct("u").cast("long").alias("n_active"),
+            F.sum("rev").alias("__rev"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy(F.col("offset").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn("__cum", F.sum("__rev").over(w_cum))
+    sizes = cells.where(F.col("offset") == 0).select(
+        F.col("cohort").alias("__c"), F.col("n_active").alias("__size")
+    )
+    return (
+        cum.join(F.broadcast(sizes), cum.cohort == F.col("__c"))
+        .select(
+            "cohort",
+            "offset",
+            F.col("__size").alias("cohort_size"),
+            "n_active",
+            F.round("__rev", 2).alias("revenue"),
+            F.round("__cum", 2).alias("cum_revenue"),
+            F.round(F.col("__cum") / F.col("__size"), 6).alias(
+                "ltv_per_user"
+            ),
         )
     )

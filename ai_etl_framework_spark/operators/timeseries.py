@@ -104,6 +104,8 @@ __all__ = [
     "ewma",
     "level_shifts",
     "acf",
+    "period_growth",
+    "interarrival_stats",
 ]
 
 _TIEBREAK_MOD = 1_000_000
@@ -566,4 +568,122 @@ def acf(
         F.col("__r.lag").alias("lag"),
         F.col("__r.acf").alias("acf"),
         F.col("__r.n_pairs").alias("n_pairs"),
+    )
+
+
+def period_growth(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str | None = None,
+    bucket_unit: str = "month",
+) -> DataFrame:
+    """Period-over-period growth — the "+12% MoM" table behind every
+    revenue dashboard: totals per calendar bucket (optionally per
+    key), each with its previous-bucket total and percent growth.
+    Beyond-reference reporting scope (grep 'growth\\|period_over'
+    over /root/reference/src: zero hits).
+
+    Pinned semantics (oracle-replicated):
+    - bucket = ``date_trunc(bucket_unit, ts)``; NULL ts/value (and
+      NULL key when keyed) rows are dropped;
+    - total = SUM(value) per (key?, bucket), rounded 2dp (raw-
+      magnitude sums — the house float rule); prev_total = the
+      PREVIOUS OBSERVED bucket's total (no densified zero buckets —
+      a silent month is a gap, not a 0; densify with resample first
+      if calendar adjacency matters);
+    - growth_pct = 100·(total − prev)/prev rounded 6dp, NULL for the
+      first bucket and whenever prev = 0 (sign-free division).
+
+    Scale shape: ONE hash aggregation to the (key, bucket) frame +
+    one lag window over THAT frame (the EWMA/level-shift shape —
+    dimension-sized, never raw rows). Ungrouped series = one
+    dimension-sized window task, documented."""
+    base = df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+    keys: list[str] = []
+    if key_col is not None:
+        base = base.where(F.col(key_col).isNotNull())
+        keys = [key_col]
+    series = base.groupBy(
+        *keys, F.date_trunc(bucket_unit, F.col(ts_col)).alias("bucket")
+    ).agg(F.sum(value_col).alias("__t"))
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy()
+    ).orderBy(F.col("bucket").asc())
+    prev = F.lag("__t", 1).over(w)
+    return series.select(
+        *keys,
+        "bucket",
+        F.round("__t", 2).alias("total"),
+        F.round(prev, 2).alias("prev_total"),
+        F.round(
+            F.when(
+                prev.isNotNull() & (prev != 0),
+                F.lit(100.0) * (F.col("__t") - prev) / prev,
+            ),
+            6,
+        ).alias("growth_pct"),
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-key inter-arrival-time profile — mean/sd/min/max gap,
+    coefficient of variation, and the Goh–Barabási burstiness
+    B = (σ − μ)/(σ + μ) (−1 = perfectly periodic, 0 = Poisson,
+    →1 = bursty): the "is this feed a heartbeat or a stampede"
+    screen that complements gap detection (audit.py finds the
+    silences; this characterizes the rhythm). Beyond-reference scope
+    (grep 'interarrival\\|burstiness' over /root/reference/src: zero
+    hits). Burstiness: Goh & Barabási 2008 (EPL 81, 48002).
+
+    Pinned semantics (oracle-replicated):
+    - NULL key/ts rows are dropped; gaps are SECONDS between
+      time-consecutive events per key (double);
+    - tied timestamps contribute zero-gaps; the gap MULTISET is
+      invariant under any tie ordering (consecutive equal values),
+      so no tiebreak column is needed for determinism;
+    - keys with <2 events emit no row (no gaps to describe);
+    - sd is the SAMPLE stddev; cv = sd/mean and burstiness are NULL
+      when their denominator is 0 (all gaps zero ⇒ burstiness
+      undefined, not −1); mean/sd/cv/burstiness rounded 6dp,
+      min/max gaps raw (they are differences, not aggregates);
+    - n_gaps = events − 1 per key.
+
+    Scale shape: one lag window per key over raw events (the gap-
+    detection shape — each key's order resolves within its own
+    partition), then ONE hash aggregation. Few-giant-key feeds hit
+    the usual single-task-per-key window bound — pre-bucket by day
+    and union, or sample, when one key is the whole corpus."""
+    from ai_etl_framework_spark.session import epoch_seconds
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    secs = epoch_seconds(ts_col).cast("double")
+    gaps = (
+        df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("__gap", secs - F.lag(secs, 1).over(w))
+        .where(F.col("__gap").isNotNull())
+    )
+    agg = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.avg("__gap").alias("__m"),
+        F.stddev_samp("__gap").alias("__s"),
+        F.min("__gap").alias("min_gap_s"),
+        F.max("__gap").alias("max_gap_s"),
+    )
+    m, s = F.col("__m"), F.col("__s")
+    return agg.select(
+        key_col,
+        "n_gaps",
+        F.round(m, 6).alias("mean_gap_s"),
+        F.round(s, 6).alias("sd_gap_s"),
+        F.round(F.when((m != 0) & s.isNotNull(), s / m), 6).alias("cv"),
+        F.round(
+            F.when(s.isNotNull() & ((s + m) != 0), (s - m) / (s + m)), 6
+        ).alias("burstiness"),
+        "min_gap_s",
+        "max_gap_s",
     )
