@@ -7652,6 +7652,86 @@ FROM agg
 """
 
 
+def x95_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantiles (operators/scaling.py binned_quantiles):
+    p50/p95/p99 of event values per type over a width-5 additive bin
+    store — one hash agg to the (key, bin) frame, windows/joins over
+    THAT frame only (the q fan-out explodes bins, not the corpus).
+    The mergeable quantile form the streaming service (st07) persists."""
+    from ai_etl_framework_spark.operators.scaling import binned_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return binned_quantiles(
+        ev, "value", width=5.0, qs=(0.5, 0.95, 0.99), key_col="event_type"
+    )
+
+
+_X95_SQL = """
+WITH base AS (SELECT event_type AS k, value AS v FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL),
+bins AS (SELECT k, floor(v / 5.0)::BIGINT AS b, count(*)::BIGINT AS n
+         FROM base GROUP BY 1, 2),
+cum AS (SELECT k, b, n,
+               sum(n) OVER (PARTITION BY k ORDER BY b ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               sum(n) OVER (PARTITION BY k) AS nt
+        FROM bins),
+qs AS (SELECT unnest([0.5, 0.95, 0.99])::DOUBLE AS q),
+picked AS (SELECT k, q, max(nt)::BIGINT AS n_total, min(b) AS bin
+           FROM cum CROSS JOIN qs
+           WHERE c::DOUBLE >= q * nt::DOUBLE
+           GROUP BY k, q)
+SELECT p.k AS event_type, q, n_total, p.bin,
+       round(p.bin * 5.0
+             + 5.0 * (q * n_total - (c.c - c.n)) / c.n, 6) AS estimate
+FROM picked p JOIN cum c ON p.k = c.k AND p.bin = c.b
+"""
+
+
+def st07_quantile_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile service (pipeline/monitor.py
+    IncrementalQuantiles): two mtime-ordered event files through
+    readStream → foreachBatch [batch bins merge ADDITIVELY into the
+    persisted (key, bin, n) store] → quantiles_from_bins — the same
+    code path the batch operator runs, so the row carries x95's REAL
+    hash oracle (additive counts ⇒ micro-batch-boundary-independent)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ai_etl_framework_spark.pipeline.monitor import IncrementalQuantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="st07_")
+    try:
+        bronze = os.path.join(root, "bronze")
+        os.makedirs(bronze)
+        for i in (0, 1):
+            stage = os.path.join(root, f"stage{i}")
+            ev.where(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            src = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(bronze, f"feed_{i}.parquet")
+            shutil.move(os.path.join(stage, src), dst)
+            os.utime(dst, (_time.time() + i, _time.time() + i))
+        svc = IncrementalQuantiles(
+            spark, root, value_col="value", key_col="event_type",
+            width=5.0, qs=(0.5, 0.95, 0.99),
+        )
+        svc.run_stream(
+            bronze, os.path.join(root, "ckpt"), schema=ev.schema,
+            max_files_per_trigger=1,
+        )
+        out = svc.quantiles()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7862,6 +7942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x92_period_growth": x92_period_growth,
         "x93_cohort_ltv": x93_cohort_ltv,
         "x94_interarrival": x94_interarrival,
+        "x95_binned_quantiles": x95_binned_quantiles,
+        "st07_quantile_service": st07_quantile_service,
         "st06_active_users": st06_active_users,
     }
 
@@ -8017,6 +8099,8 @@ def oracle_sql() -> dict[str, str]:
         "x92_period_growth": _X92_SQL,
         "x93_cohort_ltv": _X93_SQL,
         "x94_interarrival": _X94_SQL,
+        "x95_binned_quantiles": _X95_SQL,
+        "st07_quantile_service": _X95_SQL,
         "st06_active_users": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based

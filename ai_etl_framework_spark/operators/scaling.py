@@ -47,6 +47,8 @@ __all__ = [
     "quantile_bucketize",
     "quantile_normalize",
     "weighted_percentiles",
+    "binned_quantiles",
+    "quantiles_from_bins",
 ]
 
 
@@ -288,3 +290,117 @@ def weighted_percentiles(
             ).alias(name)
         )
     return cum.groupBy(group_col).agg(*aggs)
+
+
+def quantiles_from_bins(
+    bins: DataFrame,
+    width: float,
+    qs: Sequence[float],
+    key_col: str | None = None,
+) -> DataFrame:
+    """Quantile estimates from an ADDITIVE (key?, bin, n) histogram
+    frame — the shared core behind :func:`binned_quantiles` and the
+    streaming ``IncrementalQuantiles`` store (the
+    rolling_active_from_days seam pattern: the stream and the batch
+    operator literally run the same code over the same frame shape).
+
+    For each q: the target rank t = q·N falls in the first bin whose
+    cumulative count reaches it; the estimate interpolates linearly
+    inside that bin — est = bin·width + width·(t − cum_prev)/n_bin
+    (the classic histogram-quantile rule, e.g. Prometheus'
+    histogram_quantile). q = 1 lands exactly on the chosen bin's
+    upper edge by the same formula."""
+    from pyspark.sql import Window
+
+    keys = [key_col] if key_col else []
+    w_cum = (
+        (Window.partitionBy(*keys) if keys else Window.partitionBy())
+        .orderBy(F.col("bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    cum = bins.select(
+        *keys,
+        "bin",
+        F.col("n"),
+        F.sum("n").over(w_cum).alias("__c"),
+        F.sum("n").over(w_all).alias("__nt"),
+    )
+    qdf = cum.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    )
+    picked = (
+        qdf.where(
+            F.col("__c").cast("double")
+            >= F.col("q") * F.col("__nt").cast("double")
+        )
+        .groupBy(*keys, "q")
+        .agg(
+            F.max("__nt").cast("long").alias("n_total"),
+            F.min("bin").alias("bin"),
+        )
+    )
+    chosen = cum.select(
+        *keys,
+        F.col("bin"),
+        F.col("n").alias("__bn"),
+        (F.col("__c") - F.col("n")).alias("__cp"),
+    )
+    t = F.col("q") * F.col("n_total").cast("double")
+    est = (
+        F.col("bin").cast("double") * F.lit(width)
+        + F.lit(width) * (t - F.col("__cp")) / F.col("__bn")
+    )
+    return picked.join(chosen, [*keys, "bin"]).select(
+        *keys,
+        "q",
+        "n_total",
+        "bin",
+        F.round(est, 6).alias("estimate"),
+    )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    value_col: str,
+    width: float,
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    key_col: str | None = None,
+) -> DataFrame:
+    """Fixed-width-histogram quantile estimates — the mergeable,
+    streaming-safe quantile: values bin to ``floor(v/width)``, bin
+    counts are ADDITIVE (union across batches/partitions/days without
+    rank recomputation), and each quantile interpolates inside its
+    bin with error bounded by ``width``. The exact/approx duals
+    (percentile, percentile_approx/KLL) answer one-shot queries;
+    this is the form you PERSIST — an additive store any later query
+    (or micro-batch merge) extends for free. Beyond-reference scope.
+
+    Pinned semantics (oracle-replicated):
+    - NULL value (and NULL key when keyed) rows are dropped; bin =
+      floor(value/width) — exact integer floor in both engines;
+    - per (key?, q): t = q·N; the chosen bin is the FIRST whose
+      cumulative count ≥ t; estimate = bin·width +
+      width·(t − cum_prev)/n_bin, rounded 6dp (histogram_quantile's
+      linear-interpolation rule); q ∈ (0, 1], q = 1 → the top bin's
+      upper edge;
+    - output long format: (key?, q, n_total, bin, estimate).
+
+    Scale shape: ONE hash aggregation to the (key, bin) frame —
+    bounded by |keys|·(range/width), never corpus size — then
+    windows/joins over THAT frame only. The q fan-out explodes the
+    BIN frame, not the corpus."""
+    if width <= 0:
+        raise ValueError(f"width must be > 0, got {width}")
+    for q in qs:
+        if not 0 < q <= 1:
+            raise ValueError(f"quantile q must be in (0, 1], got {q}")
+    base = df.where(F.col(value_col).isNotNull())
+    keys = [key_col] if key_col else []
+    if key_col:
+        base = base.where(F.col(key_col).isNotNull())
+    bins = base.groupBy(
+        *keys,
+        F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return quantiles_from_bins(bins, width, qs, key_col=key_col)

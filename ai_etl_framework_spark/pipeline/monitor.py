@@ -31,7 +31,12 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["IncrementalBurstMonitor", "IncrementalOhlcStore", "IncrementalActiveUsers"]
+__all__ = [
+    "IncrementalBurstMonitor",
+    "IncrementalOhlcStore",
+    "IncrementalActiveUsers",
+    "IncrementalQuantiles",
+]
 
 
 class IncrementalBurstMonitor:
@@ -369,6 +374,120 @@ class IncrementalActiveUsers:
             q.stop()
             raise TimeoutError(
                 f"active-users stream did not finish in {timeout_sec}s"
+            )
+
+    def run_batches(self, batches) -> None:
+        for i, b in enumerate(batches):
+            self.process_batch(b, i)
+
+
+class IncrementalQuantiles:
+    """Streaming latency/value-quantile service — the incremental twin
+    of operators/scaling.binned_quantiles: each micro-batch bins its
+    values to ``floor(v/width)`` and MERGES the counts into a
+    persisted (key, bin, n) histogram store. Bin counts are ADDITIVE
+    (sum is commutative+associative), so the store — and therefore
+    ``quantiles()`` — is independent of micro-batch boundaries: after
+    any partition of the same events into batches it equals the batch
+    operator over the full set (the st04 argument), which is why the
+    st07 registry row carries a REAL hash oracle (x95's SQL). Like
+    st04/st05 (and unlike st06's idempotent distinct store), additive
+    counts do NOT absorb at-least-once replays — pair with upstream
+    exactly-once file semantics or an id-dedup stage.
+
+    ``quantiles()`` runs :func:`quantiles_from_bins` — the SAME code
+    path the batch operator uses (the rolling_active_from_days seam).
+
+    Scale shape per batch: one batch-sized hash aggregation + one
+    store-sized merge; the store is |keys|·(value range/width) rows —
+    bounded by the DOMAIN, not the corpus, so it never compacts."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        value_col: str = "value",
+        key_col: str = "event_type",
+        width: float = 5.0,
+        qs: tuple = (0.5, 0.95, 0.99),
+    ) -> None:
+        if width <= 0:
+            raise ValueError(f"width must be > 0, got {width}")
+        self.spark = spark
+        self.root = root
+        self.value_col = value_col
+        self.key_col = key_col
+        self.width = width
+        self.qs = qs
+        self.store_dir = os.path.join(root, "value_bins")
+
+    def _store(self) -> Optional[DataFrame]:
+        if not os.path.isdir(self.store_dir):
+            return None
+        return self.spark.read.parquet(self.store_dir)
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        """Bin the batch and MERGE into the store (counts add). Runs
+        identically under foreachBatch and in a plain loop."""
+        bins = (
+            batch.where(
+                F.col(self.key_col).isNotNull()
+                & F.col(self.value_col).isNotNull()
+            )
+            .groupBy(
+                F.col(self.key_col),
+                F.floor(F.col(self.value_col) / F.lit(self.width))
+                .cast("long")
+                .alias("bin"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        store = self._store()
+        merged = (
+            bins if store is None else store.unionByName(bins)
+        ).groupBy(self.key_col, "bin").agg(
+            F.sum("n").cast("long").alias("n")
+        )
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(self.store_dir)
+
+    def quantiles(self) -> DataFrame:
+        """Quantile table over the CURRENT store — identical to batch
+        binned_quantiles over every event the service has seen."""
+        from ai_etl_framework_spark.operators.scaling import (
+            quantiles_from_bins,
+        )
+
+        store = self._store()
+        if store is None:
+            raise ValueError("no events processed yet: store is empty")
+        return quantiles_from_bins(
+            store, self.width, self.qs, key_col=self.key_col
+        )
+
+    def run_stream(
+        self,
+        bronze_dir: str,
+        checkpoint_dir: str,
+        schema,
+        max_files_per_trigger: int = 1,
+        timeout_sec: int = 300,
+    ) -> None:
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(bronze_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"quantile service stream did not finish in {timeout_sec}s"
             )
 
     def run_batches(self, batches) -> None:
