@@ -7732,6 +7732,120 @@ def st07_quantile_service(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def x96_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen (operators/timeseries.py
+    cusum_screen): the S⁺/S⁻ recursion rewritten as cum − running-min
+    (window-expressible, both engines replay it verbatim) over daily
+    event-value means per type; slack 0.5σ, decision interval 4σ."""
+    from ai_etl_framework_spark.operators.timeseries import cusum_screen
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_screen(
+        ev, "value", "ts", key_col="event_type", bucket_unit="day",
+        slack=0.5, threshold=4.0,
+    )
+
+
+_X96_SQL = """
+WITH series AS (SELECT event_type AS k,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP)
+                         AS bucket,
+                       avg(value) AS x
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_type IS NOT NULL
+                GROUP BY 1, 2),
+st AS (SELECT k, bucket, x,
+              avg(x) OVER (PARTITION BY k) AS mu,
+              stddev_samp(x) OVER (PARTITION BY k) AS sd
+       FROM series),
+z AS (SELECT k, bucket, (x - mu) / sd AS z FROM st WHERE sd > 0),
+c AS (SELECT k, bucket, z,
+             sum(z - 0.5) OVER w AS cu,
+             sum(z + 0.5) OVER w AS cd
+      FROM z
+      WINDOW w AS (PARTITION BY k ORDER BY bucket ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW)),
+s AS (SELECT k, bucket, z,
+             cu - least(0.0, min(cu) OVER w) AS sp,
+             greatest(0.0, max(cd) OVER w) - cd AS sm
+      FROM c
+      WINDOW w AS (PARTITION BY k ORDER BY bucket ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT k AS event_type, bucket, round(z, 6) AS z,
+       round(sp, 6) AS s_plus, round(sm, 6) AS s_minus,
+       round(sp, 6) > 4.0 AS alarm_up,
+       round(sm, 6) > 4.0 AS alarm_down
+FROM s
+"""
+
+
+def x97_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration (operators/stats.py hhi):
+    per-priority customer-revenue concentration — Σ share² via
+    Σm²/(Σm)² in one member agg + one group agg, no per-member share
+    projection, no windows."""
+    from ai_etl_framework_spark.operators.stats import hhi
+
+    orders = load_table(spark, sf_dir, "orders")
+    return hhi(orders, "o_orderpriority", "o_custkey", "o_totalprice")
+
+
+_X97_SQL = """
+WITH m AS (SELECT o_orderpriority AS g, o_custkey AS mm,
+                  sum(o_totalprice) AS t
+           FROM orders
+           WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
+             AND o_totalprice IS NOT NULL
+           GROUP BY 1, 2),
+a AS (SELECT g, count(*)::BIGINT AS n_members, sum(t) AS tot,
+             sum(t * t) AS sq
+      FROM m GROUP BY g)
+SELECT g AS o_orderpriority, n_members, round(tot, 2) AS total,
+       round(CASE WHEN tot <> 0 THEN sq / (tot * tot) END, 6) AS hhi,
+       round(CASE WHEN tot <> 0 AND n_members > 1 THEN
+         (sq / (tot * tot) - 1.0 / n_members)
+           / (1.0 - 1.0 / n_members) END, 6) AS norm_hhi,
+       round(CASE WHEN tot <> 0 THEN
+         1.0 / (sq / (tot * tot)) END, 6) AS effective_n
+FROM a
+"""
+
+
+def x98_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking quality report (operators/audit.py blocking_stats):
+    exact candidate-pair count and reduction ratio for a
+    (nation, segment) blocking key over customers — the pre-flight
+    check before any fuzzy/LSH join. One block-count agg + one 1-row
+    reduce."""
+    from ai_etl_framework_spark.operators.audit import blocking_stats
+
+    cust = load_table(spark, sf_dir, "customer")
+    return blocking_stats(cust, ["c_nationkey", "c_mktsegment"])
+
+
+_X98_SQL = """
+WITH b AS (SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS c
+           FROM customer
+           WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+           GROUP BY 1, 2),
+a AS (SELECT sum(c)::BIGINT AS n_records, count(*)::BIGINT AS n_blocks,
+             sum(c * (c - 1) / 2)::BIGINT AS candidate_pairs,
+             max(c) AS max_block,
+             quantile_cont(c, 0.5) AS p50
+      FROM b)
+SELECT n_records, n_blocks, candidate_pairs, max_block,
+       p50 AS p50_block,
+       round(CASE WHEN n_records >= 2 THEN
+         1.0 - candidate_pairs
+           / (n_records::DOUBLE * (n_records - 1) / 2.0) END, 6)
+         AS reduction_ratio,
+       round(candidate_pairs / n_records::DOUBLE, 6)
+         AS pairs_per_record
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7944,6 +8058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x94_interarrival": x94_interarrival,
         "x95_binned_quantiles": x95_binned_quantiles,
         "st07_quantile_service": st07_quantile_service,
+        "x96_cusum": x96_cusum,
+        "x97_hhi": x97_hhi,
+        "x98_blocking_stats": x98_blocking_stats,
         "st06_active_users": st06_active_users,
     }
 
@@ -8101,6 +8218,9 @@ def oracle_sql() -> dict[str, str]:
         "x94_interarrival": _X94_SQL,
         "x95_binned_quantiles": _X95_SQL,
         "st07_quantile_service": _X95_SQL,
+        "x96_cusum": _X96_SQL,
+        "x97_hhi": _X97_SQL,
+        "x98_blocking_stats": _X98_SQL,
         "st06_active_users": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based

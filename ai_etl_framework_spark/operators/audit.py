@@ -79,7 +79,14 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["join_audit", "detect_gaps", "pareto_share", "benford_audit", "join_cardinality_estimate"]
+__all__ = [
+    "join_audit",
+    "detect_gaps",
+    "pareto_share",
+    "benford_audit",
+    "join_cardinality_estimate",
+    "blocking_stats",
+]
 
 
 def join_audit(
@@ -382,4 +389,69 @@ def benford_audit(
         F.round(ep, round_to).alias("expected_p"),
         F.round(chi2, round_to).alias("chi2"),
         F.round(mad, round_to).alias("mad"),
+    )
+
+
+def blocking_stats(
+    df: DataFrame,
+    block_cols,
+) -> DataFrame:
+    """Record-linkage blocking quality report — BEFORE running a
+    fuzzy/LSH join, answer "is this blocking key safe": block-size
+    distribution, exact candidate-pair count Σ c(c−1)/2, and the
+    reduction ratio vs the full cross product. The pre-flight
+    companion to fuzzyjoin/LSH the way join_size_estimate is to
+    joins: one aggregation instead of discovering a quadratic block
+    the hard way. Beyond-reference scope (grep 'blocking' over
+    /root/reference/src: zero hits); reduction ratio is the standard
+    blocking metric (e.g. Christen 2012, Data Matching).
+
+    Pinned semantics (oracle-replicated):
+    - rows with NULL in ANY block column are dropped (they never
+      enter a block — matches the fuzzy-join behavior of NULL keys);
+    - ONE output row: n_records, n_blocks, candidate_pairs =
+      Σ c(c−1)/2 (exact, within-block unordered pairs),
+      max_block/p50_block (exact INTERPOLATED median block size —
+      both engines' own percentile/quantile_cont),
+      reduction_ratio = 1 − pairs / (N(N−1)/2) rounded 6dp (NULL when
+      N < 2), pairs_per_record rounded 6dp;
+    - a reduction ratio ≪ 1 (or max_block² ≈ candidate_pairs) says
+      the key is too coarse: add a second column or length bucket.
+
+    Scale shape: ONE hash aggregation to (block → count) — bounded by
+    the blocking-key cardinality — then one 1-row reduce over the
+    block frame (the exact median uses a sort-based percentile over
+    BLOCK COUNTS, not records). Raw rows shuffle once."""
+    if isinstance(block_cols, str):
+        block_cols = [block_cols]
+    if not block_cols:
+        raise ValueError("blocking_stats needs at least one block column")
+    base = df
+    for c in block_cols:
+        base = base.where(F.col(c).isNotNull())
+    blocks = base.groupBy(*block_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    agg = blocks.agg(
+        F.sum("__c").cast("long").alias("n_records"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("__c") * (F.col("__c") - 1) / 2)
+        .cast("long")
+        .alias("candidate_pairs"),
+        F.max("__c").alias("max_block"),
+        F.expr("percentile(__c, 0.5)").alias("__p50"),
+    )
+    n = F.col("n_records").cast("double")
+    full = n * (n - 1) / 2.0
+    return agg.select(
+        "n_records",
+        "n_blocks",
+        "candidate_pairs",
+        "max_block",
+        F.col("__p50").alias("p50_block"),
+        F.round(
+            F.when(F.col("n_records") >= 2, 1.0 - F.col("candidate_pairs") / full),
+            6,
+        ).alias("reduction_ratio"),
+        F.round(F.col("candidate_pairs") / n, 6).alias("pairs_per_record"),
     )

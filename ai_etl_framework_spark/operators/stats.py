@@ -67,6 +67,7 @@ __all__ = [
     "chi_square",
     "spearman_matrix",
     "categorical_entropy",
+    "hhi",
 ]
 
 
@@ -459,4 +460,72 @@ def categorical_entropy(
             F.round(F.col("__top") / nd, 6).alias("top_share"),
             "top_value",
         )
+    )
+
+
+def hhi(
+    df: DataFrame,
+    group_col: str,
+    member_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Herfindahl–Hirschman concentration index — Σ share²
+    over each member's value share of its group (1/n = perfectly
+    even, 1 = one member is everything): the antitrust-style
+    concentration number that complements gini (dispersion shape) and
+    pareto_share (the cumulative table) with the single comparable
+    scalar plus its "effective member count" 1/HHI. Beyond-reference
+    scope (grep 'herfindahl\\|hhi' over /root/reference/src: zero
+    hits). HHI: Herfindahl 1950 / Hirschman 1945.
+
+    Pinned semantics (oracle-replicated):
+    - NULL group/member/value rows dropped; member totals are sums of
+      the remaining rows;
+    - shares divide by the group total: groups whose total is 0
+      (empty after filters can't happen; sign-cancelling sums can)
+      yield NULL hhi/effective_n/norm_hhi — intended for NONNEGATIVE
+      measures (revenue, counts), like pareto_share;
+    - norm_hhi = (HHI − 1/n)/(1 − 1/n), NULL when n = 1 (no scale);
+    - one row per group: (group, n_members, total, hhi, norm_hhi,
+      effective_n) — hhi/norm/effective_n rounded 6dp, total 2dp
+      (raw-magnitude sum, house rule).
+
+    Scale shape: ONE hash aggregation to (group, member) totals —
+    bounded by the member dimension, never raw rows — then one
+    group-level aggregation computing Σ m² and Σ m in the SAME pass
+    (HHI = Σ m²/(Σ m)² needs no per-member share projection). No
+    windows, no joins."""
+    members = (
+        df.where(
+            F.col(group_col).isNotNull()
+            & F.col(member_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(group_col).alias(group_col),
+            F.col(member_col).alias("__m"),
+        )
+        .agg(F.sum(value_col).alias("__t"))
+    )
+    agg = members.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("__t").alias("__tot"),
+        F.sum(F.col("__t") * F.col("__t")).alias("__sq"),
+    )
+    n = F.col("n_members").cast("double")
+    h = F.col("__sq") / (F.col("__tot") * F.col("__tot"))
+    ok = F.col("__tot") != 0
+    return agg.select(
+        group_col,
+        "n_members",
+        F.round("__tot", 2).alias("total"),
+        F.round(F.when(ok, h), 6).alias("hhi"),
+        F.round(
+            F.when(
+                ok & (F.col("n_members") > 1),
+                (h - 1.0 / n) / (1.0 - 1.0 / n),
+            ),
+            6,
+        ).alias("norm_hhi"),
+        F.round(F.when(ok, 1.0 / h), 6).alias("effective_n"),
     )

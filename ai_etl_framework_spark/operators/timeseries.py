@@ -64,8 +64,9 @@ sides):
   the boundary compares the ROUNDED score (the pareto_share lesson:
   raw float epsilon at the threshold flips flags across engines);
 - before/after/shift/score rounded 6dp. This is the two-sided
-  sliding-window mean-shift screen (CUSUM's windowed cousin — exact
-  CUSUM is a sequential recursion no engine parallelizes).
+  sliding-window mean-shift screen (CUSUM's windowed cousin; the
+  exact CUSUM recursion IS window-expressible via the
+  cum − running-min identity — see :func:`cusum_screen`).
 
 ``acf`` (long format, one row per (key?, lag)):
 - series = avg(value) per (key?, date_trunc(bucket_unit, ts)) — the
@@ -106,6 +107,7 @@ __all__ = [
     "acf",
     "period_growth",
     "interarrival_stats",
+    "cusum_screen",
 ]
 
 _TIEBREAK_MOD = 1_000_000
@@ -686,4 +688,92 @@ def interarrival_stats(
         ).alias("burstiness"),
         "min_gap_s",
         "max_gap_s",
+    )
+
+
+def cusum_screen(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: "str | None" = None,
+    bucket_unit: str = "day",
+    slack: float = 0.5,
+    threshold: float = 4.0,
+) -> DataFrame:
+    """CUSUM changepoint screen (Page 1954) — the sequential-detection
+    classic: standardized bucket means accumulate one-sided drift
+    sums S⁺/S⁻ that a persistent small shift pushes over ``threshold``
+    long before any single-window test fires. Complements
+    level_shifts (abrupt windowed step) with the SLOW-drift detector.
+    Beyond-reference scope (grep 'cusum' over /root/reference/src:
+    zero hits).
+
+    Spark-first rewrite of the recursion: S⁺_t = max(0, S⁺_{t−1} +
+    z_t − slack) is NOT window-expressible as written, but the
+    textbook identity S⁺_t = cum_t − min_{0≤j≤t} cum_j (cum = running
+    Σ(z − slack), cum₀ = 0; symmetric for S⁻ with max and z + slack)
+    turns it into ONE cumulative-sum window + ONE running-extreme
+    window over the same ordering — both engines replay it verbatim.
+
+    Pinned semantics (oracle-replicated):
+    - series = avg(value) per (key?, date_trunc(bucket_unit, ts));
+      NULL key/ts/value rows dropped;
+    - z standardizes against the key's WHOLE-series mean and sample
+      stddev (a retrospective screen, not an online monitor — the
+      online form feeds a reference mean from history);
+    - keys with zero/undefined series variance or a single bucket
+      emit NO rows (z undefined);
+    - s_plus/s_minus/z rounded 6dp; alarm_up = s_plus > threshold and
+      alarm_down = s_minus > threshold compare the ROUNDED statistic
+      (house rule);
+    - slack = the per-step allowance k in σ units (0.5 ≈ tuned for
+      1σ shifts); threshold = the decision interval h (4–5 classic).
+
+    Scale shape: ONE hash aggregation to the (key, bucket) frame,
+    then three windows over THAT frame sharing one (key × bucket)
+    ordering (stats, cumsum, running extremes) — dimension-sized,
+    never raw rows. Ungrouped series = one dimension-sized task
+    (documented, the level_shifts bound)."""
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    keys = [key_col] if key_col else []
+    if key_col:
+        base = base.where(F.col(key_col).isNotNull())
+    series = base.groupBy(
+        *keys, F.date_trunc(bucket_unit, F.col(ts_col)).alias("bucket")
+    ).agg(F.avg(value_col).alias("__x"))
+    part = (
+        Window.partitionBy(key_col) if key_col else Window.partitionBy()
+    )
+    ordered = part.orderBy(F.col("bucket").asc())
+    w_all = ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_run = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mu = F.avg("__x").over(w_all)
+    sd = F.stddev_samp("__x").over(w_all)
+    z = (F.col("__x") - mu) / sd
+    staged = series.withColumn("__z", F.when(sd > 0, z)).where(
+        F.col("__z").isNotNull()
+    )
+    cum_up = F.sum(F.col("__z") - F.lit(slack)).over(w_run)
+    cum_dn = F.sum(F.col("__z") + F.lit(slack)).over(w_run)
+    s_plus = cum_up - F.least(F.lit(0.0), F.min(cum_up).over(w_run))
+    s_minus = F.greatest(F.lit(0.0), F.max(cum_dn).over(w_run)) - cum_dn
+    out = staged.select(
+        *keys,
+        "bucket",
+        F.round("__z", 6).alias("z"),
+        F.round(s_plus, 6).alias("s_plus"),
+        F.round(s_minus, 6).alias("s_minus"),
+    )
+    return out.select(
+        *keys,
+        "bucket",
+        "z",
+        "s_plus",
+        "s_minus",
+        (F.col("s_plus") > threshold).alias("alarm_up"),
+        (F.col("s_minus") > threshold).alias("alarm_down"),
     )

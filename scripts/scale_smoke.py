@@ -235,6 +235,44 @@ QUERIES = [
     # the generator, not the operator (real pipelines train the
     # tokenizer on a bounded sample; the max_vocab_rows cap enforces
     # exactly that, same argument as x13's kmeans exclusion).
+    #
+    # r10 batch 4 (x77–x86): survival = one subject agg + curve-frame
+    # windows; Markov = one lead window + states² agg; χ² = one
+    # contingency agg; Benford = projection + 9-bucket agg; EWMA /
+    # level shifts / ACF / rolling-active all run their windows over
+    # bucket/day frames (constant-span generator ⇒ frame ~constant,
+    # agg side linear); gap interpolation = the resample-grid shape;
+    # KS = per-value aggs over a range-bounded 2dp value frame.
+    "x77_survival_km",
+    "x78_markov_transitions",
+    "x79_chi_square",
+    "x80_benford",
+    "x81_ewma",
+    "x82_gap_interpolation",
+    "x83_level_shifts",
+    "x84_ks_drift",
+    "x85_acf",
+    "x86_rolling_active",
+    # r10 batch 5 (x87–x95): spearman/MW/weighted-pct/binned-quantile
+    # all collapse to range-bounded value-count or bin frames first
+    # (windows run over THOSE); cat entropy = |groups|·|levels| cells;
+    # rfm = one customer agg + ntile over the 10× customer frame;
+    # growth/LTV run windows over bucket / cohort×offset matrices;
+    # interarrival = one lag window per event type + one agg.
+    "x87_spearman",
+    "x88_mann_whitney",
+    "x89_cat_entropy",
+    "x90_rfm",
+    "x91_weighted_pct",
+    "x92_period_growth",
+    "x93_cohort_ltv",
+    "x94_interarrival",
+    "x95_binned_quantiles",
+    # r10 batch 6: cusum = bucket-frame windows; hhi/blocking = two
+    # key-collapsing aggs + a 1-row reduce — all linear
+    "x96_cusum",
+    "x97_hhi",
+    "x98_blocking_stats",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split
