@@ -7846,6 +7846,53 @@ FROM a
 """
 
 
+def st08_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM drift monitor (pipeline/monitor.py
+    IncrementalCusumMonitor): two mtime-ordered event files through
+    readStream → foreachBatch [per-(key, bucket) value SUMS + COUNTS
+    merge additively into the persisted moment store — the bucket
+    mean re-derives as sum/n exactly] → cusum_from_series, the same
+    code path as the batch operator, so the row carries x96's REAL
+    hash oracle."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ai_etl_framework_spark.pipeline.monitor import (
+        IncrementalCusumMonitor,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="st08_")
+    try:
+        bronze = os.path.join(root, "bronze")
+        os.makedirs(bronze)
+        for i in (0, 1):
+            stage = os.path.join(root, f"stage{i}")
+            ev.where(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            src = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(bronze, f"feed_{i}.parquet")
+            shutil.move(os.path.join(stage, src), dst)
+            os.utime(dst, (_time.time() + i, _time.time() + i))
+        mon = IncrementalCusumMonitor(
+            spark, root, value_col="value", key_col="event_type",
+            ts_col="ts", bucket_unit="day", slack=0.5, threshold=4.0,
+        )
+        mon.run_stream(
+            bronze, os.path.join(root, "ckpt"), schema=ev.schema,
+            max_files_per_trigger=1,
+        )
+        out = mon.screen()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8061,6 +8108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x96_cusum": x96_cusum,
         "x97_hhi": x97_hhi,
         "x98_blocking_stats": x98_blocking_stats,
+        "st08_cusum_monitor": st08_cusum_monitor,
         "st06_active_users": st06_active_users,
     }
 
@@ -8221,6 +8269,7 @@ def oracle_sql() -> dict[str, str]:
         "x96_cusum": _X96_SQL,
         "x97_hhi": _X97_SQL,
         "x98_blocking_stats": _X98_SQL,
+        "st08_cusum_monitor": _X96_SQL,
         "st06_active_users": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based

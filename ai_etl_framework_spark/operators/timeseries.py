@@ -108,6 +108,7 @@ __all__ = [
     "period_growth",
     "interarrival_stats",
     "cusum_screen",
+    "cusum_from_series",
 ]
 
 _TIEBREAK_MOD = 1_000_000
@@ -743,9 +744,20 @@ def cusum_screen(
     series = base.groupBy(
         *keys, F.date_trunc(bucket_unit, F.col(ts_col)).alias("bucket")
     ).agg(F.avg(value_col).alias("__x"))
-    part = (
-        Window.partitionBy(key_col) if key_col else Window.partitionBy()
-    )
+    return cusum_from_series(series, keys, slack=slack, threshold=threshold)
+
+
+def cusum_from_series(
+    series: DataFrame,
+    keys,
+    slack: float = 0.5,
+    threshold: float = 4.0,
+) -> DataFrame:
+    """CUSUM windows over a prepared (keys…, bucket, __x) series frame
+    — the shared core behind :func:`cusum_screen` and the streaming
+    ``IncrementalCusumMonitor`` (the quantiles_from_bins seam
+    pattern). See cusum_screen's pins."""
+    part = Window.partitionBy(*keys) if keys else Window.partitionBy()
     ordered = part.orderBy(F.col("bucket").asc())
     w_all = ordered.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

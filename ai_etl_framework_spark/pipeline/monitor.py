@@ -36,6 +36,7 @@ __all__ = [
     "IncrementalOhlcStore",
     "IncrementalActiveUsers",
     "IncrementalQuantiles",
+    "IncrementalCusumMonitor",
 ]
 
 
@@ -488,6 +489,130 @@ class IncrementalQuantiles:
             q.stop()
             raise TimeoutError(
                 f"quantile service stream did not finish in {timeout_sec}s"
+            )
+
+    def run_batches(self, batches) -> None:
+        for i, b in enumerate(batches):
+            self.process_batch(b, i)
+
+
+class IncrementalCusumMonitor:
+    """Streaming CUSUM drift monitor — the incremental twin of
+    operators/timeseries.cusum_screen: each micro-batch folds its
+    per-(key, bucket) value SUMS and COUNTS into a persisted store
+    (both additive ⇒ the bucket MEAN sum/n re-derives exactly), and
+    ``screen()`` runs cusum_from_series over the store's mean series —
+    the same code path as the batch operator, so the st08 registry
+    row carries x96's REAL hash oracle. Boundary-independent like
+    st04/st05/st07; additive sums do NOT absorb at-least-once replays
+    (same caveat).
+
+    Scale shape per batch: one batch-sized hash aggregation + one
+    store-sized merge; the store is (keys × observed buckets) — the
+    burst monitor's bound."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        value_col: str = "value",
+        key_col: str = "event_type",
+        ts_col: str = "ts",
+        bucket_unit: str = "day",
+        slack: float = 0.5,
+        threshold: float = 4.0,
+    ) -> None:
+        if bucket_unit not in ("minute", "hour", "day", "week", "month"):
+            raise ValueError(f"unsupported bucket_unit {bucket_unit!r}")
+        self.spark = spark
+        self.root = root
+        self.value_col = value_col
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.bucket_unit = bucket_unit
+        self.slack = slack
+        self.threshold = threshold
+        self.store_dir = os.path.join(root, "bucket_moments")
+
+    def _store(self) -> Optional[DataFrame]:
+        if not os.path.isdir(self.store_dir):
+            return None
+        return self.spark.read.parquet(self.store_dir)
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        moments = (
+            batch.where(
+                F.col(self.key_col).isNotNull()
+                & F.col(self.ts_col).isNotNull()
+                & F.col(self.value_col).isNotNull()
+            )
+            .groupBy(
+                F.col(self.key_col),
+                F.date_trunc(self.bucket_unit, F.col(self.ts_col)).alias(
+                    "bucket"
+                ),
+            )
+            .agg(
+                F.sum(self.value_col).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+        store = self._store()
+        merged = (
+            moments if store is None else store.unionByName(moments)
+        ).groupBy(self.key_col, "bucket").agg(
+            F.sum("s").alias("s"), F.sum("n").cast("long").alias("n")
+        )
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(self.store_dir)
+
+    def screen(self) -> DataFrame:
+        """CUSUM table over the CURRENT store — identical to batch
+        cusum_screen over every event the monitor has seen, up to the
+        float note below: the store mean is sum/n over MERGED partial
+        sums, associativity-equal to the batch mean (documented; the
+        6dp rounding absorbs the last-ulp difference in practice and
+        the stream==batch equality test pins it)."""
+        from ai_etl_framework_spark.operators.timeseries import (
+            cusum_from_series,
+        )
+
+        store = self._store()
+        if store is None:
+            raise ValueError("no events processed yet: store is empty")
+        series = store.select(
+            self.key_col,
+            "bucket",
+            (F.col("s") / F.col("n")).alias("__x"),
+        )
+        return cusum_from_series(
+            series, [self.key_col], slack=self.slack,
+            threshold=self.threshold,
+        )
+
+    def run_stream(
+        self,
+        bronze_dir: str,
+        checkpoint_dir: str,
+        schema,
+        max_files_per_trigger: int = 1,
+        timeout_sec: int = 300,
+    ) -> None:
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(bronze_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"cusum monitor stream did not finish in {timeout_sec}s"
             )
 
     def run_batches(self, batches) -> None:

@@ -159,3 +159,47 @@ def test_empty_store_raises(spark, tmp_path):
         svc.quantiles()
     with pytest.raises(ValueError, match="width"):
         IncrementalQuantiles(spark, str(tmp_path / "w"), width=-1.0)
+
+
+# ---------------------------------------------------------------------------
+# IncrementalCusumMonitor (st08)
+# ---------------------------------------------------------------------------
+
+def _cusum_events(spark):
+    import datetime as dt
+
+    rows = []
+    for d in range(30):
+        for j in range(4):
+            v = 10.0 + (d % 3) + (5.0 if d >= 20 else 0.0) + j * 0.5
+            rows.append(
+                (d * 10 + j, "k", dt.datetime(2024, 1, 1 + d, j), v)
+            )
+    return spark.createDataFrame(
+        rows, "event_id long, k string, t timestamp, v double"
+    )
+
+
+@pytest.mark.parametrize("split", [1, 2, 3])
+def test_cusum_monitor_boundary_independent(spark, tmp_path, split):
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.operators.timeseries import cusum_screen
+    from ai_etl_framework_spark.pipeline.monitor import (
+        IncrementalCusumMonitor,
+    )
+
+    ev = _cusum_events(spark)
+    mon = IncrementalCusumMonitor(
+        spark, str(tmp_path / f"c{split}"), value_col="v", key_col="k",
+        ts_col="t", bucket_unit="day",
+    )
+    mon.run_batches(
+        [ev.where(F.col("event_id") % split == i) for i in range(split)]
+    )
+    expected = cusum_screen(ev, "v", "t", key_col="k", bucket_unit="day")
+    got = sorted(map(tuple, mon.screen().collect()))
+    want = sorted(map(tuple, expected.collect()))
+    assert got == want
+    # the +5 level shift at day 21 must alarm
+    assert any(r[-2] for r in got)
