@@ -7893,6 +7893,75 @@ def st08_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def x99_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q–Q decile drift table (operators/drift.py qq_drift): exact
+    type-1 deciles of both month halves side by side (x84's split,
+    2dp quantize) — per-value aggs + one cumulative window per side
+    over the distinct-value frame, q fan-out over THAT frame only."""
+    from ai_etl_framework_spark.operators.drift import qq_drift
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", F.round("value", 2).alias("v")
+    )
+    cut = "2024-01-16"
+    base = ev.where(F.col("ts") < F.lit(cut).cast("timestamp"))
+    cur = ev.where(F.col("ts") >= F.lit(cut).cast("timestamp"))
+    return qq_drift(base, cur, "v")
+
+
+_X99_SQL = """
+WITH u AS (SELECT 'base' AS s, round(value, 2) AS v FROM events
+           WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16'
+           UNION ALL
+           SELECT 'cur', round(value, 2) FROM events
+           WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'),
+cells AS (SELECT s, v, count(*)::BIGINT AS c FROM u GROUP BY 1, 2),
+cum AS (SELECT s, v,
+               sum(c) OVER (PARTITION BY s ORDER BY v ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(c) OVER (PARTITION BY s) AS n
+        FROM cells),
+qs AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+                      0.6, 0.7, 0.8, 0.9])::DOUBLE AS q),
+picked AS (SELECT s, q, max(n)::BIGINT AS n, min(v) AS v
+           FROM cum CROSS JOIN qs
+           WHERE cw::DOUBLE >= q * n::DOUBLE
+           GROUP BY s, q)
+SELECT q,
+       max(CASE WHEN s = 'base' THEN n END) AS n_base,
+       max(CASE WHEN s = 'cur' THEN n END) AS n_cur,
+       max(CASE WHEN s = 'base' THEN v END) AS base_value,
+       max(CASE WHEN s = 'cur' THEN v END) AS cur_value,
+       round(max(CASE WHEN s = 'cur' THEN v END)
+             - max(CASE WHEN s = 'base' THEN v END), 6) AS diff
+FROM picked GROUP BY q
+"""
+
+
+def x100_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (ml/pca.py): one mapInPandas Gram/moment pass
+    (only (#batches × (d²+d+1)) doubles reach the driver), d×d
+    eigendecomposition driver-side, Arrow-batched projection. ROWS-
+    ONLY row: eigenvectors have no SQL twin (no engine ships an
+    eigensolver) and cross-partition float reduction order moves the
+    last ulps — the numpy differential suite in tests/test_pca.py is
+    the correctness evidence (projection equality, variance ratios,
+    reconstruction ordering)."""
+    from ai_etl_framework_spark.ml.pca import pca_fit, pca_transform
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=4)
+    out = pca_transform(emb, "embedding", model)
+    return out.select(
+        "vec_id",
+        "label",
+        F.round(F.col("pc")[0], 4).alias("pc1"),
+        F.round(F.col("pc")[1], 4).alias("pc2"),
+        F.round(F.col("pc")[2], 4).alias("pc3"),
+        F.round(F.col("pc")[3], 4).alias("pc4"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8109,6 +8178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x97_hhi": x97_hhi,
         "x98_blocking_stats": x98_blocking_stats,
         "st08_cusum_monitor": st08_cusum_monitor,
+        "x99_qq_drift": x99_qq_drift,
+        "x100_pca": x100_pca,
         "st06_active_users": st06_active_users,
     }
 
@@ -8270,6 +8341,9 @@ def oracle_sql() -> dict[str, str]:
         "x97_hhi": _X97_SQL,
         "x98_blocking_stats": _X98_SQL,
         "st08_cusum_monitor": _X96_SQL,
+        "x99_qq_drift": _X99_SQL,
+        # x100_pca: rows-only by design (no SQL eigensolver) —
+        # tests/test_pca.py carries the numpy differential evidence
         "st06_active_users": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based

@@ -56,7 +56,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["psi_drift", "profile_drift", "ks_drift"]
+__all__ = ["psi_drift", "profile_drift", "ks_drift", "qq_drift"]
 
 
 def psi_drift(
@@ -289,4 +289,102 @@ def ks_drift(
         "n_cur",
         F.round(d, round_to).alias("ks_d"),
         F.round(p, round_to).alias("p_approx"),
+    )
+
+
+def qq_drift(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    qs: Sequence[float] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    max_distinct: "int | None" = 5_000_000,
+) -> DataFrame:
+    """Quantile–quantile drift table — the two samples' exact type-1
+    quantiles side by side, one row per q: WHERE the distribution
+    moved and by how much, where KS gives one distance and PSI one
+    score. The operational readout behind a Q–Q plot.
+    Beyond-reference scope (same module argument as ks_drift).
+
+    Pinned semantics (oracle-replicated):
+    - NULL values dropped per side;
+    - quantile(q) = the smallest value whose side's cumulative count
+      reaches ⌈q·n⌉-equivalent mass (the exact type-1 / inverse-ECDF
+      quantile: min{v : cum(v) ≥ q·n} — weighted_percentiles with
+      unit weights, so the value returned is always an OBSERVED
+      value, never interpolated);
+    - one row per q: (q, n_base, n_cur, base_value, cur_value,
+      diff) — diff = cur − base rounded 6dp, values raw (they are
+      inputs, not arithmetic); rows with an EMPTY side yield NULL for
+      that side's value and NULL diff.
+
+    Scale shape: ONE per-value hash aggregation per side (map-side
+    partials eat the corpus), one cumulative window per side over the
+    DISTINCT-VALUE frame (capped fail-loud at ``max_distinct`` —
+    quantize first, the ks_drift advice), one q-fan-out over that
+    frame and a 9-row pivot reduce. Raw rows shuffle once per side."""
+    from pyspark.sql import Window
+
+    for q in qs:
+        if not 0 < q <= 1:
+            raise ValueError(f"quantile q must be in (0, 1], got {q}")
+    sides = []
+    for name, df in (("base", base), ("cur", current)):
+        sides.append(
+            df.where(F.col(value_col).isNotNull()).select(
+                F.lit(name).alias("__s"), F.col(value_col).alias("__v")
+            )
+        )
+    cells = (
+        sides[0].unionByName(sides[1])
+        .groupBy("__s", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    if max_distinct is not None:
+        n_distinct = cells.select("__v").distinct().count()
+        if n_distinct > max_distinct:
+            raise ValueError(
+                f"qq_drift: {n_distinct} distinct values (> max_distinct="
+                f"{max_distinct}); quantize first (e.g. F.round(value, 2))"
+                " or raise max_distinct."
+            )
+    w_cum = (
+        Window.partitionBy("__s")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("__s")
+    cum = cells.select(
+        "__s",
+        "__v",
+        F.sum("__c").over(w_cum).alias("__cw"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    qdf = cum.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    )
+    picked = (
+        qdf.where(
+            F.col("__cw").cast("double")
+            >= F.col("q") * F.col("__n").cast("double")
+        )
+        .groupBy("__s", "q")
+        .agg(
+            F.max("__n").cast("long").alias("n"),
+            F.min("__v").alias("v"),
+        )
+    )
+    is_b = F.col("__s") == "base"
+    out = picked.groupBy("q").agg(
+        F.max(F.when(is_b, F.col("n"))).alias("n_base"),
+        F.max(F.when(~is_b, F.col("n"))).alias("n_cur"),
+        F.max(F.when(is_b, F.col("v"))).alias("base_value"),
+        F.max(F.when(~is_b, F.col("v"))).alias("cur_value"),
+    )
+    return out.select(
+        "q",
+        "n_base",
+        "n_cur",
+        "base_value",
+        "cur_value",
+        F.round(F.col("cur_value") - F.col("base_value"), 6).alias("diff"),
     )

@@ -273,6 +273,11 @@ QUERIES = [
     "x96_cusum",
     "x97_hhi",
     "x98_blocking_stats",
+    # qq = the KS shape (per-value aggs + distinct-value windows).
+    # x100 (PCA) is deliberately NOT smoked: the generator replicates
+    # embeddings unchanged, so the moment pass just re-adds identical
+    # Grams — the ratio would measure parquet scan, not the operator.
+    "x99_qq_drift",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split
