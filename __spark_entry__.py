@@ -7962,6 +7962,94 @@ def x100_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x101_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / decile-lift table (operators/evaluation.py
+    calibration_table): a toy propensity (value/500, clamped by the
+    operator) against the purchase label — fixed-width [0,1) bins in
+    ONE hash aggregation + a broadcast base-rate join."""
+    from ai_etl_framework_spark.operators.evaluation import (
+        calibration_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    scored = ev.select(
+        (F.col("value") / 500.0).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return calibration_table(scored, "score", "label", n_bins=10)
+
+
+_X101_SQL = """
+WITH base AS (SELECT least(greatest(value / 500.0, 0.0), 1.0) AS s,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
+b AS (SELECT least(floor(s * 10), 9)::BIGINT AS bin, s, y FROM base),
+pb AS (SELECT bin, count(*)::BIGINT AS n, avg(s) AS a,
+              avg(y::DOUBLE) AS r
+       FROM b GROUP BY bin),
+t AS (SELECT avg(y::DOUBLE) AS base_rate FROM b)
+SELECT bin, round(bin / 10.0, 6) AS lo,
+       round((bin + 1) / 10.0, 6) AS hi, n,
+       round(a, 6) AS avg_score, round(r, 6) AS actual_rate,
+       round(CASE WHEN base_rate > 0 THEN r / base_rate END, 6) AS lift,
+       round(abs(a - r), 6) AS abs_gap
+FROM pb CROSS JOIN t
+"""
+
+
+def x102_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free classifier scalars (operators/evaluation.py
+    classifier_metrics): exact AUC via the rank-sum identity over the
+    SCORE-COUNT frame (the mann_whitney machinery — ties counted
+    half), Brier and log loss riding the same single corpus scan;
+    score quantized to 4dp (range-bounded distinct frame)."""
+    from ai_etl_framework_spark.operators.evaluation import (
+        classifier_metrics,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    scored = ev.select(
+        F.round(F.col("value") / 500.0, 4).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return classifier_metrics(scored, "score", "label")
+
+
+_X102_SQL = """
+WITH base AS (SELECT round(value / 500.0, 4) AS s,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
+vc AS (SELECT s,
+              sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::DOUBLE AS cp,
+              sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::DOUBLE AS cn
+       FROM base GROUP BY s),
+rk AS (SELECT s, cp, cn,
+              sum(cp + cn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW)
+                - (cp + cn) + (cp + cn + 1) / 2.0 AS r,
+              least(greatest(s, 1e-15), 1.0 - 1e-15) AS pc
+       FROM vc),
+agg AS (SELECT sum(cp) AS np, sum(cn) AS nn, sum(cp * r) AS rp,
+               sum(cp * (s - 1.0) * (s - 1.0) + cn * s * s) AS br,
+               sum(-(cp * ln(pc) + cn * ln(1.0 - pc))) AS ll
+        FROM rk)
+SELECT np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+       round(CASE WHEN np > 0 AND nn > 0 THEN
+         (rp - np * (np + 1.0) / 2.0) / (np * nn) END, 6) AS auc,
+       round(br / (np + nn), 6) AS brier,
+       round(ll / (np + nn), 6) AS log_loss
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8180,6 +8268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st08_cusum_monitor": st08_cusum_monitor,
         "x99_qq_drift": x99_qq_drift,
         "x100_pca": x100_pca,
+        "x101_calibration": x101_calibration,
+        "x102_classifier_metrics": x102_classifier_metrics,
         "st06_active_users": st06_active_users,
     }
 
@@ -8344,6 +8434,8 @@ def oracle_sql() -> dict[str, str]:
         "x99_qq_drift": _X99_SQL,
         # x100_pca: rows-only by design (no SQL eigensolver) —
         # tests/test_pca.py carries the numpy differential evidence
+        "x101_calibration": _X101_SQL,
+        "x102_classifier_metrics": _X102_SQL,
         "st06_active_users": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based

@@ -46,6 +46,8 @@ __all__ = [
     "regression_report",
     "ndcg_at_k",
     "mrr_at_k",
+    "calibration_table",
+    "classifier_metrics",
 ]
 
 
@@ -232,4 +234,180 @@ def mrr_at_k(
             F.coalesce(F.lit(1.0) / first_rel, F.lit(0.0)), 6
         ).alias("rr"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+def calibration_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Classifier calibration / decile-lift table — scores binned to
+    fixed-width [0, 1) bins, each with its predicted-vs-actual rate
+    and lift over the base rate: the "is 0.9 actually 90%?" readout
+    (reliability diagram as a table) plus the campaign-targeting lift
+    view. The per-bin |avg_score − actual_rate| column is the ECE
+    contribution (weight by n/total downstream for the scalar).
+    Completes the evaluation family: classification_report grades
+    LABELS, this grades PROBABILITIES.
+
+    Pinned semantics (oracle-replicated):
+    - rows with NULL score/label dropped; labels must be 0/1 (cast to
+      int, anything else fails the pinned domain check); scores are
+      CLAMPED to [0, 1] before binning (pinned — out-of-range scores
+      are a caller bug worth seeing at the edge bins, not dropping);
+    - bin = least(floor(score·n_bins), n_bins−1) — the 1.0 score
+      joins the top bin; bin edges lo = bin/n_bins, hi = (bin+1)/n_bins;
+    - per observed bin: (bin, lo, hi, n, avg_score, actual_rate,
+      lift, abs_gap) 6dp; lift = actual_rate/base_rate, NULL when the
+      base rate is 0.
+
+    Scale shape: ONE hash aggregation to ≤ n_bins rows + a broadcast
+    1-row base-rate join. No windows."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s = F.col(score_col)
+    lab = F.col(label_col).cast("int")
+    base = df.where(s.isNotNull() & lab.isNotNull()).select(
+        F.least(
+            F.greatest(s.cast("double"), F.lit(0.0)), F.lit(1.0)
+        ).alias("__s"),
+        lab.alias("__y"),
+    )
+    chk = base.where((F.col("__y") != 0) & (F.col("__y") != 1))
+    if chk.limit(1).count() > 0:
+        raise ValueError(
+            f"calibration_table: {label_col} must be binary 0/1"
+        )
+    binned = base.select(
+        F.least(
+            F.floor(F.col("__s") * n_bins).cast("long"),
+            F.lit(n_bins - 1).cast("long"),
+        ).alias("bin"),
+        "__s",
+        "__y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__s").alias("__as"),
+        F.avg(F.col("__y").cast("double")).alias("__ar"),
+    )
+    tot = binned.agg(
+        F.avg(F.col("__y").cast("double")).alias("__base")
+    )
+    nb = float(n_bins)
+    return per_bin.join(F.broadcast(tot)).select(
+        "bin",
+        F.round(F.col("bin") / nb, 6).alias("lo"),
+        F.round((F.col("bin") + 1) / nb, 6).alias("hi"),
+        "n",
+        F.round("__as", 6).alias("avg_score"),
+        F.round("__ar", 6).alias("actual_rate"),
+        F.round(
+            F.when(F.col("__base") > 0, F.col("__ar") / F.col("__base")),
+            6,
+        ).alias("lift"),
+        F.round(F.abs(F.col("__as") - F.col("__ar")), 6).alias("abs_gap"),
+    )
+
+
+def classifier_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_distinct: int = 200_000,
+    eps: float = 1e-15,
+) -> DataFrame:
+    """Threshold-free binary-classifier scalars in ONE row: exact AUC,
+    Brier score, log loss. AUC uses the rank-sum identity AUC =
+    (R₁ − n₁(n₁+1)/2)/(n₁n₀) with AVERAGE ranks over the pooled
+    scores (ties counted half — the exact trapezoidal ROC area), so
+    it rides the same distinct-value machinery as mann_whitney: the
+    rank map is a window over the SCORE-COUNT frame, never the
+    corpus. Brier/log loss are plain aggregations; log loss clamps
+    p into [eps, 1−eps] (pinned, the sklearn convention).
+
+    Pinned semantics (oracle-replicated):
+    - NULL score/label dropped; labels 0/1 (fail-loud domain check);
+      scores are used RAW everywhere except the log arguments — AUC
+      is rank-based (any real score works) and Brier on an
+      out-of-[0,1] score should look broken, not be silently masked;
+    - one row: (n_pos, n_neg, auc, brier, log_loss) 6dp; auc NULL
+      when either class is empty.
+
+    Scale shape: one pooled (score → pos/neg counts) hash
+    aggregation (≤ ``max_distinct``, fail-loud — quantize first),
+    one cumulative window over that frame, one 1-row reduce; Brier/
+    log-loss ride the SAME first aggregation (per-score terms ×
+    counts), so the corpus is scanned exactly once."""
+    from pyspark.sql import Window
+
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    base = df.where(s.isNotNull() & lab.isNotNull()).select(
+        s.alias("__s"), lab.alias("__y")
+    )
+    chk = base.where((F.col("__y") != 0) & (F.col("__y") != 1))
+    if chk.limit(1).count() > 0:
+        raise ValueError(
+            f"classifier_metrics: {label_col} must be binary 0/1"
+        )
+    vc = base.groupBy("__s").agg(
+        F.sum(F.when(F.col("__y") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("__cp"),
+        F.sum(F.when(F.col("__y") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("__cn"),
+    )
+    n_distinct = vc.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"classifier_metrics: {n_distinct} distinct scores (> "
+            f"max_distinct={max_distinct}); quantize first (e.g. "
+            "F.round(score, 4)) or raise max_distinct."
+        )
+    w = Window.orderBy(F.col("__s").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t_all = F.col("__cp") + F.col("__cn")
+    p_clip = F.least(
+        F.greatest(F.col("__s"), F.lit(eps)), F.lit(1.0 - eps)
+    )
+    ranked = vc.select(
+        "__s",
+        "__cp",
+        "__cn",
+        (
+            F.sum(t_all).over(w) - t_all + (t_all + F.lit(1)) / F.lit(2.0)
+        ).alias("__r"),
+        p_clip.alias("__pc"),
+    )
+    y1 = F.col("__cp")
+    y0 = F.col("__cn")
+    agg = ranked.agg(
+        F.sum(y1).alias("np"),
+        F.sum(y0).alias("nn"),
+        F.sum(y1 * F.col("__r")).alias("rp"),
+        F.sum(
+            y1 * (F.col("__s") - 1.0) * (F.col("__s") - 1.0)
+            + y0 * F.col("__s") * F.col("__s")
+        ).alias("br"),
+        F.sum(
+            -(y1 * F.log(F.col("__pc"))
+              + y0 * F.log(F.lit(1.0) - F.col("__pc")))
+        ).alias("ll"),
+    )
+    np_, nn_ = F.col("np"), F.col("nn")
+    auc = (F.col("rp") - np_ * (np_ + F.lit(1.0)) / F.lit(2.0)) / (
+        np_ * nn_
+    )
+    n = np_ + nn_
+    return agg.select(
+        np_.cast("long").alias("n_pos"),
+        nn_.cast("long").alias("n_neg"),
+        F.round(F.when((np_ > 0) & (nn_ > 0), auc), 6).alias("auc"),
+        F.round(F.col("br") / n, 6).alias("brier"),
+        F.round(F.col("ll") / n, 6).alias("log_loss"),
     )

@@ -278,6 +278,10 @@ QUERIES = [
     # embeddings unchanged, so the moment pass just re-adds identical
     # Grams — the ratio would measure parquet scan, not the operator.
     "x99_qq_drift",
+    # calibration = one <=n_bins agg; classifier metrics = the
+    # mann-whitney shape (score-count frame + one window + 1-row agg)
+    "x101_calibration",
+    "x102_classifier_metrics",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split
