@@ -8050,6 +8050,90 @@ FROM agg
 """
 
 
+def x103_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoM revenue bridge (operators/retention.py revenue_bridge):
+    new/expansion/contraction/churn waterfall over (customer, month)
+    cells — one lag/lead window per customer over the cell frame, a
+    cell-sized union, one month agg. The new+exp+con+churn =
+    Δ(total revenue) invariant is pinned in tests."""
+    from ai_etl_framework_spark.operators.retention import revenue_bridge
+
+    orders = load_table(spark, sf_dir, "orders")
+    return revenue_bridge(
+        orders, "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
+_X103_SQL = """
+WITH base AS (SELECT o_custkey AS u,
+                     date_trunc('month', o_orderdate)::DATE AS m,
+                     o_totalprice AS a
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                AND o_totalprice IS NOT NULL),
+cells AS (SELECT u, m, sum(a) AS r FROM base GROUP BY u, m),
+mx AS (SELECT max(m) AS mm FROM cells),
+st AS (SELECT u, m, r,
+              lag(r) OVER w AS pr,
+              lag(m) OVER w AS pm,
+              lead(m) OVER w AS nm
+       FROM cells WINDOW w AS (PARTITION BY u ORDER BY m)),
+comp AS (SELECT m AS month,
+                CASE WHEN pm IS NULL
+                       OR date_diff('month', pm, m) <> 1
+                     THEN r ELSE 0.0 END AS nw,
+                CASE WHEN pm IS NOT NULL
+                       AND date_diff('month', pm, m) = 1 AND r > pr
+                     THEN r - pr ELSE 0.0 END AS ex,
+                CASE WHEN pm IS NOT NULL
+                       AND date_diff('month', pm, m) = 1 AND r < pr
+                     THEN r - pr ELSE 0.0 END AS co,
+                0.0 AS ch
+         FROM st
+         UNION ALL
+         SELECT (m + INTERVAL 1 MONTH)::DATE, 0.0, 0.0, 0.0, -r
+         FROM st, mx
+         WHERE (nm IS NULL OR date_diff('month', m, nm) > 1)
+           AND (m + INTERVAL 1 MONTH)::DATE <= mm)
+SELECT month, round(sum(nw), 2) AS new_rev,
+       round(sum(ex), 2) AS expansion_rev,
+       round(sum(co), 2) AS contraction_rev,
+       round(sum(ch), 2) AS churn_rev,
+       round(sum(nw + ex + co + ch), 2) AS net_change
+FROM comp GROUP BY month
+"""
+
+
+def x104_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness (operators/activity.py stickiness): two
+    sweep-line rolling-active passes over ONE persisted distinct
+    (user, day) frame + a day-spine join; the oracle runs BOTH naive
+    per-day COUNT DISTINCT definitions."""
+    from ai_etl_framework_spark.operators.activity import stickiness
+
+    ev = load_table(spark, sf_dir, "events")
+    return stickiness(ev, "user_id", "ts", short_days=1, long_days=7)
+
+
+_X104_SQL = """
+WITH days AS (SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM days),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+            AS day
+          FROM bounds),
+s AS (SELECT day, count(DISTINCT u)::BIGINT AS c
+      FROM spine LEFT JOIN days ON d = day GROUP BY day),
+l AS (SELECT day, count(DISTINCT u)::BIGINT AS c
+      FROM spine LEFT JOIN days ON d >= day - 6 AND d <= day
+      GROUP BY day)
+SELECT s.day AS day, s.c AS active_short, l.c AS active_long,
+       round(CASE WHEN l.c > 0 THEN s.c / l.c::DOUBLE END, 6)
+         AS stickiness
+FROM s JOIN l ON s.day = l.day
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8270,6 +8354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x100_pca": x100_pca,
         "x101_calibration": x101_calibration,
         "x102_classifier_metrics": x102_classifier_metrics,
+        "x103_revenue_bridge": x103_revenue_bridge,
+        "x104_stickiness": x104_stickiness,
         "st06_active_users": st06_active_users,
     }
 
@@ -8436,6 +8522,8 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_pca.py carries the numpy differential evidence
         "x101_calibration": _X101_SQL,
         "x102_classifier_metrics": _X102_SQL,
+        "x103_revenue_bridge": _X103_SQL,
+        "x104_stickiness": _X104_SQL,
         "st06_active_users": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based

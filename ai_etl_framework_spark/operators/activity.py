@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["rolling_active_users", "rolling_active_from_days"]
+__all__ = ["rolling_active_users", "rolling_active_from_days", "stickiness"]
 
 
 def rolling_active_users(
@@ -126,3 +126,66 @@ def rolling_active_from_days(
             .alias("active_users"),
         )
     )
+
+
+def stickiness(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    short_days: int = 1,
+    long_days: int = 7,
+) -> DataFrame:
+    """Stickiness curve — short-window actives / long-window actives
+    per day (classically DAU/MAU; DAU/WAU here by default to fit a
+    month of data): the "how much of my audience shows up daily"
+    ratio product teams track. Two sweep-line rolling-active passes
+    over the SAME distinct (user, day) frame + one day-spine join.
+
+    Pinned semantics (oracle-replicated — both counts verified
+    against the naive per-day COUNT DISTINCT definition):
+    - active_short(d) / active_long(d) exactly as
+      rolling_active_users with window short_days / long_days;
+    - one row per day of the observed span: (day, active_short,
+      active_long, stickiness) with stickiness = short/long rounded
+      6dp, NULL when the long count is 0 (empty span days);
+    - short_days must be < long_days (fail loud).
+
+    Scale shape: the distinct (user, day) aggregation runs ONCE
+    (persisted across both passes); everything after is day-spine-
+    sized (the rolling_active_from_days shape twice + one spine
+    join)."""
+    if short_days >= long_days:
+        raise ValueError(
+            f"short_days ({short_days}) must be < long_days ({long_days})"
+        )
+    days = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("u"), F.to_date(ts_col).alias("d"))
+        .distinct()
+        .persist()
+    )
+    try:
+        s = rolling_active_from_days(days, short_days).select(
+            "day", F.col("active_users").alias("active_short")
+        )
+        lo = rolling_active_from_days(days, long_days).select(
+            "day", F.col("active_users").alias("active_long")
+        )
+        out = s.join(lo, "day").select(
+            "day",
+            "active_short",
+            "active_long",
+            F.round(
+                F.when(
+                    F.col("active_long") > 0,
+                    F.col("active_short")
+                    / F.col("active_long").cast("double"),
+                ),
+                6,
+            ).alias("stickiness"),
+        )
+        # materialize before unpersist so both passes read the cache
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        days.unpersist()

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["cohort_retention", "cohort_ltv"]
+__all__ = ["cohort_retention", "cohort_ltv", "revenue_bridge"]
 
 _PERIOD_DAYS = {"week": 7, "day": 1}
 
@@ -172,5 +172,121 @@ def cohort_ltv(
             F.round(F.col("__cum") / F.col("__size"), 6).alias(
                 "ltv_per_user"
             ),
+        )
+    )
+
+
+def revenue_bridge(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    amount_col: str = "amount",
+) -> DataFrame:
+    """Month-over-month revenue bridge — each month's net revenue
+    change decomposed into NEW (first month or resurrected after a
+    gap), EXPANSION (consecutive-month growth), CONTRACTION
+    (consecutive-month decline) and CHURN (active last month, silent
+    this month): the SaaS revenue waterfall. Beyond-reference
+    analytics scope (grep 'bridge\\|waterfall\\|churn' over
+    /root/reference/src: zero hits).
+
+    Pinned semantics (oracle-replicated):
+    - rows with NULL user/ts/amount drop; cells = SUM(amount) per
+      (user, calendar month);
+    - per user, a month's revenue compares against the IMMEDIATELY
+      PRECEDING calendar month only (a gap ⇒ the old revenue churned
+      at gap start and the new month counts as new/resurrected —
+      the standard bridge convention);
+    - churn is attributed to the month AFTER the last active month,
+      as a NEGATIVE amount; no churn row is emitted past the corpus'
+      last observed month (the future is unknown, not churned);
+    - output: one row per month that has any component: (month,
+      new_rev, expansion_rev, contraction_rev, churn_rev,
+      net_change), all 2dp (raw-magnitude sums); contraction/churn
+      are ≤ 0;
+    - INVARIANT (pinned in tests): new + expansion + contraction +
+      churn at month m equals Σrev(m) − Σrev(m−1) for every interior
+      month.
+
+    Scale shape: ONE hash aggregation to the (user, month) frame,
+    one per-user lag/lead window over THAT frame, a 2-region union
+    (component rows + churn rows, both cell-sized) and a month-level
+    aggregation. Events shuffle once on the user key."""
+    base = df.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(amount_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("month", F.col(ts_col)).cast("date").alias("m"),
+        F.col(amount_col).alias("a"),
+    )
+    cells = base.groupBy("u", "m").agg(F.sum("a").alias("r"))
+    max_month = cells.agg(F.max("m")).collect()[0][0]  # 1-row scalar
+    if max_month is None:
+        raise ValueError("revenue_bridge: no rows survive the NULL filter")
+    wu = Window.partitionBy("u").orderBy(F.col("m").asc())
+    prev_m = F.lag("m").over(wu)
+    prev_r = F.lag("r").over(wu)
+    next_m = F.lead("m").over(wu)
+    consec_prev = prev_m.isNotNull() & (
+        F.months_between(F.col("m"), prev_m) == 1
+    )
+    staged = cells.select(
+        "u",
+        "m",
+        "r",
+        prev_r.alias("__pr"),
+        consec_prev.alias("__cp"),
+        next_m.alias("__nm"),
+    )
+    comp = staged.select(
+        F.col("m").alias("month"),
+        F.when(~F.col("__cp"), F.col("r")).otherwise(0.0).alias("__new"),
+        F.when(
+            F.col("__cp") & (F.col("r") > F.col("__pr")),
+            F.col("r") - F.col("__pr"),
+        )
+        .otherwise(0.0)
+        .alias("__exp"),
+        F.when(
+            F.col("__cp") & (F.col("r") < F.col("__pr")),
+            F.col("r") - F.col("__pr"),
+        )
+        .otherwise(0.0)
+        .alias("__con"),
+        F.lit(0.0).alias("__chn"),
+    )
+    churn = (
+        staged.where(
+            (
+                F.col("__nm").isNull()
+                | (F.months_between(F.col("__nm"), F.col("m")) > 1)
+            )
+            & (F.add_months(F.col("m"), 1) <= F.lit(max_month))
+        )
+        .select(
+            F.add_months(F.col("m"), 1).alias("month"),
+            F.lit(0.0).alias("__new"),
+            F.lit(0.0).alias("__exp"),
+            F.lit(0.0).alias("__con"),
+            (-F.col("r")).alias("__chn"),
+        )
+    )
+    return (
+        comp.unionByName(churn)
+        .groupBy("month")
+        .agg(
+            F.round(F.sum("__new"), 2).alias("new_rev"),
+            F.round(F.sum("__exp"), 2).alias("expansion_rev"),
+            F.round(F.sum("__con"), 2).alias("contraction_rev"),
+            F.round(F.sum("__chn"), 2).alias("churn_rev"),
+            F.round(
+                F.sum(
+                    F.col("__new") + F.col("__exp") + F.col("__con")
+                    + F.col("__chn")
+                ),
+                2,
+            ).alias("net_change"),
         )
     )

@@ -282,6 +282,11 @@ QUERIES = [
     # mann-whitney shape (score-count frame + one window + 1-row agg)
     "x101_calibration",
     "x102_classifier_metrics",
+    # bridge = one (user, month) agg + cell-frame windows/union;
+    # stickiness = the x86 sweep-line shape twice over one cached
+    # distinct frame
+    "x103_revenue_bridge",
+    "x104_stickiness",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

@@ -1,0 +1,134 @@
+"""Pinned unit tests for the eighth r10 batch (x103–x104): revenue
+bridge (the Δ-revenue invariant is the headline check) and DAU/WAU
+stickiness (verified against a brute-force daily model)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# revenue_bridge
+# ---------------------------------------------------------------------------
+
+def _month(y, m, d=5):
+    return dt.datetime(y, m, d)
+
+
+def test_bridge_hand_math(spark):
+    from ai_etl_framework_spark.operators.retention import revenue_bridge
+
+    rows = [
+        # u1: 100 (Jan) → 150 (Feb, +50 expansion) → gone (churn Mar)
+        (1, _month(2024, 1), 100.0),
+        (1, _month(2024, 2), 150.0),
+        # u2: joins Feb at 80, contracts to 60 in Mar
+        (2, _month(2024, 2), 80.0),
+        (2, _month(2024, 3), 60.0),
+        # u3: Jan only, resurrects in Mar (gap ⇒ churn Feb + new Mar)
+        (3, _month(2024, 1), 40.0),
+        (3, _month(2024, 3), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "u long, t timestamp, a double")
+    got = {
+        r["month"].month: r
+        for r in revenue_bridge(df, "u", "t", "a").collect()
+    }
+    jan = got[1]
+    assert jan["new_rev"] == 140.0  # u1 100 + u3 40
+    assert jan["expansion_rev"] == 0.0 and jan["churn_rev"] == 0.0
+    feb = got[2]
+    assert feb["new_rev"] == 80.0          # u2
+    assert feb["expansion_rev"] == 50.0    # u1 100→150
+    assert feb["churn_rev"] == -40.0       # u3's Jan revenue churns
+    assert feb["net_change"] == 90.0       # 230 − 140
+    mar = got[3]
+    assert mar["new_rev"] == 30.0          # u3 resurrected
+    assert mar["contraction_rev"] == -20.0  # u2 80→60
+    assert mar["churn_rev"] == -150.0      # u1's Feb revenue
+    assert mar["net_change"] == -140.0  # Σrev: Feb 230 → Mar 90
+    # no April row: churn past the last observed month is not emitted
+    assert set(got) == {1, 2, 3}
+
+
+def test_bridge_delta_invariant_randomized(spark):
+    """new + expansion + contraction + churn at m == Σrev(m) − Σrev(m−1)
+    for every month after the first — the bridge's defining identity,
+    on a randomized activity pattern with gaps."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.operators.retention import revenue_bridge
+
+    rng = random.Random(103)
+    rows = []
+    for u in range(40):
+        for m in range(1, 7):
+            if rng.random() < 0.6:
+                rows.append((u, _month(2024, m), round(rng.uniform(10, 200), 2)))
+    df = spark.createDataFrame(rows, "u long, t timestamp, a double")
+    bridge = {
+        r["month"]: r for r in revenue_bridge(df, "u", "t", "a").collect()
+    }
+    totals = {
+        r["m"]: r["t"]
+        for r in df.groupBy(
+            F.date_trunc("month", "t").cast("date").alias("m")
+        )
+        .agg(F.sum("a").alias("t"))
+        .collect()
+    }
+    months = sorted(totals)
+    for prev, cur in zip(months, months[1:]):
+        want = totals[cur] - totals[prev]
+        r = bridge[cur]
+        got = (
+            r["new_rev"] + r["expansion_rev"] + r["contraction_rev"]
+            + r["churn_rev"]
+        )
+        assert got == pytest.approx(want, abs=0.05), cur
+        assert r["net_change"] == pytest.approx(want, abs=0.05)
+    # first month: everything is new
+    f = bridge[months[0]]
+    assert f["new_rev"] == pytest.approx(totals[months[0]], abs=0.05)
+
+
+# ---------------------------------------------------------------------------
+# stickiness
+# ---------------------------------------------------------------------------
+
+def test_stickiness_vs_brute_force(spark):
+    from ai_etl_framework_spark.operators.activity import stickiness
+
+    rng = random.Random(104)
+    rows = []
+    active = {}
+    for u in range(25):
+        for d in range(1, 25):
+            if rng.random() < 0.3:
+                rows.append((u, dt.datetime(2024, 1, d, rng.randint(0, 23))))
+                active.setdefault(d, set()).add(u)
+    df = spark.createDataFrame(rows, "u long, t timestamp")
+    got = {
+        r["day"].day: r for r in stickiness(df, "u", "t", 1, 7).collect()
+    }
+    lo, hi = min(active), max(active)
+    assert set(got) == set(range(lo, hi + 1))
+    for d in range(lo, hi + 1):
+        short = len(active.get(d, set()))
+        long_ = len(set().union(*(active.get(x, set()) for x in range(d - 6, d + 1))))
+        r = got[d]
+        assert r["active_short"] == short, d
+        assert r["active_long"] == long_, d
+        if long_:
+            assert r["stickiness"] == pytest.approx(round(short / long_, 6))
+
+
+def test_stickiness_guard(spark):
+    from ai_etl_framework_spark.operators.activity import stickiness
+
+    df = spark.createDataFrame([(1, _month(2024, 1))], "u long, t timestamp")
+    with pytest.raises(ValueError, match="short_days"):
+        stickiness(df, "u", "t", 7, 7)
