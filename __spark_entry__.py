@@ -8134,6 +8134,82 @@ FROM s JOIN l ON s.day = l.day
 """
 
 
+def x105_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-candidate containment profile (operators/audit.py
+    containment): is orders.o_custkey contained in
+    customer.c_custkey — distinct frames collapse map-side, one
+    value-dimension join, three 1-row reduces."""
+    from ai_etl_framework_spark.operators.audit import containment
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return containment(orders, "o_custkey", cust, "c_custkey")
+
+
+_X105_SQL = """
+WITH va AS (SELECT DISTINCT o_custkey AS v FROM orders
+            WHERE o_custkey IS NOT NULL),
+vb AS (SELECT DISTINCT c_custkey AS v FROM customer
+       WHERE c_custkey IS NOT NULL),
+a AS (SELECT count(*)::BIGINT AS n FROM va),
+b AS (SELECT count(*)::BIGINT AS n FROM vb),
+c AS (SELECT count(*)::BIGINT AS n FROM va JOIN vb USING (v))
+SELECT a.n AS n_a, b.n AS n_b, c.n AS n_common,
+       round(CASE WHEN a.n > 0 THEN c.n / a.n::DOUBLE END, 6)
+         AS containment_a_in_b,
+       round(CASE WHEN b.n > 0 THEN c.n / b.n::DOUBLE END, 6)
+         AS containment_b_in_a,
+       round(CASE WHEN a.n + b.n - c.n > 0 THEN
+         c.n / (a.n + b.n - c.n)::DOUBLE END, 6) AS jaccard
+FROM a, b, c
+"""
+
+
+def x106_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift decomposition (operators/drift.py mix_shift): the
+    month-halves mean-value move split into rate/mix/interaction per
+    event type — one agg per side + a segment-dimension full outer
+    join; the Σterms = Δoverall identity is test-pinned."""
+    from ai_etl_framework_spark.operators.drift import mix_shift
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = "2024-01-16"
+    base = ev.where(F.col("ts") < F.lit(cut).cast("timestamp"))
+    cur = ev.where(F.col("ts") >= F.lit(cut).cast("timestamp"))
+    return mix_shift(base, cur, "event_type", "value")
+
+
+_X106_SQL = """
+WITH b AS (SELECT event_type AS seg, count(*)::DOUBLE AS n,
+                  sum(value) AS s
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL
+             AND ts < TIMESTAMP '2024-01-16'
+           GROUP BY 1),
+bt AS (SELECT seg, n, s, sum(n) OVER () AS t FROM b),
+c AS (SELECT event_type AS seg, count(*)::DOUBLE AS n,
+             sum(value) AS s
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-16'
+      GROUP BY 1),
+ct AS (SELECT seg, n, s, sum(n) OVER () AS t FROM c),
+j AS (SELECT coalesce(bt.seg, ct.seg) AS segment,
+             coalesce(bt.n / bt.t, 0.0) AS sb,
+             coalesce(ct.n / ct.t, 0.0) AS sc,
+             coalesce(bt.s / bt.n, 0.0) AS rb,
+             coalesce(ct.s / ct.n, 0.0) AS rc
+      FROM bt FULL OUTER JOIN ct ON bt.seg = ct.seg)
+SELECT segment, round(sb, 6) AS share_base, round(sc, 6) AS share_cur,
+       round(rb, 6) AS rate_base, round(rc, 6) AS rate_cur,
+       round(sb * (rc - rb), 6) AS rate_effect,
+       round((sc - sb) * rb, 6) AS mix_effect,
+       round((sc - sb) * (rc - rb), 6) AS interaction,
+       round(sc * rc - sb * rb, 6) AS total_effect
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8356,6 +8432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x102_classifier_metrics": x102_classifier_metrics,
         "x103_revenue_bridge": x103_revenue_bridge,
         "x104_stickiness": x104_stickiness,
+        "x105_containment": x105_containment,
+        "x106_mix_shift": x106_mix_shift,
         "st06_active_users": st06_active_users,
     }
 
@@ -8524,6 +8602,8 @@ def oracle_sql() -> dict[str, str]:
         "x102_classifier_metrics": _X102_SQL,
         "x103_revenue_bridge": _X103_SQL,
         "x104_stickiness": _X104_SQL,
+        "x105_containment": _X105_SQL,
+        "x106_mix_shift": _X106_SQL,
         "st06_active_users": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based

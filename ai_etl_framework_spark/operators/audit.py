@@ -86,6 +86,7 @@ __all__ = [
     "benford_audit",
     "join_cardinality_estimate",
     "blocking_stats",
+    "containment",
 ]
 
 
@@ -454,4 +455,70 @@ def blocking_stats(
             6,
         ).alias("reduction_ratio"),
         F.round(F.col("candidate_pairs") / n, 6).alias("pairs_per_record"),
+    )
+
+
+def containment(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+) -> DataFrame:
+    """Value-set containment profile — "is A.col a foreign key into
+    B.col": distinct counts of both sides, the overlap, containment
+    in both directions and the Jaccard of the value SETS. The
+    data-discovery primitive behind FK-candidate ranking (a
+    containment_a_in_b near 1.0 with n_b ≫ n_common says A references
+    B); joins join_audit (which assumes the key and grades its
+    health) with the step BEFORE: finding the key. Beyond-reference
+    scope (grep 'containment\\|foreign' over /root/reference/src:
+    zero hits; inclusion-dependency profiling is standard — e.g.
+    De Marchi et al. 2002).
+
+    Pinned semantics (oracle-replicated):
+    - NULLs never count (a NULL references nothing);
+    - all counts are DISTINCT-value counts (multiplicity is join
+      fan-out, join_audit's business);
+    - one row: (n_a, n_b, n_common, containment_a_in_b = common/n_a,
+      containment_b_in_a = common/n_b, jaccard = common/(n_a + n_b −
+      common)) — ratios 6dp, NULL on an empty denominator.
+
+    Scale shape: each side collapses to its DISTINCT value frame
+    map-side; the overlap is one co-partitioned join of the two
+    VALUE frames (value-dimension-sized); three 1-row reduces.
+    Raw rows never cross the network."""
+    va = (
+        df_a.where(F.col(col_a).isNotNull())
+        .select(F.col(col_a).alias("__v"))
+        .distinct()
+    )
+    vb = (
+        df_b.where(F.col(col_b).isNotNull())
+        .select(F.col(col_b).alias("__v"))
+        .distinct()
+    )
+    from ai_etl_framework_spark.operators.scaling import _round6
+
+    n_a = va.count()
+    n_b = vb.count()
+    n_common = va.join(vb, "__v").count()
+    spark = df_a.sparkSession
+    union = n_a + n_b - n_common
+    # _round6 = Decimal HALF_UP — integer-ratio ties at the 7th
+    # decimal are realistic here and built-in round() is half-even
+    # (the r9 funnel ADVICE lesson)
+    row = [
+        (
+            n_a,
+            n_b,
+            n_common,
+            _round6(n_common / n_a) if n_a else None,
+            _round6(n_common / n_b) if n_b else None,
+            _round6(n_common / union) if union else None,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_a long, n_b long, n_common long, containment_a_in_b double, "
+        "containment_b_in_a double, jaccard double",
     )

@@ -56,7 +56,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["psi_drift", "profile_drift", "ks_drift", "qq_drift"]
+__all__ = ["psi_drift", "profile_drift", "ks_drift", "qq_drift", "mix_shift"]
 
 
 def psi_drift(
@@ -387,4 +387,82 @@ def qq_drift(
         "base_value",
         "cur_value",
         F.round(F.col("cur_value") - F.col("base_value"), 6).alias("diff"),
+    )
+
+
+def mix_shift(
+    base: DataFrame,
+    current: DataFrame,
+    segment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mix-shift decomposition — "the metric moved: did the segments
+    get worse, or did the mix shift toward worse segments?": each
+    segment's contribution to Δ(overall mean) split into RATE effect
+    (share_base · Δrate), MIX effect (Δshare · rate_base) and the
+    INTERACTION cross term — the Oaxaca-style three-term exact
+    decomposition (Σ of all terms over all segments = overall_cur −
+    overall_base, an algebraic identity pinned in tests).
+    Beyond-reference scope (grep 'mix.shift\\|oaxaca\\|decompos' over
+    /root/reference/src: zero hits).
+
+    Pinned semantics (oracle-replicated):
+    - NULL segment/value rows drop per side; share = the segment's
+      row share of its side; rate = the segment's mean value;
+    - segments absent on a side take share 0 AND rate 0 (pinned:
+      the whole contribution of an appearing/disappearing segment
+      then lands in the interaction term, and the identity stays
+      exact — documented, deliberate);
+    - one row per segment in EITHER side: (segment, share_base,
+      share_cur, rate_base, rate_cur, rate_effect, mix_effect,
+      interaction, total_effect) all 6dp; total_effect = the
+      segment's full Δcontribution (= the three terms' sum by
+      algebra, computed directly as share_cur·rate_cur −
+      share_base·rate_base so rounding can't break the row-level
+      identity).
+
+    Scale shape: ONE hash aggregation per side to (segment, n, sum)
+    — map-side partials eat the corpus — then a segment-dimension
+    full outer join and a codegen projection. Raw rows shuffle once
+    per side."""
+    def side(df, tag):
+        agg = (
+            df.where(
+                F.col(segment_col).isNotNull()
+                & F.col(value_col).isNotNull()
+            )
+            .groupBy(F.col(segment_col).alias("segment"))
+            .agg(
+                F.count(F.lit(1)).cast("double").alias(f"__n_{tag}"),
+                F.sum(value_col).alias(f"__s_{tag}"),
+            )
+        )
+        total = F.sum(f"__n_{tag}")
+        from pyspark.sql import Window
+
+        return agg.withColumn(
+            f"__t_{tag}", total.over(Window.partitionBy())
+        )
+
+    b = side(base, "b")
+    c = side(current, "c")
+    j = b.join(c, "segment", "full_outer")
+    share_b = F.coalesce(F.col("__n_b") / F.col("__t_b"), F.lit(0.0))
+    share_c = F.coalesce(F.col("__n_c") / F.col("__t_c"), F.lit(0.0))
+    rate_b = F.coalesce(F.col("__s_b") / F.col("__n_b"), F.lit(0.0))
+    rate_c = F.coalesce(F.col("__s_c") / F.col("__n_c"), F.lit(0.0))
+    return j.select(
+        "segment",
+        F.round(share_b, 6).alias("share_base"),
+        F.round(share_c, 6).alias("share_cur"),
+        F.round(rate_b, 6).alias("rate_base"),
+        F.round(rate_c, 6).alias("rate_cur"),
+        F.round(share_b * (rate_c - rate_b), 6).alias("rate_effect"),
+        F.round((share_c - share_b) * rate_b, 6).alias("mix_effect"),
+        F.round(
+            (share_c - share_b) * (rate_c - rate_b), 6
+        ).alias("interaction"),
+        F.round(share_c * rate_c - share_b * rate_b, 6).alias(
+            "total_effect"
+        ),
     )

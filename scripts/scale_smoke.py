@@ -287,6 +287,10 @@ QUERIES = [
     # distinct frame
     "x103_revenue_bridge",
     "x104_stickiness",
+    # containment = two distinct collapses + a value-dimension join;
+    # mix-shift = one agg per side + a segment-dimension join
+    "x105_containment",
+    "x106_mix_shift",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

@@ -132,3 +132,90 @@ def test_stickiness_guard(spark):
     df = spark.createDataFrame([(1, _month(2024, 1))], "u long, t timestamp")
     with pytest.raises(ValueError, match="short_days"):
         stickiness(df, "u", "t", 7, 7)
+
+
+# ---------------------------------------------------------------------------
+# containment (x105)
+# ---------------------------------------------------------------------------
+
+def test_containment_hand_math(spark):
+    from ai_etl_framework_spark.operators.audit import containment
+
+    a = spark.createDataFrame(
+        [(1,), (2,), (3,), (3,), (None,)], "v long"
+    )
+    b = spark.createDataFrame([(2,), (3,), (4,), (5,)], "v long")
+    r = containment(a, "v", b, "v").collect()[0]
+    assert r["n_a"] == 3 and r["n_b"] == 4 and r["n_common"] == 2
+    assert r["containment_a_in_b"] == pytest.approx(round(2 / 3, 6))
+    assert r["containment_b_in_a"] == 0.5
+    assert r["jaccard"] == pytest.approx(0.4)  # 2 / (3+4−2)
+
+
+def test_containment_perfect_fk(spark):
+    from ai_etl_framework_spark.operators.audit import containment
+
+    child = spark.createDataFrame([(1,), (1,), (2,)], "v long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+    r = containment(child, "v", parent, "v").collect()[0]
+    assert r["containment_a_in_b"] == 1.0  # the FK signal
+    assert r["containment_b_in_a"] == pytest.approx(round(2 / 3, 6))
+
+
+# ---------------------------------------------------------------------------
+# mix_shift (x106)
+# ---------------------------------------------------------------------------
+
+def test_mix_shift_identity_randomized(spark):
+    """Σ over segments of (rate + mix + interaction) == Δ overall mean
+    — the Oaxaca identity, including an appearing segment."""
+    from ai_etl_framework_spark.operators.drift import mix_shift
+
+    rng = random.Random(106)
+    base_rows = [
+        ("s" + str(rng.randint(0, 3)), rng.uniform(0, 10)) for _ in range(300)
+    ]
+    cur_rows = [
+        ("s" + str(rng.randint(0, 4)), rng.uniform(2, 12)) for _ in range(250)
+    ]  # s4 appears only in current
+    b = spark.createDataFrame(base_rows, "seg string, v double")
+    c = spark.createDataFrame(cur_rows, "seg string, v double")
+    out = mix_shift(b, c, "seg", "v").collect()
+    total = sum(
+        r["rate_effect"] + r["mix_effect"] + r["interaction"] for r in out
+    )
+    overall_b = sum(v for _, v in base_rows) / len(base_rows)
+    overall_c = sum(v for _, v in cur_rows) / len(cur_rows)
+    assert total == pytest.approx(overall_c - overall_b, abs=1e-4)
+    # per-row: three terms sum to total_effect
+    for r in out:
+        assert (
+            r["rate_effect"] + r["mix_effect"] + r["interaction"]
+        ) == pytest.approx(r["total_effect"], abs=5e-6)
+    # the appearing segment's contribution is pure interaction
+    s4 = next(r for r in out if r["seg" "ment"] == "s4")
+    assert s4["rate_effect"] == 0.0 and s4["mix_effect"] == 0.0
+    assert s4["interaction"] == s4["total_effect"]
+
+
+def test_mix_shift_pure_rate_and_pure_mix(spark):
+    from ai_etl_framework_spark.operators.drift import mix_shift
+
+    # same mix, rates move → all rate effect
+    b = spark.createDataFrame(
+        [("a", 1.0)] * 2 + [("b", 2.0)] * 2, "seg string, v double"
+    )
+    c = spark.createDataFrame(
+        [("a", 2.0)] * 2 + [("b", 4.0)] * 2, "seg string, v double"
+    )
+    out = {r["segment"]: r for r in mix_shift(b, c, "seg", "v").collect()}
+    assert all(r["mix_effect"] == 0.0 for r in out.values())
+    assert out["a"]["rate_effect"] == 0.5  # 0.5 share · Δ1.0
+
+    # same rates, mix moves → all mix effect
+    c2 = spark.createDataFrame(
+        [("a", 1.0)] * 3 + [("b", 2.0)] * 1, "seg string, v double"
+    )
+    out2 = {r["segment"]: r for r in mix_shift(b, c2, "seg", "v").collect()}
+    assert all(r["rate_effect"] == 0.0 for r in out2.values())
+    assert out2["a"]["mix_effect"] == 0.25  # share 0.5→0.75 · rate 1
