@@ -8210,6 +8210,51 @@ FROM j
 """
 
 
+def x107_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source (operators/collocations.py
+    log_odds_terms): Monroe et al. weighted log-odds with an
+    informative Dirichlet prior — one (group, term) hash agg,
+    vocab-sized joins, WindowGroupLimit top-5; the z-ordering cut
+    compares the ROUNDED score (engine-stable)."""
+    from ai_etl_framework_spark.operators.collocations import (
+        log_odds_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return log_odds_terms(
+        docs, "source", "text", min_count=5, top_k=5, prior_strength=10.0
+    )
+
+
+_X107_SQL = f"""
+WITH tok AS (SELECT source AS g, unnest({_TOKS}) AS term
+             FROM documents WHERE source IS NOT NULL),
+cells AS (SELECT g, term, count(*)::DOUBLE AS y FROM tok GROUP BY 1, 2),
+tt AS (SELECT term, sum(y) AS cw FROM cells GROUP BY term
+       HAVING sum(y) >= 5),
+gt AS (SELECT g, sum(y) AS ng FROM cells GROUP BY g),
+nn AS (SELECT sum(cw) AS n FROM tt),
+sc AS (SELECT c.g, c.term, c.y, gt.ng,
+              tt.cw * (10.0 / nn.n) AS aw,
+              tt.cw - c.y AS yr, nn.n - gt.ng AS nr
+       FROM cells c JOIN tt USING (term) JOIN gt USING (g), nn),
+zed AS (SELECT g, term, y, yr,
+               (ln((y + aw) / (ng + 10.0 - y - aw))
+                - ln((yr + aw) / (nr + 10.0 - yr - aw)))
+                 / sqrt(1.0 / (y + aw) + 1.0 / (yr + aw)) AS z,
+               ng + 10.0 - y - aw AS dg,
+               nr + 10.0 - yr - aw AS dr,
+               yr + aw AS nmr
+        FROM sc),
+rk AS (SELECT g, term, y, yr, round(z, 6) AS z,
+              row_number() OVER (PARTITION BY g
+                ORDER BY round(z, 6) DESC, term ASC) AS rank
+       FROM zed WHERE dg > 0 AND dr > 0 AND nmr > 0)
+SELECT g AS source, term, y::BIGINT AS n_group, yr::BIGINT AS n_rest, z
+FROM rk WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8434,6 +8479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x104_stickiness": x104_stickiness,
         "x105_containment": x105_containment,
         "x106_mix_shift": x106_mix_shift,
+        "x107_log_odds": x107_log_odds,
         "st06_active_users": st06_active_users,
     }
 
@@ -8604,6 +8650,7 @@ def oracle_sql() -> dict[str, str]:
         "x104_stickiness": _X104_SQL,
         "x105_containment": _X105_SQL,
         "x106_mix_shift": _X106_SQL,
+        "x107_log_odds": _X107_SQL,
         "st06_active_users": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pmi_collocations"]
+__all__ = ["pmi_collocations", "log_odds_terms"]
 
 
 def pmi_collocations(
@@ -95,3 +95,108 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(top_k)
+
+
+def log_odds_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 10,
+    prior_strength: float = 10.0,
+) -> DataFrame:
+    """Distinctive terms per group — Monroe/Colaresi/Quinn (2008)
+    weighted log-odds with an informative Dirichlet prior: for each
+    group, which terms are over-represented vs the REST of the
+    corpus, z-scored so rare-term noise doesn't dominate (the failure
+    mode of raw PMI/tf-idf "top terms"). The "what does each source
+    talk about" readout corpus cards want next to vocab counts.
+
+    Pinned semantics (oracle-replicated):
+    - tokens = the shared case-folded whitespace tokenizer (the PMI
+      contract); counts are TOKEN occurrences per (group, term);
+      NULL groups drop;
+    - prior α_w = prior_strength · c(w)/N (the corpus distribution
+      scaled to ``prior_strength`` pseudo-tokens), α₀ =
+      prior_strength exactly;
+    - δ_gw = ln((y_gw+α_w)/(n_g+α₀−y_gw−α_w))
+             − ln((y_rw+α_w)/(n_r+α₀−y_rw−α_w)) with r = all other
+      groups; z = δ/√(1/(y_gw+α_w) + 1/(y_rw+α_w));
+    - terms with corpus count < min_count are pruned BEFORE scoring;
+      rows where any log argument is ≤ 0 drop (single-term-corpus
+      degeneracy, pinned);
+    - output: top_k per group by (z 6dp DESC, term ASC) — the cut
+      compares the ROUNDED score (engine-stable); (group, term,
+      n_group, n_rest, z).
+
+    Scale shape: one explode → ONE (group, term) hash aggregation
+    (map-side partials collapse the Zipf head); the term-total and
+    group-total frames are vocab-/group-sized; joins follow the PMI
+    unhinted-join contract; the top-k is WindowGroupLimit over the
+    (groups × vocab) frame."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if prior_strength <= 0:
+        raise ValueError(
+            f"prior_strength must be > 0, got {prior_strength}"
+        )
+    from pyspark.sql import Window
+
+    from ai_etl_framework_spark.functions.text import tokens
+
+    cells = (
+        df.where(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("g", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    term_tot = (
+        cells.groupBy("term")
+        .agg(F.sum("y").alias("cw"))
+        .where(F.col("cw") >= min_count)
+    )
+    group_tot = cells.groupBy("g").agg(F.sum("y").alias("ng"))
+    pruned = cells.join(term_tot, "term")
+    n_total = F.sum("cw")
+    totals = term_tot.agg(n_total.alias("n")).collect()[0]
+    n = float(totals["n"])
+    a0 = float(prior_strength)
+    scored = pruned.join(F.broadcast(group_tot), "g").select(
+        "g",
+        "term",
+        "y",
+        "ng",
+        (F.col("cw") * F.lit(a0 / n)).alias("aw"),
+        (F.col("cw") - F.col("y")).alias("yr"),
+        (F.lit(n) - F.col("ng")).alias("nr"),
+    )
+    num_g = F.col("y") + F.col("aw")
+    den_g = F.col("ng") + F.lit(a0) - F.col("y") - F.col("aw")
+    num_r = F.col("yr") + F.col("aw")
+    den_r = F.col("nr") + F.lit(a0) - F.col("yr") - F.col("aw")
+    delta = F.log(num_g / den_g) - F.log(num_r / den_r)
+    z = delta / F.sqrt(1.0 / num_g + 1.0 / num_r)
+    ranked = (
+        scored.where((den_g > 0) & (den_r > 0) & (num_r > 0))
+        .select(
+            F.col("g").alias(group_col),
+            "term",
+            F.col("y").cast("long").alias("n_group"),
+            F.col("yr").cast("long").alias("n_rest"),
+            F.round(z, 6).alias("z"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(group_col).orderBy(
+                    F.col("z").desc(), F.col("term").asc()
+                )
+            ),
+        )
+    )
+    return ranked.where(F.col("rank") <= top_k).drop("rank")

@@ -291,6 +291,9 @@ QUERIES = [
     # mix-shift = one agg per side + a segment-dimension join
     "x105_containment",
     "x106_mix_shift",
+    # log-odds = the PMI shape (explode + vocab-sized aggs/joins);
+    # the letter rotation grows vocab linearly (txt09's argument)
+    "x107_log_odds",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

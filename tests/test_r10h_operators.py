@@ -219,3 +219,74 @@ def test_mix_shift_pure_rate_and_pure_mix(spark):
     out2 = {r["segment"]: r for r in mix_shift(b, c2, "seg", "v").collect()}
     assert all(r["rate_effect"] == 0.0 for r in out2.values())
     assert out2["a"]["mix_effect"] == 0.25  # share 0.5→0.75 · rate 1
+
+
+# ---------------------------------------------------------------------------
+# log_odds_terms (x107)
+# ---------------------------------------------------------------------------
+
+def test_log_odds_vs_hand_model(spark):
+    """Differential vs a Counter-based reference of the Monroe et al.
+    formula on a tiny corpus where group A over-uses 'apple'."""
+    import math
+    from collections import Counter
+
+    from ai_etl_framework_spark.operators.collocations import log_odds_terms
+
+    docs = [
+        ("A", "apple apple apple banana fruit"),
+        ("A", "apple pie apple sauce fruit"),
+        ("B", "banana bread banana split fruit"),
+        ("B", "grape soda banana fruit pie"),
+    ]
+    df = spark.createDataFrame(docs, "g string, text string")
+    got = {
+        (r["g"], r["term"]): r
+        for r in log_odds_terms(
+            df, "g", "text", min_count=2, top_k=3, prior_strength=5.0
+        ).collect()
+    }
+
+    # reference
+    cells = Counter()
+    for g, t in docs:
+        for w in t.split():
+            cells[(g, w)] += 1
+    cw = Counter()
+    for (g, w), y in cells.items():
+        cw[w] += y
+    vocab = {w for w, c in cw.items() if c >= 2}
+    n = sum(cw[w] for w in vocab)
+    ng = Counter()
+    for (g, w), y in cells.items():
+        ng[g] += y
+    a0 = 5.0
+
+    def z_of(g, w):
+        y = cells[(g, w)]
+        aw = cw[w] * (a0 / n)
+        yr = cw[w] - y
+        nr = n - ng[g]
+        delta = math.log((y + aw) / (ng[g] + a0 - y - aw)) - math.log(
+            (yr + aw) / (nr + a0 - yr - aw)
+        )
+        return delta / math.sqrt(1 / (y + aw) + 1 / (yr + aw))
+
+    for (g, w), r in got.items():
+        assert w in vocab
+        assert r["z"] == pytest.approx(round(z_of(g, w), 6), abs=2e-6)
+    # 'apple' is A's most distinctive term; 'banana' is B's
+    top_a = max((r for (g, _), r in got.items() if g == "A"), key=lambda r: r["z"])
+    top_b = max((r for (g, _), r in got.items() if g == "B"), key=lambda r: r["z"])
+    assert top_a["term"] == "apple" and top_b["term"] == "banana"
+    assert top_a["n_group"] == 5 and top_a["n_rest"] == 0
+
+
+def test_log_odds_guards(spark):
+    from ai_etl_framework_spark.operators.collocations import log_odds_terms
+
+    df = spark.createDataFrame([("A", "x")], "g string, text string")
+    with pytest.raises(ValueError, match="min_count"):
+        log_odds_terms(df, "g", min_count=0)
+    with pytest.raises(ValueError, match="prior_strength"):
+        log_odds_terms(df, "g", prior_strength=0.0)
