@@ -8255,6 +8255,62 @@ FROM rk WHERE rank <= 5
 """
 
 
+def x108_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association matrix (operators/stats.py
+    association_matrix): χ²/Cramér's V/mutual information for every
+    pair of (order month, priority, status) — one contingency-cell
+    agg per pair (the chi_square bound), dimension joins, 1-row
+    reduces."""
+    from ai_etl_framework_spark.operators.stats import association_matrix
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.month("o_orderdate").cast("string").alias("omonth"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return association_matrix(orders, ["omonth", "priority", "status"])
+
+
+def _x108_sql() -> str:
+    pairs = [
+        ("omonth", "priority"),
+        ("omonth", "status"),
+        ("priority", "status"),
+    ]
+    expr = {
+        "omonth": "CAST(month(o_orderdate) AS VARCHAR)",
+        "priority": "o_orderpriority",
+        "status": "o_orderstatus",
+    }
+    blocks, sels = [], []
+    for i, (x, y) in enumerate(pairs):
+        ex, ey = expr[x], expr[y]
+        blocks.append(f"""
+c{i} AS (SELECT CAST({ex} AS VARCHAR) AS a, CAST({ey} AS VARCHAR) AS b,
+               count(*)::DOUBLE AS o
+        FROM orders
+        WHERE {ex} IS NOT NULL AND {ey} IS NOT NULL
+        GROUP BY 1, 2),
+t{i} AS (SELECT sum(o) AS nt FROM c{i}),
+r{i} AS (SELECT a, sum(o) AS ra FROM c{i} GROUP BY a),
+k{i} AS (SELECT b, sum(o) AS cb FROM c{i} GROUP BY b),
+g{i} AS (SELECT sum(o * o / (ra * cb)) AS s,
+               sum((o / nt) * ln(o * nt / (ra * cb))) AS mi,
+               count(DISTINCT a) AS al, count(DISTINCT b) AS bl,
+               max(nt) AS nt
+        FROM c{i} JOIN r{i} USING (a) JOIN k{i} USING (b), t{i})""")
+        sels.append(f"""
+SELECT '{x}' AS col_a, '{y}' AS col_b, nt::BIGINT AS n,
+       ((al - 1) * (bl - 1))::BIGINT AS dof,
+       round(greatest(nt * (s - 1.0), 0.0), 6) AS chi2,
+       round(CASE WHEN least(al, bl) > 1 THEN
+         sqrt(greatest(nt * (s - 1.0), 0.0)
+              / (nt * (least(al, bl) - 1))) END, 6) AS cramers_v,
+       round(greatest(mi, 0.0), 6) AS mutual_info
+FROM g{i}""")
+    return "WITH " + ",".join(blocks) + "\nUNION ALL".join(sels)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8480,6 +8536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x105_containment": x105_containment,
         "x106_mix_shift": x106_mix_shift,
         "x107_log_odds": x107_log_odds,
+        "x108_association": x108_association,
         "st06_active_users": st06_active_users,
     }
 
@@ -8651,6 +8708,7 @@ def oracle_sql() -> dict[str, str]:
         "x105_containment": _X105_SQL,
         "x106_mix_shift": _X106_SQL,
         "x107_log_odds": _X107_SQL,
+        "x108_association": _x108_sql(),
         "st06_active_users": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based

@@ -529,3 +529,105 @@ def hhi(
         ).alias("norm_hhi"),
         F.round(F.when(ok, 1.0 / h), 6).alias("effective_n"),
     )
+
+
+def association_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    max_columns: int = 12,
+) -> DataFrame:
+    """Pairwise CATEGORICAL association — χ², Cramér's V and mutual
+    information for every unordered column pair: corr_matrix's twin
+    for dimensions (Pearson needs numbers; segments/statuses/flags
+    need this). V answers "how strongly related" on 0..1; MI (nats)
+    answers "how many bits does knowing one buy about the other".
+    Beyond-reference scope (chi_square covers ONE pair; the matrix is
+    the profiling surface).
+
+    Pinned semantics (oracle-replicated):
+    - per pair: rows with NULL in EITHER column drop (chi_square's
+      convention — pairwise-complete, so n varies per pair); values
+      compare as strings;
+    - χ² via the observed-cells identity Σo²/e − n; V = sqrt(χ²/(n·
+      min(|a|−1,|b|−1))), NULL on a single-level side; MI =
+      Σ (o/n)·ln(o·n/(row_total·col_total)) over OBSERVED cells
+      (0·ln 0 = 0 by omission), clamped at ≥ 0 (float round-off on
+      independent columns lands ±1e-16);
+    - one row per pair (col_a < col_b lexically): (col_a, col_b, n,
+      dof, chi2, cramers_v, mutual_info) — χ²/V/MI 6dp.
+
+    Scale shape: one contingency-cell hash aggregation per pair
+    (|a|·|b| cells — the chi_square bound), dimension-sized broadcast
+    joins, a 1-row reduce per pair. Pairs run as separate jobs —
+    fail-loud ``max_columns`` keeps the job count honest (12 columns
+    = 66 cell aggregations; raise it explicitly if you mean it)."""
+    if len(cols) < 2:
+        raise ValueError("association_matrix needs at least two columns")
+    if len(cols) > max_columns:
+        raise ValueError(
+            f"association_matrix got {len(cols)} columns (> max_columns="
+            f"{max_columns}): {len(cols) * (len(cols) - 1) // 2} "
+            "contingency aggregations is a lot of jobs. Raise "
+            "max_columns explicitly if you mean it."
+        )
+    from ai_etl_framework_spark.operators.scaling import _round6
+
+    out = []
+    for a, b in combinations(sorted(cols), 2):
+        cells = (
+            df.where(F.col(a).isNotNull() & F.col(b).isNotNull())
+            .groupBy(
+                F.col(a).cast("string").alias("__a"),
+                F.col(b).cast("string").alias("__b"),
+            )
+            .agg(F.count(F.lit(1)).cast("double").alias("__o"))
+            .persist()
+        )
+        try:
+            n = cells.agg(F.sum("__o")).collect()[0][0]
+            if n is None:
+                out.append((a, b, 0, 0, None, None, None))
+                continue
+            row_t = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+            col_t = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+            j = cells.join(F.broadcast(row_t), "__a").join(
+                F.broadcast(col_t), "__b"
+            )
+            agg = j.agg(
+                F.sum(
+                    F.col("__o") * F.col("__o")
+                    / (F.col("__ra") * F.col("__cb"))
+                ).alias("s"),
+                F.sum(
+                    (F.col("__o") / F.lit(n))
+                    * F.log(
+                        F.col("__o") * F.lit(n)
+                        / (F.col("__ra") * F.col("__cb"))
+                    )
+                ).alias("mi"),
+                F.countDistinct("__a").alias("al"),
+                F.countDistinct("__b").alias("bl"),
+            ).collect()[0]
+            chi2 = max(n * (agg["s"] - 1.0), 0.0)
+            min_side = min(agg["al"], agg["bl"]) - 1
+            dof = (agg["al"] - 1) * (agg["bl"] - 1)
+            out.append(
+                (
+                    a,
+                    b,
+                    int(n),
+                    int(dof),
+                    _round6(chi2),
+                    _round6((chi2 / (n * min_side)) ** 0.5)
+                    if min_side > 0
+                    else None,
+                    _round6(max(agg["mi"], 0.0)),
+                )
+            )
+        finally:
+            cells.unpersist()
+    return df.sparkSession.createDataFrame(
+        out,
+        "col_a string, col_b string, n long, dof long, chi2 double, "
+        "cramers_v double, mutual_info double",
+    )

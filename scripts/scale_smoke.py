@@ -294,6 +294,8 @@ QUERIES = [
     # log-odds = the PMI shape (explode + vocab-sized aggs/joins);
     # the letter rotation grows vocab linearly (txt09's argument)
     "x107_log_odds",
+    # association matrix = 3 contingency aggs (chi_square's shape x3)
+    "x108_association",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

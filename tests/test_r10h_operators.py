@@ -290,3 +290,49 @@ def test_log_odds_guards(spark):
         log_odds_terms(df, "g", min_count=0)
     with pytest.raises(ValueError, match="prior_strength"):
         log_odds_terms(df, "g", prior_strength=0.0)
+
+
+# ---------------------------------------------------------------------------
+# association_matrix (x108)
+# ---------------------------------------------------------------------------
+
+def test_association_matrix_hand_math(spark):
+    """Perfectly dependent pair → V = 1 and MI = entropy; independent
+    pair → χ² ≈ 0, MI ≈ 0."""
+    import math
+
+    from ai_etl_framework_spark.operators.stats import association_matrix
+
+    rows = []
+    for i in range(120):
+        a = "x" if i % 2 == 0 else "y"
+        dep = a.upper()          # fully determined by a
+        ind = "p" if i % 4 < 2 else "q"  # independent of a (period 4 vs 2)
+        rows.append((a, dep, ind))
+    df = spark.createDataFrame(rows, "a string, dep string, ind string")
+    got = {
+        (r["col_a"], r["col_b"]): r
+        for r in association_matrix(df, ["a", "dep", "ind"]).collect()
+    }
+    full = got[("a", "dep")]
+    assert full["cramers_v"] == 1.0
+    assert full["mutual_info"] == pytest.approx(round(math.log(2), 6))
+    indep = got[("a", "ind")]
+    assert indep["chi2"] == pytest.approx(0.0, abs=1e-6)
+    assert indep["mutual_info"] == pytest.approx(0.0, abs=1e-6)
+    assert full["n"] == 120 and full["dof"] == 1
+
+
+def test_association_matrix_guards_and_single_level(spark):
+    from ai_etl_framework_spark.operators.stats import association_matrix
+
+    df = spark.createDataFrame(
+        [("x", "only"), ("y", "only")], "a string, b string"
+    )
+    r = association_matrix(df, ["a", "b"]).collect()[0]
+    assert r["cramers_v"] is None and r["dof"] == 0  # single-level side
+
+    with pytest.raises(ValueError, match="max_columns"):
+        association_matrix(df, [f"c{i}" for i in range(13)])
+    with pytest.raises(ValueError, match="at least two"):
+        association_matrix(df, ["a"])
