@@ -8311,6 +8311,64 @@ FROM g{i}""")
     return "WITH " + ",".join(blocks) + "\nUNION ALL".join(sels)
 
 
+def x109_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sample (operators/sampling.py
+    group_sample): 3 documents per source by md5-hash order —
+    WindowGroupLimit keeps the shuffle at ≤ k rows per (partition,
+    group). Text included in the hash compare, so the SELECTED SET is
+    pinned, not just counts."""
+    from ai_etl_framework_spark.operators.sampling import group_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_sample(docs, "source", "doc_id", k=3, salt="gs")
+
+
+_X109_SQL = """
+WITH u AS (SELECT *,
+                  ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+                     chr(0)) || 'gs'), 1, 8))::BIGINT
+                    / 4294967296.0 AS h
+           FROM documents WHERE source IS NOT NULL),
+rk AS (SELECT doc_id, text, lang, source, n_chars,
+              row_number() OVER (PARTITION BY source
+                ORDER BY h ASC, doc_id ASC) AS rn
+       FROM u)
+SELECT doc_id, text, lang, source, n_chars FROM rk WHERE rn <= 3
+"""
+
+
+def x110_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level ROLLUP (operators/rollups.py dimensional_rollup):
+    revenue at (priority × status) cells, priority subtotals and the
+    grand total in ONE Expand + ONE hash aggregation; rolled-up
+    positions label '(all)' via grouping() disambiguation."""
+    from ai_etl_framework_spark.operators.rollups import dimensional_rollup
+
+    orders = load_table(spark, sf_dir, "orders")
+    return dimensional_rollup(
+        orders, ["o_orderpriority", "o_orderstatus"], "o_totalprice"
+    )
+
+
+_X110_SQL = """
+WITH base AS (SELECT o_orderpriority AS p, o_orderstatus AS s,
+                     o_totalprice AS v
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_orderstatus IS NOT NULL
+                AND o_totalprice IS NOT NULL)
+SELECT CASE WHEN grouping(p) = 1 THEN '(all)' ELSE p END
+         AS o_orderpriority,
+       CASE WHEN grouping(s) = 1 THEN '(all)' ELSE s END
+         AS o_orderstatus,
+       (grouping(p) * 2 + grouping(s))::INT AS level,
+       count(*)::BIGINT AS n_rows,
+       round(sum(v), 2) AS total,
+       round(avg(v), 6) AS avg_value
+FROM base GROUP BY ROLLUP (p, s)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8537,6 +8595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x106_mix_shift": x106_mix_shift,
         "x107_log_odds": x107_log_odds,
         "x108_association": x108_association,
+        "x109_group_sample": x109_group_sample,
+        "x110_rollup": x110_rollup,
         "st06_active_users": st06_active_users,
     }
 
@@ -8709,6 +8769,8 @@ def oracle_sql() -> dict[str, str]:
         "x106_mix_shift": _X106_SQL,
         "x107_log_odds": _X107_SQL,
         "x108_association": _x108_sql(),
+        "x109_group_sample": _X109_SQL,
+        "x110_rollup": _X110_SQL,
         "st06_active_users": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based

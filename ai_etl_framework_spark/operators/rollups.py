@@ -183,3 +183,53 @@ class DashboardAggregator:
                     continue  # missing detection column → skip (ref logs + skips)
         finally:
             self.df.unpersist()
+
+
+def dimensional_rollup(
+    df: DataFrame,
+    dims,
+    measure_col: str,
+) -> DataFrame:
+    """Multi-level ROLLUP totals — one pass producing the measure at
+    EVERY dimension prefix level (d1×d2 cells, d1 subtotals, the
+    grand total): the OLAP subtotal table the reference's fixed
+    rollup views (claims_by_*) special-case one level of. Spark plans
+    ROLLUP as a single Expand + one hash aggregation — one shuffle
+    for all levels, not one query per level.
+
+    Pinned semantics (oracle-replicated):
+    - rows with NULL in any dim or the measure are DROPPED first —
+      so in the output a rolled-up position is unambiguous and gets
+      the label '(all)' (the grouping() disambiguation trick);
+    - output: (dims… as strings, level, n_rows, total, avg_value) —
+      level = the grouping bit-vector (0 = finest cells, 2^|dims|−1 =
+      grand total; computed as Σ grouping(dᵢ)·2^(|dims|−1−i) in BOTH
+      engines), total 2dp (raw-magnitude sum), avg 6dp.
+
+    Scale shape: ONE Expand(|dims|+1 replicas) + ONE hash aggregation
+    with map-side partials — the planner's native ROLLUP. Output is
+    Σ level cardinalities (dimension-bounded)."""
+    if isinstance(dims, str):
+        dims = [dims]
+    if not dims:
+        raise ValueError("dimensional_rollup needs at least one dim")
+    base = df.where(F.col(measure_col).isNotNull())
+    for d in dims:
+        base = base.where(F.col(d).isNotNull())
+    level = None
+    for i, d in enumerate(dims):
+        term = F.grouping(d).cast("int") * (2 ** (len(dims) - 1 - i))
+        level = term if level is None else level + term
+    agg = base.rollup(*dims).agg(
+        level.alias("level"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum(measure_col), 2).alias("total"),
+        F.round(F.avg(measure_col), 6).alias("avg_value"),
+    )
+    out_dims = [
+        F.when(F.col("level").bitwiseAND(2 ** (len(dims) - 1 - i)) > 0, "(all)")
+        .otherwise(F.col(d).cast("string"))
+        .alias(d)
+        for i, d in enumerate(dims)
+    ]
+    return agg.select(*out_dims, "level", "n_rows", "total", "avg_value")

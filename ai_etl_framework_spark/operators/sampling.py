@@ -43,6 +43,7 @@ __all__ = [
     "pack_documents",
     "shuffle_deterministic",
     "upsample",
+    "group_sample",
 ]
 
 
@@ -390,3 +391,45 @@ def pack_documents(
         ]
     )
     return base.groupBy("bucket").applyInPandas(pack, schema=out_schema)
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample — the "show me 3
+    examples from every source/language/cluster" primitive behind
+    eyeballing, labeling queues and few-shot prompt construction.
+    Rows rank by ``hash_uniform(id || salt)`` within their group (id
+    ascending breaks hash ties), the first k survive — so unlike
+    fraction sampling the quota is EXACT per group (small groups
+    return all rows), and like every sampler here it is
+    repartition-stable, engine-portable and replayable from the salt.
+
+    Pinned semantics (oracle-replicated):
+    - NULL groups drop (no quota to charge); NULL ids hash via the
+      shared sentinel (one NULL id can win per group);
+    - order = (hash_uniform asc, id asc) — a total order, so the
+      selected SET is deterministic;
+    - output = the input columns (no rank column), ≤ k rows/group.
+
+    Scale shape: one hash projection + ONE per-group top-k window —
+    Spark plans rank-filter windows as WindowGroupLimit (per-partition
+    k-heaps BEFORE the exchange), so the shuffle carries ≤ k rows per
+    (partition, group), never the corpus."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_uniform(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(F.col(group_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

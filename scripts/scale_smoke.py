@@ -296,6 +296,9 @@ QUERIES = [
     "x107_log_odds",
     # association matrix = 3 contingency aggs (chi_square's shape x3)
     "x108_association",
+    # group-sample = one WindowGroupLimit; rollup = one Expand + agg
+    "x109_group_sample",
+    "x110_rollup",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

@@ -336,3 +336,57 @@ def test_association_matrix_guards_and_single_level(spark):
         association_matrix(df, [f"c{i}" for i in range(13)])
     with pytest.raises(ValueError, match="at least two"):
         association_matrix(df, ["a"])
+
+
+# ---------------------------------------------------------------------------
+# group_sample (x109) / dimensional_rollup (x110)
+# ---------------------------------------------------------------------------
+
+def test_group_sample_exact_quota_and_determinism(spark):
+    from ai_etl_framework_spark.operators.sampling import group_sample
+
+    rows = [(i, "g" + str(i % 3)) for i in range(60)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    a = sorted(map(tuple, group_sample(df, "g", "id", k=5).collect()))
+    b = sorted(
+        map(tuple, group_sample(df.repartition(13), "g", "id", k=5).collect())
+    )
+    assert a == b and len(a) == 15  # exact quota, repartition-stable
+    # small group returns all rows
+    tiny = spark.createDataFrame([(1, "g"), (2, "g")], "id long, g string")
+    assert group_sample(tiny, "g", "id", k=5).count() == 2
+    # different salt → (almost surely) different set
+    c = sorted(map(tuple, group_sample(df, "g", "id", k=5, salt="z").collect()))
+    assert c != a
+    with pytest.raises(ValueError, match="k must"):
+        group_sample(df, "g", "id", k=0)
+
+
+def test_dimensional_rollup_ledger(spark):
+    from ai_etl_framework_spark.operators.rollups import dimensional_rollup
+
+    rows = [
+        ("a", "x", 10.0), ("a", "x", 20.0), ("a", "y", 5.0),
+        ("b", "x", 1.0), ("b", None, 99.0), (None, "x", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "p string, s string, v double")
+    got = {
+        (r["p"], r["s"]): r
+        for r in dimensional_rollup(df, ["p", "s"], "v").collect()
+    }
+    # NULL-dim rows dropped: only 4 valid rows participate
+    grand = got[("(all)", "(all)")]
+    assert grand["level"] == 3 and grand["n_rows"] == 4
+    assert grand["total"] == 36.0
+    assert got[("a", "(all)")]["total"] == 35.0
+    assert got[("a", "(all)")]["level"] == 1
+    assert got[("a", "x")]["total"] == 30.0 and got[("a", "x")]["level"] == 0
+    # subtotal ledger: levels sum to the grand total
+    assert sum(
+        r["total"] for r in got.values() if r["level"] == 0
+    ) == pytest.approx(grand["total"])
+    assert sum(
+        r["total"] for r in got.values() if r["level"] == 1
+    ) == pytest.approx(grand["total"])
+    with pytest.raises(ValueError, match="at least one"):
+        dimensional_rollup(df, [], "v")
