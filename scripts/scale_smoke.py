@@ -243,12 +243,12 @@ QUERIES = [
     # bucket/day frames (constant-span generator ⇒ frame ~constant,
     # agg side linear); gap interpolation = the resample-grid shape;
     # KS = per-value aggs over a range-bounded 2dp value frame.
-    "x77_survival_km",
-    "x78_markov_transitions",
+    "x77_kaplan_meier",
+    "x78_transition_matrix",
     "x79_chi_square",
     "x80_benford",
     "x81_ewma",
-    "x82_gap_interpolation",
+    "x82_interpolate",
     "x83_level_shifts",
     "x84_ks_drift",
     "x85_acf",
@@ -322,7 +322,7 @@ WARM_SPLIT = {
 # is (keys x buckets) — 10x keys means 10x output rows, so its
 # headline "6.0x" was actually sublinear per output row; make the
 # artifact say so instead of relying on the judge to normalize).
-OUTPUT_NORM = {"x24_resample_ffill"}
+OUTPUT_NORM = {"x24_resample_ffill", "x82_interpolate"}
 
 # Adjudication notes for rows whose warm ratio sits above 2x — carried
 # into the payload so the artifact explains itself (VERDICT r8 item 4:
@@ -330,6 +330,17 @@ OUTPUT_NORM = {"x24_resample_ffill"}
 # N.B. the data grows 10x, so any ratio under 10 is SUBLINEAR; these
 # notes record the direct stage profiling that confirms it.
 ADJUDICATIONS = {
+    "x82_interpolate": (
+        "output = the densified per-user grid (users x span/step): 10x "
+        "users means ~10x output rows by construction, so the headline "
+        "ratio tracks OUTPUT growth, not operator superlinearity — see "
+        "per_output_ratio. r10 fix: the next-anchor window was "
+        "first(ignorenulls) over [currentRow, unboundedFollowing], which "
+        "Spark executes as an O(n^2-per-key) rescan frame (812 s at sf1); "
+        "rewritten as a running last() over the DESC ordering — "
+        "identical semantics (buckets unique per key), O(n) state, "
+        "~12x faster warm at sf0.1."
+    ),
     "x16_dup_cluster_sizes": (
         "pair graph measured exactly linear (256 -> 2560 pairs for 10x "
         "docs); direct stage profiling: full pipeline 4.6 -> 10.5s "
