@@ -8369,6 +8369,46 @@ FROM base GROUP BY ROLLUP (p, s)
 """
 
 
+def x111_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend (operators/trend.py theil_sen_trend):
+    median pairwise slope over each type's daily-mean series — the
+    29%-breakdown robust second opinion next to x39's OLS; pair
+    fan-out is C(buckets, 2) per key (≈ C(30,2) here), capped
+    fail-loud."""
+    from ai_etl_framework_spark.operators.trend import theil_sen_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    return theil_sen_trend(
+        ev, "event_type", "ts", "value", bucket_unit="day"
+    )
+
+
+_X111_SQL = """
+WITH series AS (SELECT event_type AS k,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS b,
+                       avg(value) AS y
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+                GROUP BY 1, 2),
+sized AS (SELECT k, count(*)::BIGINT AS np, min(b) AS b0
+          FROM series GROUP BY k),
+anch AS (SELECT s.k, (epoch(s.b) - epoch(sized.b0)) / 86400.0 AS x,
+                s.y, np
+         FROM series s JOIN sized ON s.k = sized.k),
+pairs AS (SELECT a.k, a.np, (b.y - a.y) / (b.x - a.x) AS s
+          FROM anch a JOIN anch b ON a.k = b.k AND b.x > a.x),
+med AS (SELECT k, max(np) AS n_points, count(*)::BIGINT AS n_pairs,
+               quantile_cont(s, 0.5) AS slope
+        FROM pairs GROUP BY k),
+icept AS (SELECT anch.k, quantile_cont(y - med.slope * x, 0.5) AS ic
+          FROM anch JOIN med ON anch.k = med.k GROUP BY anch.k)
+SELECT med.k AS event_type, n_points, n_pairs,
+       round(slope, 6) AS slope, round(ic, 6) AS intercept
+FROM med JOIN icept ON med.k = icept.k
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8597,6 +8637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x108_association": x108_association,
         "x109_group_sample": x109_group_sample,
         "x110_rollup": x110_rollup,
+        "x111_theil_sen": x111_theil_sen,
         "st06_active_users": st06_active_users,
     }
 
@@ -8771,6 +8812,7 @@ def oracle_sql() -> dict[str, str]:
         "x108_association": _x108_sql(),
         "x109_group_sample": _X109_SQL,
         "x110_rollup": _X110_SQL,
+        "x111_theil_sen": _X111_SQL,
         "st06_active_users": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based

@@ -299,6 +299,9 @@ QUERIES = [
     # group-sample = one WindowGroupLimit; rollup = one Expand + agg
     "x109_group_sample",
     "x110_rollup",
+    # theil-sen = key-co-partitioned C(buckets,2) pair join over the
+    # bucket frame (~C(30,2) per key, constant span) + percentile aggs
+    "x111_theil_sen",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

@@ -390,3 +390,64 @@ def test_dimensional_rollup_ledger(spark):
     ) == pytest.approx(grand["total"])
     with pytest.raises(ValueError, match="at least one"):
         dimensional_rollup(df, [], "v")
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend (x111)
+# ---------------------------------------------------------------------------
+
+def test_theil_sen_vs_numpy_model(spark):
+    """Differential vs the direct pairwise-median on a noisy line
+    with ONE wild outlier — the OLS slope bends, Theil–Sen holds."""
+    import statistics
+
+    from ai_etl_framework_spark.operators.trend import theil_sen_trend
+
+    rng = random.Random(111)
+    pts = []
+    for d in range(25):
+        y = 2.0 + 0.5 * d + rng.gauss(0, 0.1)
+        pts.append((d, y))
+    pts[12] = (12, 500.0)  # the wild day
+    rows = [
+        ("k", dt.datetime(2024, 1, 1 + d, h), y + rng.gauss(0, 0.01))
+        for d, y in pts
+        for h in (9, 15)
+    ]
+    df = spark.createDataFrame(rows, "k string, t timestamp, v double")
+    got = theil_sen_trend(df, "k", "t", "v", bucket_unit="day").collect()[0]
+
+    # reference: daily means then exact pairwise-slope median
+    daily = {}
+    for kk, t, v in rows:
+        daily.setdefault(t.day, []).append(v)
+    series = sorted((d - 1, statistics.mean(vs)) for d, vs in daily.items())
+    slopes = [
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(series)
+        for (x2, y2) in series[i + 1:]
+    ]
+    want = statistics.median(slopes)
+    assert got["n_points"] == 25
+    assert got["n_pairs"] == 25 * 24 // 2
+    assert got["slope"] == pytest.approx(round(want, 6), abs=2e-6)
+    # robust: the outlier day cannot bend the slope off ~0.5
+    assert 0.4 < got["slope"] < 0.6
+    icepts = [y - want * x for x, y in series]
+    assert got["intercept"] == pytest.approx(
+        round(statistics.median(icepts), 6), abs=2e-6
+    )
+
+
+def test_theil_sen_guards(spark):
+    from ai_etl_framework_spark.operators.trend import theil_sen_trend
+
+    rows = [("k", dt.datetime(2024, 1, 1 + d), float(d)) for d in range(10)]
+    df = spark.createDataFrame(rows, "k string, t timestamp, v double")
+    with pytest.raises(ValueError, match="max_points"):
+        theil_sen_trend(df, "k", "t", "v", max_points=5)
+    with pytest.raises(ValueError, match="bucket_unit"):
+        theil_sen_trend(df, "k", "t", "v", bucket_unit="year")
+    # <2 buckets → no row
+    one = spark.createDataFrame(rows[:1], "k string, t timestamp, v double")
+    assert theil_sen_trend(one, "k", "t", "v").count() == 0
