@@ -8409,6 +8409,46 @@ FROM med JOIN icept ON med.k = icept.k
 """
 
 
+def x112_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-novelty curve (operators/novelty.py vocab_novelty):
+    per ingest day — distinct terms, never-seen-before terms, novelty
+    ratio, running vocab size. The documents fixture carries no
+    ingest timestamp, so the entry synthesizes a DETERMINISTIC one
+    (doc_id % 28 days from 2024-01-01 — a 28-day rolling crawl), the
+    oracle replays it verbatim."""
+    from ai_etl_framework_spark.operators.novelty import vocab_novelty
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "text",
+        F.to_timestamp(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                (F.col("doc_id") % 28).cast("int"),
+            )
+        ).alias("ingest_ts"),
+    )
+    return vocab_novelty(docs, "ingest_ts", "text", bucket_unit="day")
+
+
+_X112_SQL = f"""
+WITH src AS (SELECT (DATE '2024-01-01'
+                     + CAST(doc_id % 28 AS INTEGER)) AS period,
+                    text
+             FROM documents),
+pairs AS (SELECT DISTINCT period, unnest({_TOKS}) AS term FROM src),
+fs AS (SELECT term, min(period) AS f FROM pairs GROUP BY term),
+pp AS (SELECT period, count(*)::BIGINT AS n_terms,
+              sum(CASE WHEN period = f THEN 1 ELSE 0 END)::BIGINT
+                AS n_new
+       FROM pairs JOIN fs USING (term) GROUP BY period)
+SELECT period, n_terms, n_new,
+       round(n_new / n_terms::DOUBLE, 6) AS new_ratio,
+       sum(n_new) OVER (ORDER BY period ROWS BETWEEN UNBOUNDED
+         PRECEDING AND CURRENT ROW)::BIGINT AS vocab_cum
+FROM pp
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8638,6 +8678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x109_group_sample": x109_group_sample,
         "x110_rollup": x110_rollup,
         "x111_theil_sen": x111_theil_sen,
+        "x112_vocab_novelty": x112_vocab_novelty,
         "st06_active_users": st06_active_users,
     }
 
@@ -8813,6 +8854,7 @@ def oracle_sql() -> dict[str, str]:
         "x109_group_sample": _X109_SQL,
         "x110_rollup": _X110_SQL,
         "x111_theil_sen": _X111_SQL,
+        "x112_vocab_novelty": _X112_SQL,
         "st06_active_users": _X86_SQL,
         # st01_stream_suite and x01_ann_recall (gated) and x04_iforest
         # (slot 51): micro-batch-dependent or approximate/model-based

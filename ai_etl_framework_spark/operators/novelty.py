@@ -31,7 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["novelty_scores"]
+__all__ = ["novelty_scores"    "vocab_novelty",
+]
 
 
 def novelty_scores(
@@ -69,4 +70,76 @@ def novelty_scores(
         F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
         "novelty",
         "mean_log_df",
+    )
+
+
+def vocab_novelty(
+    df: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    bucket_unit: str = "day",
+) -> DataFrame:
+    """Vocabulary-novelty curve — per period: how many DISTINCT terms
+    appeared, how many were NEVER SEEN before, the novelty ratio, and
+    the running vocabulary size. The "is this crawl still finding new
+    content or re-reading the same web" freshness screen a corpus
+    ingest dashboard wants next to dedup rates (novelty of VOCAB
+    complements novelty of SHINGLES: shingle_novelty ranks documents,
+    this tracks the corpus over time). Beyond-reference scope.
+
+    Pinned semantics (oracle-replicated):
+    - tokens = the shared case-folded whitespace tokenizer; activity
+      = DISTINCT (period, term) pairs (multiplicity within a period
+      counts once); NULL ts drops;
+    - first_seen(term) = its minimum period; n_new counts terms whose
+      first_seen equals the period; new_ratio = n_new/n_terms 6dp;
+    - vocab_cum = running Σ n_new over periods (= the distinct-vocab
+      size through that period, by construction);
+    - only periods with ≥1 token emit rows.
+
+    Scale shape: one explode → ONE distinct (period, term) hash
+    aggregation (map-side partials collapse the Zipf head), one
+    vocab-sized min() aggregation, a vocab-dimension join, a
+    period-level agg and one cumulative window over the PERIOD frame
+    (calendar-sized). Raw text shuffles once, pre-collapsed."""
+    from pyspark.sql import Window
+
+    from ai_etl_framework_spark.functions.text import tokens
+
+    pairs = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.date_trunc(bucket_unit, F.col(ts_col))
+            .cast("date")
+            .alias("period"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    first_seen = pairs.groupBy("term").agg(
+        F.min("period").alias("__fs")
+    )
+    per_period = (
+        pairs.join(first_seen, "term")
+        .groupBy("period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(
+                F.when(F.col("period") == F.col("__fs"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    w_cum = Window.orderBy(F.col("period").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_period.select(
+        "period",
+        "n_terms",
+        "n_new",
+        F.round(
+            F.col("n_new") / F.col("n_terms").cast("double"), 6
+        ).alias("new_ratio"),
+        F.sum("n_new").over(w_cum).cast("long").alias("vocab_cum"),
     )

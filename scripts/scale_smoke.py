@@ -302,6 +302,9 @@ QUERIES = [
     # theil-sen = key-co-partitioned C(buckets,2) pair join over the
     # bucket frame (~C(30,2) per key, constant span) + percentile aggs
     "x111_theil_sen",
+    # vocab novelty = explode + distinct (period, term) agg + vocab
+    # min/join (the letter rotation grows vocab linearly)
+    "x112_vocab_novelty",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

@@ -451,3 +451,42 @@ def test_theil_sen_guards(spark):
     # <2 buckets → no row
     one = spark.createDataFrame(rows[:1], "k string, t timestamp, v double")
     assert theil_sen_trend(one, "k", "t", "v").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# vocab_novelty (x112)
+# ---------------------------------------------------------------------------
+
+def test_vocab_novelty_hand_math(spark):
+    from ai_etl_framework_spark.operators.novelty import vocab_novelty
+
+    rows = [
+        (dt.datetime(2024, 1, 1), "apple banana apple"),
+        (dt.datetime(2024, 1, 1), "banana cherry"),
+        (dt.datetime(2024, 1, 2), "apple durian"),
+        (dt.datetime(2024, 1, 4), "durian elder fig"),
+        (None, "ghost words"),
+    ]
+    df = spark.createDataFrame(rows, "t timestamp, text string")
+    got = {r["period"].day: r for r in vocab_novelty(df, "t", "text").collect()}
+    d1 = got[1]  # apple banana cherry — all new
+    assert d1["n_terms"] == 3 and d1["n_new"] == 3 and d1["new_ratio"] == 1.0
+    assert d1["vocab_cum"] == 3
+    d2 = got[2]  # apple (old) + durian (new)
+    assert d2["n_terms"] == 2 and d2["n_new"] == 1 and d2["new_ratio"] == 0.5
+    assert d2["vocab_cum"] == 4
+    d4 = got[4]  # durian old; elder fig new
+    assert d4["n_new"] == 2 and d4["vocab_cum"] == 6
+    assert 3 not in got  # empty day emits nothing
+    # NULL-ts row contributed nothing
+    assert sum(r["n_new"] for r in got.values()) == 6
+
+
+def test_vocab_novelty_within_period_multiplicity(spark):
+    """A term repeated 100× in one period still counts once."""
+    from ai_etl_framework_spark.operators.novelty import vocab_novelty
+
+    rows = [(dt.datetime(2024, 1, 1), "same " * 100)] * 3
+    df = spark.createDataFrame(rows, "t timestamp, text string")
+    r = vocab_novelty(df, "t", "text").collect()[0]
+    assert r["n_terms"] == 1 and r["n_new"] == 1 and r["vocab_cum"] == 1
