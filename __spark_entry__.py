@@ -8232,7 +8232,8 @@ WITH tok AS (SELECT source AS g, unnest({_TOKS}) AS term
 cells AS (SELECT g, term, count(*)::DOUBLE AS y FROM tok GROUP BY 1, 2),
 tt AS (SELECT term, sum(y) AS cw FROM cells GROUP BY term
        HAVING sum(y) >= 5),
-gt AS (SELECT g, sum(y) AS ng FROM cells GROUP BY g),
+gt AS (SELECT g, sum(y) AS ng FROM cells JOIN tt USING (term)
+       GROUP BY g),
 nn AS (SELECT sum(cw) AS n FROM tt),
 sc AS (SELECT c.g, c.term, c.y, gt.ng,
               tt.cw * (10.0 / nn.n) AS aw,

@@ -26,8 +26,12 @@ Pinned semantics:
   the last ulps only — NOT hash-stable, hence the registry row is
   rows-only with a numpy differential suite instead of a SQL twin:
   no SQL engine ships an eigensolver);
-- NULL/malformed vectors (wrong length) fail loud in fit and
-  transform — silent dimension coercion hides upstream corruption;
+- NULL vectors (column-level NULL) are DROPPED by both fit and
+  transform — fit computes moments over non-NULL rows only, and
+  pca_transform returns fewer rows than its input when NULLs are
+  present (filter or assert upstream if that matters); malformed
+  vectors (wrong length) fail loud in both — silent dimension
+  coercion hides upstream corruption;
 - explained_variance_ratio = eigenvalue_i / Σ all d eigenvalues.
 
 Scale shape: fit touches every row ONCE map-side (partials are
@@ -163,8 +167,9 @@ def pca_transform(
     out_col: str = "pc",
 ) -> DataFrame:
     """Append ``out_col`` = the k-dim projection (X − mean) @ Wᵀ as
-    array<double>; all input columns pass through. Arrow-batched
-    matmul, no shuffle."""
+    array<double>; all input COLUMNS pass through, but NULL-vector
+    ROWS are dropped (module pins) — output row count can be lower
+    than input. Arrow-batched matmul, no shuffle."""
     mean, comps, d = model.mean, model.components, model.d
     out_schema = StructType(
         df.schema.fields + [StructField(out_col, ArrayType(DoubleType()))]

@@ -123,6 +123,9 @@ def log_odds_terms(
              − ln((y_rw+α_w)/(n_r+α₀−y_rw−α_w)) with r = all other
       groups; z = δ/√(1/(y_gw+α_w) + 1/(y_rw+α_w));
     - terms with corpus count < min_count are pruned BEFORE scoring;
+      ALL totals (corpus N, group n_g, rest n_r) are computed over
+      the PRUNED vocabulary so they are mutually consistent (Monroe
+      et al.'s convention; mixed totals can drive n_r negative);
       rows where any log argument is ≤ 0 drop (single-term-corpus
       degeneracy, pinned);
     - output: top_k per group by (z 6dp DESC, term ASC) — the cut
@@ -160,8 +163,13 @@ def log_odds_terms(
         .agg(F.sum("y").alias("cw"))
         .where(F.col("cw") >= min_count)
     )
-    group_tot = cells.groupBy("g").agg(F.sum("y").alias("ng"))
     pruned = cells.join(term_tot, "term")
+    # Group totals over the PRUNED vocabulary so n (corpus total) and
+    # ng share one vocabulary — Monroe et al.'s totals are consistent;
+    # mixed totals let nr = n - ng go negative for rare-term-heavy
+    # groups and the positivity guard then silently dropped rows
+    # (r10 ADVICE finding).
+    group_tot = pruned.groupBy("g").agg(F.sum("y").alias("ng"))
     n_total = F.sum("cw")
     totals = term_tot.agg(n_total.alias("n")).collect()[0]
     n = float(totals["n"])

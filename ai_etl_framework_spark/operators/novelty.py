@@ -31,8 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["novelty_scores"    "vocab_novelty",
-]
+__all__ = ["novelty_scores", "vocab_novelty"]
 
 
 def novelty_scores(

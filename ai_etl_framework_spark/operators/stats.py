@@ -68,6 +68,7 @@ __all__ = [
     "spearman_matrix",
     "categorical_entropy",
     "hhi",
+    "association_matrix",
 ]
 
 

@@ -35,8 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["group_trend"    "theil_sen_trend",
-]
+__all__ = ["group_trend", "theil_sen_trend"]
 
 
 def group_trend(

@@ -257,9 +257,12 @@ def test_log_odds_vs_hand_model(spark):
         cw[w] += y
     vocab = {w for w, c in cw.items() if c >= 2}
     n = sum(cw[w] for w in vocab)
+    # group totals over the PRUNED vocabulary (consistent with n —
+    # the Monroe et al. convention; see operators/collocations.py)
     ng = Counter()
     for (g, w), y in cells.items():
-        ng[g] += y
+        if w in vocab:
+            ng[g] += y
     a0 = 5.0
 
     def z_of(g, w):
@@ -290,6 +293,33 @@ def test_log_odds_guards(spark):
         log_odds_terms(df, "g", min_count=0)
     with pytest.raises(ValueError, match="prior_strength"):
         log_odds_terms(df, "g", prior_strength=0.0)
+
+
+def test_log_odds_rare_term_group_not_dropped(spark):
+    """A group dominated by below-min_count terms must still score its
+    pruned-vocab terms. Under the pre-r11 mixed-total convention its
+    rest-total nr = n − ng went NEGATIVE (ng counted pruned tokens, n
+    didn't) and the positivity guard silently dropped every row; with
+    consistent pruned totals nr ≥ 0 always and the rows survive."""
+    from ai_etl_framework_spark.operators.collocations import log_odds_terms
+
+    docs = [
+        # group R: 3 pruned-vocab tokens + 5 unique rare tokens; its
+        # UNPRUNED total (8) equals the pruned corpus total (8), so
+        # the old mixed-total nr = 8 − 8 = 0 and den_r went negative
+        ("R", "shared shared common u1 u2 u3 u4 u5"),
+        ("S", "shared shared shared common common"),
+    ]
+    df = spark.createDataFrame(docs, "g string, text string")
+    out = log_odds_terms(
+        df, "g", "text", min_count=2, top_k=5, prior_strength=1.0
+    ).collect()
+    by_group = {r["g"] for r in out}
+    assert "R" in by_group, "rare-term-heavy group was dropped"
+    for r in out:
+        # n_rest = pruned-vocab corpus total minus the group's own
+        # count — non-negative by construction under consistent totals
+        assert r["n_rest"] >= 0
 
 
 # ---------------------------------------------------------------------------
