@@ -391,16 +391,41 @@ def main() -> None:
     # real cluster — floor_adj_ratio subtracts it before comparing;
     # over_2x is the floor-adjusted verdict.
     FLOOR = 0.3
+    # r11 (VERDICT r10 item 2): the tail's over_2x list was computed
+    # from the raw flags WITHOUT the borderline exemption the deep-warm
+    # logic above defines, so a 35ms floor wobble (sim01, r10) landed
+    # in the official artifact as an unannotated red row. Every
+    # per-query verdict now carries the ABSOLUTE margin over/under the
+    # 2x line and a `borderline` flag (same ±0.15s band the deep-warm
+    # re-measurement uses): a red row whose |margin| is inside the band
+    # is self-adjudicating — "noise decides this one", not a
+    # regression. The raw over_2x verdict itself is unchanged.
+    BORDERLINE_MARGIN = 0.15
     per_query = {}
     for k in duck:
         tw = max(duck[k], 1e-9)
+        adj = max(warm[k] - FLOOR, 0.0)
+        margin = adj - 2 * duck[k]
         per_query[k] = {
             "ratio": round(warm[k] / tw, 3),
-            "floor_adj_ratio": round(max(warm[k] - FLOOR, 0.0) / tw, 3),
-            "over_2x": max(warm[k] - FLOOR, 0.0) > 2 * duck[k],
+            "floor_adj_ratio": round(adj / tw, 3),
+            "over_2x": adj > 2 * duck[k],
+            # signed seconds past the 2x line (negative = under)
+            "margin_sec": round(margin, 4),
+            "borderline": abs(margin) <= BORDERLINE_MARGIN,
         }
     DEDUP = {"dd03_minhash_band_pairs", "dd04_ngram_jaccard"}
     ex_dedup = [k for k in duck if k not in DEDUP]
+    # r11 (VERDICT r10 item 6): the official driver-run artifact keeps
+    # landing minutes after a 30-min pytest sweep and reading 20-45%
+    # slow on pipeline/streaming rows. Stamp the box's 1-minute load
+    # average into BOTH records so a noisy reading carries its own
+    # explanation (the quiet-box convention is load < 1).
+    try:
+        with open("/proc/loadavg") as fh:
+            loadavg_1min = float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        loadavg_1min = None
     full = {
         "metric": "headline_query_total",
         "value": total,
@@ -447,6 +472,7 @@ def main() -> None:
         "pipeline_records_per_sec_best": round(n_rows / min(pipe_runs), 1),
         "pipeline_sec_runs": [round(x, 4) for x in pipe_runs],
         "p02_sec_runs": [round(x, 4) for x in merge_runs],
+        "loadavg_1min": loadavg_1min,
     }
     # Full record → a FILE (committed per round as BENCH_r{N}_local.json)
     # and an early stdout line; the LAST stdout line is a compact
@@ -482,7 +508,21 @@ def main() -> None:
         "vs_duckdb_ratio": full["vs_duckdb_ratio"],
         "vs_duckdb_ratio_ex_dedup": full["vs_duckdb_ratio_ex_dedup"],
         "over_2x": sorted(k for k, v in per_query.items() if v["over_2x"]),
+        # self-adjudication for the tail (r10 verdict item 2): which
+        # queries sit inside the ±0.15s noise band of the 2x line,
+        # and every flagged query's absolute margin — so a red row
+        # that is also borderline reads as "noise decides", not as a
+        # regression, without consulting the full record.
+        "borderline": sorted(
+            k for k, v in per_query.items() if v["borderline"]
+        ),
+        "over_2x_margin_sec": {
+            k: v["margin_sec"]
+            for k, v in sorted(per_query.items())
+            if v["over_2x"]
+        },
         "pipeline_records_per_sec": full["pipeline_records_per_sec"],
+        "loadavg_1min": loadavg_1min,
         "full_record": os.path.basename(out_path),
     }
     print(json.dumps(compact), flush=True)
