@@ -138,6 +138,74 @@ def test_within_batch_near_dedup(spark, tmp_path):
     assert _accepted_ids(ing) == [20, 22]
 
 
+def test_bulk_backfill_one_survivor_per_cluster(spark, tmp_path):
+    """Cold-start BULK backfill (VERDICT r10 item 8): the r10 fix
+    covered near-dup pairs arriving in the same batch; this pins the
+    harder shape — a streaming cold start with maxFilesPerTrigger
+    raised so EVERY file lands in one giant first batch, containing
+    whole near-dup CLUSTERS (3 and 2 members) plus exact dups.
+    Exactly the min-id member of each cluster survives, only
+    survivors are indexed, and the stream drive equals the one-batch
+    loop drive."""
+    # cluster A: 3 near-dups (30/31/32) — shared 8-token prefix, one
+    # token varies; cluster B: 2 near-dups (40/41); 50/51 exact dups
+    # after normalization; 60 a singleton
+    rows_all = [
+        (30, "alpha beta gamma delta epsilon zeta eta theta", "en", "s"),
+        (31, "alpha beta gamma delta epsilon zeta eta iota", "en", "s"),
+        (32, "alpha beta gamma delta epsilon zeta eta kappa", "en", "s"),
+        # cluster B texts are band-collision-verified under the
+        # (16 hashes, 4 bands, k=3) defaults — a shorter pair
+        # ("...eight nine"/"...eight ten", Jaccard 0.75) has only a
+        # ~78% collision probability and lost the md5 lottery
+        (40, "the committee approved the annual budget for the city "
+             "parks department yesterday afternoon", "en", "s"),
+        (41, "the committee approved the annual budget for the city "
+             "parks department yesterday evening", "en", "s"),
+        (50, "identical sentence content for the exact pair", "en", "s"),
+        (51, "identical  Sentence CONTENT for the exact pair", "en", "s"),
+        (60, "wholly unrelated singleton document stands alone", "en", "s"),
+    ]
+    expected = [30, 40, 50, 60]
+
+    # stream drive: 4 bronze files, ALL consumed in ONE trigger
+    bronze = str(tmp_path / "bronze")
+    os.makedirs(bronze)
+    for i in range(0, len(rows_all), 2):
+        stage = str(tmp_path / f"stage{i}")
+        _mk(spark, rows_all[i:i + 2]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        src = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(
+            os.path.join(stage, src), os.path.join(bronze, f"bulk_{i}.parquet")
+        )
+    ing_s = IncrementalCorpusIngest(spark, str(tmp_path / "stream"))
+    ing_s.run_stream(
+        bronze, str(tmp_path / "ckpt"), schema=_mk(spark, rows_all).schema,
+        max_files_per_trigger=100,  # whole backfill in one batch
+    )
+    assert _accepted_ids(ing_s) == expected
+    indexed = {
+        r["doc_id"]
+        for r in spark.read.parquet(ing_s.band_dir).select("doc_id").collect()
+    }
+    assert indexed == set(expected), "losers leaked into the band store"
+
+    # one-batch loop drive agrees (stream ≡ batch on the bulk shape)
+    ing_b = IncrementalCorpusIngest(spark, str(tmp_path / "batch"))
+    ing_b.run_batches([_mk(spark, rows_all)])
+    assert _accepted_ids(ing_b) == expected
+
+    # a later near-dup of EACH surviving cluster head is still caught
+    ing_s.run_batches([_mk(spark, [
+        (70, "alpha beta gamma delta epsilon zeta eta lambda", "en", "s"),
+        (71, "the committee approved the annual budget for the city "
+             "parks department yesterday morning", "en", "s"),
+    ])])
+    assert _accepted_ids(ing_s) == expected
+
+
 def test_st03_registry_entry(spark):
     """The rows-only registry row runs end-to-end at sf0.001 and its
     floor holds: accepted ⊆ input, history all present, report joined."""
