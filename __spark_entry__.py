@@ -8578,6 +8578,286 @@ FROM pp
 """
 
 
+def x113_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy risk audit (operators/privacy.py k_anonymity_audit):
+    k=5 anonymity + l-diversity over customer quasi-identifiers
+    (segment, nation, balance rounded to 1000s; sensitive =
+    c_acctbal) — one quasi-tuple hash agg + a 1-row reduce."""
+    from ai_etl_framework_spark.operators.privacy import k_anonymity_audit
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).alias("qbal"),
+        "c_acctbal",
+    )
+    return k_anonymity_audit(
+        cust, ["c_mktsegment", "c_nationkey", "qbal"],
+        k=5, sensitive_col="c_acctbal",
+    )
+
+
+_X113_SQL = """
+WITH cls AS (
+  SELECT c_mktsegment, c_nationkey, floor(c_acctbal / 1000) AS qbal,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT c_acctbal) AS l_diversity
+  FROM customer GROUP BY 1, 2, 3)
+SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_lt_k,
+       CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+         AS BIGINT) AS n_rows_at_risk,
+       ROUND(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)::DOUBLE
+             / SUM(class_size), 6) AS risk_pct,
+       CAST(MIN(CASE WHEN l_diversity > 0 THEN l_diversity END) AS BIGINT)
+         AS min_l_diversity,
+       CAST(SUM(CASE WHEN l_diversity = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_all_null_sensitive
+FROM cls
+"""
+
+
+def x114_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-sample Laspeyres/Paasche/Fisher price indexes
+    (operators/econ.py price_index): monthly, item = l_partkey, base
+    = the data's first month — one cell agg, an item-co-partitioned
+    base join, one period agg."""
+    from ai_etl_framework_spark.operators.econ import price_index
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # period as DATE on both engines (DuckDB's date_trunc over a
+    # timestamp hands back DATE through the driver; Spark's trunc
+    # yields DateType — pinned to DATE so the canon strings agree)
+    return price_index(
+        li, "l_partkey",
+        F.trunc(F.col("l_shipdate"), "month"),
+        "l_extendedprice", "l_quantity",
+    )
+
+
+_X114_SQL = """
+WITH rows_ AS (
+  SELECT l_partkey AS item,
+         CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
+         l_extendedprice AS rev, l_quantity AS qty
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_quantity > 0),
+cells AS (SELECT item, period, SUM(rev) / SUM(qty) AS p, SUM(qty) AS q
+          FROM rows_ GROUP BY 1, 2 HAVING SUM(qty) > 0),
+b AS (SELECT item, p AS p0, q AS q0 FROM cells
+      WHERE period = (SELECT MIN(period) FROM cells)),
+m AS (SELECT c.period, c.p, c.q, b.p0, b.q0
+      FROM cells c JOIN b USING (item))
+SELECT period, CAST(COUNT(*) AS BIGINT) AS n_matched_items,
+       ROUND(SUM(p * q0) / SUM(p0 * q0), 6) AS laspeyres,
+       ROUND(SUM(p * q) / SUM(p0 * q), 6) AS paasche,
+       ROUND(SQRT((SUM(p * q0) / SUM(p0 * q0))
+                  * (SUM(p * q) / SUM(p0 * q))), 6) AS fisher
+FROM m GROUP BY period
+"""
+
+
+def x115_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands activity streaks (operators/activity.py
+    activity_streaks): per-user longest consecutive-day run — one
+    distinct (user, day) agg, one per-user window, two group aggs."""
+    from ai_etl_framework_spark.operators.activity import activity_streaks
+
+    ev = load_table(spark, sf_dir, "events")
+    return activity_streaks(ev)
+
+
+_X115_SQL = """
+WITH days AS (SELECT DISTINCT user_id AS usr, CAST(ts AS DATE) AS day
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+isl AS (SELECT usr, day,
+               day - CAST(row_number() OVER (PARTITION BY usr ORDER BY day)
+                          AS INTEGER) AS island
+        FROM days),
+st AS (SELECT usr, island, CAST(COUNT(*) AS BIGINT) AS len,
+              MAX(day) AS end_day
+       FROM isl GROUP BY 1, 2)
+SELECT usr AS "user", CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       (MAX(struct_pack(len := len, end_day := end_day))).end_day
+         AS longest_streak_end,
+       MAX(end_day) AS current_streak_end
+FROM st GROUP BY usr
+"""
+
+
+def x116_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit per source (operators/collocations.py
+    zipf_fit): regr_* over (ln rank, ln count) of each source's top
+    terms — one token agg, WindowGroupLimit rank cut, one regr agg."""
+    from ai_etl_framework_spark.operators.collocations import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, "source", "text", min_count=5, top_n=1000)
+
+
+_X116_SQL = f"""
+WITH tok AS (SELECT source AS g, unnest({_TOKS}) AS term
+             FROM documents WHERE source IS NOT NULL),
+counts AS (SELECT g, term, COUNT(*)::DOUBLE AS y FROM tok GROUP BY 1, 2),
+ranked AS (SELECT g, y,
+                  row_number() OVER (PARTITION BY g
+                    ORDER BY y DESC, term ASC) AS rank
+           FROM counts),
+fit AS (SELECT g, ln(rank::DOUBLE) AS lx, ln(y) AS ly
+        FROM ranked WHERE rank <= 1000 AND y >= 5)
+SELECT g AS source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(ly, lx), 6) AS slope,
+       ROUND(regr_intercept(ly, lx), 6) AS intercept,
+       ROUND(regr_r2(ly, lx), 6) AS r2
+FROM fit GROUP BY g
+"""
+
+
+def x117_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid silhouette per label (operators/evaluation.py
+    silhouette_centroid): label separation in embedding space — one
+    posexplode centroid agg, a |labels|-row broadcast cross join,
+    zip_with distances, two reduces."""
+    from ai_etl_framework_spark.operators.evaluation import (
+        silhouette_centroid,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return silhouette_centroid(emb, "embedding", "label")
+
+
+_X117_SQL = """
+WITH pts AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             FROM embeddings
+             WHERE embedding IS NOT NULL AND label IS NOT NULL),
+cellrows AS (SELECT label, unnest(generate_series(1, len(v))) AS dim,
+                    unnest(v) AS x
+             FROM pts),
+cent AS (SELECT label, dim, AVG(x) AS c FROM cellrows GROUP BY 1, 2),
+d AS (SELECT p.vec_id, p.label, c.label AS clab,
+             SQRT(SUM((p.v[c.dim] - c.c) * (p.v[c.dim] - c.c))) AS dist
+      FROM pts p JOIN cent c ON TRUE
+      GROUP BY 1, 2, 3),
+pp AS (SELECT vec_id, label,
+              MIN(CASE WHEN label = clab THEN dist END) AS a,
+              MIN(CASE WHEN label <> clab THEN dist END) AS b
+       FROM d GROUP BY 1, 2),
+s AS (SELECT label, a, b,
+             CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+                  WHEN b IS NOT NULL THEN 0.0 END AS sil
+      FROM pp)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(AVG(a), 6) AS avg_a, ROUND(AVG(b), 6) AS avg_b,
+       ROUND(AVG(sil), 6) AS avg_silhouette
+FROM s GROUP BY label
+"""
+
+
+def x118_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap percentile CI for each segment's mean
+    balance (operators/stats.py bootstrap_mean_ci): 200 deterministic
+    md5-weighted replicates — one explode, one (group, replicate)
+    hash agg, one exact percentile."""
+    from ai_etl_framework_spark.operators.stats import bootstrap_mean_ci
+
+    cust = load_table(spark, sf_dir, "customer")
+    return bootstrap_mean_ci(
+        cust, "c_mktsegment", "c_acctbal", "c_custkey",
+        n_replicates=200, alpha=0.05, salt="bs",
+    )
+
+
+_X118_SQL = """
+WITH base AS (SELECT c_mktsegment AS g, c_acctbal::DOUBLE AS x,
+                     CAST(c_custkey AS VARCHAR) AS rid
+              FROM customer
+              WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+rep AS (SELECT g, x, rid, unnest(generate_series(0, 199)) AS b FROM base),
+u AS (SELECT g, x, b,
+             ('0x' || substr(md5(rid || '#' || CAST(b AS VARCHAR) || 'bs'),
+                             1, 8))::BIGINT / 4294967296.0 AS uu
+      FROM rep),
+w AS (SELECT g, x, b,
+             CASE WHEN uu < 0.36787944117144233 THEN 0
+                  WHEN uu < 0.7357588823428847 THEN 1
+                  WHEN uu < 0.9196986029286058 THEN 2
+                  WHEN uu < 0.9810118431238462 THEN 3
+                  WHEN uu < 0.9963401531726563 THEN 4
+                  WHEN uu < 0.9994058151824183 THEN 5
+                  ELSE 6 END::DOUBLE AS w
+      FROM u),
+cells AS (SELECT g, b, SUM(w * x) / SUM(w) AS m
+          FROM w GROUP BY 1, 2 HAVING SUM(w) > 0),
+reps AS (SELECT g, ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+                ROUND(quantile_cont(m, 0.975), 6) AS ci_hi,
+                CAST(COUNT(*) AS BIGINT) AS n_replicates_used
+         FROM cells GROUP BY g),
+pt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              ROUND(AVG(x), 6) AS mean
+       FROM base GROUP BY g)
+SELECT pt.g AS c_mktsegment, n_rows, mean, ci_lo, ci_hi, n_replicates_used
+FROM pt JOIN reps ON pt.g = reps.g
+"""
+
+
+def x119_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (operators/abtest.py diff_in_diff):
+    treated = odd user ids, post = events on/after 2024-01-16 (the
+    data's mid-month) — one 4-cell hash agg + a 1-row reshape."""
+    from ai_etl_framework_spark.operators.abtest import diff_in_diff
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 2 == 1).alias("t"),
+        (F.to_date("ts") >= F.lit("2024-01-16").cast("date")).alias("post"),
+        F.col("value").alias("x"),
+    )
+    return diff_in_diff(base, "t", "post", "x")
+
+
+_X119_SQL = """
+WITH base AS (SELECT (user_id % 2 = 1) AS t,
+                     (CAST(ts AS DATE) >= DATE '2024-01-16') AS post,
+                     value::DOUBLE AS x
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL),
+cells AS (SELECT t, post, COUNT(*) AS n, AVG(x) AS m, var_samp(x) AS v
+          FROM base GROUP BY 1, 2),
+agg AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+               MIN(CASE WHEN NOT t AND NOT post THEN m END) AS m_c_pre,
+               MIN(CASE WHEN NOT t AND post THEN m END) AS m_c_post,
+               MIN(CASE WHEN t AND NOT post THEN m END) AS m_t_pre,
+               MIN(CASE WHEN t AND post THEN m END) AS m_t_post,
+               MIN(CASE WHEN NOT t AND NOT post THEN v / n END) AS vn_c_pre,
+               MIN(CASE WHEN NOT t AND post THEN v / n END) AS vn_c_post,
+               MIN(CASE WHEN t AND NOT post THEN v / n END) AS vn_t_pre,
+               MIN(CASE WHEN t AND post THEN v / n END) AS vn_t_post
+        FROM cells)
+SELECT n_total,
+       ROUND(m_c_pre, 6) AS mean_c_pre,
+       ROUND(m_c_post, 6) AS mean_c_post,
+       ROUND(m_t_pre, 6) AS mean_t_pre,
+       ROUND(m_t_post, 6) AS mean_t_post,
+       ROUND(m_c_post - m_c_pre, 6) AS diff_control,
+       ROUND(m_t_post - m_t_pre, 6) AS diff_treated,
+       ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did,
+       ROUND(SQRT(vn_c_pre + vn_c_post + vn_t_pre + vn_t_post), 6) AS se,
+       ROUND(CASE WHEN SQRT(vn_c_pre + vn_c_post + vn_t_pre + vn_t_post) > 0
+                  THEN ((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+                       / SQRT(vn_c_pre + vn_c_post + vn_t_pre + vn_t_post)
+             END, 6) AS t_stat
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8819,6 +9099,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x111_theil_sen": x111_theil_sen,
         "x112_vocab_novelty": x112_vocab_novelty,
         "st06_active_users": st06_active_users,
+        # r11 batch 1: privacy audit, price indexes, streaks, Zipf
+        # fit, centroid silhouette, Poisson-bootstrap CI, DiD
+        "x113_k_anonymity": x113_k_anonymity,
+        "x114_price_index": x114_price_index,
+        "x115_streaks": x115_streaks,
+        "x116_zipf": x116_zipf,
+        "x117_silhouette": x117_silhouette,
+        "x118_bootstrap_ci": x118_bootstrap_ci,
+        "x119_did": x119_did,
     }
 
 
@@ -8999,6 +9288,13 @@ def oracle_sql() -> dict[str, str]:
         "x110_rollup": _X110_SQL,
         "x111_theil_sen": _X111_SQL,
         "x112_vocab_novelty": _X112_SQL,
+        "x113_k_anonymity": _X113_SQL,
+        "x114_price_index": _X114_SQL,
+        "x115_streaks": _X115_SQL,
+        "x116_zipf": _X116_SQL,
+        "x117_silhouette": _X117_SQL,
+        "x118_bootstrap_ci": _X118_SQL,
+        "x119_did": _X119_SQL,
         "st06_active_users": _X86_SQL,
         # x01's recall table is deterministic per corpus → fixture
         # VALUES oracle keyed by corpus fingerprint (r11, VERDICT r10

@@ -39,7 +39,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["ab_test", "mann_whitney"]
+__all__ = ["ab_test", "mann_whitney", "diff_in_diff"]
 
 
 def ab_test(
@@ -223,4 +223,89 @@ def mann_whitney(
             (na > 0) & (nb > 0),
             F.round(F.lit(1.0) - F.lit(2.0) * u_a / (na * nb), 6),
         ).alias("rank_biserial"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimator — the 2×2 natural-
+    experiment readout (Card & Krueger 1994 canonical form): how much
+    did the treated group's mean move relative to the control group's
+    move across the same pre→post boundary. The causal complement to
+    ab_test's randomized comparison when assignment wasn't random but
+    the timing was. Beyond-reference analytics scope (grep
+    'diff.in.diff\\|did' over /root/reference/src: zero hits).
+
+    Pinned semantics (oracle-replicated):
+
+    - ``group_col`` is BOOLEAN treated/control, ``post_col`` BOOLEAN
+      post/pre (cast upstream); rows with NULL group/post/value drop;
+    - cell stats per (treated, post): n, mean, SAMPLE variance (ANSI
+      var_samp — NULL for n = 1 cells);
+    - did = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre);
+    - se = √(Σ cells var/n) — the unpooled (Welch-style) standard
+      error of the 4-mean contrast; t = did/se; both NULL when any
+      cell has n < 2 (se undefined) — never an error;
+    - output is ONE row: (n_total, mean_c_pre, mean_c_post,
+      mean_t_pre, mean_t_post, diff_control, diff_treated, did, se,
+      t_stat), floats rounded 6dp. Missing cells (an empty group ×
+      period) make the contrast NULL (reported, fail-soft — the
+      caller can assert n_total/cell presence).
+
+    Scale shape: ONE hash aggregation to the four (treated, post)
+    cells — map-side partials collapse the row scale — then a 1-row
+    conditional reshape. No join, no window, no second scan."""
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(post_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("boolean").alias("t"),
+        F.col(post_col).cast("boolean").alias("post"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    cells = base.groupBy("t", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("x").alias("m"),
+        F.var_samp("x").alias("v"),
+    )
+
+    def pick(expr, t, post):
+        return F.min(
+            F.when((F.col("t") == t) & (F.col("post") == post), expr)
+        )
+
+    out = cells.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        pick(F.col("m"), False, False).alias("m_c_pre"),
+        pick(F.col("m"), False, True).alias("m_c_post"),
+        pick(F.col("m"), True, False).alias("m_t_pre"),
+        pick(F.col("m"), True, True).alias("m_t_post"),
+        pick(F.col("v") / F.col("n"), False, False).alias("vn_c_pre"),
+        pick(F.col("v") / F.col("n"), False, True).alias("vn_c_post"),
+        pick(F.col("v") / F.col("n"), True, False).alias("vn_t_pre"),
+        pick(F.col("v") / F.col("n"), True, True).alias("vn_t_post"),
+    )
+    diff_c = F.col("m_c_post") - F.col("m_c_pre")
+    diff_t = F.col("m_t_post") - F.col("m_t_pre")
+    did = diff_t - diff_c
+    se = F.sqrt(
+        F.col("vn_c_pre") + F.col("vn_c_post")
+        + F.col("vn_t_pre") + F.col("vn_t_post")
+    )
+    return out.select(
+        "n_total",
+        F.round("m_c_pre", 6).alias("mean_c_pre"),
+        F.round("m_c_post", 6).alias("mean_c_post"),
+        F.round("m_t_pre", 6).alias("mean_t_pre"),
+        F.round("m_t_post", 6).alias("mean_t_post"),
+        F.round(diff_c, 6).alias("diff_control"),
+        F.round(diff_t, 6).alias("diff_treated"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(F.when(se > 0, did / se), 6).alias("t_stat"),
     )

@@ -48,6 +48,7 @@ __all__ = [
     "mrr_at_k",
     "calibration_table",
     "classifier_metrics",
+    "silhouette_centroid",
 ]
 
 
@@ -410,4 +411,96 @@ def classifier_metrics(
         F.round(F.when((np_ > 0) & (nn_ > 0), auc), 6).alias("auc"),
         F.round(F.col("br") / n, 6).alias("brier"),
         F.round(F.col("ll") / n, 6).alias("log_loss"),
+    )
+
+
+
+def silhouette_centroid(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label centroid silhouette — the "are my labels actually
+    separated in embedding space" scorecard: for every point,
+    a = Euclidean distance to its OWN label centroid, b = the minimum
+    distance to any OTHER label centroid, s = (b − a) / max(a, b).
+    The centroid ("simplified") silhouette variant (Hruschka et al.
+    2004) — O(points × labels) instead of the classic O(points²)
+    pairwise form, the only form that survives corpus scale.
+    Beyond-reference analytics scope (grep 'silhouette' over
+    /root/reference/src: zero hits).
+
+    Pinned semantics (oracle-replicated):
+
+    - rows with NULL vector or NULL label drop; vector elements cast
+      to double before any arithmetic (float32 storage, double math —
+      the x62 contract);
+    - centroid = per-label elementwise mean over that label's
+      vectors; distance = Euclidean (sqrt of the coordinate
+      square-sum);
+    - s = (b − a) / max(a, b); a degenerate point with
+      max(a, b) = 0 scores 0 (pinned — the sklearn convention);
+      a single-label input (no "other" centroid) yields NULL b and
+      NULL silhouette (reported, never an error);
+    - output per label: (label, n_points, avg_a, avg_b,
+      avg_silhouette), all ``round_to`` dp (6 default).
+
+    Scale shape: ONE posexplode aggregation builds the label×dim
+    centroid cells (|labels| × d rows — dimension-bounded); the cells
+    reassemble into one array row per label and BROADCAST-cross-join
+    the point frame (|labels| rows — the point frame is never
+    shuffled); per-point distances are one zip_with/aggregate fold
+    (JVM codegen, no UDF); one per-point reduce keyed by a synthetic
+    point id (unique by construction — monotonically_increasing_id on
+    the pre-join frame), then ONE label aggregation."""
+    if round_to < 0:
+        raise ValueError(f"round_to must be >= 0, got {round_to}")
+    pts = df.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.monotonically_increasing_id().alias("__pid"),
+        F.col(label_col).alias("__lab"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    cells = (
+        pts.select("__lab", F.posexplode("__v").alias("__dim", "__x"))
+        .groupBy("__lab", "__dim")
+        .agg(F.avg("__x").alias("__c"))
+    )
+    centroids = cells.groupBy("__lab").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__dim", "__c"))),
+            lambda s: s["__c"],
+        ).alias("__cv")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("__v", "__cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = pts.crossJoin(
+        F.broadcast(centroids.select(F.col("__lab").alias("__clab"), "__cv"))
+    ).select("__pid", "__lab", "__clab", dist.alias("__d"))
+    per_point = scored.groupBy("__pid", "__lab").agg(
+        F.min(F.when(F.col("__lab") == F.col("__clab"), F.col("__d"))).alias(
+            "__a"
+        ),
+        F.min(F.when(F.col("__lab") != F.col("__clab"), F.col("__d"))).alias(
+            "__b"
+        ),
+    )
+    s = F.when(
+        F.greatest("__a", "__b") > 0,
+        (F.col("__b") - F.col("__a")) / F.greatest("__a", "__b"),
+    ).otherwise(
+        F.when(F.col("__b").isNotNull(), F.lit(0.0))
+    )
+    return per_point.groupBy(F.col("__lab").alias(label_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.avg("__a"), round_to).alias("avg_a"),
+        F.round(F.avg("__b"), round_to).alias("avg_b"),
+        F.round(F.avg(s), round_to).alias("avg_silhouette"),
     )

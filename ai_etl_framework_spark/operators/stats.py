@@ -69,6 +69,7 @@ __all__ = [
     "categorical_entropy",
     "hhi",
     "association_matrix",
+    "bootstrap_mean_ci",
 ]
 
 
@@ -631,4 +632,122 @@ def association_matrix(
         out,
         "col_a string, col_b string, n long, dof long, chi2 double, "
         "cramers_v double, mutual_info double",
+    )
+
+
+# Poisson(1) inverse-CDF cutoffs P(X <= k) for k = 0..5 — double
+# literals shared verbatim with the SQL twin so both engines derive
+# the IDENTICAL replicate weights from the same md5 uniform. Rows
+# past c5 get weight 6 (P ≈ 5.9e-4; truncation bias is far below the
+# resampling noise at any usable replicate count).
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 200,
+    alpha: float = 0.05,
+    salt: str = "bs",
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for each group's mean
+    — via the POISSON bootstrap (Hanley & MacGibbon 2006; the
+    map-reduce-era standard, e.g. Chamandy et al. 2012): instead of
+    resampling n rows with replacement (which needs global
+    coordination), each row enters replicate b with multiplicity
+    ~ Poisson(1), derived DETERMINISTICALLY from
+    md5(id '#' b || salt) — so the whole bootstrap is one explode +
+    one aggregation, reproducible across engines and runs.
+    Beyond-reference analytics scope (grep 'bootstrap' over
+    /root/reference/src: zero hits).
+
+    Pinned semantics (oracle-replicated):
+
+    - rows with NULL group or NULL value drop;
+    - weight w(row, b) = Poisson(1) inverse-CDF of
+      u = hash_uniform(id '#' b, salt) using the shared
+      ``_POISSON1_CDF`` cutoffs (identical double literals in the SQL
+      twin), truncated at 6;
+    - replicate mean m(g, b) = Σ w·x / Σ w over the group's rows;
+      replicates where Σ w = 0 are EXCLUDED from the percentile
+      (possible only for tiny groups — reported via
+      n_replicates_used);
+    - ci_lo / ci_hi = exact linear-interpolation percentiles
+      (alpha/2, 1 − alpha/2) over the replicate means — both engines'
+      continuous-quantile functions implement the same type-7 rule;
+    - output per group: (group, n_rows, mean, ci_lo, ci_hi,
+      n_replicates_used); mean is the PLAIN sample mean (the point
+      estimate the CI brackets); floats rounded 6dp.
+
+    Scale shape: ONE explode (×n_replicates) → ONE (group, replicate)
+    hash aggregation (map-side partials collapse the row scale before
+    the shuffle — the shuffle carries groups × replicates cells, not
+    rows) → one group-level exact percentile over n_replicates
+    values. The ×B input amplification is the method's documented
+    cost: B rides a parameter, and the explode happens AFTER column
+    pruning (3 columns wide). No window, no join, no driver state."""
+    if n_replicates < 10:
+        raise ValueError(
+            f"n_replicates must be >= 10, got {n_replicates}"
+        )
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from ai_etl_framework_spark.operators.sampling import hash_uniform
+
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("x"),
+        F.col(id_col).cast("string").alias("rid"),
+    )
+    rep = base.select(
+        "g",
+        "x",
+        "rid",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_replicates) - 1))
+        ).alias("b"),
+    )
+    u = hash_uniform(
+        F.concat(F.col("rid"), F.lit("#"), F.col("b").cast("string")), salt
+    )
+    w = F.when(u < _POISSON1_CDF[0], 0)
+    for k in range(1, 6):
+        w = w.when(u < _POISSON1_CDF[k], k)
+    w = w.otherwise(6).cast("double")
+    cells = (
+        rep.select("g", "b", "x", w.alias("w"))
+        .groupBy("g", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("wx"),
+            F.sum("w").alias("ws"),
+        )
+        .where(F.col("ws") > 0)
+        .select("g", (F.col("wx") / F.col("ws")).alias("m"))
+    )
+    reps = cells.groupBy(F.col("g").alias(group_col)).agg(
+        F.round(
+            F.percentile(F.col("m"), F.lit(alpha / 2.0)), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.percentile(F.col("m"), F.lit(1.0 - alpha / 2.0)), 6
+        ).alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_replicates_used"),
+    )
+    point = base.groupBy(F.col("g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.avg("x"), 6).alias("mean"),
+    )
+    return point.join(reps, group_col).select(
+        group_col, "n_rows", "mean", "ci_lo", "ci_hi", "n_replicates_used"
     )

@@ -305,6 +305,26 @@ QUERIES = [
     # vocab novelty = explode + distinct (period, term) agg + vocab
     # min/join (the letter rotation grows vocab linearly)
     "x112_vocab_novelty",
+    # k-anonymity = one quasi-tuple hash agg (classes grow ~linearly
+    # with customers) + a 1-row reduce
+    "x113_k_anonymity",
+    # price index = one (item, month) cell agg + item-co-partitioned
+    # base join + month agg; cells grow with items, months constant
+    "x114_price_index",
+    # streaks = one distinct (user, day) agg + one per-user window;
+    # per-user day lists stay span-bounded (30 days)
+    "x115_streaks",
+    # zipf = one token agg (Zipf head collapses map-side) +
+    # WindowGroupLimit top-1000 + one regr agg over <= 5x1000 rows
+    "x116_zipf",
+    # silhouette = centroid agg (labels x 64 dims, constant) +
+    # |labels|-row broadcast cross join over the point frame
+    "x117_silhouette",
+    # bootstrap = x200 explode (documented cost) -> one (group,
+    # replicate) agg with map-side partials; cells constant (5x200)
+    "x118_bootstrap_ci",
+    # did = one 4-cell hash agg + 1-row reshape
+    "x119_did",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

@@ -1,0 +1,350 @@
+"""r11 batch-1 operator families: k-anonymity audit, price indexes,
+activity streaks, Zipf fit, centroid silhouette, Poisson-bootstrap
+CI, diff-in-differences — hand-math and differential evidence beside
+the oracle-parity rows."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity (x113)
+# ---------------------------------------------------------------------------
+
+def _kanon_df(spark):
+    rows = [
+        # class (a, 1): 3 rows  -> violates k=5
+        ("a", 1, 10.0), ("a", 1, 11.0), ("a", 1, 10.0),
+        # class (a, 2): 6 rows  -> safe
+        *[("a", 2, float(i)) for i in range(6)],
+        # class (b, 1): 1 row   -> violates
+        ("b", 1, 99.0),
+        # class (NULL, 1): 2 rows -> NULLs group together, violates
+        (None, 1, 5.0), (None, 1, None),
+    ]
+    return spark.createDataFrame(rows, "q1 string, q2 int, s double")
+
+
+def test_k_anonymity_summary_hand_math(spark):
+    from ai_etl_framework_spark.operators.privacy import k_anonymity_audit
+
+    r = k_anonymity_audit(
+        _kanon_df(spark), ["q1", "q2"], k=5, sensitive_col="s"
+    ).first()
+    assert r["n_rows"] == 12 and r["n_classes"] == 4
+    assert r["min_class_size"] == 1
+    assert r["n_classes_lt_k"] == 3
+    assert r["n_rows_at_risk"] == 6
+    assert r["risk_pct"] == pytest.approx(0.5)
+    # class (a,1) has sensitive {10, 11} -> l=2; (b,1) l=1; (NULL,1)
+    # has one non-NULL sensitive -> l=1; (a,2) l=6 -> min over >0 is 1
+    assert r["min_l_diversity"] == 1
+    assert r["n_classes_all_null_sensitive"] == 0
+
+
+def test_k_anonymity_violations_and_guards(spark):
+    from ai_etl_framework_spark.operators.privacy import (
+        k_anonymity_audit,
+        k_anonymity_violations,
+    )
+
+    v = k_anonymity_violations(_kanon_df(spark), ["q1", "q2"], k=5).collect()
+    assert [(r["q1"], r["q2"], r["class_size"]) for r in v] == [
+        ("b", 1, 1), (None, 1, 2), ("a", 1, 3)
+    ]
+    with pytest.raises(ValueError, match="quasi_cols"):
+        k_anonymity_audit(_kanon_df(spark), [], k=5)
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity_audit(_kanon_df(spark), ["q1"], k=1)
+    with pytest.raises(ValueError, match="max_violations"):
+        k_anonymity_violations(
+            _kanon_df(spark), ["q1", "q2"], k=5, max_violations=2
+        )
+
+
+# ---------------------------------------------------------------------------
+# price_index (x114)
+# ---------------------------------------------------------------------------
+
+def test_price_index_hand_math(spark):
+    from ai_etl_framework_spark.operators.econ import price_index
+
+    # two periods, two matched items + one item only in period 2
+    # (excluded by the matched-sample rule)
+    rows = [
+        # item, period, revenue, qty  (unit price = rev/qty)
+        ("A", "2024-01-01", 10.0, 10.0),   # p0=1, q0=10
+        ("B", "2024-01-01", 40.0, 20.0),   # p0=2, q0=20
+        ("A", "2024-02-01", 24.0, 12.0),   # p=2, q=12
+        ("B", "2024-02-01", 30.0, 10.0),   # p=3, q=10
+        ("C", "2024-02-01", 99.0, 1.0),    # no base cell -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "item string, d string, rev double, qty double"
+    )
+    out = {
+        r["period"].isoformat(): r
+        for r in price_index(
+            df, "item", F.to_date("d"), "rev", "qty"
+        ).collect()
+    }
+    base = out["2024-01-01"]
+    assert base["n_matched_items"] == 2
+    assert base["laspeyres"] == 1.0 and base["paasche"] == 1.0
+    assert base["fisher"] == 1.0
+    t = out["2024-02-01"]
+    assert t["n_matched_items"] == 2
+    # L = (2*10 + 3*20)/(1*10 + 2*20) = 80/50 = 1.6
+    assert t["laspeyres"] == pytest.approx(1.6)
+    # P = (2*12 + 3*10)/(1*12 + 2*10) = 54/32 = 1.6875
+    assert t["paasche"] == pytest.approx(1.6875)
+    assert t["fisher"] == pytest.approx(round(math.sqrt(1.6 * 1.6875), 6))
+
+
+def test_price_index_drops_degenerate_qty(spark):
+    from ai_etl_framework_spark.operators.econ import price_index
+
+    rows = [
+        ("A", "2024-01-01", 10.0, 10.0),
+        ("A", "2024-02-01", 5.0, 0.0),     # qty 0 -> dropped
+        ("A", "2024-02-01", None, 4.0),    # NULL rev -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "item string, d string, rev double, qty double"
+    )
+    out = price_index(df, "item", F.to_date("d"), "rev", "qty").collect()
+    # period 2 has no surviving cells -> only the base row remains
+    assert len(out) == 1 and out[0]["laspeyres"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# activity_streaks (x115)
+# ---------------------------------------------------------------------------
+
+def test_activity_streaks_hand_math(spark):
+    from ai_etl_framework_spark.operators.activity import activity_streaks
+
+    rows = [
+        # user 1: days 1,2,3 then 5,6 -> streaks 3 and 2
+        (1, "2024-01-01"), (1, "2024-01-02"), (1, "2024-01-03"),
+        (1, "2024-01-05"), (1, "2024-01-06"),
+        (1, "2024-01-02"),              # duplicate day -> no effect
+        # user 2: two LEN-2 streaks -> tie resolves to the LATEST end
+        (2, "2024-01-01"), (2, "2024-01-02"),
+        (2, "2024-01-08"), (2, "2024-01-09"),
+        # NULL rows drop
+        (None, "2024-01-01"), (3, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, d string").select(
+        "user_id", F.to_timestamp("d").alias("ts")
+    )
+    out = {r["user"]: r for r in activity_streaks(df).collect()}
+    assert set(out) == {1, 2}
+    u1 = out[1]
+    assert u1["n_active_days"] == 5 and u1["n_streaks"] == 2
+    assert u1["longest_streak"] == 3
+    assert u1["longest_streak_end"].isoformat() == "2024-01-03"
+    assert u1["current_streak_end"].isoformat() == "2024-01-06"
+    u2 = out[2]
+    assert u2["longest_streak"] == 2
+    assert u2["longest_streak_end"].isoformat() == "2024-01-09"
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit (x116)
+# ---------------------------------------------------------------------------
+
+def test_zipf_fit_vs_numpy(spark):
+    from ai_etl_framework_spark.operators.collocations import zipf_fit
+
+    # construct a corpus with known counts: term t_i appears 2^(10-i)
+    # times -> exact rank order, slope from numpy polyfit
+    words = []
+    counts = {}
+    for i in range(8):
+        c = 2 ** (10 - i)
+        counts[f"t{i}"] = c
+        words.extend([f"t{i}"] * c)
+    df = spark.createDataFrame([("g", " ".join(words))], "src string, text string")
+    r = zipf_fit(df, "src", "text", min_count=1, top_n=100).first()
+    assert r["n_terms"] == 8
+    ranks = np.arange(1, 9)
+    freqs = np.array([counts[f"t{i}"] for i in range(8)], dtype=float)
+    slope, intercept = np.polyfit(np.log(ranks), np.log(freqs), 1)
+    assert r["slope"] == pytest.approx(round(slope, 6), abs=2e-6)
+    assert r["intercept"] == pytest.approx(round(intercept, 6), abs=2e-6)
+    assert r["r2"] is not None and 0.9 < r["r2"] <= 1.0
+
+
+def test_zipf_fit_degenerate_and_guards(spark):
+    from ai_etl_framework_spark.operators.collocations import zipf_fit
+
+    # 2 usable terms -> regr runs but r2 of a 2-point fit is 1;
+    # 1 term -> zero x-variance -> NULL slope
+    df = spark.createDataFrame(
+        [("g", "a a a a a b b b b b"), ("h", "c c c c c")],
+        "src string, text string",
+    )
+    out = {r["src"]: r for r in zipf_fit(df, "src", min_count=5).collect()}
+    assert out["h"]["slope"] is None
+    with pytest.raises(ValueError, match="top_n"):
+        zipf_fit(df, "src", top_n=2)
+
+
+# ---------------------------------------------------------------------------
+# silhouette_centroid (x117)
+# ---------------------------------------------------------------------------
+
+def test_silhouette_vs_numpy(spark):
+    from ai_etl_framework_spark.operators.evaluation import (
+        silhouette_centroid,
+    )
+
+    rng = np.random.RandomState(7)
+    pts, labels = [], []
+    for lab, center in [(0, (0.0, 0.0)), (1, (5.0, 5.0)), (2, (0.0, 8.0))]:
+        for _ in range(20):
+            pts.append(rng.normal(center, 0.5, 2))
+            labels.append(lab)
+    X = np.array(pts)
+    y = np.array(labels)
+    df = spark.createDataFrame(
+        [(i, [float(a) for a in X[i]], int(y[i])) for i in range(len(y))],
+        "id long, v array<double>, lab int",
+    )
+    got = {r["lab"]: r for r in silhouette_centroid(df, "v", "lab").collect()}
+    cents = {lab: X[y == lab].mean(axis=0) for lab in (0, 1, 2)}
+    for lab in (0, 1, 2):
+        own = np.linalg.norm(X[y == lab] - cents[lab], axis=1)
+        other = np.min(
+            [
+                np.linalg.norm(X[y == lab] - cents[o], axis=1)
+                for o in (0, 1, 2) if o != lab
+            ],
+            axis=0,
+        )
+        s = (other - own) / np.maximum(own, other)
+        assert got[lab]["n_points"] == 20
+        assert got[lab]["avg_a"] == pytest.approx(round(own.mean(), 6), abs=2e-6)
+        assert got[lab]["avg_b"] == pytest.approx(round(other.mean(), 6), abs=2e-6)
+        assert got[lab]["avg_silhouette"] == pytest.approx(
+            round(s.mean(), 6), abs=2e-6
+        )
+        # well-separated gaussians -> strongly positive silhouette
+        assert got[lab]["avg_silhouette"] > 0.5
+
+
+def test_silhouette_single_label_null_b(spark):
+    from ai_etl_framework_spark.operators.evaluation import (
+        silhouette_centroid,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0), (2, [1.0, 0.0], 0)],
+        "id long, v array<double>, lab int",
+    )
+    r = silhouette_centroid(df, "v", "lab").first()
+    assert r["avg_b"] is None and r["avg_silhouette"] is None
+    assert r["n_points"] == 2 and r["avg_a"] == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_mean_ci (x118)
+# ---------------------------------------------------------------------------
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from ai_etl_framework_spark.operators.stats import bootstrap_mean_ci
+
+    rng = np.random.RandomState(3)
+    vals = rng.normal(50.0, 10.0, 400)
+    df = spark.createDataFrame(
+        [("g", int(i), float(v)) for i, v in enumerate(vals)],
+        "grp string, id long, x double",
+    )
+    r1 = bootstrap_mean_ci(df, "grp", "x", "id", n_replicates=100).first()
+    assert r1["n_rows"] == 400
+    assert r1["n_replicates_used"] == 100
+    # CI brackets the sample mean and has sane width (se ≈ 0.5)
+    assert r1["ci_lo"] < r1["mean"] < r1["ci_hi"]
+    width = r1["ci_hi"] - r1["ci_lo"]
+    assert 1.0 < width < 4.0, f"CI width {width} implausible for se~0.5"
+    # deterministic: identical on re-run
+    r2 = bootstrap_mean_ci(df, "grp", "x", "id", n_replicates=100).first()
+    assert (r1["ci_lo"], r1["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])
+    # different salt -> different resampling (almost surely)
+    r3 = bootstrap_mean_ci(
+        df, "grp", "x", "id", n_replicates=100, salt="other"
+    ).first()
+    assert (r1["ci_lo"], r1["ci_hi"]) != (r3["ci_lo"], r3["ci_hi"])
+
+
+def test_bootstrap_poisson_weights_mean_one(spark):
+    """The md5-derived Poisson(1) weights must average ≈ 1 (the
+    resampling is unbiased) — checked through the public surface: a
+    single replicate's weighted mean over constant values is exactly
+    the value, and over many replicates the CI collapses onto it."""
+    from ai_etl_framework_spark.operators.stats import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [("g", i, 7.0) for i in range(200)], "grp string, id long, x double"
+    )
+    r = bootstrap_mean_ci(df, "grp", "x", "id", n_replicates=50).first()
+    assert r["mean"] == 7.0
+    assert r["ci_lo"] == 7.0 and r["ci_hi"] == 7.0
+
+
+def test_bootstrap_guards(spark):
+    from ai_etl_framework_spark.operators.stats import bootstrap_mean_ci
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "grp string, id long, x double")
+    with pytest.raises(ValueError, match="n_replicates"):
+        bootstrap_mean_ci(df, "grp", "x", "id", n_replicates=5)
+    with pytest.raises(ValueError, match="alpha"):
+        bootstrap_mean_ci(df, "grp", "x", "id", alpha=1.5)
+
+
+# ---------------------------------------------------------------------------
+# diff_in_diff (x119)
+# ---------------------------------------------------------------------------
+
+def test_did_hand_math(spark):
+    from ai_etl_framework_spark.operators.abtest import diff_in_diff
+
+    rows = []
+    # control: pre mean 10, post mean 12 (trend +2)
+    rows += [(False, False, v) for v in (9.0, 10.0, 11.0)]
+    rows += [(False, True, v) for v in (11.0, 12.0, 13.0)]
+    # treated: pre mean 20, post mean 25 (trend +5 -> DiD = 3)
+    rows += [(True, False, v) for v in (19.0, 20.0, 21.0)]
+    rows += [(True, True, v) for v in (24.0, 25.0, 26.0)]
+    df = spark.createDataFrame(rows, "t boolean, post boolean, x double")
+    r = diff_in_diff(df, "t", "post", "x").first()
+    assert r["n_total"] == 12
+    assert r["diff_control"] == pytest.approx(2.0)
+    assert r["diff_treated"] == pytest.approx(5.0)
+    assert r["did"] == pytest.approx(3.0)
+    # each cell: var_samp = 1, n = 3 -> se = sqrt(4/3)
+    assert r["se"] == pytest.approx(round(math.sqrt(4.0 / 3.0), 6))
+    assert r["t_stat"] == pytest.approx(round(3.0 / math.sqrt(4.0 / 3.0), 6))
+
+
+def test_did_missing_cell_and_tiny_cell(spark):
+    from ai_etl_framework_spark.operators.abtest import diff_in_diff
+
+    # no treated-post cell -> did NULL, never an error
+    rows = [(False, False, 1.0), (False, True, 2.0), (True, False, 3.0)]
+    df = spark.createDataFrame(rows, "t boolean, post boolean, x double")
+    r = diff_in_diff(df, "t", "post", "x").first()
+    assert r["did"] is None and r["n_total"] == 3
+    # n=1 cells -> var_samp NULL -> se/t NULL, did still reported
+    rows2 = [(False, False, 1.0), (False, True, 2.0),
+             (True, False, 3.0), (True, True, 7.0)]
+    df2 = spark.createDataFrame(rows2, "t boolean, post boolean, x double")
+    r2 = diff_in_diff(df2, "t", "post", "x").first()
+    assert r2["did"] == pytest.approx(3.0)
+    assert r2["se"] is None and r2["t_stat"] is None
