@@ -8858,6 +8858,177 @@ FROM agg
 """
 
 
+def x120_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (operators/audit.py fd_audit):
+    three candidate FDs over lineitem — one per-pair determinant hash
+    agg + 1-row reduce, unioned."""
+    from ai_etl_framework_spark.operators.audit import fd_audit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return fd_audit(
+        li,
+        [
+            ("l_orderkey", "l_returnflag"),
+            ("l_partkey", "l_quantity"),
+            ("l_suppkey", "l_linestatus"),
+        ],
+    )
+
+
+def _x120_sql() -> str:
+    pairs = [
+        ("l_orderkey", "l_returnflag"),
+        ("l_partkey", "l_quantity"),
+        ("l_suppkey", "l_linestatus"),
+    ]
+    blocks = []
+    for det, dep in pairs:
+        blocks.append(f"""
+SELECT '{det}' AS determinant, '{dep}' AS dependent,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys,
+       ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS violation_rate,
+       CAST(MAX(nd) AS BIGINT) AS max_distinct_dependents
+FROM (SELECT {det} AS k, COUNT(DISTINCT {dep}) AS nd
+      FROM lineitem WHERE {det} IS NOT NULL GROUP BY 1) t
+""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+def x121_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Jensen–Shannon drift of the event-type mix vs the
+    whole-corpus baseline (operators/drift.py jsd_drift) — one
+    (day, type) cell agg + dimension-grid completion + day reduce."""
+    from ai_etl_framework_spark.operators.drift import jsd_drift
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    return jsd_drift(ev, "event_type", "day")
+
+
+_X121_SQL = """
+WITH base AS (SELECT CAST(ts AS DATE) AS per, event_type AS cat
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+cells AS (SELECT per, cat, COUNT(*)::DOUBLE AS n_pc
+          FROM base GROUP BY 1, 2),
+pt AS (SELECT per, SUM(n_pc) AS n_p, COUNT(*)::BIGINT AS n_categories
+       FROM cells GROUP BY per),
+ct AS (SELECT cat, SUM(n_pc) AS n_c FROM cells GROUP BY cat),
+na AS (SELECT SUM(n_pc) AS n_all FROM cells),
+grid AS (SELECT pt.per, pt.n_p, ct.cat,
+                COALESCE(c.n_pc, 0.0) / pt.n_p AS p,
+                ct.n_c / na.n_all AS q
+         FROM pt CROSS JOIN ct CROSS JOIN na
+         LEFT JOIN cells c ON c.per = pt.per AND c.cat = ct.cat),
+sc AS (SELECT per, n_p,
+              0.5 * SUM(CASE WHEN p > 0
+                             THEN p * log2(p / ((p + q) / 2))
+                             ELSE 0 END)
+              + 0.5 * SUM(q * log2(q / ((p + q) / 2))) AS jsd
+       FROM grid GROUP BY 1, 2)
+SELECT sc.per AS day, CAST(sc.n_p AS BIGINT) AS n, pt.n_categories,
+       ROUND(sc.jsd, 6) AS jsd
+FROM sc JOIN pt ON sc.per = pt.per
+"""
+
+
+def x122_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending terms per ingest period (operators/novelty.py
+    trending_terms): the x112 synthetic doc_id%28 calendar, top-100
+    leaderboards, top-5 risers per period — everything after the one
+    token agg runs on the leaderboard frame."""
+    from ai_etl_framework_spark.operators.novelty import trending_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    period = F.date_add(
+        F.lit("2024-01-01").cast("date"),
+        (F.col("doc_id") % 28).cast("int"),
+    )
+    return trending_terms(docs, period, "text", top_rank=100, top_k=5)
+
+
+_X122_SQL = f"""
+WITH src AS (SELECT (DATE '2024-01-01'
+                     + CAST(doc_id % 28 AS INTEGER)) AS period, text
+             FROM documents),
+tok AS (SELECT period, unnest({_TOKS}) AS term FROM src),
+counts AS (SELECT period, term, COUNT(*)::BIGINT AS n
+           FROM tok GROUP BY 1, 2),
+board AS (SELECT *, row_number() OVER (PARTITION BY period
+            ORDER BY n DESC, term ASC) AS rank
+          FROM counts QUALIFY rank <= 100),
+bi AS (SELECT *, dense_rank() OVER (ORDER BY period) AS pidx FROM board),
+j AS (SELECT b.period, b.term, b.n, b.rank, p.rank AS prev_rank,
+             p.rank - b.rank AS rank_delta, p.rank IS NULL AS is_new
+      FROM bi b LEFT JOIN bi p ON p.term = b.term AND p.pidx = b.pidx - 1
+      WHERE b.pidx >= 2),
+cut AS (SELECT *, row_number() OVER (PARTITION BY period
+          ORDER BY rank_delta DESC NULLS LAST, term ASC) AS rn
+        FROM j)
+SELECT period, term, n, rank, prev_rank, rank_delta, is_new
+FROM cut WHERE rn <= 5
+"""
+
+
+def x123_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter match-pattern table (operators/linkage.py
+    fs_match_patterns): customers blocked on (nation, balance/100),
+    compared on (segment, balance/10) with pinned (m, u) — one
+    block-co-partitioned self-join + one pattern agg."""
+    from ai_etl_framework_spark.operators.linkage import fs_match_patterns
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 100).alias("qbal"),
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 10).alias("bal10"),
+    )
+    return fs_match_patterns(
+        cust,
+        "c_custkey",
+        ["c_nationkey", "qbal"],
+        {"c_mktsegment": (0.9, 0.25), "bal10": (0.8, 0.05)},
+        max_block_size=2000,
+    )
+
+
+def _x123_sql() -> str:
+    import math
+
+    w1a, w1d = math.log2(0.9 / 0.25), math.log2(0.1 / 0.75)
+    w2a, w2d = math.log2(0.8 / 0.05), math.log2(0.2 / 0.95)
+    return f"""
+WITH base AS (SELECT c_custkey AS id, c_nationkey,
+                     floor(c_acctbal / 100) AS qbal,
+                     c_mktsegment, floor(c_acctbal / 10) AS bal10
+              FROM customer
+              WHERE c_nationkey IS NOT NULL
+                AND floor(c_acctbal / 100) IS NOT NULL),
+pairs AS (SELECT a.c_mktsegment AS sa, b.c_mktsegment AS sb,
+                 a.bal10 AS ba, b.bal10 AS bb
+          FROM base a JOIN base b
+            ON a.c_nationkey = b.c_nationkey AND a.qbal = b.qbal
+           AND a.id < b.id),
+pat AS (SELECT
+  (CASE WHEN sa IS NULL OR sb IS NULL THEN '?'
+        WHEN sa = sb THEN '1' ELSE '0' END) ||
+  (CASE WHEN ba IS NULL OR bb IS NULL THEN '?'
+        WHEN ba = bb THEN '1' ELSE '0' END) AS pattern,
+  ROUND((CASE WHEN sa IS NULL OR sb IS NULL THEN 0.0
+              WHEN sa = sb THEN {w1a!r} ELSE {w1d!r} END)
+      + (CASE WHEN ba IS NULL OR bb IS NULL THEN 0.0
+              WHEN ba = bb THEN {w2a!r} ELSE {w2d!r} END), 6) AS score
+ FROM pairs)
+SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_pairs, score
+FROM pat GROUP BY pattern, score
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9108,6 +9279,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x117_silhouette": x117_silhouette,
         "x118_bootstrap_ci": x118_bootstrap_ci,
         "x119_did": x119_did,
+        # r11 batch 2: FD audit, JSD categorical drift, trending
+        # terms, Fellegi-Sunter linkage patterns
+        "x120_fd_audit": x120_fd_audit,
+        "x121_jsd_drift": x121_jsd_drift,
+        "x122_trending_terms": x122_trending_terms,
+        "x123_fs_linkage": x123_fs_linkage,
     }
 
 
@@ -9295,6 +9472,10 @@ def oracle_sql() -> dict[str, str]:
         "x117_silhouette": _X117_SQL,
         "x118_bootstrap_ci": _X118_SQL,
         "x119_did": _X119_SQL,
+        "x120_fd_audit": _x120_sql(),
+        "x121_jsd_drift": _X121_SQL,
+        "x122_trending_terms": _X122_SQL,
+        "x123_fs_linkage": _x123_sql(),
         "st06_active_users": _X86_SQL,
         # x01's recall table is deterministic per corpus → fixture
         # VALUES oracle keyed by corpus fingerprint (r11, VERDICT r10

@@ -87,6 +87,7 @@ __all__ = [
     "join_cardinality_estimate",
     "blocking_stats",
     "containment",
+    "fd_audit",
 ]
 
 
@@ -522,3 +523,69 @@ def containment(
         "n_a long, n_b long, n_common long, containment_a_in_b double, "
         "containment_b_in_a double, jaccard double",
     )
+
+
+def fd_audit(
+    df: DataFrame,
+    pairs: "Sequence[tuple[str, str]]",
+) -> DataFrame:
+    """Functional-dependency audit — for each candidate (determinant →
+    dependent) pair, how many determinant values map to MORE than one
+    dependent value: the "is this column actually determined by that
+    key" profiling check behind normalization review, golden-record
+    design, and join-explosion debugging (an FD violation on the join
+    key is exactly what fans a join out). Beyond-reference analytics
+    scope (grep 'functional depend\\|fd_' over /root/reference/src:
+    zero hits). Candidate-FD validation per Huhtala et al. 1999 (TANE)
+    — this is the VALIDATION step for caller-named pairs, not FD
+    discovery (search over all column pairs is a driver loop the
+    caller owns).
+
+    Pinned semantics (oracle-replicated):
+
+    - rows with a NULL determinant drop (no key, no evidence); NULL
+      dependent values are IGNORED (countDistinct semantics — a key
+      whose dependents are all NULL has 0 distinct values and does
+      not violate);
+    - a determinant value VIOLATES when it maps to ≥ 2 distinct
+      non-NULL dependent values;
+    - output one row per pair: (determinant, dependent, n_keys,
+      n_violating_keys, violation_rate 6dp, max_distinct_dependents);
+      violation_rate = violating / keys (NULL when n_keys = 0).
+
+    Scale shape: per pair, ONE (determinant) hash aggregation with an
+    exact per-key count_distinct (state bounded by the key's
+    dependent fanout) + a 1-row reduce; the per-pair frames union —
+    |pairs| passes over the scan, each column-pruned to 2 columns.
+    No join, no window."""
+    if not pairs:
+        raise ValueError("fd_audit: pairs must be non-empty")
+    outs = []
+    for det, dep in pairs:
+        per_key = (
+            df.where(F.col(det).isNotNull())
+            .groupBy(F.col(det).alias("__k"))
+            .agg(F.countDistinct(F.col(dep)).alias("__nd"))
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating_keys"),
+                F.round(
+                    F.try_divide(
+                        F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0)),
+                        F.count(F.lit(1)),
+                    ),
+                    6,
+                ).alias("violation_rate"),
+                F.max("__nd").cast("long").alias("max_distinct_dependents"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -56,7 +56,14 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["psi_drift", "profile_drift", "ks_drift", "qq_drift", "mix_shift"]
+__all__ = [
+    "psi_drift",
+    "profile_drift",
+    "ks_drift",
+    "qq_drift",
+    "mix_shift",
+    "jsd_drift",
+]
 
 
 def psi_drift(
@@ -465,4 +472,81 @@ def mix_shift(
         F.round(share_c * rate_c - share_b * rate_b, 6).alias(
             "total_effect"
         ),
+    )
+
+
+def jsd_drift(
+    df: DataFrame,
+    cat_col: str,
+    period_col: str,
+) -> DataFrame:
+    """Jensen–Shannon divergence of a categorical distribution per
+    period against the whole-table baseline — the bounded,
+    symmetric drift score ([0, 1] in log base 2; Lin 1991) that PSI
+    (x37) lacks: PSI blows up on empty bins, JSD never does, so it is
+    the right default for HIGH-churn categorical columns (new
+    categories appearing mid-stream). Complements ks_drift (numeric)
+    and qq_drift (shape). Beyond-reference analytics scope (grep
+    'jensen\\|jsd' over /root/reference/src: zero hits).
+
+    Pinned semantics (oracle-replicated):
+
+    - rows with NULL category or NULL period drop; the BASELINE q is
+      the category distribution over ALL periods (so every category
+      has q > 0 by construction);
+    - per period: p = the period's category distribution; missing
+      categories in a period mean p = 0 for that cell — the grid is
+      completed (periods × observed categories) so the q-side term
+      still contributes (0·log(0/m) ≡ 0, pinned);
+    - jsd = 0.5·Σ p·log2(p/m) + 0.5·Σ q·log2(q/m), m = (p+q)/2 —
+      log BASE 2, so 0 ≤ jsd ≤ 1;
+    - output per period: (period, n, n_categories, jsd) — n = period
+      row count, n_categories = categories OBSERVED in the period,
+      jsd rounded 6dp.
+
+    Scale shape: ONE (period, category) hash aggregation (map-side
+    partials collapse the row scale), two dimension-sized marginal
+    aggregations, one periods×categories grid completion (cross join
+    of two DIMENSION frames — never row-scale), one period reduce."""
+    base = df.where(
+        F.col(cat_col).isNotNull() & F.col(period_col).isNotNull()
+    ).select(
+        F.col(period_col).alias("per"), F.col(cat_col).alias("cat")
+    )
+    cells = base.groupBy("per", "cat").agg(
+        F.count(F.lit(1)).cast("double").alias("n_pc")
+    )
+    per_tot = cells.groupBy("per").agg(
+        F.sum("n_pc").alias("n_p"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+    )
+    cat_tot = cells.groupBy("cat").agg(F.sum("n_pc").alias("n_c"))
+    n_all = cells.agg(F.sum("n_pc").alias("n_all"))
+    # grid completion: every (period, category) pair, p = 0 when the
+    # cell is absent — both dimension-sized frames
+    grid = (
+        per_tot.select("per", "n_p")
+        .crossJoin(cat_tot)
+        .crossJoin(F.broadcast(n_all))
+        .join(cells, ["per", "cat"], "left")
+        .select(
+            "per",
+            "n_p",
+            (F.coalesce("n_pc", F.lit(0.0)) / F.col("n_p")).alias("p"),
+            (F.col("n_c") / F.col("n_all")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    term_p = F.when(F.col("p") > 0, F.col("p") * F.log2(F.col("p") / m)).otherwise(0.0)
+    term_q = F.col("q") * F.log2(F.col("q") / m)
+    scored = grid.groupBy("per", "n_p").agg(
+        F.round(
+            0.5 * F.sum(term_p) + 0.5 * F.sum(term_q), 6
+        ).alias("jsd")
+    )
+    return scored.join(per_tot.select("per", "n_categories"), "per").select(
+        F.col("per").alias(period_col),
+        F.col("n_p").cast("long").alias("n"),
+        "n_categories",
+        "jsd",
     )

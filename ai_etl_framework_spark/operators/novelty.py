@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["novelty_scores", "vocab_novelty"]
+__all__ = ["novelty_scores", "vocab_novelty", "trending_terms"]
 
 
 def novelty_scores(
@@ -142,3 +142,98 @@ def vocab_novelty(
         ).alias("new_ratio"),
         F.sum("n_new").over(w_cum).cast("long").alias("vocab_cum"),
     )
+
+
+def trending_terms(
+    df: DataFrame,
+    period_col,
+    text_col: str = "text",
+    top_rank: int = 100,
+    top_k: int = 10,
+) -> DataFrame:
+    """Trending terms per period — for each ingest period, which
+    terms climbed fastest up the frequency leaderboard vs the
+    immediately preceding period: the "what's new in this crawl"
+    screen corpus dashboards put next to the vocab-novelty curve
+    (vocab_novelty counts NEVER-seen terms; this ranks RISING ones).
+    Beyond-reference analytics scope (grep 'trending' over
+    /root/reference/src: zero hits).
+
+    Pinned semantics (oracle-replicated):
+
+    - tokens = the shared case-folded whitespace tokenizer; counts
+      are token occurrences per (period, term); NULL periods drop;
+    - per period, rank = row_number ordered by (count DESC, term
+      ASC) — deterministic through ties — and only rank <= top_rank
+      rows stay (the leaderboard);
+    - periods are indexed densely in period order; prev_rank = the
+      term's rank on the IMMEDIATELY preceding period's leaderboard
+      (absent there → prev_rank NULL, is_new = true);
+    - rank_delta = prev_rank − rank (positive = climbed);
+    - output: for each period except the first, the top_k rows by
+      (rank_delta DESC NULLS LAST, term ASC) — new entries rank
+      after genuine risers by pinned convention; columns (period,
+      term, n, rank, prev_rank, rank_delta, is_new).
+
+    Scale shape: one explode → ONE (period, term) hash aggregation
+    (map-side partials collapse the Zipf head), a per-period rank
+    window the optimizer bounds via WindowGroupLimit, then EVERYTHING
+    operates on the leaderboard frame (periods × top_rank rows): one
+    dense period index window, one self-join on (term, period index),
+    one WindowGroupLimit top_k. Nothing text-scale past the first
+    aggregation."""
+    if top_rank < 1:
+        raise ValueError(f"top_rank must be >= 1, got {top_rank}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from pyspark.sql import Window
+
+    from ai_etl_framework_spark.functions.text import tokens
+
+    per = period_col if not isinstance(period_col, str) else F.col(period_col)
+    counts = (
+        df.where(per.isNotNull())
+        .select(per.alias("period"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("period", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    board = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("period").orderBy(
+                F.col("n").desc(), F.col("term").asc()
+            )
+        ),
+    ).where(F.col("rank") <= top_rank)
+    # dense period index over the leaderboard frame (periods × top_rank
+    # rows — dimension-bounded single-partition window, the pareto
+    # regime)
+    board = board.withColumn(
+        "pidx", F.dense_rank().over(Window.partitionBy().orderBy("period"))
+    )
+    prev = board.select(
+        F.col("term").alias("term"),
+        (F.col("pidx") + 1).alias("pidx"),
+        F.col("rank").alias("prev_rank"),
+    )
+    joined = (
+        board.where(F.col("pidx") >= 2)
+        .join(prev, ["term", "pidx"], "left")
+        .select(
+            "period",
+            "term",
+            "n",
+            "rank",
+            "prev_rank",
+            (F.col("prev_rank") - F.col("rank")).alias("rank_delta"),
+            F.col("prev_rank").isNull().alias("is_new"),
+        )
+    )
+    cut = F.row_number().over(
+        Window.partitionBy("period").orderBy(
+            F.col("rank_delta").desc_nulls_last(), F.col("term").asc()
+        )
+    )
+    return joined.withColumn("__rn", cut).where(
+        F.col("__rn") <= top_k
+    ).drop("__rn")

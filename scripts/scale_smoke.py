@@ -325,6 +325,16 @@ QUERIES = [
     "x118_bootstrap_ci",
     # did = one 4-cell hash agg + 1-row reshape
     "x119_did",
+    # fd audit = one 2-column (det) agg per pair + 1-row reduce
+    "x120_fd_audit",
+    # jsd = one (day, type) cell agg + dimension-grid completion
+    "x121_jsd_drift",
+    # trending = one token agg; everything after is leaderboard-sized
+    # (periods x top_rank)
+    "x122_trending_terms",
+    # fs linkage = block-co-partitioned self-join bounded by
+    # max_block_size^2 per block + one pattern agg (<= 3^fields rows)
+    "x123_fs_linkage",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

@@ -348,3 +348,183 @@ def test_did_missing_cell_and_tiny_cell(spark):
     r2 = diff_in_diff(df2, "t", "post", "x").first()
     assert r2["did"] == pytest.approx(3.0)
     assert r2["se"] is None and r2["t_stat"] is None
+
+
+# ---------------------------------------------------------------------------
+# fd_audit (x120)
+# ---------------------------------------------------------------------------
+
+def test_fd_audit_hand_math(spark):
+    from ai_etl_framework_spark.operators.audit import fd_audit
+
+    rows = [
+        # k=1 -> {a};      k=2 -> {a, b} (violates);  k=3 -> all-NULL dep
+        (1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, None),
+        (None, "z"),   # NULL determinant drops
+    ]
+    df = spark.createDataFrame(rows, "k int, v string")
+    r = {(x["determinant"], x["dependent"]): x
+         for x in fd_audit(df, [("k", "v")]).collect()}[("k", "v")]
+    assert r["n_keys"] == 3
+    assert r["n_violating_keys"] == 1
+    assert r["violation_rate"] == pytest.approx(round(1 / 3, 6))
+    assert r["max_distinct_dependents"] == 2
+    with pytest.raises(ValueError, match="pairs"):
+        fd_audit(df, [])
+
+
+def test_fd_audit_clean_fd(spark):
+    from ai_etl_framework_spark.operators.audit import fd_audit
+
+    df = spark.createDataFrame(
+        [(1, "x", 9), (1, "x", 8), (2, "y", 7)], "k int, v string, w int"
+    )
+    out = {(r["determinant"], r["dependent"]): r
+           for r in fd_audit(df, [("k", "v"), ("v", "w")]).collect()}
+    assert out[("k", "v")]["n_violating_keys"] == 0
+    assert out[("k", "v")]["violation_rate"] == 0.0
+    assert out[("v", "w")]["n_violating_keys"] == 1  # x -> {9, 8}
+
+
+# ---------------------------------------------------------------------------
+# jsd_drift (x121)
+# ---------------------------------------------------------------------------
+
+def test_jsd_drift_hand_math(spark):
+    from ai_etl_framework_spark.operators.drift import jsd_drift
+
+    # period A: 3 a, 1 b; period B: 1 a, 3 b  -> baseline: 4 a, 4 b
+    rows = [("A", "a")] * 3 + [("A", "b")] + [("B", "a")] + [("B", "b")] * 3
+    df = spark.createDataFrame(rows, "per string, cat string")
+    out = {r["per"]: r for r in jsd_drift(df, "cat", "per").collect()}
+
+    def jsd(p, q):
+        s = 0.0
+        for pi, qi in zip(p, q):
+            m = (pi + qi) / 2
+            if pi > 0:
+                s += 0.5 * pi * math.log2(pi / m)
+            s += 0.5 * qi * math.log2(qi / m)
+        return s
+
+    expect = jsd([0.75, 0.25], [0.5, 0.5])
+    assert out["A"]["jsd"] == pytest.approx(round(expect, 6), abs=2e-6)
+    assert out["B"]["jsd"] == pytest.approx(round(expect, 6), abs=2e-6)
+    assert out["A"]["n"] == 4 and out["A"]["n_categories"] == 2
+
+
+def test_jsd_drift_identical_and_missing_category(spark):
+    from ai_etl_framework_spark.operators.drift import jsd_drift
+
+    # identical mix in both periods -> jsd 0 for both
+    rows = [("A", "a"), ("A", "b"), ("B", "a"), ("B", "b")]
+    df = spark.createDataFrame(rows, "per string, cat string")
+    for r in jsd_drift(df, "cat", "per").collect():
+        assert r["jsd"] == 0.0
+    # a category absent from one period: p=0 term contributes only
+    # the q side -> finite, 0 < jsd <= 1 (PSI would need an epsilon)
+    rows2 = [("A", "a"), ("A", "a"), ("B", "b"), ("B", "b")]
+    df2 = spark.createDataFrame(rows2, "per string, cat string")
+    out = {r["per"]: r for r in jsd_drift(df2, "cat", "per").collect()}
+    assert 0 < out["A"]["jsd"] <= 1.0
+    assert out["A"]["n_categories"] == 1  # observed in the period
+
+
+# ---------------------------------------------------------------------------
+# trending_terms (x122)
+# ---------------------------------------------------------------------------
+
+def test_trending_terms_hand_case(spark):
+    from ai_etl_framework_spark.operators.novelty import trending_terms
+
+    # period 1: alpha(3) beta(2) gamma(1)
+    # period 2: gamma(4) alpha(2) beta(1) -> gamma climbs 3->1 (+2),
+    #           alpha 1->2 (-1), beta 2->3 (-1); delta(new) appears
+    docs = [
+        (1, "alpha alpha alpha beta beta gamma"),
+        (2, "gamma gamma gamma gamma alpha alpha beta delta"),
+    ]
+    df = spark.createDataFrame(docs, "p int, text string")
+    out = trending_terms(
+        df, F.col("p"), "text", top_rank=10, top_k=10
+    ).collect()
+    assert all(r["p" if "p" in r.asDict() else "period"] == 2 for r in out)
+    by_term = {r["term"]: r for r in out}
+    assert by_term["gamma"]["rank_delta"] == 2
+    assert by_term["gamma"]["prev_rank"] == 3 and by_term["gamma"]["rank"] == 1
+    assert by_term["alpha"]["rank_delta"] == -1
+    assert by_term["delta"]["is_new"] and by_term["delta"]["rank_delta"] is None
+    # risers first, new entries after (NULLS LAST), term tiebreak
+    assert [r["term"] for r in out][0] == "gamma"
+    assert [r["term"] for r in out][-1] == "delta"
+
+
+def test_trending_terms_leaderboard_cut(spark):
+    from ai_etl_framework_spark.operators.novelty import trending_terms
+
+    # term outside period-1's top_rank reappearing in period 2 counts
+    # as NEW (prev leaderboard didn't hold it)
+    docs = [
+        (1, "a a a b b c"),      # top_rank=2 keeps a, b only
+        (2, "c c c a a b"),
+    ]
+    df = spark.createDataFrame(docs, "p int, text string")
+    out = {r["term"]: r for r in trending_terms(
+        df, F.col("p"), "text", top_rank=2, top_k=10
+    ).collect()}
+    assert set(out) == {"a", "c"}      # period-2 leaderboard = c, a
+    assert out["c"]["is_new"] is True  # c was rank 3 -> off-board
+    assert out["a"]["rank_delta"] == -1
+
+
+# ---------------------------------------------------------------------------
+# fs_match_patterns (x123)
+# ---------------------------------------------------------------------------
+
+def test_fs_patterns_hand_math(spark):
+    from ai_etl_framework_spark.operators.linkage import fs_match_patterns
+
+    rows = [
+        # block 1: ids 1,2,3 -> pairs (1,2) (1,3) (2,3)
+        (1, "b1", "red", 10),
+        (2, "b1", "red", 10),   # (1,2): agree, agree  -> '11'
+        (3, "b1", "blue", None),  # (1,3)/(2,3): disagree, missing -> '0?'
+        # block 2: single row -> no pairs
+        (4, "b2", "red", 10),
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, color string, sz int")
+    out = {r["pattern"]: r for r in fs_match_patterns(
+        df, "id", ["blk"], {"color": (0.9, 0.1), "sz": (0.8, 0.2)}
+    ).collect()}
+    w_color_a, w_color_d = math.log2(0.9 / 0.1), math.log2(0.1 / 0.9)
+    w_sz_a = math.log2(0.8 / 0.2)
+    assert out["11"]["n_pairs"] == 1
+    assert out["11"]["score"] == pytest.approx(
+        round(w_color_a + w_sz_a, 6), abs=2e-6
+    )
+    assert out["0?"]["n_pairs"] == 2
+    assert out["0?"]["score"] == pytest.approx(round(w_color_d, 6), abs=2e-6)
+    assert set(out) == {"11", "0?"}
+
+
+def test_fs_patterns_guards(spark):
+    from ai_etl_framework_spark.operators.linkage import fs_match_patterns
+
+    df = spark.createDataFrame(
+        [(i, "b", "x") for i in range(10)], "id long, blk string, f string"
+    )
+    with pytest.raises(ValueError, match="largest block"):
+        fs_match_patterns(
+            df, "id", ["blk"], {"f": (0.9, 0.1)}, max_block_size=5
+        )
+    with pytest.raises(ValueError, match="0 < u < m < 1"):
+        fs_match_patterns(df, "id", ["blk"], {"f": (0.1, 0.9)})
+    with pytest.raises(ValueError, match="block_cols"):
+        fs_match_patterns(df, "id", [], {"f": (0.9, 0.1)})
+    # NULL block values drop: only the non-NULL-block rows pair
+    df2 = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "x"), (3, "b", "x"), (4, "b", "x")],
+        "id long, blk string, f string",
+    )
+    out = fs_match_patterns(df2, "id", ["blk"], {"f": (0.9, 0.1)}).collect()
+    assert len(out) == 1 and out[0]["n_pairs"] == 1
