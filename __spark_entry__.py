@@ -8858,6 +8858,50 @@ FROM agg
 """
 
 
+def st09_mix_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming categorical-mix drift service (pipeline/monitor.py
+    IncrementalCategoryMix): two mtime-ordered event files through
+    readStream → foreachBatch [batch's (day, type) counts merge
+    ADDITIVELY into the persisted cell store — sum is commutative and
+    associative, so the store is micro-batch-boundary-independent] →
+    jsd_from_cells. Carries x121's REAL hash oracle (the batch JSD
+    definition)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ai_etl_framework_spark.pipeline.monitor import (
+        IncrementalCategoryMix,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="st09_")
+    try:
+        bronze = os.path.join(root, "bronze")
+        os.makedirs(bronze)
+        for i in (0, 1):
+            stage = os.path.join(root, f"stage{i}")
+            ev.where(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            src = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(bronze, f"feed_{i}.parquet")
+            shutil.move(os.path.join(stage, src), dst)
+            os.utime(dst, (_time.time() + i, _time.time() + i))
+        mon = IncrementalCategoryMix(spark, root)
+        mon.run_stream(
+            bronze, os.path.join(root, "ckpt"), schema=ev.schema,
+            max_files_per_trigger=1,
+        )
+        out = mon.jsd(period_name="day")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def x120_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency audit (operators/audit.py fd_audit):
     three candidate FDs over lineitem — one per-pair determinant hash
@@ -9285,6 +9329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x121_jsd_drift": x121_jsd_drift,
         "x122_trending_terms": x122_trending_terms,
         "x123_fs_linkage": x123_fs_linkage,
+        # streaming with a REAL hash oracle: the category-mix store is
+        # additive, so its JSD table is micro-batch-boundary-
+        # independent and shares x121's SQL twin verbatim
+        "st09_mix_monitor": st09_mix_monitor,
     }
 
 
@@ -9476,6 +9524,7 @@ def oracle_sql() -> dict[str, str]:
         "x121_jsd_drift": _X121_SQL,
         "x122_trending_terms": _X122_SQL,
         "x123_fs_linkage": _x123_sql(),
+        "st09_mix_monitor": _X121_SQL,
         "st06_active_users": _X86_SQL,
         # x01's recall table is deterministic per corpus → fixture
         # VALUES oracle keyed by corpus fingerprint (r11, VERDICT r10

@@ -63,6 +63,7 @@ __all__ = [
     "qq_drift",
     "mix_shift",
     "jsd_drift",
+    "jsd_from_cells",
 ]
 
 
@@ -516,6 +517,15 @@ def jsd_drift(
     cells = base.groupBy("per", "cat").agg(
         F.count(F.lit(1)).cast("double").alias("n_pc")
     )
+    return jsd_from_cells(cells, period_col)
+
+
+def jsd_from_cells(cells: DataFrame, period_col: str = "period") -> DataFrame:
+    """The JSD core over an already-aggregated (per, cat, n_pc) cell
+    frame — the seam the incremental category-mix monitor's ADDITIVE
+    count store feeds directly (pipeline/monitor.py
+    IncrementalCategoryMix; the rolling_active_from_days pattern).
+    Same output contract as :func:`jsd_drift`."""
     per_tot = cells.groupBy("per").agg(
         F.sum("n_pc").alias("n_p"),
         F.count(F.lit(1)).cast("long").alias("n_categories"),

@@ -37,6 +37,7 @@ __all__ = [
     "IncrementalActiveUsers",
     "IncrementalQuantiles",
     "IncrementalCusumMonitor",
+    "IncrementalCategoryMix",
 ]
 
 
@@ -613,6 +614,112 @@ class IncrementalCusumMonitor:
             q.stop()
             raise TimeoutError(
                 f"cusum monitor stream did not finish in {timeout_sec}s"
+            )
+
+    def run_batches(self, batches) -> None:
+        for i, b in enumerate(batches):
+            self.process_batch(b, i)
+
+
+class IncrementalCategoryMix:
+    """Streaming categorical-mix drift service — the incremental twin
+    of operators/drift.jsd_drift: each micro-batch collapses to its
+    (period, category) counts and MERGES them additively into a
+    persisted cell store (sum is commutative + associative, the st04
+    argument), so ``jsd()`` — which runs
+    :func:`~ai_etl_framework_spark.operators.drift.jsd_from_cells`,
+    the SAME core the batch operator uses — is independent of
+    micro-batch boundaries and equals the batch operator over every
+    event seen. The st09 registry row therefore carries x121's REAL
+    hash oracle. Like st04/st05/st07 (and unlike st06's idempotent
+    distinct store), additive counts do NOT absorb at-least-once
+    replays — pair with upstream exactly-once file semantics or an
+    id-dedup stage.
+
+    Scale shape per batch: one batch-sized (period, category) hash
+    aggregation + one store-sized merge aggregation; the store is the
+    periods × categories cell frame — dimension-bounded by
+    construction, persisted once instead of recomputed per refresh.
+    Compact it on the maintenance cadence like the dedup stores."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        cat_col: str = "event_type",
+        ts_col: str = "ts",
+        bucket_unit: str = "day",
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.cat_col = cat_col
+        self.ts_col = ts_col
+        self.bucket_unit = bucket_unit
+        self.store_dir = os.path.join(root, "mix_cells")
+
+    def _store(self) -> Optional[DataFrame]:
+        if not os.path.isdir(self.store_dir):
+            return None
+        return self.spark.read.parquet(self.store_dir)
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        cells = (
+            batch.where(
+                F.col(self.cat_col).isNotNull()
+                & F.col(self.ts_col).isNotNull()
+            )
+            .select(
+                F.date_trunc(self.bucket_unit, F.col(self.ts_col))
+                .cast("date")
+                .alias("per"),
+                F.col(self.cat_col).alias("cat"),
+            )
+            .groupBy("per", "cat")
+            .agg(F.count(F.lit(1)).cast("double").alias("n_pc"))
+        )
+        store = self._store()
+        if store is not None:
+            cells = (
+                store.unionByName(cells)
+                .groupBy("per", "cat")
+                .agg(F.sum("n_pc").alias("n_pc"))
+            )
+        cells = cells.localCheckpoint(eager=True)
+        cells.write.mode("overwrite").parquet(self.store_dir)
+
+    def jsd(self, period_name: str = "period") -> DataFrame:
+        """(period_name, n, n_categories, jsd) over everything seen —
+        identical to the batch operator on the full event set."""
+        from ai_etl_framework_spark.operators.drift import jsd_from_cells
+
+        store = self._store()
+        if store is None:
+            raise ValueError("no events processed yet: store is empty")
+        return jsd_from_cells(store, period_name)
+
+    def run_stream(
+        self,
+        bronze_dir: str,
+        checkpoint_dir: str,
+        schema,
+        max_files_per_trigger: int = 1,
+        timeout_sec: int = 300,
+    ) -> None:
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(bronze_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"category-mix stream did not finish in {timeout_sec}s"
             )
 
     def run_batches(self, batches) -> None:

@@ -335,6 +335,9 @@ QUERIES = [
     # fs linkage = block-co-partitioned self-join bounded by
     # max_block_size^2 per block + one pattern agg (<= 3^fields rows)
     "x123_fs_linkage",
+    # streaming mix monitor = two foreachBatch cell-store merges
+    # (dimension-sized) + the x121 JSD core over the store
+    "st09_mix_monitor",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

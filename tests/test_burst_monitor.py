@@ -258,3 +258,62 @@ def test_active_users_stream_equals_batch(spark, tmp_path):
     )
     expected = _curve_key(rolling_active_users(ev, window_days=7).collect())
     assert _curve_key(mon.curve().collect()) == expected
+
+
+# ---------------------------------------------------------------------------
+# IncrementalCategoryMix (st09)
+# ---------------------------------------------------------------------------
+
+def _mix_events(spark):
+    rows = []
+    eid = 0
+    for d in range(4):
+        # day d: (3 - d%3) views, (1 + d%3) clicks — the mix moves
+        for _ in range(3 - d % 3):
+            rows.append((eid, T0 + timedelta(days=d, minutes=eid), "view"))
+            eid += 1
+        for _ in range(1 + d % 3):
+            rows.append((eid, T0 + timedelta(days=d, minutes=eid), "click"))
+            eid += 1
+    rows.append((eid, None, "view"))      # NULL ts dropped
+    rows.append((eid + 1, T0, None))      # NULL category dropped
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+
+
+def _jsd_key(rows):
+    return sorted(
+        (str(r[0]), r["n"], r["n_categories"], r["jsd"]) for r in rows
+    )
+
+
+@pytest.mark.parametrize("split", [1, 2, 3])
+def test_mix_monitor_boundary_independent(spark, tmp_path, split):
+    """Additive cell store ⇒ the streaming JSD table equals the batch
+    operator under ANY partition of the events into micro-batches —
+    the property that justifies st09's real hash oracle."""
+    from ai_etl_framework_spark.operators.drift import jsd_drift
+    from ai_etl_framework_spark.pipeline.monitor import IncrementalCategoryMix
+
+    import pyspark.sql.functions as F
+
+    ev = _mix_events(spark)
+    batch = jsd_drift(
+        ev.select(F.to_date("ts").alias("day"), "event_type"),
+        "event_type", "day",
+    )
+    expected = _jsd_key(batch.collect())
+    mon = IncrementalCategoryMix(spark, str(tmp_path / f"mix{split}"))
+    mon.run_batches(
+        [ev.where(F.col("event_id") % split == i) for i in range(split)]
+    )
+    assert _jsd_key(mon.jsd(period_name="day").collect()) == expected
+
+
+def test_mix_monitor_empty_store_fails_loud(spark, tmp_path):
+    from ai_etl_framework_spark.pipeline.monitor import IncrementalCategoryMix
+
+    mon = IncrementalCategoryMix(spark, str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="store is empty"):
+        mon.jsd()
