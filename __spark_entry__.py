@@ -9073,6 +9073,175 @@ FROM pat GROUP BY pattern, score
 """
 
 
+def x124_binned_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned mutual information (operators/stats.py binned_mi):
+    quantity vs extended price over equal-width bins — one extrema
+    agg, one <=bins² cell agg, dimension reduces."""
+    from ai_etl_framework_spark.operators.stats import binned_mi
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return binned_mi(li, "l_quantity", "l_extendedprice", bins=10)
+
+
+_X124_SQL = """
+WITH base AS (SELECT l_quantity::DOUBLE AS xa, l_extendedprice::DOUBLE AS xb
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+ext AS (SELECT MIN(xa) AS lo_a, MAX(xa) AS hi_a,
+               MIN(xb) AS lo_b, MAX(xb) AS hi_b FROM base),
+bkt AS (SELECT
+          CASE WHEN hi_a = lo_a THEN 0
+               ELSE CAST(least(floor((xa - lo_a) * 10 / (hi_a - lo_a)), 9)
+                         AS INTEGER) END AS ba,
+          CASE WHEN hi_b = lo_b THEN 0
+               ELSE CAST(least(floor((xb - lo_b) * 10 / (hi_b - lo_b)), 9)
+                         AS INTEGER) END AS bb
+        FROM base, ext),
+cells AS (SELECT ba, bb, COUNT(*)::DOUBLE AS n_ab FROM bkt GROUP BY 1, 2),
+tot AS (SELECT SUM(n_ab) AS n_all FROM cells),
+ma AS (SELECT ba, SUM(n_ab) AS n_a FROM cells GROUP BY ba),
+mb AS (SELECT bb, SUM(n_ab) AS n_b FROM cells GROUP BY bb),
+mi AS (SELECT SUM((n_ab / n_all)
+                  * ln((n_ab / n_all) / ((n_a / n_all) * (n_b / n_all))))
+         AS mi_raw, MAX(n_all) AS n_all
+       FROM cells JOIN ma USING (ba) JOIN mb USING (bb), tot),
+ha AS (SELECT -SUM((n_a / n_all) * ln(n_a / n_all)) AS h_a FROM ma, tot),
+hb AS (SELECT -SUM((n_b / n_all) * ln(n_b / n_all)) AS h_b FROM mb, tot)
+SELECT CAST(mi.n_all AS BIGINT) AS n, 10 AS bins,
+       ROUND(mi_raw, 6) AS mi, ROUND(h_a, 6) AS h_a, ROUND(h_b, 6) AS h_b,
+       ROUND(CASE WHEN h_a > 0 AND h_b > 0
+                  THEN mi_raw / SQRT(h_a * h_b) END, 6) AS nmi
+FROM mi, ha, hb
+"""
+
+
+def x125_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength per event type
+    (operators/timeseries.py seasonal_strength): variance share the
+    hourly profile explains — one (type, hour) cell agg + one
+    <=24-rows-per-key reduce."""
+    from ai_etl_framework_spark.operators.timeseries import (
+        seasonal_strength,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_strength(ev, "event_type", "ts", "value")
+
+
+_X125_SQL = """
+WITH base AS (SELECT event_type AS k, hour(ts) AS s, value::DOUBLE AS x
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL),
+cells AS (SELECT k, s, COUNT(*)::DOUBLE AS n_s, SUM(x) AS s1,
+                 SUM(x * x) AS s2
+          FROM base GROUP BY 1, 2)
+SELECT k AS event_type, CAST(SUM(n_s) AS BIGINT) AS n,
+       COUNT(*)::BIGINT AS n_seasons,
+       ROUND(CASE WHEN ROUND(SUM(s2) - (SUM(s1) * SUM(s1)) / SUM(n_s), 9) > 0
+                  THEN 1.0 - SUM(s2 - (s1 * s1) / n_s)
+                       / (SUM(s2) - (SUM(s1) * SUM(s1)) / SUM(n_s))
+             END, 6) AS strength
+FROM cells GROUP BY k
+"""
+
+
+def x126_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap (operators/novelty.py
+    vocab_overlap): Jaccard + overlap coefficient of distinct term
+    sets — one distinct (source, term) agg, a term-co-partitioned
+    self-join, a |sources|² dimension grid."""
+    from ai_etl_framework_spark.operators.novelty import vocab_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_overlap(docs, "source", "text")
+
+
+_X126_SQL = f"""
+WITH pairs AS (SELECT DISTINCT source AS g, unnest({_TOKS}) AS term
+               FROM documents WHERE source IS NOT NULL),
+sizes AS (SELECT g, COUNT(*)::BIGINT AS nv FROM pairs GROUP BY g),
+inter AS (SELECT a.g AS ga, b.g AS gb, COUNT(*)::BIGINT AS n_both
+          FROM pairs a JOIN pairs b ON a.term = b.term AND a.g < b.g
+          GROUP BY 1, 2),
+grid AS (SELECT sa.g AS ga, sa.nv AS n_a, sb.g AS gb, sb.nv AS n_b
+         FROM sizes sa, sizes sb WHERE sa.g < sb.g)
+SELECT ga AS group_a, gb AS group_b, n_a, n_b,
+       COALESCE(n_both, 0)::BIGINT AS n_both,
+       ROUND(COALESCE(n_both, 0)::DOUBLE
+             / (n_a + n_b - COALESCE(n_both, 0)), 6) AS jaccard,
+       ROUND(COALESCE(n_both, 0)::DOUBLE / least(n_a, n_b), 6) AS overlap
+FROM grid LEFT JOIN inter USING (ga, gb)
+"""
+
+
+def x127_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily actives (operators/activity.py
+    new_returning_users): first-seen decomposition of the DAU curve —
+    one distinct (user, day) agg, user-sized min + join, calendar
+    window."""
+    from ai_etl_framework_spark.operators.activity import (
+        new_returning_users,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return new_returning_users(ev)
+
+
+_X127_SQL = """
+WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+fs AS (SELECT u, MIN(day) AS f FROM pairs GROUP BY u),
+pd AS (SELECT day, COUNT(*)::BIGINT AS n_active,
+              SUM(CASE WHEN day = f THEN 1 ELSE 0 END)::BIGINT AS n_new
+       FROM pairs JOIN fs USING (u) GROUP BY day)
+SELECT day, n_active, n_new,
+       (n_active - n_new)::BIGINT AS n_returning,
+       ROUND(n_new / n_active::DOUBLE, 6) AS pct_new,
+       SUM(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+         AND CURRENT ROW)::BIGINT AS cum_users
+FROM pd
+"""
+
+
+def x128_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape moments per return flag
+    (operators/stats.py moments_by_group): population skewness /
+    excess kurtosis from explicit power sums (the engines' own
+    skewness/kurtosis aggregates use different bias conventions) —
+    one 5-expression hash agg."""
+    from ai_etl_framework_spark.operators.stats import moments_by_group
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return moments_by_group(li, "l_returnflag", "l_quantity")
+
+
+_X128_SQL = """
+WITH base AS (SELECT l_returnflag AS g, l_quantity::DOUBLE AS x
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+agg AS (SELECT g, COUNT(*)::DOUBLE AS n, SUM(x) AS s1, SUM(x * x) AS s2,
+               SUM(x * x * x) AS s3, SUM(x * x * x * x) AS s4
+        FROM base GROUP BY g)
+SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+       ROUND(s1 / n, 6) AS mean,
+       ROUND(SQRT(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+                       THEN s2 / n - (s1 / n) * (s1 / n)
+                       ELSE 0.0 END), 6) AS std,
+       ROUND(CASE WHEN ROUND(s2 / n - (s1 / n) * (s1 / n), 9) > 0 THEN
+         (s3 / n - 3.0 * (s1 / n) * (s2 / n)
+          + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+         / ((s2 / n - (s1 / n) * (s1 / n)) ^ 1.5) END, 6) AS skewness,
+       ROUND(CASE WHEN ROUND(s2 / n - (s1 / n) * (s1 / n), 9) > 0 THEN
+         (s4 / n - 4.0 * (s1 / n) * (s3 / n)
+          + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+          - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+         / ((s2 / n - (s1 / n) * (s1 / n))
+            * (s2 / n - (s1 / n) * (s1 / n))) - 3.0 END, 6) AS kurtosis
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9333,6 +9502,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # additive, so its JSD table is micro-batch-boundary-
         # independent and shares x121's SQL twin verbatim
         "st09_mix_monitor": st09_mix_monitor,
+        # r11 batch 4: binned MI, seasonal strength, vocab overlap,
+        # new-vs-returning actives, distribution moments
+        "x124_binned_mi": x124_binned_mi,
+        "x125_seasonal_strength": x125_seasonal_strength,
+        "x126_vocab_overlap": x126_vocab_overlap,
+        "x127_new_returning": x127_new_returning,
+        "x128_moments": x128_moments,
     }
 
 
@@ -9525,6 +9701,11 @@ def oracle_sql() -> dict[str, str]:
         "x122_trending_terms": _X122_SQL,
         "x123_fs_linkage": _x123_sql(),
         "st09_mix_monitor": _X121_SQL,
+        "x124_binned_mi": _X124_SQL,
+        "x125_seasonal_strength": _X125_SQL,
+        "x126_vocab_overlap": _X126_SQL,
+        "x127_new_returning": _X127_SQL,
+        "x128_moments": _X128_SQL,
         "st06_active_users": _X86_SQL,
         # x01's recall table is deterministic per corpus → fixture
         # VALUES oracle keyed by corpus fingerprint (r11, VERDICT r10

@@ -42,6 +42,7 @@ __all__ = [
     "rolling_active_from_days",
     "stickiness",
     "activity_streaks",
+    "new_returning_users",
 ]
 
 
@@ -252,4 +253,65 @@ def activity_streaks(
             "longest_streak_end"
         ),
         F.max("end_day").alias("current_streak_end"),
+    )
+
+
+def new_returning_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """New-vs-returning decomposition of daily actives — per day, how
+    many active users are appearing for the FIRST time vs coming
+    back: the growth-accounting split every DAU chart needs (flat DAU
+    can be healthy retention or churn masked by acquisition — this
+    tells them apart). The user-level twin of vocab_novelty's
+    first-seen decomposition. Beyond-reference analytics scope (grep
+    'returning' over /root/reference/src: zero hits).
+
+    Pinned semantics (oracle-replicated):
+
+    - a user is active on day d if they have ≥ 1 event with
+      to_date(ts) = d; NULL user/ts rows drop;
+    - first_seen(user) = the user's minimum active day; n_new on day
+      d counts users with first_seen = d; n_returning = n_active −
+      n_new; pct_new = n_new / n_active 6dp;
+    - cum_users = running Σ n_new in day order (= the distinct user
+      base through that day, by construction);
+    - only days with ≥ 1 active user emit rows.
+
+    Scale shape: ONE distinct (user, day) aggregation, one user-sized
+    min() aggregation, a user-dimension join, one day-level agg and
+    one cumulative window over the DAY frame (calendar-sized) — the
+    vocab_novelty shape verbatim, with users for terms."""
+    pairs = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("u"), F.to_date(ts_col).alias("day")
+        )
+        .distinct()
+    )
+    first_seen = pairs.groupBy("u").agg(F.min("day").alias("fs"))
+    per_day = (
+        pairs.join(first_seen, "u")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(F.when(F.col("day") == F.col("fs"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    w_cum = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).cast("long").alias("n_returning"),
+        F.round(F.col("n_new") / F.col("n_active").cast("double"), 6).alias(
+            "pct_new"
+        ),
+        F.sum("n_new").over(w_cum).cast("long").alias("cum_users"),
     )

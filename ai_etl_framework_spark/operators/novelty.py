@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["novelty_scores", "vocab_novelty", "trending_terms"]
+__all__ = ["novelty_scores", "vocab_novelty", "trending_terms", "vocab_overlap"]
 
 
 def novelty_scores(
@@ -237,3 +237,81 @@ def trending_terms(
     return joined.withColumn("__rn", cut).where(
         F.col("__rn") <= top_k
     ).drop("__rn")
+
+
+def vocab_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between groups — Jaccard and
+    overlap coefficient of the DISTINCT term sets of every group
+    pair: the "are these two sources/shards/crawls the same kind of
+    text" matrix corpus cards want next to per-source vocab counts
+    (the set-level complement of x107's distinctive terms: log-odds
+    says WHAT differs, this says HOW MUCH is shared).
+    Beyond-reference analytics scope (grep 'vocab overlap' over
+    /root/reference/src: zero hits).
+
+    Pinned semantics (oracle-replicated):
+
+    - tokens = the shared case-folded whitespace tokenizer; the
+      group's vocabulary is its DISTINCT term set (multiplicity
+      ignored); NULL groups drop;
+    - per unordered pair (group_a < group_b): n_both = |A ∩ B|,
+      jaccard = n_both / (n_a + n_b − n_both), overlap = n_both /
+      min(n_a, n_b) — the containment-style coefficient that stays
+      meaningful when one vocabulary dwarfs the other; both 6dp;
+    - pairs sharing no term still emit a row (n_both = 0) — absence
+      of overlap IS the finding; groups are enumerated from the
+      distinct-pair frame.
+
+    Scale shape: one explode → ONE distinct (group, term) hash
+    aggregation (map-side partials collapse the Zipf head), one
+    group-size aggregation (dimension-sized), a TERM-co-partitioned
+    self-join for intersections (fan-out per term = groups containing
+    it — bounded by |groups|, never corpus size), and a |groups|²
+    dimension cross join to restore zero-overlap pairs."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from ai_etl_framework_spark.functions.text import tokens
+
+    pairs = (
+        df.where(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    sizes = pairs.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    a = pairs.select(F.col("g").alias("ga"), "term")
+    b = pairs.select(F.col("g").alias("gb"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("g").alias("ga"), F.col("nv").alias("n_a"))
+    sb = sizes.select(F.col("g").alias("gb"), F.col("nv").alias("n_b"))
+    grid = sa.crossJoin(sb).where(F.col("ga") < F.col("gb"))
+    out = grid.join(inter, ["ga", "gb"], "left").select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        "n_a",
+        "n_b",
+        F.coalesce("n_both", F.lit(0)).cast("long").alias("n_both"),
+    )
+    nb = F.col("n_both").cast("double")
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(nb / (F.col("n_a") + F.col("n_b") - F.col("n_both")), 6).alias(
+            "jaccard"
+        ),
+        F.round(nb / F.least("n_a", "n_b"), 6).alias("overlap"),
+    )

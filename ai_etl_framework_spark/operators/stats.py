@@ -70,6 +70,8 @@ __all__ = [
     "hhi",
     "association_matrix",
     "bootstrap_mean_ci",
+    "binned_mi",
+    "moments_by_group",
 ]
 
 
@@ -750,4 +752,186 @@ def bootstrap_mean_ci(
     )
     return point.join(reps, group_col).select(
         group_col, "n_rows", "mean", "ci_lo", "ci_hi", "n_replicates_used"
+    )
+
+
+def binned_mi(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Binned mutual information between two NUMERIC columns — the
+    nonlinear-dependence complement to corr_matrix (Pearson sees only
+    linear, Spearman only monotone; MI sees any shape the binning
+    resolves) and association_matrix's numeric twin. Histogram MI
+    per Cover & Thomas ch. 2, equal-width bins. Beyond-reference
+    analytics scope (grep 'mutual information' over
+    /root/reference/src: zero hits; association_matrix covers the
+    categorical case).
+
+    Pinned semantics (oracle-replicated):
+
+    - rows where either column is NULL drop (pairwise-complete);
+    - bins are EQUAL-WIDTH over each column's exact [min, max]:
+      bucket = least(floor((x − lo) · bins / (hi − lo)), bins − 1) —
+      min/max are exact order statistics (no interpolation), and the
+      bucket arithmetic is written in the same operation order in
+      both engines, so assignments are bit-reproducible (the reason
+      equal-width is pinned over quantile bins here: interpolated
+      quantile edges are a last-ulp coin flip between engines);
+      a constant column (hi = lo) puts every row in bucket 0;
+    - mi = Σ over observed cells of p_ab · ln(p_ab / (p_a · p_b))
+      (natural log; absent cells contribute 0 exactly);
+    - h_a / h_b = −Σ p · ln p marginal entropies; nmi =
+      mi / √(h_a · h_b), NULL when either entropy is 0 (a constant
+      column carries no information to normalize by);
+    - output ONE row: (n, bins, mi, h_a, h_b, nmi), floats 6dp.
+
+    Scale shape: ONE scalar min/max aggregation (4 expressions), one
+    projection, ONE ≤ bins² cell hash aggregation (map-side partials
+    collapse the row scale), then dimension-sized marginal reshapes
+    and a 1-row reduce. Two scans total (extrema, then cells)."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    base = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(
+        F.col(col_a).cast("double").alias("xa"),
+        F.col(col_b).cast("double").alias("xb"),
+    )
+    ext = base.agg(
+        F.min("xa").alias("lo_a"),
+        F.max("xa").alias("hi_a"),
+        F.min("xb").alias("lo_b"),
+        F.max("xb").alias("hi_b"),
+    ).first()
+    if ext["lo_a"] is None:
+        raise ValueError("binned_mi: no pairwise-complete rows")
+
+    def bucket(col, lo, hi):
+        if hi == lo:
+            return F.lit(0)
+        return F.least(
+            F.floor((col - F.lit(lo)) * bins / F.lit(hi - lo)),
+            F.lit(bins - 1),
+        ).cast("int")
+
+    cells = (
+        base.select(
+            bucket(F.col("xa"), ext["lo_a"], ext["hi_a"]).alias("ba"),
+            bucket(F.col("xb"), ext["lo_b"], ext["hi_b"]).alias("bb"),
+        )
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+    )
+    n = F.sum("n_ab")
+    tot = cells.agg(n.alias("n_all"))
+    ma = cells.groupBy("ba").agg(F.sum("n_ab").alias("n_a"))
+    mb = cells.groupBy("bb").agg(F.sum("n_ab").alias("n_b"))
+    joined = (
+        cells.join(ma, "ba")
+        .join(mb, "bb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("n_ab") / F.col("n_all")).alias("p_ab"),
+            (F.col("n_a") / F.col("n_all")).alias("p_a"),
+            (F.col("n_b") / F.col("n_all")).alias("p_b"),
+            "n_all",
+        )
+    )
+    mi = F.sum(F.col("p_ab") * F.log(F.col("p_ab") / (F.col("p_a") * F.col("p_b"))))
+    ha_frame = ma.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("n_a") / F.col("n_all")) * F.log(F.col("n_a") / F.col("n_all")))).alias("h_a")
+    )
+    hb_frame = mb.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("n_b") / F.col("n_all")) * F.log(F.col("n_b") / F.col("n_all")))).alias("h_b")
+    )
+    mi_frame = joined.agg(
+        F.max("n_all").cast("long").alias("n"), mi.alias("mi_raw")
+    )
+    out = mi_frame.crossJoin(F.broadcast(ha_frame)).crossJoin(
+        F.broadcast(hb_frame)
+    )
+    nmi = F.when(
+        (F.col("h_a") > 0) & (F.col("h_b") > 0),
+        F.col("mi_raw") / F.sqrt(F.col("h_a") * F.col("h_b")),
+    )
+    return out.select(
+        "n",
+        F.lit(bins).alias("bins"),
+        F.round("mi_raw", 6).alias("mi"),
+        F.round("h_a", 6).alias("h_a"),
+        F.round("h_b", 6).alias("h_b"),
+        F.round(nmi, 6).alias("nmi"),
+    )
+
+
+def moments_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Distribution-shape moments per group — mean, population
+    std, skewness and EXCESS kurtosis via raw power sums: the
+    third/fourth-moment profiling readout next to domain_stats'
+    location/spread (is the distribution lopsided? heavy-tailed?).
+    Computed from explicit Σx..Σx⁴ with the SAME raw-moment
+    identities in both engines — the engines' own skewness/kurtosis
+    aggregates use DIFFERENT bias conventions (Spark population,
+    DuckDB sample-corrected) and would never hash-match.
+    Beyond-reference analytics scope.
+
+    Pinned semantics (oracle-replicated):
+
+    - NULL groups/values drop; all moments are POPULATION moments
+      (divisor n);
+    - m2 = s2/n − mean²; m3/m4 via the raw-moment expansions in the
+      exact written operation order (both engines evaluate the same
+      expression tree over the same power sums — cancellation noise
+      is shared);
+    - skewness = m3 / m2^1.5, excess kurtosis = m4 / m2² − 3, both
+      NULL when m2 (rounded 9dp) is 0 — constant groups have no
+      shape;
+    - output per group: (group, n, mean, std, skewness, kurtosis),
+      floats 6dp.
+
+    Scale shape: ONE hash aggregation (5 expressions — count + four
+    power sums, map-side partials), then per-row closed-form
+    arithmetic on the group frame. No window, no join."""
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("x")
+    )
+    x = F.col("x")
+    agg = base.groupBy(F.col("g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = (
+        F.col("s3") / n
+        - 3.0 * mean * (F.col("s2") / n)
+        + 2.0 * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4") / n
+        - 4.0 * mean * (F.col("s3") / n)
+        + 6.0 * mean * mean * (F.col("s2") / n)
+        - 3.0 * mean * mean * mean * mean
+    )
+    ok = F.round(m2, 9) > 0
+    return agg.select(
+        group_col,
+        n.cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(F.when(m2 > 0, m2).otherwise(F.lit(0.0))), 6).alias("std"),
+        F.round(F.when(ok, m3 / F.pow(m2, 1.5)), 6).alias("skewness"),
+        F.round(F.when(ok, m4 / (m2 * m2) - 3.0), 6).alias("kurtosis"),
     )

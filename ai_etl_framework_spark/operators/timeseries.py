@@ -109,6 +109,7 @@ __all__ = [
     "interarrival_stats",
     "cusum_screen",
     "cusum_from_series",
+    "seasonal_strength",
 ]
 
 _TIEBREAK_MOD = 1_000_000
@@ -789,3 +790,72 @@ def cusum_from_series(
         (F.col("s_plus") > threshold).alias("alarm_up"),
         (F.col("s_minus") > threshold).alias("alarm_down"),
     )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Hour-of-day seasonality strength per key — the variance share
+    a seasonal profile explains: strength = 1 − SS_within / SS_total,
+    where SS_within sums squared deviations from each (key, hour)
+    mean and SS_total from the key's overall mean. 0 = the hour tells
+    you nothing, → 1 = the value is a pure function of the hour. The
+    one-number "does this metric breathe daily" screen that says
+    whether seasonal_zscore (x52) is even worth running; the
+    variance-decomposition form of STL's seasonal-strength diagnostic
+    (Hyndman & Athanasopoulos, FPP ch. 12). Beyond-reference
+    analytics scope (grep 'seasonal strength' over
+    /root/reference/src: zero hits).
+
+    Pinned semantics (oracle-replicated):
+
+    - season = hour(ts), 0–23 (hour, not day-of-week: both engines
+      agree on hour numbering while their dayofweek bases differ);
+      NULL key/ts/value rows drop;
+    - SS identities via power sums, evaluated in the same written
+      operation order in both engines: per (key, hour) cell —
+      n_s, Σx, Σx²; SS_within = Σ_s (Σx²_s − (Σx_s)²/n_s);
+      SS_total = Σx² − (Σx)²/n (grand);
+    - strength = 1 − SS_within/SS_total, NULL when SS_total rounded
+      9dp is 0 (constant key — no variance to decompose); never
+      negative (within-cell means minimize SS);
+    - output per key: (key, n, n_seasons, strength), strength 6dp.
+
+    Scale shape: ONE (key, hour) hash aggregation (≤ 24 cells per
+    key, map-side partials collapse the row scale) then one key-level
+    reduce over ≤ 24 rows per key. No window, no join, no second
+    scan."""
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("k"),
+        F.hour(ts_col).alias("s"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    cells = base.groupBy("k", "s").agg(
+        F.count(F.lit(1)).cast("double").alias("n_s"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    n = F.sum("n_s")
+    g1 = F.sum("s1")
+    g2 = F.sum("s2")
+    ss_within = F.sum(F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n_s"))
+    ss_total = g2 - (g1 * g1) / n
+    out = cells.groupBy(F.col("k").alias(key_col)).agg(
+        n.cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+        F.round(
+            F.when(
+                F.round(ss_total, 9) > 0,
+                F.lit(1.0) - ss_within / ss_total,
+            ),
+            6,
+        ).alias("strength"),
+    )
+    return out

@@ -100,9 +100,22 @@ def _duckdb_twins() -> dict[str, float]:
     return out
 
 
+def _loadavg_1min():
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from ai_etl_framework_spark.session import get_spark
+
+    # read BEFORE any Spark work: the stamp answers "was the box busy
+    # when the bench STARTED" (r10 verdict item 6) — reading at the
+    # end would only measure the bench's own 32-thread load
+    loadavg_start = _loadavg_1min()
 
     # module-level functions FIRST, registry as fallback: the 50-slot
     # driver registry consolidates names into merged gate rows
@@ -420,12 +433,11 @@ def main() -> None:
     # landing minutes after a 30-min pytest sweep and reading 20-45%
     # slow on pipeline/streaming rows. Stamp the box's 1-minute load
     # average into BOTH records so a noisy reading carries its own
-    # explanation (the quiet-box convention is load < 1).
-    try:
-        with open("/proc/loadavg") as fh:
-            loadavg_1min = float(fh.read().split()[0])
-    except (OSError, ValueError, IndexError):
-        loadavg_1min = None
+    # explanation (the quiet-box convention is start-load < 1; the
+    # end value is always ~32-thread-bench-hot and rides alongside
+    # for the throttle-detection comparison).
+    loadavg_1min = loadavg_start
+    loadavg_end = _loadavg_1min()
     full = {
         "metric": "headline_query_total",
         "value": total,
@@ -473,6 +485,7 @@ def main() -> None:
         "pipeline_sec_runs": [round(x, 4) for x in pipe_runs],
         "p02_sec_runs": [round(x, 4) for x in merge_runs],
         "loadavg_1min": loadavg_1min,
+        "loadavg_1min_end": loadavg_end,
     }
     # Full record → a FILE (committed per round as BENCH_r{N}_local.json)
     # and an early stdout line; the LAST stdout line is a compact

@@ -338,6 +338,18 @@ QUERIES = [
     # streaming mix monitor = two foreachBatch cell-store merges
     # (dimension-sized) + the x121 JSD core over the store
     "st09_mix_monitor",
+    # binned MI = one extrema agg + one <=bins^2 cell agg
+    "x124_binned_mi",
+    # seasonal strength = one (key, hour) cell agg (<=24 cells/key)
+    "x125_seasonal_strength",
+    # vocab overlap = distinct (source, term) agg + term-co-partitioned
+    # self-join (fan-out <= |sources| per term) + |sources|^2 grid
+    "x126_vocab_overlap",
+    # new/returning = distinct (user, day) agg + user-sized min/join
+    # + calendar window (the x112 shape with users for terms)
+    "x127_new_returning",
+    # moments = one 5-expression hash agg (power sums, map-side)
+    "x128_moments",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

@@ -528,3 +528,211 @@ def test_fs_patterns_guards(spark):
     )
     out = fs_match_patterns(df2, "id", ["blk"], {"f": (0.9, 0.1)}).collect()
     assert len(out) == 1 and out[0]["n_pairs"] == 1
+
+
+# ---------------------------------------------------------------------------
+# binned_mi (x124)
+# ---------------------------------------------------------------------------
+
+def test_binned_mi_vs_numpy(spark):
+    from ai_etl_framework_spark.operators.stats import binned_mi
+
+    rng = np.random.RandomState(11)
+    xa = rng.uniform(0, 10, 500)
+    xb = 2 * xa + rng.normal(0, 1, 500)      # strong dependence
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(xa, xb)], "a double, b double"
+    )
+    r = binned_mi(df, "a", "b", bins=8).first()
+    # numpy reference with the same equal-width binning
+    ba = np.minimum(
+        np.floor((xa - xa.min()) * 8 / (xa.max() - xa.min())), 7
+    ).astype(int)
+    bb = np.minimum(
+        np.floor((xb - xb.min()) * 8 / (xb.max() - xb.min())), 7
+    ).astype(int)
+    joint = np.zeros((8, 8))
+    for i, j in zip(ba, bb):
+        joint[i, j] += 1
+    p = joint / joint.sum()
+    pa, pb = p.sum(1), p.sum(0)
+    mask = p > 0
+    mi = (p[mask] * np.log(p[mask] / np.outer(pa, pb)[mask])).sum()
+    ha = -(pa[pa > 0] * np.log(pa[pa > 0])).sum()
+    hb = -(pb[pb > 0] * np.log(pb[pb > 0])).sum()
+    assert r["n"] == 500 and r["bins"] == 8
+    assert r["mi"] == pytest.approx(round(mi, 6), abs=2e-6)
+    assert r["h_a"] == pytest.approx(round(ha, 6), abs=2e-6)
+    assert r["nmi"] == pytest.approx(round(mi / math.sqrt(ha * hb), 6), abs=2e-6)
+    # dependence detected
+    assert r["mi"] > 0.5
+
+
+def test_binned_mi_independent_and_constant(spark):
+    from ai_etl_framework_spark.operators.stats import binned_mi
+
+    rng = np.random.RandomState(4)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in
+         zip(rng.uniform(0, 1, 2000), rng.uniform(0, 1, 2000))],
+        "a double, b double",
+    )
+    r = binned_mi(df, "a", "b", bins=5).first()
+    assert 0 <= r["mi"] < 0.03, "independent uniforms should have ~0 MI"
+    # constant column -> h = 0 -> nmi NULL, mi 0
+    df2 = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(50)], "a double, b double"
+    )
+    r2 = binned_mi(df2, "a", "b").first()
+    assert r2["mi"] == 0.0 and r2["h_a"] == 0.0 and r2["nmi"] is None
+    with pytest.raises(ValueError, match="bins"):
+        binned_mi(df2, "a", "b", bins=1)
+
+
+# ---------------------------------------------------------------------------
+# seasonal_strength (x125)
+# ---------------------------------------------------------------------------
+
+def test_seasonal_strength_pure_and_none(spark):
+    from ai_etl_framework_spark.operators.timeseries import seasonal_strength
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    # key 'pure': value is a pure function of hour -> strength 1
+    for d in range(3):
+        for h in range(6):
+            rows.append(("pure", t0 + timedelta(days=d, hours=h), float(h * 10)))
+    # key 'flat': constant -> SS_total 0 -> NULL
+    for d in range(3):
+        for h in range(6):
+            rows.append(("flat", t0 + timedelta(days=d, hours=h), 5.0))
+    # key 'noise': value varies within each hour identically -> the
+    # hour explains nothing (same per-hour distribution by day)
+    for d in range(3):
+        for h in range(6):
+            rows.append(("noise", t0 + timedelta(days=d, hours=h), float(d)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x double")
+    out = {r["k"]: r for r in seasonal_strength(df, "k", "ts", "x").collect()}
+    assert out["pure"]["strength"] == 1.0
+    assert out["flat"]["strength"] is None
+    assert out["noise"]["strength"] == pytest.approx(0.0, abs=1e-9)
+    assert out["pure"]["n"] == 18 and out["pure"]["n_seasons"] == 6
+
+
+def test_seasonal_strength_hand_math(spark):
+    from ai_etl_framework_spark.operators.timeseries import seasonal_strength
+    from datetime import datetime
+
+    # hour 0: [0, 2] (mean 1), hour 1: [10, 14] (mean 12)
+    rows = [
+        ("k", datetime(2024, 1, 1, 0), 0.0),
+        ("k", datetime(2024, 1, 2, 0), 2.0),
+        ("k", datetime(2024, 1, 1, 1), 10.0),
+        ("k", datetime(2024, 1, 2, 1), 14.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x double")
+    r = seasonal_strength(df, "k", "ts", "x").first()
+    vals = np.array([0.0, 2.0, 10.0, 14.0])
+    ss_tot = ((vals - vals.mean()) ** 2).sum()
+    ss_within = 2.0 + 8.0          # (0-1)²+(2-1)² + (10-12)²+(14-12)²
+    assert r["strength"] == pytest.approx(
+        round(1 - ss_within / ss_tot, 6), abs=2e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocab_overlap (x126)
+# ---------------------------------------------------------------------------
+
+def test_vocab_overlap_hand_math(spark):
+    from ai_etl_framework_spark.operators.novelty import vocab_overlap
+
+    docs = [
+        ("s1", "alpha beta gamma"),
+        ("s1", "alpha delta"),           # s1 vocab {alpha beta gamma delta}
+        ("s2", "alpha beta zeta"),       # s2 vocab {alpha beta zeta}
+        ("s3", "omega psi"),             # s3 vocab disjoint from s2
+    ]
+    df = spark.createDataFrame(docs, "src string, text string")
+    out = {(r["group_a"], r["group_b"]): r
+           for r in vocab_overlap(df, "src", "text").collect()}
+    r12 = out[("s1", "s2")]
+    assert (r12["n_a"], r12["n_b"], r12["n_both"]) == (4, 3, 2)
+    assert r12["jaccard"] == pytest.approx(round(2 / 5, 6))
+    assert r12["overlap"] == pytest.approx(round(2 / 3, 6))
+    # disjoint pair still emits a zero row
+    r23 = out[("s2", "s3")]
+    assert r23["n_both"] == 0 and r23["jaccard"] == 0.0
+    assert len(out) == 3  # all C(3,2) pairs present
+
+
+# ---------------------------------------------------------------------------
+# new_returning_users (x127)
+# ---------------------------------------------------------------------------
+
+def test_new_returning_hand_math(spark):
+    from ai_etl_framework_spark.operators.activity import new_returning_users
+
+    rows = [
+        (1, "2024-01-01"), (2, "2024-01-01"),
+        (1, "2024-01-02"), (3, "2024-01-02"),
+        (1, "2024-01-04"), (2, "2024-01-04"), (3, "2024-01-04"),
+        (None, "2024-01-01"), (9, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, d string").select(
+        "user_id", F.to_timestamp("d").alias("ts")
+    )
+    out = {r["day"].isoformat(): r for r in new_returning_users(df).collect()}
+    d1, d2, d4 = out["2024-01-01"], out["2024-01-02"], out["2024-01-04"]
+    assert (d1["n_active"], d1["n_new"], d1["n_returning"]) == (2, 2, 0)
+    assert (d2["n_active"], d2["n_new"], d2["n_returning"]) == (2, 1, 1)
+    assert (d4["n_active"], d4["n_new"], d4["n_returning"]) == (3, 0, 3)
+    assert d4["cum_users"] == 3 and d4["pct_new"] == 0.0
+    assert "2024-01-03" not in out  # silent days emit nothing
+
+
+# ---------------------------------------------------------------------------
+# moments_by_group (x128)
+# ---------------------------------------------------------------------------
+
+def test_moments_vs_numpy(spark):
+    from ai_etl_framework_spark.operators.stats import moments_by_group
+
+    rng = np.random.RandomState(2)
+    gauss = rng.normal(10, 2, 800)
+    expo = rng.exponential(3.0, 800)       # skewed, heavy-tailed
+    rows = [("gauss", float(v)) for v in gauss] + [
+        ("expo", float(v)) for v in expo
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {r["g"]: r for r in moments_by_group(df, "g", "x").collect()}
+
+    def ref(v):
+        m = v.mean()
+        m2 = ((v - m) ** 2).mean()
+        m3 = ((v - m) ** 3).mean()
+        m4 = ((v - m) ** 4).mean()
+        return m, math.sqrt(m2), m3 / m2 ** 1.5, m4 / m2 ** 2 - 3
+
+    for g, v in (("gauss", gauss), ("expo", expo)):
+        m, s, sk, ku = ref(v)
+        r = out[g]
+        assert r["mean"] == pytest.approx(round(m, 6), abs=2e-6)
+        assert r["std"] == pytest.approx(round(s, 6), abs=2e-6)
+        assert r["skewness"] == pytest.approx(round(sk, 6), abs=1e-4)
+        assert r["kurtosis"] == pytest.approx(round(ku, 6), abs=1e-4)
+    # shape sanity: exponential strongly right-skewed, gauss ~0
+    assert out["expo"]["skewness"] > 1.5
+    assert abs(out["gauss"]["skewness"]) < 0.3
+
+
+def test_moments_constant_group_null_shape(spark):
+    from ai_etl_framework_spark.operators.stats import moments_by_group
+
+    df = spark.createDataFrame(
+        [("c", 7.0)] * 5, "g string, x double"
+    )
+    r = moments_by_group(df, "g", "x").first()
+    assert r["std"] == 0.0
+    assert r["skewness"] is None and r["kurtosis"] is None
