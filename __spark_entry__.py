@@ -9242,6 +9242,147 @@ FROM agg
 """
 
 
+def st10_new_returning_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming new-vs-returning readout (pipeline/monitor.py
+    IncrementalActiveUsers.new_returning): the SAME persisted
+    idempotent (user, day) store st06 maintains, second readout —
+    boundary- and replay-independent, so the row carries x127's REAL
+    hash oracle."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ai_etl_framework_spark.pipeline.monitor import (
+        IncrementalActiveUsers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="st10_")
+    try:
+        bronze = os.path.join(root, "bronze")
+        os.makedirs(bronze)
+        for i in (0, 1):
+            stage = os.path.join(root, f"stage{i}")
+            ev.where(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            src = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(bronze, f"feed_{i}.parquet")
+            shutil.move(os.path.join(stage, src), dst)
+            os.utime(dst, (_time.time() + i, _time.time() + i))
+        mon = IncrementalActiveUsers(spark, root, window_days=7)
+        mon.run_stream(
+            bronze, os.path.join(root, "ckpt"), schema=ev.schema,
+            max_files_per_trigger=1,
+        )
+        out = mon.new_returning()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def x129_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (operators/evaluation.py rrf_fuse):
+    customers ranked by balance fused with customers ranked by order
+    count — two rank windows over result lists, one full outer join,
+    one rounded-score cut."""
+    from ai_etl_framework_spark.operators.evaluation import rrf_fuse
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    by_orders = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return rrf_fuse(
+        cust, by_orders, "c_custkey", "c_acctbal", "n_orders",
+        k=60, top_n=100,
+    )
+
+
+_X129_SQL = """
+WITH a AS (SELECT c_custkey AS id,
+                  row_number() OVER (ORDER BY c_acctbal DESC,
+                                     c_custkey ASC) AS rank_a
+           FROM customer WHERE c_acctbal IS NOT NULL),
+b0 AS (SELECT o_custkey AS id, COUNT(*)::BIGINT AS n_orders
+       FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+b AS (SELECT id, row_number() OVER (ORDER BY n_orders DESC, id ASC)
+             AS rank_b
+      FROM b0),
+f AS (SELECT COALESCE(a.id, b.id) AS c_custkey, rank_a, rank_b,
+             ROUND(COALESCE(1.0 / (60 + rank_a), 0.0)
+                   + COALESCE(1.0 / (60 + rank_b), 0.0), 6) AS rrf_score
+      FROM a FULL OUTER JOIN b ON a.id = b.id)
+SELECT c_custkey, rank_a, rank_b, rrf_score FROM f
+ORDER BY rrf_score DESC, c_custkey ASC LIMIT 100
+"""
+
+
+def x130_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing unseen mass + Chao1 vocabulary estimate per source
+    (operators/novelty.py vocab_richness) — one (source, term) hash
+    agg + one vocab-frame reduce."""
+    from ai_etl_framework_spark.operators.novelty import vocab_richness
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_richness(docs, "source", "text")
+
+
+_X130_SQL = f"""
+WITH counts AS (SELECT g, term, COUNT(*)::DOUBLE AS c
+                FROM (SELECT source AS g, unnest({_TOKS}) AS term
+                      FROM documents WHERE source IS NOT NULL)
+                GROUP BY 1, 2)
+SELECT g AS source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*)::BIGINT AS vocab,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_doubletons,
+       ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / SUM(c), 6)
+         AS unseen_mass,
+       ROUND(COUNT(*)::DOUBLE
+             + SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+               * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE - 1.0)
+               / (2.0 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)::DOUBLE
+                         + 1.0)), 6) AS chao1
+FROM counts GROUP BY g
+"""
+
+
+def x131_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew advisor (operators/audit.py skew_report): the
+    top-20 heaviest order-placing customers with whole-distribution
+    HHI/max-share riders — one key-frame agg + WindowGroupLimit +
+    broadcast rider join."""
+    from ai_etl_framework_spark.operators.audit import skew_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    return skew_report(orders, ["o_custkey"], top_k=20)
+
+
+_X131_SQL = """
+WITH counts AS (SELECT o_custkey, COUNT(*)::BIGINT AS n
+                FROM orders GROUP BY 1),
+riders AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                  COUNT(*)::BIGINT AS n_keys,
+                  ROUND(SUM(n * n) / (SUM(n) * SUM(n)), 6) AS hhi,
+                  ROUND(MAX(n) / SUM(n), 6) AS max_share
+           FROM counts),
+top AS (SELECT *, row_number() OVER (ORDER BY n DESC,
+                                     o_custkey ASC NULLS LAST) AS rank
+        FROM counts QUALIFY rank <= 20)
+SELECT rank, o_custkey, n, ROUND(n / n_rows, 6) AS share,
+       n_rows, n_keys, hhi, max_share
+FROM top, riders
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9509,6 +9650,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x126_vocab_overlap": x126_vocab_overlap,
         "x127_new_returning": x127_new_returning,
         "x128_moments": x128_moments,
+        # r11 batch 5: second readout of st06's idempotent store
+        # (real oracle), RRF hybrid ranking, vocabulary richness,
+        # shuffle-skew advisor
+        "st10_new_returning_monitor": st10_new_returning_monitor,
+        "x129_rrf_fusion": x129_rrf_fusion,
+        "x130_vocab_richness": x130_vocab_richness,
+        "x131_skew_report": x131_skew_report,
     }
 
 
@@ -9706,6 +9854,10 @@ def oracle_sql() -> dict[str, str]:
         "x126_vocab_overlap": _X126_SQL,
         "x127_new_returning": _X127_SQL,
         "x128_moments": _X128_SQL,
+        "st10_new_returning_monitor": _X127_SQL,
+        "x129_rrf_fusion": _X129_SQL,
+        "x130_vocab_richness": _X130_SQL,
+        "x131_skew_report": _X131_SQL,
         "st06_active_users": _X86_SQL,
         # x01's recall table is deterministic per corpus → fixture
         # VALUES oracle keyed by corpus fingerprint (r11, VERDICT r10

@@ -43,6 +43,7 @@ __all__ = [
     "stickiness",
     "activity_streaks",
     "new_returning_users",
+    "new_returning_from_days",
 ]
 
 
@@ -291,6 +292,16 @@ def new_returning_users(
         )
         .distinct()
     )
+    return new_returning_from_days(pairs)
+
+
+def new_returning_from_days(pairs: DataFrame) -> DataFrame:
+    """The first-seen decomposition core over an already-distinct
+    (u, day DATE) frame — the seam the incremental activity store
+    feeds directly (pipeline/monitor.py IncrementalActiveUsers
+    .new_returning(): ONE persisted store, two readouts — the
+    rolling_active_from_days pattern). Same output contract as
+    :func:`new_returning_users`."""
     first_seen = pairs.groupBy("u").agg(F.min("day").alias("fs"))
     per_day = (
         pairs.join(first_seen, "u")

@@ -88,6 +88,7 @@ __all__ = [
     "blocking_stats",
     "containment",
     "fd_audit",
+    "skew_report",
 ]
 
 
@@ -589,3 +590,70 @@ def fd_audit(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    top_k: int = 20,
+) -> DataFrame:
+    """Shuffle-skew advisor — BEFORE joining or grouping on a key,
+    how concentrated is it: the top-k heaviest key values with their
+    row shares, plus whole-distribution riders (key cardinality, HHI
+    concentration, max share) on every row. A skewed join key is the
+    single most common 1000-executor performance cliff — this is the
+    measurement that says "salt this key" or "broadcast that side"
+    BEFORE the 4-hour stage does. The key-distribution companion of
+    join_cardinality_estimate (which predicts output size) and
+    blocking_stats. Beyond-reference analytics scope.
+
+    Pinned semantics (oracle-replicated):
+
+    - one group per distinct key tuple; NULL is a key value like any
+      other (NULL keys are usually the heaviest skew culprit — they
+      must appear in the report, not be filtered);
+    - share = key rows / total rows (6dp); rank = row_number by
+      (n DESC, key ASC NULLS LAST) — deterministic through ties;
+      output = rank <= top_k;
+    - riders on every row (the domain_stats convention): n_rows,
+      n_keys, hhi = Σ share² over ALL keys (6dp — 1/n_keys = uniform,
+      → 1 = one key carries everything), max_share (6dp).
+
+    Scale shape: ONE hash aggregation to the key frame (map-side
+    partials collapse the row scale), one 1-row rider reduce over the
+    key frame, one WindowGroupLimit top-k over the key frame, one
+    broadcast rider join. The key frame is |distinct keys|-sized —
+    exactly the thing being measured."""
+    if not key_cols:
+        raise ValueError("skew_report: key_cols must be non-empty")
+    if top_k < 1:
+        raise ValueError(f"skew_report: top_k must be >= 1, got {top_k}")
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    riders = counts.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.round(
+            F.sum(F.col("n") * F.col("n"))
+            / (F.sum("n") * F.sum("n")),
+            6,
+        ).alias("hhi"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("max_share"),
+    )
+    w = Window.orderBy(
+        F.col("n").desc(), *[F.col(c).asc_nulls_last() for c in key_cols]
+    )
+    top = counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_k
+    )
+    return top.crossJoin(F.broadcast(riders)).select(
+        "rank",
+        *key_cols,
+        "n",
+        F.round(F.col("n") / F.col("n_rows"), 6).alias("share"),
+        "n_rows",
+        "n_keys",
+        "hhi",
+        "max_share",
+    )

@@ -49,6 +49,7 @@ __all__ = [
     "calibration_table",
     "classifier_metrics",
     "silhouette_centroid",
+    "rrf_fuse",
 ]
 
 
@@ -504,3 +505,70 @@ def silhouette_centroid(
         F.round(F.avg("__b"), round_to).alias("avg_b"),
         F.round(F.avg(s), round_to).alias("avg_silhouette"),
     )
+
+
+def rrf_fuse(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    score_a: str,
+    score_b: str,
+    k: int = 60,
+    top_n: int = 100,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings — the standard hybrid-
+    retrieval combiner (Cormack, Clarke & Buettcher 2009; what search
+    engines use to merge BM25 and embedding-similarity lists without
+    score calibration): rrf(id) = Σ over lists containing id of
+    1 / (k + rank). Rank-based, so incomparable score scales fuse
+    cleanly. Beyond-reference analytics scope (grep 'reciprocal rank
+    fusion\\|rrf' over /root/reference/src: zero hits).
+
+    Pinned semantics (oracle-replicated):
+
+    - each list ranks its own non-NULL-score rows by (score DESC, id
+      ASC) — the house deterministic total order;
+    - the fused universe is the UNION of ids; an id absent from a
+      list contributes 0 for that list (the standard union
+      convention); rank_a/rank_b are NULL for absent ids;
+    - rrf_score = Σ 1/(k + rank), rounded 6dp; output = top_n by
+      (rrf_score 6dp DESC, id ASC) — the cut compares the ROUNDED
+      score (engine-stable);
+    - k ≥ 1 (fail loud; k=60 is the paper's constant).
+
+    Scale shape: one rank window per input list (at corpus scale the
+    inputs should already be per-query top-k lists — rank windows
+    over result lists, never the corpus; this operator fuses RESULT
+    candidates), one full outer join on the id, one ORDER BY LIMIT
+    cut. No UDF, no driver state."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+
+    def ranked(df, score_col, rank_name):
+        w = Window.orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        return (
+            df.where(F.col(score_col).isNotNull())
+            .select(id_col, score_col)
+            .withColumn(rank_name, F.row_number().over(w))
+            .select(id_col, rank_name)
+        )
+
+    a = ranked(df_a, score_a, "rank_a")
+    b = ranked(df_b, score_b, "rank_b")
+    fused = a.join(b, id_col, "full_outer").select(
+        id_col,
+        "rank_a",
+        "rank_b",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k) + F.col("rank_b")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    ).limit(top_n)

@@ -31,7 +31,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["novelty_scores", "vocab_novelty", "trending_terms", "vocab_overlap"]
+__all__ = [
+    "novelty_scores",
+    "vocab_novelty",
+    "trending_terms",
+    "vocab_overlap",
+    "vocab_richness",
+]
 
 
 def novelty_scores(
@@ -314,4 +320,60 @@ def vocab_overlap(
             "jaccard"
         ),
         F.round(nb / F.least("n_a", "n_b"), 6).alias("overlap"),
+    )
+
+
+def vocab_richness(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary richness per group — Good–Turing unseen-probability
+    mass and the bias-corrected Chao1 total-vocabulary estimate from
+    singleton/doubleton counts: "how much vocabulary does this source
+    still hide" — the capture-recapture answer to whether another
+    crawl of the same source is worth it (the forward-looking
+    complement of vocab_novelty's backward-looking curve). Good 1953;
+    Chao 1984 (Chao1); Gale & Sampson 1995 for the GT reading.
+    Beyond-reference analytics scope (grep 'good.turing\|chao' over
+    /root/reference/src: zero hits).
+
+    Pinned semantics (oracle-replicated):
+
+    - tokens = the shared case-folded whitespace tokenizer; counts
+      are token occurrences per (group, term); NULL groups drop;
+    - n_tokens = Σ counts (N), vocab = distinct terms (V), n1/n2 =
+      terms seen exactly once/twice;
+    - unseen_mass = n1 / N (Good–Turing's P₀ estimate), 6dp;
+    - chao1 = V + n1·(n1−1) / (2·(n2+1)) — the BIAS-CORRECTED form,
+      defined even when n2 = 0 (the classic V + n1²/(2n2) is not),
+      6dp;
+    - groups with zero tokens emit no row (no evidence).
+
+    Scale shape: one explode → ONE (group, term) hash aggregation
+    (map-side partials collapse the Zipf head) → one group-level
+    reduce over the vocab frame. Nothing text-scale past the first
+    aggregation; no join, no window."""
+    from ai_etl_framework_spark.functions.text import tokens
+
+    counts = (
+        df.where(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("g", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+    n2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("double")
+    v = F.count(F.lit(1)).cast("double")
+    n = F.sum("c")
+    return counts.groupBy(F.col("g").alias(group_col)).agg(
+        n.cast("long").alias("n_tokens"),
+        v.cast("long").alias("vocab"),
+        n1.cast("long").alias("n_singletons"),
+        n2.cast("long").alias("n_doubletons"),
+        F.round(n1 / n, 6).alias("unseen_mass"),
+        F.round(v + n1 * (n1 - 1.0) / (2.0 * (n2 + 1.0)), 6).alias("chao1"),
     )

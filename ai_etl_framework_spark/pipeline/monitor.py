@@ -353,6 +353,24 @@ class IncrementalActiveUsers:
             raise ValueError("no events processed yet: store is empty")
         return rolling_active_from_days(store, self.window_days)
 
+    def new_returning(self) -> DataFrame:
+        """New-vs-returning decomposition over everything seen — the
+        SAME persisted (user, day) store, second readout (st10; the
+        store is idempotent-distinct, so this equals the batch
+        operator over the full event set — st06's argument verbatim,
+        and the st10 registry row carries x127's REAL hash oracle)."""
+        from ai_etl_framework_spark.operators.activity import (
+            new_returning_from_days,
+        )
+
+        store = self._store()
+        if store is None:
+            raise ValueError("no events processed yet: store is empty")
+        # the store's frame is (u, d); the seam's contract is (u, day)
+        return new_returning_from_days(
+            store.select("u", F.col("d").alias("day"))
+        )
+
     def run_stream(
         self,
         bronze_dir: str,

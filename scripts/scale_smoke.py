@@ -350,6 +350,14 @@ QUERIES = [
     "x127_new_returning",
     # moments = one 5-expression hash agg (power sums, map-side)
     "x128_moments",
+    # st10 = st06's store drive + the x127 first-seen core
+    "st10_new_returning_monitor",
+    # rrf = two result-list rank windows + full outer join + cut
+    "x129_rrf_fusion",
+    # richness = one (source, term) agg + vocab-frame reduce
+    "x130_vocab_richness",
+    # skew report = one key-frame agg + WindowGroupLimit + broadcast
+    "x131_skew_report",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

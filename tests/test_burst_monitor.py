@@ -317,3 +317,27 @@ def test_mix_monitor_empty_store_fails_loud(spark, tmp_path):
     mon = IncrementalCategoryMix(spark, str(tmp_path / "empty"))
     with pytest.raises(ValueError, match="store is empty"):
         mon.jsd()
+
+
+def test_active_users_second_readout_new_returning(spark, tmp_path):
+    """st10: the SAME idempotent (user, day) store serves the
+    new-vs-returning decomposition; equals the batch operator under
+    any batch split and absorbs replays."""
+    from ai_etl_framework_spark.operators.activity import new_returning_users
+    from ai_etl_framework_spark.pipeline.monitor import IncrementalActiveUsers
+
+    import pyspark.sql.functions as F
+
+    ev = _activity_events(spark)
+    expected = sorted(
+        tuple(r) for r in new_returning_users(ev).collect()
+    )
+    mon = IncrementalActiveUsers(spark, str(tmp_path / "nr"), window_days=7)
+    mon.run_batches(
+        [ev.where(F.col("event_id") % 2 == i) for i in range(2)]
+    )
+    got = sorted(tuple(r) for r in mon.new_returning().collect())
+    assert got == expected
+    # replay absorbs
+    mon.process_batch(ev, 9)
+    assert sorted(tuple(r) for r in mon.new_returning().collect()) == expected

@@ -736,3 +736,84 @@ def test_moments_constant_group_null_shape(spark):
     r = moments_by_group(df, "g", "x").first()
     assert r["std"] == 0.0
     assert r["skewness"] is None and r["kurtosis"] is None
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse (x129)
+# ---------------------------------------------------------------------------
+
+def test_rrf_hand_math(spark):
+    from ai_etl_framework_spark.operators.evaluation import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0), (4, None)], "id long, sa double"
+    )
+    b = spark.createDataFrame(
+        [(2, 100.0), (5, 90.0), (1, 80.0)], "id long, sb double"
+    )
+    out = {r["id"]: r for r in rrf_fuse(a, b, "id", "sa", "sb", k=10).collect()}
+    # list A ranks: 1->1, 2->2, 3->3 (4 dropped: NULL score)
+    # list B ranks: 2->1, 5->2, 1->3
+    assert out[1]["rank_a"] == 1 and out[1]["rank_b"] == 3
+    assert out[2]["rank_a"] == 2 and out[2]["rank_b"] == 1
+    assert out[2]["rrf_score"] == pytest.approx(
+        round(1 / 12 + 1 / 11, 6), abs=2e-6
+    )
+    assert out[1]["rrf_score"] == pytest.approx(
+        round(1 / 11 + 1 / 13, 6), abs=2e-6
+    )
+    # id in one list only: other rank NULL, contributes 0
+    assert out[5]["rank_a"] is None
+    assert out[5]["rrf_score"] == pytest.approx(round(1 / 12, 6), abs=2e-6)
+    assert 4 not in out
+    # appearing in both lists beats either single list here
+    assert out[2]["rrf_score"] > out[5]["rrf_score"]
+    with pytest.raises(ValueError, match="k must"):
+        rrf_fuse(a, b, "id", "sa", "sb", k=0)
+
+
+# ---------------------------------------------------------------------------
+# vocab_richness (x130)
+# ---------------------------------------------------------------------------
+
+def test_vocab_richness_hand_math(spark):
+    from ai_etl_framework_spark.operators.novelty import vocab_richness
+
+    # counts: a×3, b×2, c×1, d×1  -> N=7 V=4 n1=2 n2=1
+    docs = [("s", "a a a b b c d")]
+    df = spark.createDataFrame(docs, "src string, text string")
+    r = vocab_richness(df, "src", "text").first()
+    assert (r["n_tokens"], r["vocab"]) == (7, 4)
+    assert (r["n_singletons"], r["n_doubletons"]) == (2, 1)
+    assert r["unseen_mass"] == pytest.approx(round(2 / 7, 6))
+    # chao1 = 4 + 2*1/(2*(1+1)) = 4.5
+    assert r["chao1"] == pytest.approx(4.5)
+    # n2 = 0 stays defined (bias-corrected form)
+    df2 = spark.createDataFrame([("s", "x y z")], "src string, text string")
+    r2 = vocab_richness(df2, "src").first()
+    assert r2["chao1"] == pytest.approx(3 + 3 * 2 / 2)
+
+
+# ---------------------------------------------------------------------------
+# skew_report (x131)
+# ---------------------------------------------------------------------------
+
+def test_skew_report_hand_math(spark):
+    from ai_etl_framework_spark.operators.audit import skew_report
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [(None,)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, ["k"], top_k=2).collect()
+    assert [(r["rank"], r["k"], r["n"]) for r in out] == [
+        (1, "hot", 6), (2, "warm", 3)
+    ]
+    r = out[0]
+    assert r["n_rows"] == 10 and r["n_keys"] == 3
+    assert r["share"] == pytest.approx(0.6)
+    assert r["max_share"] == pytest.approx(0.6)
+    assert r["hhi"] == pytest.approx(round((36 + 9 + 1) / 100, 6))
+    # NULL keys are reported, not dropped
+    out3 = skew_report(df, ["k"], top_k=3).collect()
+    assert out3[-1]["k"] is None and out3[-1]["n"] == 1
+    with pytest.raises(ValueError, match="key_cols"):
+        skew_report(df, [], top_k=2)
