@@ -9383,6 +9383,85 @@ FROM top, riders
 """
 
 
+def x132_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target-encoding table (operators/scaling.py
+    target_encode, Micci-Barreca 2001): order priority encoded
+    against total price, m=20 empirical-Bayes shrink — one category
+    agg + a 1-row prior broadcast."""
+    from ai_etl_framework_spark.operators.scaling import target_encode
+
+    orders = load_table(spark, sf_dir, "orders")
+    return target_encode(orders, "o_orderpriority", "o_totalprice", m=20.0)
+
+
+_X132_SQL = """
+WITH base AS (SELECT o_orderpriority AS c, o_totalprice::DOUBLE AS y
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL),
+cells AS (SELECT c AS o_orderpriority, COUNT(*)::BIGINT AS n,
+                 AVG(y) AS m_cat
+          FROM base GROUP BY 1),
+prior AS (SELECT AVG(y) AS gm FROM base)
+SELECT o_orderpriority, n, ROUND(m_cat, 6) AS cat_mean,
+       ROUND((n * m_cat + 20.0 * gm) / (n + 20.0), 6) AS encoded,
+       ROUND(gm, 6) AS global_mean
+FROM cells, prior
+"""
+
+
+def x133_grouped_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group two-feature OLS via sufficient statistics
+    (operators/trend.py grouped_ols2): extended price ~ quantity +
+    discount per return flag — one 10-expression power-sum agg,
+    centered 2×2 normal equations in closed-form column math."""
+    from ai_etl_framework_spark.operators.trend import grouped_ols2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_ols2(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", "l_discount"
+    )
+
+
+_X133_SQL = """
+WITH base AS (SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS y,
+                     l_quantity::DOUBLE AS x1, l_discount::DOUBLE AS x2
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+agg AS (SELECT g, COUNT(*)::DOUBLE AS n,
+               SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+               SUM(x1 * x1) AS sx1x1, SUM(x1 * x2) AS sx1x2,
+               SUM(x2 * x2) AS sx2x2, SUM(x1 * y) AS sx1y,
+               SUM(x2 * y) AS sx2y, SUM(y * y) AS syy
+        FROM base GROUP BY g),
+mo AS (SELECT g, n,
+              sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my,
+              sx1x1 / n - (sx1 / n) * (sx1 / n) AS m11,
+              sx1x2 / n - (sx1 / n) * (sx2 / n) AS m12,
+              sx2x2 / n - (sx2 / n) * (sx2 / n) AS m22,
+              sx1y / n - (sx1 / n) * (sy / n) AS m1y,
+              sx2y / n - (sx2 / n) * (sy / n) AS m2y,
+              syy / n - (sy / n) * (sy / n) AS myy
+       FROM agg),
+sol AS (SELECT g, n, mx1, mx2, my, m1y, m2y, myy,
+               m11 * m22 - m12 * m12 AS det,
+               (m1y * m22 - m2y * m12) / (m11 * m22 - m12 * m12) AS b1,
+               (m2y * m11 - m1y * m12) / (m11 * m22 - m12 * m12) AS b2
+        FROM mo)
+SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN n >= 3 AND ROUND(det, 9) <> 0
+                  THEN my - b1 * mx1 - b2 * mx2 END, 6) AS b0,
+       ROUND(CASE WHEN n >= 3 AND ROUND(det, 9) <> 0 THEN b1 END, 6) AS b1,
+       ROUND(CASE WHEN n >= 3 AND ROUND(det, 9) <> 0 THEN b2 END, 6) AS b2,
+       ROUND(CASE WHEN n >= 3 AND ROUND(det, 9) <> 0
+                   AND ROUND(myy, 9) > 0
+                  THEN 1.0 - (myy - b1 * m1y - b2 * m2y) / myy END, 6) AS r2
+FROM sol
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9657,6 +9736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x129_rrf_fusion": x129_rrf_fusion,
         "x130_vocab_richness": x130_vocab_richness,
         "x131_skew_report": x131_skew_report,
+        # r11 batch 6: smoothed target encoding, grouped 2-feature OLS
+        "x132_target_encode": x132_target_encode,
+        "x133_grouped_ols2": x133_grouped_ols2,
     }
 
 
@@ -9858,6 +9940,8 @@ def oracle_sql() -> dict[str, str]:
         "x129_rrf_fusion": _X129_SQL,
         "x130_vocab_richness": _X130_SQL,
         "x131_skew_report": _X131_SQL,
+        "x132_target_encode": _X132_SQL,
+        "x133_grouped_ols2": _X133_SQL,
         "st06_active_users": _X86_SQL,
         # x01's recall table is deterministic per corpus → fixture
         # VALUES oracle keyed by corpus fingerprint (r11, VERDICT r10

@@ -49,6 +49,7 @@ __all__ = [
     "weighted_percentiles",
     "binned_quantiles",
     "quantiles_from_bins",
+    "target_encode",
 ]
 
 
@@ -404,3 +405,62 @@ def binned_quantiles(
         F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bin"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     return quantiles_from_bins(bins, width, qs, key_col=key_col)
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    m: float = 10.0,
+) -> DataFrame:
+    """Smoothed target (mean) encoding table for a categorical
+    feature — the standard high-cardinality categorical → numeric
+    transform for tree/linear models (Micci-Barreca 2001): encoded =
+    (n·mean_cat + m·global_mean) / (n + m), an empirical-Bayes shrink
+    toward the prior so rare categories don't memorize their few
+    labels. Produces the ENCODING TABLE (dimension-sized; broadcast-
+    join it onto features — the table, not the corpus, is the
+    artifact a feature store versions). Beyond-reference analytics
+    scope (grep 'target encod' over /root/reference/src: zero hits).
+
+    Pinned semantics (oracle-replicated):
+
+    - rows with NULL category or NULL target drop; one output row per
+      remaining category;
+    - global_mean = mean over the SAME filtered rows (so the prior
+      and the cells see one population);
+    - encoded = (n·mean_cat + m·global_mean)/(n + m), m > 0 fail-loud
+      (m = 0 is unsmoothed leak-prone encoding — pass a tiny m
+      explicitly if that is really wanted ... it is not);
+    - output: (category, n, cat_mean, encoded), floats 6dp, plus the
+      global_mean rider on every row (the domain_stats convention).
+
+    Scale shape: ONE hash aggregation to the category frame (map-side
+    partials) + a 1-row global reduce broadcast back. No window; the
+    corpus is scanned once (Catalyst shares the scan across the two
+    aggregations' stages at worst twice — both category- and
+    1-row-sized outputs)."""
+    if m <= 0:
+        raise ValueError(f"target_encode: m must be > 0, got {m}")
+    base = df.where(
+        F.col(cat_col).isNotNull() & F.col(target_col).isNotNull()
+    ).select(
+        F.col(cat_col).alias("c"),
+        F.col(target_col).cast("double").alias("y"),
+    )
+    cells = base.groupBy(F.col("c").alias(cat_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("y").alias("__mean"),
+    )
+    glob = base.agg(F.avg("y").alias("__gm"))
+    return cells.crossJoin(F.broadcast(glob)).select(
+        cat_col,
+        "n",
+        F.round("__mean", 6).alias("cat_mean"),
+        F.round(
+            (F.col("n") * F.col("__mean") + F.lit(float(m)) * F.col("__gm"))
+            / (F.col("n") + F.lit(float(m))),
+            6,
+        ).alias("encoded"),
+        F.round("__gm", 6).alias("global_mean"),
+    )

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["group_trend", "theil_sen_trend"]
+__all__ = ["group_trend", "theil_sen_trend", "grouped_ols2"]
 
 
 def group_trend(
@@ -195,4 +195,94 @@ def theil_sen_trend(
             F.round("__slope", 6).alias("slope"),
             F.round("__icept", 6).alias("intercept"),
         )
+    )
+
+
+def grouped_ols2(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Per-group TWO-feature OLS via sufficient statistics — the
+    distributed-ML workhorse pattern: one aggregation computes every
+    group's power sums, and the 2×2 normal equations solve in
+    closed-form column arithmetic (no iteration, no driver math, no
+    UDF). Extends group_trend (ANSI regr_*, one regressor) to the
+    smallest genuinely multivariate case the engines' own aggregates
+    cannot express. Beyond-reference analytics scope.
+
+    Pinned semantics (oracle-replicated):
+
+    - rows with any NULL among group/y/x1/x2 drop;
+    - CENTERED normal equations (better conditioned than raw 3×3
+      Cramer): with central moments m11 = Σx1²/n − x̄1² etc.,
+      det = m11·m22 − m12²; b1 = (m1y·m22 − m2y·m12)/det,
+      b2 = (m2y·m11 − m1y·m12)/det, b0 = ȳ − b1·x̄1 − b2·x̄2 —
+      every expression in the same written operation order in both
+      engines;
+    - groups with < 3 rows or |det| rounded 9dp = 0 (collinear or
+      constant regressors) yield NULL coefficients — never a
+      division error;
+    - r2 = 1 − SS_res/SS_tot with SS_res = SS_tot − b1·n·m1y −
+      b2·n·m2y (the normal-equation identity — no second pass),
+      NULL when SS_tot rounded 9dp = 0;
+    - output per group: (group, n, b0, b1, b2, r2), floats 6dp.
+
+    Scale shape: ONE hash aggregation with 10 power-sum expressions
+    (map-side partials collapse the row scale), then closed-form
+    per-row arithmetic on the group frame. No window, no join, no
+    second scan — the x100-PCA philosophy at OLS size."""
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(x1_col).isNotNull()
+        & F.col(x2_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(y_col).cast("double").alias("y"),
+        F.col(x1_col).cast("double").alias("x1"),
+        F.col(x2_col).cast("double").alias("x2"),
+    )
+    y, x1, x2 = F.col("y"), F.col("x1"), F.col("x2")
+    agg = base.groupBy(F.col("g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("sx1x1"),
+        F.sum(x1 * x2).alias("sx1x2"),
+        F.sum(x2 * x2).alias("sx2x2"),
+        F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    mx1 = F.col("sx1") / n
+    mx2 = F.col("sx2") / n
+    my = F.col("sy") / n
+    m11 = F.col("sx1x1") / n - mx1 * mx1
+    m12 = F.col("sx1x2") / n - mx1 * mx2
+    m22 = F.col("sx2x2") / n - mx2 * mx2
+    m1y = F.col("sx1y") / n - mx1 * my
+    m2y = F.col("sx2y") / n - mx2 * my
+    myy = F.col("syy") / n - my * my
+    det = m11 * m22 - m12 * m12
+    ok = (n >= 3) & (F.round(det, 9) != 0)
+    b1 = (m1y * m22 - m2y * m12) / det
+    b2 = (m2y * m11 - m1y * m12) / det
+    b0 = my - b1 * mx1 - b2 * mx2
+    ss_tot = myy
+    ss_res = myy - b1 * m1y - b2 * m2y
+    r2 = F.when(
+        ok & (F.round(ss_tot, 9) > 0), F.lit(1.0) - ss_res / ss_tot
+    )
+    return agg.select(
+        group_col,
+        n.cast("long").alias("n"),
+        F.round(F.when(ok, b0), 6).alias("b0"),
+        F.round(F.when(ok, b1), 6).alias("b1"),
+        F.round(F.when(ok, b2), 6).alias("b2"),
+        F.round(r2, 6).alias("r2"),
     )

@@ -358,6 +358,10 @@ QUERIES = [
     "x130_vocab_richness",
     # skew report = one key-frame agg + WindowGroupLimit + broadcast
     "x131_skew_report",
+    # target encoding = one category agg + 1-row prior broadcast
+    "x132_target_encode",
+    # grouped OLS2 = one 10-expression power-sum agg + row math
+    "x133_grouped_ols2",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

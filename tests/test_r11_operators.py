@@ -817,3 +817,73 @@ def test_skew_report_hand_math(spark):
     assert out3[-1]["k"] is None and out3[-1]["n"] == 1
     with pytest.raises(ValueError, match="key_cols"):
         skew_report(df, [], top_k=2)
+
+
+# ---------------------------------------------------------------------------
+# target_encode (x132)
+# ---------------------------------------------------------------------------
+
+def test_target_encode_hand_math(spark):
+    from ai_etl_framework_spark.operators.scaling import target_encode
+
+    rows = [("a", 10.0), ("a", 20.0), ("b", 100.0), ("b", None), (None, 5.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    out = {r["c"]: r for r in target_encode(df, "c", "y", m=2.0).collect()}
+    # population: a:{10,20}, b:{100} -> global mean 130/3
+    gm = 130.0 / 3.0
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n"] == 2 and out["a"]["cat_mean"] == 15.0
+    assert out["a"]["encoded"] == pytest.approx(
+        round((2 * 15.0 + 2 * gm) / 4.0, 6), abs=2e-6
+    )
+    # rare category shrinks harder toward the prior
+    assert out["b"]["encoded"] == pytest.approx(
+        round((1 * 100.0 + 2 * gm) / 3.0, 6), abs=2e-6
+    )
+    assert abs(out["b"]["encoded"] - gm) < abs(100.0 - gm)
+    with pytest.raises(ValueError, match="m must"):
+        target_encode(df, "c", "y", m=0.0)
+
+
+# ---------------------------------------------------------------------------
+# grouped_ols2 (x133)
+# ---------------------------------------------------------------------------
+
+def test_grouped_ols2_vs_numpy(spark):
+    from ai_etl_framework_spark.operators.trend import grouped_ols2
+
+    rng = np.random.RandomState(8)
+    x1 = rng.uniform(0, 10, 300)
+    x2 = rng.uniform(-5, 5, 300)
+    y = 3.0 + 2.0 * x1 - 1.5 * x2 + rng.normal(0, 0.5, 300)
+    df = spark.createDataFrame(
+        [("g", float(a), float(b), float(c)) for a, b, c in zip(y, x1, x2)],
+        "g string, y double, x1 double, x2 double",
+    )
+    r = grouped_ols2(df, "g", "y", "x1", "x2").first()
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, res, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert r["b0"] == pytest.approx(round(beta[0], 6), abs=1e-4)
+    assert r["b1"] == pytest.approx(round(beta[1], 6), abs=1e-4)
+    assert r["b2"] == pytest.approx(round(beta[2], 6), abs=1e-4)
+    pred = X @ beta
+    ss_res = ((y - pred) ** 2).sum()
+    ss_tot = ((y - y.mean()) ** 2).sum()
+    assert r["r2"] == pytest.approx(round(1 - ss_res / ss_tot, 6), abs=1e-5)
+    assert r["r2"] > 0.98
+
+
+def test_grouped_ols2_degenerate(spark):
+    from ai_etl_framework_spark.operators.trend import grouped_ols2
+
+    # collinear regressors (x2 = 2*x1) -> det 0 -> NULL coefficients
+    rows = [("g", float(i), float(i), float(2 * i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    r = grouped_ols2(df, "g", "y", "x1", "x2").first()
+    assert r["b1"] is None and r["b2"] is None and r["r2"] is None
+    # < 3 rows -> NULL
+    df2 = spark.createDataFrame(
+        [("h", 1.0, 1.0, 0.0), ("h", 2.0, 2.0, 1.0)],
+        "g string, y double, x1 double, x2 double",
+    )
+    assert grouped_ols2(df2, "g", "y", "x1", "x2").first()["b1"] is None
