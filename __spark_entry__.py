@@ -9462,6 +9462,36 @@ FROM sol
 """
 
 
+def x134_seasonal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day percentile envelope per event type
+    (operators/timeseries.py seasonal_envelope): the (p10, p50, p90)
+    band live traffic gets checked against — one (type, hour) hash
+    agg with an array-percentile buffer."""
+    from ai_etl_framework_spark.operators.timeseries import (
+        seasonal_envelope,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_envelope(ev, "event_type", "ts", "value")
+
+
+_X134_SQL = """
+WITH base AS (SELECT event_type, hour(ts) AS hour, value::DOUBLE AS x
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL),
+q AS (SELECT event_type, hour, COUNT(*)::BIGINT AS n,
+             quantile_cont(x, 0.1) AS q_lo,
+             quantile_cont(x, 0.5) AS q_med,
+             quantile_cont(x, 0.9) AS q_hi
+      FROM base GROUP BY 1, 2)
+SELECT event_type, hour, n,
+       ROUND(q_lo, 6) AS p_lo, ROUND(q_med, 6) AS p_med,
+       ROUND(q_hi, 6) AS p_hi
+FROM q WHERE n >= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9739,6 +9769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11 batch 6: smoothed target encoding, grouped 2-feature OLS
         "x132_target_encode": x132_target_encode,
         "x133_grouped_ols2": x133_grouped_ols2,
+        "x134_seasonal_envelope": x134_seasonal_envelope,
     }
 
 
@@ -9942,6 +9973,7 @@ def oracle_sql() -> dict[str, str]:
         "x131_skew_report": _X131_SQL,
         "x132_target_encode": _X132_SQL,
         "x133_grouped_ols2": _X133_SQL,
+        "x134_seasonal_envelope": _X134_SQL,
         "st06_active_users": _X86_SQL,
         # x01's recall table is deterministic per corpus → fixture
         # VALUES oracle keyed by corpus fingerprint (r11, VERDICT r10

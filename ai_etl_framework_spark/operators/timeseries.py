@@ -110,6 +110,7 @@ __all__ = [
     "cusum_screen",
     "cusum_from_series",
     "seasonal_strength",
+    "seasonal_envelope",
 ]
 
 _TIEBREAK_MOD = 1_000_000
@@ -859,3 +860,73 @@ def seasonal_strength(
         ).alias("strength"),
     )
     return out
+
+
+def seasonal_envelope(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    quantiles: "tuple[float, float, float]" = (0.1, 0.5, 0.9),
+    min_rows: int = 20,
+) -> DataFrame:
+    """Hour-of-day percentile envelope per key — the quantile band
+    (p_lo, p_med, p_hi) each (key, hour) cell's values historically
+    occupy: the lookup table a monitoring pipeline joins against live
+    traffic to flag "outside the seasonal band" anomalies — the
+    quantile-robust sibling of seasonal_zscore (x52; mean/std bends
+    under heavy tails, the band does not). seasonal_strength (x125)
+    says WHETHER the hour matters; this materializes the band.
+    Beyond-reference analytics scope.
+
+    Pinned semantics (oracle-replicated):
+
+    - season = hour(ts) 0–23 (the x125 pin: both engines agree on
+      hour numbering, unlike their dayofweek bases); NULL
+      key/ts/value rows drop;
+    - quantiles = exact linear-interpolation percentiles (both
+      engines' type-7 continuous quantile — the x118/q10 precedent),
+      strictly increasing in (0, 1), fail-loud otherwise;
+    - cells with fewer than ``min_rows`` values are EXCLUDED (a band
+      estimated from a handful of points flags everything; the
+      default 20 ≈ 2 per decile) — exclusion is the fail-soft: the
+      joining monitor treats absent cells as "no band yet";
+    - output per surviving (key, hour): (key, hour, n, p_lo, p_med,
+      p_hi), floats 6dp.
+
+    Scale shape: ONE (key, hour) hash aggregation computing the three
+    percentiles (Spark's percentile with an array argument — one
+    buffer per cell, ≤ 24 cells per key) + a row filter. No window,
+    no join, no second scan."""
+    lo, med, hi = quantiles
+    if not (0.0 < lo < med < hi < 1.0):
+        raise ValueError(
+            f"quantiles must be strictly increasing in (0, 1), got "
+            f"{quantiles}"
+        )
+    if min_rows < 1:
+        raise ValueError(f"min_rows must be >= 1, got {min_rows}")
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("k"),
+        F.hour(ts_col).alias("hour"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    q = base.groupBy(F.col("k").alias(key_col), "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile(
+            F.col("x"),
+            F.array(F.lit(float(lo)), F.lit(float(med)), F.lit(float(hi))),
+        ).alias("__q"),
+    )
+    return q.where(F.col("n") >= min_rows).select(
+        key_col,
+        "hour",
+        "n",
+        F.round(F.col("__q")[0], 6).alias("p_lo"),
+        F.round(F.col("__q")[1], 6).alias("p_med"),
+        F.round(F.col("__q")[2], 6).alias("p_hi"),
+    )

@@ -362,6 +362,8 @@ QUERIES = [
     "x132_target_encode",
     # grouped OLS2 = one 10-expression power-sum agg + row math
     "x133_grouped_ols2",
+    # seasonal envelope = one (key, hour) agg, array-percentile buffer
+    "x134_seasonal_envelope",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

@@ -887,3 +887,33 @@ def test_grouped_ols2_degenerate(spark):
         "g string, y double, x1 double, x2 double",
     )
     assert grouped_ols2(df2, "g", "y", "x1", "x2").first()["b1"] is None
+
+
+# ---------------------------------------------------------------------------
+# seasonal_envelope (x134)
+# ---------------------------------------------------------------------------
+
+def test_seasonal_envelope_hand_math(spark):
+    from ai_etl_framework_spark.operators.timeseries import seasonal_envelope
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 6, 1, 5)
+    # hour 5 of key 'k': values 0..24 over 25 days -> exact deciles
+    rows = [
+        ("k", t0 + timedelta(days=d), float(d)) for d in range(25)
+    ]
+    # hour 6: only 3 rows -> excluded by min_rows=20
+    rows += [("k", t0 + timedelta(days=d, hours=1), 1.0) for d in range(3)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x double")
+    out = seasonal_envelope(df, "k", "ts", "x").collect()
+    assert len(out) == 1 and out[0]["hour"] == 5
+    r = out[0]
+    v = np.arange(25.0)
+    assert r["p_lo"] == pytest.approx(round(np.quantile(v, 0.1), 6))
+    assert r["p_med"] == pytest.approx(round(np.quantile(v, 0.5), 6))
+    assert r["p_hi"] == pytest.approx(round(np.quantile(v, 0.9), 6))
+    assert r["n"] == 25
+    with pytest.raises(ValueError, match="strictly increasing"):
+        seasonal_envelope(df, "k", "ts", "x", quantiles=(0.5, 0.5, 0.9))
+    with pytest.raises(ValueError, match="min_rows"):
+        seasonal_envelope(df, "k", "ts", "x", min_rows=0)
