@@ -23,9 +23,11 @@ Pinned semantics:
   made positive (ties: the lowest index wins) — eigenvectors are
   sign-ambiguous; pinning the sign makes fit deterministic given the
   data (up to float reduction order across partitions, which moves
-  the last ulps only — NOT hash-stable, hence the registry row is
-  rows-only with a numpy differential suite instead of a SQL twin:
-  no SQL engine ships an eigensolver);
+  the last ulps only — no SQL engine ships an eigensolver, so the
+  x100 registry row carries a corpus-fingerprint FIXTURE-parquet
+  oracle — the 4dp projection, deterministic per corpus on one box —
+  with the numpy differential suite in tests/test_pca.py as the
+  second line of evidence);
 - NULL vectors (column-level NULL) are DROPPED by both fit and
   transform — fit computes moments over non-NULL rows only, and
   pca_transform returns fewer rows than its input when NULLs are

@@ -634,9 +634,16 @@ def skew_report(
     riders = counts.agg(
         F.sum("n").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),
+        # n cast to double BEFORE squaring (ADVICE r11): at the
+        # multi-billion-row key scale this operator targets, n*n in
+        # long arithmetic overflows int64 and raises under ANSI mode
+        # while DuckDB's HUGEINT promotion sails through — a
+        # cross-engine divergence at exactly the advertised scale.
+        # HHI is a 6dp ratio; double precision is ample. The twin
+        # (_X131_SQL) mirrors the ::DOUBLE casts in the same order.
         F.round(
-            F.sum(F.col("n") * F.col("n"))
-            / (F.sum("n") * F.sum("n")),
+            F.sum(F.col("n").cast("double") * F.col("n"))
+            / (F.sum("n").cast("double") * F.sum("n")),
             6,
         ).alias("hhi"),
         F.round(F.max("n") / F.sum("n"), 6).alias("max_share"),

@@ -328,7 +328,7 @@ def vocab_richness(
     group_col: str,
     text_col: str = "text",
 ) -> DataFrame:
-    """Vocabulary richness per group — Good–Turing unseen-probability
+    r"""Vocabulary richness per group — Good–Turing unseen-probability
     mass and the bias-corrected Chao1 total-vocabulary estimate from
     singleton/doubleton counts: "how much vocabulary does this source
     still hide" — the capture-recapture answer to whether another
