@@ -116,6 +116,23 @@ def impute_mean(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def _fit_order(x: np.ndarray) -> np.ndarray:
+    """Row permutation that lexsorts x (first column = primary key).
+
+    r12 (VERDICT r11 item 3): the fit paths feed rows to the seeded
+    RNG in ARRIVAL order, so which rows land at the sampled indices —
+    and hence the fitted trees — depended on shuffle-fetch /
+    partition-concat order. Sorting before fit makes the model a pure
+    function of the row MULTISET: deterministic per corpus regardless
+    of task scheduling, which is what lets x04 carry a committed
+    fixture oracle. lexsort is stable and duplicate rows are
+    interchangeable for both fit and (row-local) scoring, so this
+    changes nothing semantically — only removes order sensitivity.
+    NaNs sort last per numpy's total order; still deterministic.
+    """
+    return np.lexsort(tuple(x.T[::-1]))
+
+
 def fit_predict_global(
     df,
     fields: Sequence[str],
@@ -135,14 +152,27 @@ def fit_predict_global(
     cols = list(fields)
 
     def run(pdf):
-        x = impute_mean(pdf[cols].astype(float).to_numpy())
+        x = pdf[cols].astype(float).to_numpy()
+        order = _fit_order(x)
+        # means over the SORTED matrix: nanmean's pairwise summation
+        # is order-sensitive at the last ulp, and an ulp in the
+        # imputed value can flip a >= threshold comparison — compute
+        # everything fed to the model in multiset-deterministic order.
+        means = np.nanmean(x[order], axis=0)
+        means = np.where(np.isnan(means), 0.0, means)
+        xi = x.copy()
+        idx = np.where(np.isnan(xi))
+        xi[idx] = np.take(means, idx[1])
         model = IsolationForestNp(
             n_estimators=n_estimators,
             contamination=contamination,
             random_state=random_state,
-        )
+        ).fit(xi[order])
+        scores = model.score(xi)
+        k = max(1, int(round(contamination * xi.shape[0])))
+        threshold = np.partition(scores, -k)[-k]
         pdf = pdf.drop(columns=["__g"])
-        pdf["_meta_is_anomaly"] = model.fit_predict(x)
+        pdf["_meta_is_anomaly"] = scores >= threshold
         return pdf
 
     return (
@@ -173,14 +203,23 @@ def fit_sample_predict_distributed(
     n = df.count()
     frac = min(1.0, sample_rows / max(n, 1))
     sample = df.select(*cols).sample(fraction=frac, seed=random_state).toPandas()
-    x = impute_mean(sample.astype(float).to_numpy())
+    # lexsort before fit (see _fit_order): the fitted forest becomes a
+    # function of the sample MULTISET, not of partition-concat order.
+    # The multiset itself still rides the seeded per-partition sample
+    # over the file layout — one-box determinism, same scope as x01.
+    x_raw = sample.astype(float).to_numpy()
+    order = _fit_order(x_raw)
+    means = np.nanmean(x_raw[order], axis=0)
+    means = np.where(np.isnan(means), 0.0, means)
+    x = x_raw.copy()
+    nan_idx = np.where(np.isnan(x))
+    x[nan_idx] = np.take(means, nan_idx[1])
     model = IsolationForestNp(
         n_estimators=n_estimators, contamination=contamination, random_state=random_state
-    ).fit(x)
+    ).fit(x[order])
     if threshold is None:
         scores = model.score(x)
         threshold = float(np.quantile(scores, 1.0 - contamination))
-    means = np.nanmean(x, axis=0)
 
     schema = T.StructType(
         df.schema.fields
