@@ -2158,6 +2158,72 @@ SELECT 'type_search' AS src, value FROM ({_Q25_SQL})
 """
 
 
+def q03_join_revenue_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-revenue suite (r12 gate rotation, VERDICT r11 item 2):
+    the star-schema pre-agg rollup (q03) + the TPC-H-Q5-shape 6-table
+    local-supplier join (q42), each arm verbatim, NULL-filled where a
+    column belongs to one arm only. The single-path q03/q42 stay
+    registry/bench entries after the gate."""
+    a = q03_join_revenue(spark, sf_dir).select(
+        F.lit("star_rollup").alias("src"), "n_name", "revenue", "n_orders"
+    )
+    b = q42_local_supplier_revenue(spark, sf_dir).select(
+        F.lit("local_supplier").alias("src"),
+        "n_name",
+        "revenue",
+        F.lit(None).cast("long").alias("n_orders"),
+    )
+    return a.unionByName(b)
+
+
+def q38_window_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-analytics (q38) + typed-JSON-extract aggregation (q39)
+    suite (r12 gate rotation, VERDICT r11 item 2). The two arms keep
+    their own column sets verbatim — each row NULL-fills the other
+    arm's columns (no cast coercion, so each arm's oracle compare is
+    bit-identical to its single-path row). The single-path q38/q39
+    stay registry entries after the gate."""
+    nd = F.lit(None).cast("double")
+    nl = F.lit(None).cast("long")
+    a = q38_window_analytics(spark, sf_dir).select(
+        F.lit("window").alias("src"),
+        "event_id", "prev_value", "run_sum", "trail_sum",
+        F.lit(None).cast("string").alias("event_type"),
+        nl.alias("n"), nl.alias("sum_k"), nd.alias("avg_k"),
+        nl.alias("min_k"), nl.alias("max_k"),
+    )
+    b = q39_json_extract(spark, sf_dir).select(
+        F.lit("json").alias("src"),
+        nl.alias("event_id"), nd.alias("prev_value"),
+        nd.alias("run_sum"), nd.alias("trail_sum"),
+        "event_type", "n", "sum_k", "avg_k", "min_k", "max_k",
+    )
+    return a.unionByName(b)
+
+
+_Q03M_SQL = f"""
+SELECT 'star_rollup' AS src, n_name, revenue, n_orders
+FROM ({_Q03_SQL})
+UNION ALL
+SELECT 'local_supplier' AS src, n_name, revenue, CAST(NULL AS BIGINT) AS n_orders
+FROM ({_Q42_SQL})
+"""
+
+_Q38M_SQL = f"""
+SELECT 'window' AS src, event_id, prev_value, run_sum, trail_sum,
+       CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS sum_k, CAST(NULL AS DOUBLE) AS avg_k,
+       CAST(NULL AS BIGINT) AS min_k, CAST(NULL AS BIGINT) AS max_k
+FROM ({_Q38_SQL})
+UNION ALL
+SELECT 'json' AS src, CAST(NULL AS BIGINT) AS event_id,
+       CAST(NULL AS DOUBLE) AS prev_value, CAST(NULL AS DOUBLE) AS run_sum,
+       CAST(NULL AS DOUBLE) AS trail_sum,
+       event_type, n, sum_k, avg_k, min_k, max_k
+FROM ({_Q39_SQL})
+"""
+
+
 def q10_anomaly_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomaly flags by method: z-score t=3.0 (q10), IQR t=1.5 (q11),
     combined >=2-vote t=2.0 (q18) — each part verbatim."""
@@ -2210,7 +2276,10 @@ def q21_rollup_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROLLUP subtotals folded in as dim='rollup' rows — group_key =
     'returnflag|linestatus', its COUNT rides in total_claims and its
     SUM(l_quantity) in total_billed, the suite's count and sum slots;
-    the single-path q36 stays a registry/bench unit.)"""
+    the single-path q36 stays a registry/bench unit. Round 12: q13's
+    by_date rollup folded in as dim='date' rows — group_key =
+    CAST(date AS VARCHAR), ISO on both engines; the single-path q13
+    stays a registry/bench/smoke unit.)"""
     nd = F.lit(None).cast("double")
     a = q21_rollup_by_provider(spark, sf_dir).select(
         F.lit("provider").alias("dim"),
@@ -2239,7 +2308,14 @@ def q21_rollup_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("min_billed"), nd.alias("max_billed"),
         nd.alias("avg_quality_score"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    e = q13_rollup_by_date(spark, sf_dir).select(
+        F.lit("date").alias("dim"),
+        F.col("date").cast("string").alias("group_key"),
+        "total_claims", "total_billed", "avg_billed",
+        nd.alias("min_billed"), nd.alias("max_billed"),
+        nd.alias("avg_quality_score"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def _q21m_sql() -> str:
@@ -2263,6 +2339,11 @@ SELECT 'rollup' AS dim, returnflag || '|' || linestatus AS group_key,
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE)
 FROM ({_Q36_SQL})
+UNION ALL
+SELECT 'date' AS dim, CAST(date AS VARCHAR) AS group_key,
+       total_claims, total_billed, avg_billed,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM ({_q13_sql()})
 """
 
 
@@ -9563,7 +9644,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_spec": q02_filter_spec,
-        "q03_join_revenue": q03_join_revenue,
+        # r12 gate rotation (VERDICT r11 item 2): q42 merges into
+        # q03's join-revenue suite, q39 into q38's window/json suite,
+        # q13 folds into q21_rollup_dims as dim='date' rows — original
+        # semantics and oracle SQL composed verbatim. The three freed
+        # slots promote x100_pca (fixture-oracled PCA — its hash is
+        # now checkable by the DRIVER), x107_log_odds, and
+        # x133_grouped_ols2 below, giving r10/r11 families six gate
+        # slots. The single-path queries stay registry entries after
+        # the gate (bench/smoke/edge tests unchanged).
+        "q03_join_revenue_suite": q03_join_revenue_suite,
         # r10 gate rotation (VERDICT r9 item 4): q33 folded into q04's
         # top-k suite, q19 into q08's null suite, q36 into
         # q21_rollup_dims, q16 into q29_chart_prep — original semantics
@@ -9579,7 +9669,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_quality_score": q09_quality_score,
         "q10_anomaly_methods": q10_anomaly_methods,
         "q12_dedup_modes": q12_dedup_modes,
-        "q13_rollup_by_date": q13_rollup_by_date,
         "q15_profile_stats": q15_profile_stats,
         "q17_window_events": q17_window_events,
         "q20_column_remover": q20_column_remover,
@@ -9601,10 +9690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_asof_range_suite": q34_asof_range_suite,
         "x82_interpolate": x82_interpolate,
         "x95_binned_quantiles": x95_binned_quantiles,
-        "q38_window_analytics": q38_window_analytics,
-        "q39_json_extract": q39_json_extract,
+        "q38_window_json_suite": q38_window_json_suite,
         "q40_exists_antijoin": q40_exists_merged,
-        "q42_local_supplier_revenue": q42_local_supplier_revenue,
         # MERGE + SCD2: ONE merged oracle row (r6) — the freed slot
         # promotes x04_iforest into the 50-row gate, so an isolation-
         # forest crash/regression turns a driver row red instead of
@@ -9631,9 +9718,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # turns a driver row red instead of hiding in pytest.
         "st01_stream_suite": st01_stream_suite,
         "x01_ann_recall": x01_ann_recall,
-        # rows-only by design (model-based anomaly scores); promoted
-        # into the gate r6 via the q43+q44 merge above
+        # promoted into the gate r6 via the q43+q44 merge above;
+        # fixture-parquet oracle since r12 (multiset-deterministic fit)
         "x04_iforest": x04_iforest,
+        # r12 promotions into the three slots freed above (VERDICT r11
+        # item 2): the driver now hash-checks the PCA fixture oracle,
+        # Monroe log-odds, and the sufficient-stats grouped OLS
+        "x100_pca": x100_pca,
+        "x107_log_odds": x107_log_odds,
+        "x133_grouped_ols2": x133_grouped_ols2,
         # r10 promotions into the four slots freed above: the
         # highest-value post-r7 families — Ed-Join edit-distance
         # self-join, pairwise correlation matrix, funnel transition
@@ -9647,6 +9740,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st03_incremental_ingest": st03_incremental_ingest,
         # ---- slots 51+: local-parity only (the driver gates the
         # first 50) — verified by tests/test_oracle_parity.py ----
+        "q03_join_revenue": q03_join_revenue,
+        "q13_rollup_by_date": q13_rollup_by_date,
+        "q38_window_analytics": q38_window_analytics,
+        "q39_json_extract": q39_json_extract,
+        "q42_local_supplier_revenue": q42_local_supplier_revenue,
         "q34_asof_join": q34_asof_join,
         "q35_range_join": q35_range_join,
         "q37_set_ops": q37_set_ops,
@@ -9769,14 +9867,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x98_blocking_stats": x98_blocking_stats,
         "st08_cusum_monitor": st08_cusum_monitor,
         "x99_qq_drift": x99_qq_drift,
-        "x100_pca": x100_pca,
         "x101_calibration": x101_calibration,
         "x102_classifier_metrics": x102_classifier_metrics,
         "x103_revenue_bridge": x103_revenue_bridge,
         "x104_stickiness": x104_stickiness,
         "x105_containment": x105_containment,
         "x106_mix_shift": x106_mix_shift,
-        "x107_log_odds": x107_log_odds,
         "x108_association": x108_association,
         "x109_group_sample": x109_group_sample,
         "x111_theil_sen": x111_theil_sen,
@@ -9816,8 +9912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x130_vocab_richness": x130_vocab_richness,
         "x131_skew_report": x131_skew_report,
         # r11 batch 6: smoothed target encoding, grouped 2-feature OLS
+        # (x133 promoted into the gate r12)
         "x132_target_encode": x132_target_encode,
-        "x133_grouped_ols2": x133_grouped_ols2,
         "x134_seasonal_envelope": x134_seasonal_envelope,
     }
 
@@ -9827,6 +9923,7 @@ def oracle_sql() -> dict[str, str]:
         "q01_pricing_summary": _Q01_SQL,
         "q02_filter_spec": _Q02_SQL,
         "q03_join_revenue": _Q03_SQL,
+        "q03_join_revenue_suite": _Q03M_SQL,
         "q04_topk_customers": _Q04_SQL,
         "q04_topk_suite": _Q04M_SQL,
         "q08_null_suite": _Q08M_SQL,
@@ -9858,6 +9955,7 @@ def oracle_sql() -> dict[str, str]:
         "q37_set_ops": _Q37_SQL,
         "q38_window_analytics": _Q38_SQL,
         "q39_json_extract": _Q39_SQL,
+        "q38_window_json_suite": _Q38M_SQL,
         "q40_exists_antijoin": _Q40M_SQL,
         "q42_local_supplier_revenue": _Q42_SQL,
         "q43_merge_scd2_suite": _Q43M_SQL,
