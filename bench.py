@@ -117,6 +117,30 @@ def main() -> None:
     # end would only measure the bench's own 32-thread load
     loadavg_start = _loadavg_1min()
 
+    # loadavg gate (r12, VERDICT r11 item 5): the OFFICIAL driver
+    # artifact was the round's noisiest record three rounds running
+    # because the driver schedules bench on a loaded box. If the box
+    # is busy at start, refuse-and-retry ONCE: sleep long enough for
+    # a 1-min loadavg to decay (and for a co-scheduled job to finish),
+    # re-measure, and proceed either way — the retry result is
+    # stamped `loadavg_retry` so a still-loaded record adjudicates
+    # itself. Opt out with SPARK_GRAFT_LOAD_GATE=0 (pytest-adjacent
+    # local runs where the contention is the run itself).
+    loadavg_retry = None
+    _gate = os.environ.get("SPARK_GRAFT_LOAD_GATE", "1") != "0"
+    if _gate and loadavg_start is not None and loadavg_start > 1.0:
+        wait_s = int(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT", "180"))
+        print(
+            f"bench: start loadavg {loadavg_start:.2f} > 1.0 — "
+            f"sleeping {wait_s}s once and re-measuring "
+            "(SPARK_GRAFT_LOAD_GATE=0 to skip)",
+            file=sys.stderr,
+        )
+        time.sleep(wait_s)
+        loadavg_retry = _loadavg_1min()
+        if loadavg_retry is not None:
+            loadavg_start = loadavg_retry
+
     # module-level functions FIRST, registry as fallback: the 50-slot
     # driver registry consolidates names into merged gate rows
     # (sim01_cosine_topk -> 3-engine sim01_topk_paths, q12_dedup_exact
@@ -486,6 +510,11 @@ def main() -> None:
         "p02_sec_runs": [round(x, 4) for x in merge_runs],
         "loadavg_1min": loadavg_1min,
         "loadavg_1min_end": loadavg_end,
+        # non-None iff the start-load gate fired (r12 item 5): the
+        # re-measured load after the one retry sleep. A value still
+        # > 1 means the retry also hit load — the in-tail note the
+        # verdict asked for, machine-stamped.
+        "loadavg_retry": loadavg_retry,
     }
     # Full record → a FILE (committed per round as BENCH_r{N}_local.json)
     # and an early stdout line; the LAST stdout line is a compact
@@ -536,6 +565,7 @@ def main() -> None:
         },
         "pipeline_records_per_sec": full["pipeline_records_per_sec"],
         "loadavg_1min": loadavg_1min,
+        "loadavg_retry": loadavg_retry,
         "full_record": os.path.basename(out_path),
     }
     print(json.dumps(compact), flush=True)
