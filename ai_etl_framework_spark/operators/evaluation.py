@@ -167,33 +167,54 @@ def ndcg_at_k(
         & F.col(score_col).isNotNull()
         & F.col(relevance_col).isNotNull()
     )
+    # r12 (VERDICT r11 item 4): the previous single-pass form ranked
+    # EVERY row through two full window sorts because n_docs needed
+    # the whole partition — at 10× data the few-key partitions sorted
+    # 10× rows in one task each. Split instead: n_docs is one hash
+    # agg (no sort), and each DCG side filters `rank <= k` DIRECTLY
+    # above its window, which Catalyst rewrites to WindowGroupLimit —
+    # every map task pre-prunes to its local top-k per query before
+    # the shuffle, so the final sort sees ≤ k·(#map tasks) rows per
+    # query instead of all of them. Identical semantics: rows past
+    # rank k contributed 0.0 to both sums.
+    counts = base.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
     w_sys = Window.partitionBy(query_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
     w_ideal = Window.partitionBy(query_col).orderBy(
         F.col(relevance_col).desc(), F.col(id_col).asc()
     )
-    ranked = base.select(
-        F.col(query_col),
-        F.col(relevance_col).cast("double").alias("__rel"),
-        F.row_number().over(w_sys).alias("__r_sys"),
-        F.row_number().over(w_ideal).alias("__r_ideal"),
+    rel = F.col(relevance_col).cast("double")
+    sys_k = (
+        base.select(
+            F.col(query_col),
+            rel.alias("__rel"),
+            F.row_number().over(w_sys).alias("__r"),
+        )
+        .where(F.col("__r") <= k)
+        .groupBy(query_col)
+        .agg(F.sum(F.col("__rel") / F.log2(F.col("__r") + 1)).alias("__dcg"))
     )
-    dcg = F.sum(
-        F.when(
-            F.col("__r_sys") <= k,
-            F.col("__rel") / F.log2(F.col("__r_sys") + 1),
-        ).otherwise(0.0)
+    ideal_k = (
+        base.select(
+            F.col(query_col),
+            rel.alias("__rel"),
+            F.row_number().over(w_ideal).alias("__r"),
+        )
+        .where(F.col("__r") <= k)
+        .groupBy(query_col)
+        .agg(F.sum(F.col("__rel") / F.log2(F.col("__r") + 1)).alias("__idcg"))
     )
-    idcg = F.sum(
-        F.when(
-            F.col("__r_ideal") <= k,
-            F.col("__rel") / F.log2(F.col("__r_ideal") + 1),
-        ).otherwise(0.0)
-    )
-    return ranked.groupBy(query_col).agg(
-        F.round(F.try_divide(dcg, idcg), 6).alias("ndcg"),
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    return (
+        counts.join(sys_k, query_col)
+        .join(ideal_k, query_col)
+        .select(
+            F.col(query_col),
+            F.round(F.try_divide(F.col("__dcg"), F.col("__idcg")), 6).alias("ndcg"),
+            "n_docs",
+        )
     )
 
 
@@ -220,23 +241,31 @@ def mrr_at_k(
         & F.col(score_col).isNotNull()
         & F.col(relevance_col).isNotNull()
     )
+    # r12 (VERDICT r11 item 4): same split as ndcg_at_k — n_docs via
+    # one hash agg, the rank pass filtered to `__r <= k` directly
+    # above the window so it lowers to a true WindowGroupLimit (the
+    # docstring's claim is now real: map tasks pre-prune to local
+    # top-k per query, the window sort never sees the full
+    # partition). Rows past rank k never contributed to first_rel.
+    counts = base.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
     w = Window.partitionBy(query_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
-    ranked = base.select(
+    topk = base.select(
         F.col(query_col),
         F.col(relevance_col).cast("double").alias("__rel"),
         F.row_number().over(w).alias("__r"),
-    )
-    first_rel = F.min(
-        F.when((F.col("__rel") > 0) & (F.col("__r") <= k), F.col("__r"))
-    )
-    return ranked.groupBy(query_col).agg(
+    ).where(F.col("__r") <= k)
+    first_rel = F.min(F.when(F.col("__rel") > 0, F.col("__r")))
+    rr = topk.groupBy(query_col).agg(
         F.round(
             F.coalesce(F.lit(1.0) / first_rel, F.lit(0.0)), 6
-        ).alias("rr"),
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        ).alias("rr")
     )
+    # inner join is total: every query with >= 1 row has a rank-1 row
+    return counts.join(rr, query_col).select(F.col(query_col), "rr", "n_docs")
 
 
 def calibration_table(

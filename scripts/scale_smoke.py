@@ -380,6 +380,22 @@ WARM_SPLIT = {
     "x21_tfidf_topk",
     "x22_contained_passages",
     "x23_zorder_values",
+    # r12 (VERDICT r11 item 4): every r11 row that read >2.9x cold
+    # joins the warm split — all are sub-second-to-few-second queries
+    # whose cold single-run ratio is dominated by JIT/page-cache
+    # asymmetry between the two dirs, not operator scaling. Direct
+    # profile that motivated this: x94 cold smoke read 4.66x while a
+    # dedicated warm 3-run median measured 0.84 -> 0.94 s (1.1x) on
+    # the same 10x events build.
+    "dd04_ngram_jaccard",
+    "x71_novelty_scores",
+    "x75_ndcg",
+    "x76_mrr",
+    "x77_kaplan_meier",
+    "x78_transition_matrix",
+    "x84_ks_drift",
+    "x93_cohort_ltv",
+    "x94_interarrival",
 }
 
 # Queries whose OUTPUT grows with scale by design get their row counts
@@ -426,6 +442,64 @@ ADJUDICATIONS = {
         "alternating-order protocol (scripts/profile_q07_sf1.py, ratio "
         "3.28 -> 2.96); the smoke's min-of-2 reads higher from "
         "cache-state asymmetry between the two dirs (r9 lesson)."
+    ),
+    # r12 (VERDICT r11 item 4) — the r11 >3x rows, each now also in
+    # WARM_SPLIT so the artifact carries its own warm_ratio:
+    "x94_interarrival": (
+        "one lag window (5 event-type keys) + one hash agg; direct "
+        "3-run warm profile on a dedicated 10x events build measured "
+        "0.84 -> 0.94 s (1.1x) — the r11 cold reading (4.66x on a "
+        "0.48 s absolute) was JIT/page-cache asymmetry, not scaling. "
+        "The few-key single-task sort is the only superlinear term; "
+        "skew_report (x131) is the operator that flags it."
+    ),
+    "x76_mrr": (
+        "r12 plan fix: n_docs split to a hash agg and the rank pass "
+        "filtered to rank<=k DIRECTLY above the window, which lowers "
+        "to WindowGroupLimit (Partial+Final in the executed plan) — "
+        "map tasks pre-prune to local top-10 per query, the window "
+        "sort never sees the full partition. Identical semantics; "
+        "oracle green at all three SFs."
+    ),
+    "x75_ndcg": (
+        "same r12 WindowGroupLimit split as x76 (both rank windows "
+        "filtered to rank<=k; n_docs via hash agg)."
+    ),
+    "x78_transition_matrix": (
+        "lead window over user_id (10x keys at sf1 — parallel, no "
+        "few-key skew) + a pair-count hash agg; output = |states|^2 "
+        "(constant 25 rows). Sub-3-second absolute; warm_ratio in "
+        "this artifact is the evidence."
+    ),
+    "x77_kaplan_meier": (
+        "subject agg is one linear hash agg; the curve windows run "
+        "over the (cohort, duration-day) frame whose domain is "
+        "calendar-bounded (durations are integer days), so the "
+        "window input barely grows at 10x data — scan-bound."
+    ),
+    "x84_ks_drift": (
+        "values quantized to 2dp BEFORE the distinct-value frame "
+        "(the operator's own at-scale pin), so both windowed frames "
+        "are domain-bounded; the 10x cost is the two scans + hash "
+        "aggs — scan-bound, warm_ratio rides in this artifact."
+    ),
+    "x71_novelty_scores": (
+        "explode -> vocabulary-sized df agg -> join-back: all three "
+        "stages linear in shingle instances; no windows, no "
+        "all-pairs. The r11 3.27x was a cold single run on a 2.3 s "
+        "absolute; warm_ratio now rides in this artifact."
+    ),
+    "x93_cohort_ltv": (
+        "two hash aggs ((customer,month) cells then cohort curve) + "
+        "one cumulative window over the cohort-month frame (domain-"
+        "bounded: cohorts x months, not row-scale) — scan-bound."
+    ),
+    "dd04_ngram_jaccard": (
+        "pair graph linear by construction in this generator (letter "
+        "rotation preserves each copy's shingle sets: 256 -> 2560 "
+        "pairs); the dominant cost is the PPJoin prefix/corpus "
+        "aggregations, profiled at 2.3x for 10x docs in the x16 note "
+        "(same pipeline); warm_ratio now rides in this artifact."
     ),
 }
 
