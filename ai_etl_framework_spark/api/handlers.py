@@ -295,6 +295,54 @@ class PipelineApiService:
         return {"message": "Pipeline deleted successfully",
                 "pipeline_id": pipeline_id}
 
+    # -- bronze file management (entry-point-C parity, r12) -----------
+
+    def upload_bronze(self, org: str, filename: str,
+                      content: bytes) -> dict[str, Any]:
+        """Land an uploaded file in the org's bronze folder (ref
+        main.py:1550 POST /api/organizations/{org}/files/upload — the
+        medallion front door: bronze is where every pipeline config's
+        extract path points). Framework-free: the route hands us the
+        already-read bytes. The filename is basename-stripped so a
+        crafted '../' can't escape the bronze dir, and the response
+        carries the reference's exact {name, path, size} shape."""
+        from ai_etl_framework_spark.sources.paths import slugify
+
+        name = os.path.basename(filename or "")
+        if not name:
+            raise ValueError("upload_bronze: filename must be non-empty")
+        bronze = os.path.join(self.base_dir, slugify(org), "bronze")
+        os.makedirs(bronze, exist_ok=True)
+        path = os.path.join(bronze, name)
+        with open(path, "wb") as fh:
+            fh.write(content)
+        return {
+            "success": True,
+            "file": {"name": name, "path": path, "size": len(content)},
+        }
+
+    def list_bronze(self, org: str) -> dict[str, Any]:
+        """List the org's bronze files (ref main.py:1609 GET
+        /api/organizations/{org}/files): name, path, size, mtime."""
+        from ai_etl_framework_spark.sources.paths import slugify
+
+        bronze = os.path.join(self.base_dir, slugify(org), "bronze")
+        files = []
+        if os.path.isdir(bronze):
+            for name in sorted(os.listdir(bronze)):
+                path = os.path.join(bronze, name)
+                if os.path.isfile(path):
+                    st = os.stat(path)
+                    files.append({
+                        "name": name,
+                        "path": path,
+                        "size": st.st_size,
+                        "modified": datetime.fromtimestamp(
+                            st.st_mtime, tz=timezone.utc
+                        ).isoformat(),
+                    })
+        return {"files": files, "count": len(files)}
+
     def preview_data(self, pipeline_id: str, stage: str = "transformed",
                      limit: int = 100) -> Optional[dict[str, Any]]:
         """Read the staged checkpoint and return up to ``limit`` rows

@@ -157,3 +157,90 @@ def echarts_config(chart: dict[str, Any], records: list[dict[str, Any]]) -> dict
         }
     kind = "bar" if ctype == "histogram" else ctype
     return generate_echarts_config(records, kind, x, y)
+
+
+def chart_records(df, chart: dict[str, Any], max_rows: int = 1000) -> list[dict[str, Any]]:
+    """Execute one rank_charts spec as a DISTRIBUTED chart-prep
+    aggregate and return bounded records for the config builders —
+    the Spark analog of visualization_generator.py's driver-side
+    pandas groupbys (ref :360-450). Every branch dispatches to
+    operators/viz_prep (the q29-oracle-checked aggregates), so the
+    collect() only ever sees an aggregated / top-n / sampled frame:
+    bar top-n, pie top-n, date-grain line, fixed-bin histogram,
+    bounded scatter sample, per-category box summary, (x, y)-cell
+    heatmap — never the raw table."""
+    from pyspark.sql import functions as F
+
+    from ai_etl_framework_spark.operators import viz_prep as vp
+
+    ctype = chart["type"]
+    x = chart.get("x")
+    if chart.get("y_fields"):
+        # multi-series trend: ONE date-grain aggregation carrying all
+        # series (ref generate_multi_series_config input shape)
+        out = (
+            df.withColumn("__d", F.to_date(F.col(x)))
+            .na.drop(subset=["__d"])
+            .groupBy(F.col("__d").alias(x))
+            .agg(*[F.sum(yf).alias(yf) for yf in chart["y_fields"]])
+            .orderBy(x)
+        )
+    elif ctype == "bar":
+        out = vp.bar_prep(df, x, chart["y"], top_n=chart.get("top_n", 15))
+    elif ctype == "line":
+        out = vp.line_prep(df, x, chart["y"])
+    elif ctype == "pie":
+        out = vp.pie_prep(df, x, top_n=chart.get("top_n", 10))
+    elif ctype == "histogram":
+        binned = vp.histogram_prep(df, x, bins=chart.get("bins", 30))
+        # config adapter keys histogram bars by the x field name
+        return [
+            {x: r["bin"], "count": r["count"]}
+            for r in binned.limit(max_rows).collect()
+        ]
+    elif ctype == "scatter":
+        out = vp.scatter_prep(df, x, chart["y"], max_points=chart.get("sample", 1000))
+    elif ctype == "box":
+        summary = vp.box_prep(df, x, chart["y"])
+        # ECharts boxplot wants [min, q1, median, q3, max] per category
+        return [
+            {
+                x: r[x],
+                chart["y"]: [r["min"], r["q1"], r["median"], r["q3"], r["max"]],
+            }
+            for r in summary.limit(max_rows).collect()
+        ]
+    elif ctype == "heatmap":
+        z = chart.get("z", "value")
+        out = df.groupBy(x, chart["y"]).agg(F.sum(z).alias(z))
+    else:
+        raise ValueError(f"chart_records: unknown chart type {ctype!r}")
+    return [r.asDict(recursive=True) for r in out.limit(max_rows).collect()]
+
+
+def generate_all_charts(
+    df, max_charts: int = 10, profile: Optional[dict[str, Any]] = None
+) -> list[dict[str, Any]]:
+    """Profile → rank → execute → ECharts config, one list — the
+    engine-side analog of visualization_generator.generate_all_charts
+    (ref :27-74, called by main.py:1263's background task). One failed
+    chart must not kill the batch (ref wraps each chart in try/except
+    the same way) — failures ride along as {"spec", "error"} items so
+    the caller sees WHICH chart failed instead of a silent drop."""
+    from ai_etl_framework_spark.plans.profile import profile_schema
+
+    prof = profile or profile_schema(df)
+    out: list[dict[str, Any]] = []
+    for spec in rank_charts(prof, max_charts=max_charts):
+        try:
+            records = chart_records(df, spec)
+            out.append(
+                {
+                    "spec": spec,
+                    "config": echarts_config(spec, records),
+                    "rows": len(records),
+                }
+            )
+        except Exception as ex:  # noqa: BLE001 — per-chart isolation (ref :56-60)
+            out.append({"spec": spec, "error": str(ex)})
+    return out

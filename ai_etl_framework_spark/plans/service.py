@@ -50,6 +50,11 @@ class DashboardService:
         self.base_dir = base_dir
         self.cache_data = cache_data
         self._cache: dict[tuple[str, str], DataFrame] = {}
+        # entry-point-C stores (r12): latest insight / visualization
+        # payload per (org, source) — the engine-side stand-in for the
+        # reference's analytics DB rows (app state, SURVEY §1.4)
+        self._insights: dict[tuple[str, str], dict[str, Any]] = {}
+        self._viz: dict[tuple[str, str], list[dict[str, Any]]] = {}
 
     # -- registry ----------------------------------------------------
 
@@ -107,6 +112,106 @@ class DashboardService:
     def filter_values(self, org: str, source: str, column: str, **kwargs: Any) -> dict[str, Any]:
         return distinct_values(self.get_df(org, source), column, **kwargs)
 
+    # -- insights + auto-visualizations (entry-point-C parity, r12) ---
+    #
+    # Reference: main.py:789 POST /api/analytics/generate-insights and
+    # main.py:1238 POST /api/analytics/visualizations/generate run as
+    # background tasks persisting to the analytics DB (app state,
+    # scoped out by SURVEY §1.4). The engine-side analog is
+    # SYNCHRONOUS and keeps the latest result in an in-memory store
+    # per (org, source) — same precedence rules, same response
+    # vocabulary ("skipped"/reason), with the payload returned inline
+    # instead of parked in a DB the engine doesn't own.
+
+    def _df_for(self, org: str, source: str, file_path: Optional[str] = None) -> DataFrame:
+        """The gold-layer frame, or an explicit ``file_path`` override
+        (the reference's endpoints generate from a caller-supplied
+        processed-file path, main.py:807/1252)."""
+        if file_path is None:
+            return self.get_df(org, source)
+        if file_path.endswith(".csv"):
+            return self.spark.read.option("header", True).csv(file_path)
+        return self.spark.read.parquet(file_path)
+
+    def insights(
+        self,
+        org: str,
+        source: str,
+        client: Any = None,
+        model: Optional[str] = None,
+        run_type: str = "etl",
+        file_path: Optional[str] = None,
+    ) -> dict[str, Any]:
+        """ETL-over-RAG precedence exactly as the reference pins it
+        (main.py:820-848): existing ETL insights are never
+        overwritten; existing RAG insights survive another RAG run
+        but are regenerated by an ETL run. Without an LLM ``client``
+        the stored payload is the prepared context with a null
+        summary (ml/insights.generate_insights's offline path)."""
+        from ai_etl_framework_spark.ml.insights import generate_insights
+
+        key = (slugify(org), slugify(source))
+        is_etl = run_type in ("etl", "etl+rag")
+        existing = self._insights.get(key)
+        if existing is not None:
+            if existing.get("generatedFrom") == "etl":
+                return {
+                    "status": "skipped",
+                    "reason": "ETL insights already exist",
+                    "org": org,
+                    "source": source,
+                }
+            if not is_etl:
+                return {
+                    "status": "skipped",
+                    "reason": "Insights already exist",
+                    "org": org,
+                    "source": source,
+                }
+        payload = generate_insights(
+            self._df_for(org, source, file_path), client=client, model=model
+        )
+        payload["generatedFrom"] = "etl" if is_etl else "rag"
+        self._insights[key] = payload
+        return {
+            "status": "generated",
+            "org": org,
+            "source": source,
+            "insights": payload,
+        }
+
+    def get_insights(self, org: str, source: str) -> Optional[dict[str, Any]]:
+        return self._insights.get((slugify(org), slugify(source)))
+
+    def visualizations(
+        self,
+        org: str,
+        source: str,
+        max_charts: int = 10,
+        file_path: Optional[str] = None,
+    ) -> dict[str, Any]:
+        """Auto-chart batch: profile → rank → distributed chart-prep
+        aggregates → ECharts configs (ml/viz.generate_all_charts; ref
+        visualization_generator.generate_all_charts via
+        main.py:1278's background task). Synchronous here — the
+        charts come back in the response AND land in the store."""
+        from ai_etl_framework_spark.ml.viz import generate_all_charts
+
+        charts = generate_all_charts(
+            self._df_for(org, source, file_path), max_charts=max_charts
+        )
+        self._viz[(slugify(org), slugify(source))] = charts
+        return {
+            "status": "generated",
+            "org": org,
+            "source": source,
+            "count": sum(1 for c in charts if "config" in c),
+            "charts": charts,
+        }
+
+    def get_visualizations(self, org: str, source: str) -> Optional[list[dict[str, Any]]]:
+        return self._viz.get((slugify(org), slugify(source)))
+
 
 def create_app(service: DashboardService, pipeline_api=None):
     """FastAPI app with the reference's dashboard routes
@@ -153,6 +258,41 @@ def create_app(service: DashboardService, pipeline_api=None):
     def values(org: str, source: str, column: str, search: str = "", limit: int = 100):
         return service.filter_values(org, source, column, search=search or None, limit=limit)
 
+    # entry-point-C parity (r12): insight + auto-chart routes
+    # (ref main.py:789, :1238). Accept the reference's body keys
+    # (org_id/source_id/file_path) alongside the house org/source.
+    @app.post("/api/analytics/generate-insights")
+    def gen_insights(body: dict):
+        return service.insights(
+            body.get("org") or body["org_id"],
+            body.get("source") or body.get("source_name") or body["source_id"],
+            run_type=body.get("run_type", "etl"),
+            file_path=body.get("file_path"),
+        )
+
+    @app.get("/api/analytics/insights/{org}/{source}")
+    def get_insights(org: str, source: str):
+        out = service.get_insights(org, source)
+        if out is None:
+            raise HTTPException(status_code=404, detail="No insights found")
+        return out
+
+    @app.post("/api/analytics/visualizations/generate")
+    def gen_viz(body: dict):
+        return service.visualizations(
+            body.get("org") or body["org_id"],
+            body.get("source") or body.get("source_name") or body["source_id"],
+            max_charts=body.get("max_charts", 10),
+            file_path=body.get("file_path"),
+        )
+
+    @app.get("/api/analytics/visualizations/{org}/{source}")
+    def get_viz(org: str, source: str):
+        out = service.get_visualizations(org, source)
+        if out is None:
+            raise HTTPException(status_code=404, detail="No visualizations found")
+        return out
+
     if pipeline_api is not None:  # pragma: no cover - exercised only with fastapi
         # unified + staged pipeline surface (ref main.py:102-304)
         @app.post("/api/pipeline/unified")
@@ -196,5 +336,29 @@ def create_app(service: DashboardService, pipeline_api=None):
             if out is None:
                 raise HTTPException(status_code=404, detail=f"No data found for stage '{stage}'")
             return out
+
+        # bronze file management (r12, ref main.py:1550/1609). The
+        # multipart route needs python-multipart at decoration time —
+        # fall back to a raw-body route (?filename=) so the surface
+        # exists on a bare fastapi install either way.
+        try:
+            from fastapi import File, UploadFile
+
+            @app.post("/api/organizations/{org_id}/files/upload")
+            async def upload(org_id: str, file: UploadFile = File(...)):
+                content = await file.read()
+                return pipeline_api.upload_bronze(org_id, file.filename, content)
+        except RuntimeError:  # pragma: no cover - python-multipart absent
+            from fastapi import Request
+
+            @app.post("/api/organizations/{org_id}/files/upload")
+            async def upload_raw(org_id: str, request: Request, filename: str):
+                return pipeline_api.upload_bronze(
+                    org_id, filename, await request.body()
+                )
+
+        @app.get("/api/organizations/{org_id}/files")
+        def files(org_id: str):
+            return pipeline_api.list_bronze(org_id)
 
     return app

@@ -124,3 +124,29 @@ def test_quarantine_path_injected_for_anomaly_splitter(svc, sf_dir):
     t = prepared["transformers"][0]
     assert t["quarantine_path"] == outs["quarantine_path"]
     assert "/acme-corp/quarantine/orders-feed_anomalies.csv" in outs["quarantine_path"]
+
+
+def test_bronze_upload_and_list(svc):
+    """Bronze file management (r12, ref main.py:1550/1609): upload
+    lands under {base}/{org-slug}/bronze, traversal is stripped, the
+    listing carries name/path/size/modified."""
+    out = svc.upload_bronze("Acme Corp", "sales.csv", b"a,b\n1,2\n")
+    assert out["success"] and out["file"]["name"] == "sales.csv"
+    assert out["file"]["size"] == 8
+    assert "/acme-corp/bronze/sales.csv" in out["file"]["path"]
+
+    # path traversal cannot escape the bronze dir
+    evil = svc.upload_bronze("Acme Corp", "../../etc/passwd", b"x")
+    assert evil["file"]["name"] == "passwd"
+    assert "/acme-corp/bronze/passwd" in evil["file"]["path"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        svc.upload_bronze("Acme Corp", "", b"x")
+
+    listing = svc.list_bronze("Acme Corp")
+    names = [f["name"] for f in listing["files"]]
+    assert names == ["passwd", "sales.csv"] and listing["count"] == 2
+    assert all(f["size"] >= 1 and f["modified"] for f in listing["files"])
+    assert svc.list_bronze("empty-org") == {"files": [], "count": 0}

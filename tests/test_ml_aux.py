@@ -111,3 +111,77 @@ def test_insight_context_offline(spark, sf_dir):
     assert "o_totalprice" in ctx["columns"]
     # no full value lists leak into the LLM payload
     assert all("values" not in c for c in ctx["columns"].values())
+
+
+def test_chart_records_every_type(spark):
+    """chart_records dispatches every rank_charts spec type to the
+    distributed viz_prep aggregates (r12 entry-point-C parity)."""
+    from ai_etl_framework_spark.ml.viz import chart_records
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x", 10.0, 1.0, "2024-01-01"),
+            (2, "b", "y", 20.0, 2.0, "2024-01-01"),
+            (3, "a", "x", 30.0, 3.0, "2024-01-02"),
+            (4, "b", "y", 40.0, 4.0, "2024-01-02"),
+            (5, "a", "x", 50.0, 5.0, "2024-01-03"),
+        ],
+        "id long, grp string, sub string, amount double, qty double, d string",
+    )
+    bar = chart_records(df, {"type": "bar", "x": "grp", "y": "amount", "top_n": 15})
+    assert {r["grp"]: r["amount"] for r in bar} == {"a": 90.0, "b": 60.0}
+
+    line = chart_records(df, {"type": "line", "x": "d", "y": "amount"})
+    assert [r["amount"] for r in line] == [30.0, 70.0, 50.0]
+
+    multi = chart_records(df, {"type": "line", "x": "d", "y_fields": ["amount", "qty"]})
+    assert multi[0]["amount"] == 30.0 and multi[0]["qty"] == 3.0
+
+    pie = chart_records(df, {"type": "pie", "x": "grp"})
+    assert {r["grp"]: r["count"] for r in pie} == {"a": 3, "b": 2}
+
+    hist = chart_records(df, {"type": "histogram", "x": "amount", "bins": 4})
+    assert sum(r["count"] for r in hist) == 5
+    assert all(set(r) == {"amount", "count"} for r in hist)
+
+    scat = chart_records(df, {"type": "scatter", "x": "amount", "y": "qty"})
+    assert len(scat) == 5
+
+    box = chart_records(df, {"type": "box", "x": "grp", "y": "amount"})
+    by = {r["grp"]: r["amount"] for r in box}
+    assert by["a"][0] == 10.0 and by["a"][-1] == 50.0 and len(by["a"]) == 5
+
+    heat = chart_records(df, {"type": "heatmap", "x": "grp", "y": "sub", "z": "amount"})
+    assert {(r["grp"], r["sub"]): r["amount"] for r in heat} == {
+        ("a", "x"): 90.0,
+        ("b", "y"): 60.0,
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chart_records(df, {"type": "nope", "x": "grp"})
+
+
+def test_generate_all_charts_isolation(spark):
+    """One failing chart rides along as an error item; the rest of the
+    batch still generates (ref visualization_generator :56-60)."""
+    from ai_etl_framework_spark.ml.viz import generate_all_charts
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0, 5.0), (2, "b", 20.0, 6.0), (3, "a", 30.0, 7.0)],
+        "id long, grp string, amount double, qty double",
+    )
+    charts = generate_all_charts(df, max_charts=8)
+    ok = [c for c in charts if "config" in c]
+    assert len(ok) >= 2
+    for c in ok:
+        assert "series" in c["config"] and c["rows"] >= 1
+    # a spec referencing a missing column fails alone, not the batch
+    from ai_etl_framework_spark.plans.profile import profile_schema
+
+    prof = profile_schema(df)
+    prof["columns"]["ghost"] = {"type": "categorical", "distinct_count": 3}
+    charts2 = generate_all_charts(df, max_charts=8, profile=prof)
+    assert any("error" in c for c in charts2)
+    assert any("config" in c for c in charts2)

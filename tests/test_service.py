@@ -116,3 +116,49 @@ def test_streaming_refresh_loop(spark, tmp_path):
     res = svc.query("Acme", "Live Events")
     assert res["row_count"] == 3
     assert sorted(r["id"] for r in res["records"]) == [1, 2, 3]
+
+
+# -- insights + auto-visualizations (entry-point-C parity, r12) --------
+# ref main.py:789 (generate-insights precedence rules), :1238
+# (visualizations/generate), exercised framework-free on the service.
+
+
+def test_insights_offline_payload_and_etl_precedence(spark, gold):
+    svc = DashboardService(spark, gold)
+    # offline path (no LLM client): context payload, null summary
+    out = svc.insights("Acme Corp", "My Claims", run_type="rag")
+    assert out["status"] == "generated"
+    ctx = out["insights"]["context"]
+    assert ctx["row_count"] == 4
+    assert "amount" in ctx["columns"]
+    assert out["insights"]["generatedFrom"] == "rag"
+
+    # RAG insights exist + another RAG run -> skipped (ref :842-848)
+    again = svc.insights("Acme Corp", "My Claims", run_type="rag")
+    assert again["status"] == "skipped"
+    assert again["reason"] == "Insights already exist"
+
+    # RAG insights exist + an ETL run -> regenerated as ETL (ref :850)
+    etl = svc.insights("Acme Corp", "My Claims", run_type="etl")
+    assert etl["status"] == "generated"
+    assert etl["insights"]["generatedFrom"] == "etl"
+
+    # ETL insights are never overwritten (ref :832-840)
+    final = svc.insights("Acme Corp", "My Claims", run_type="etl+rag")
+    assert final["status"] == "skipped"
+    assert final["reason"] == "ETL insights already exist"
+    assert svc.get_insights("Acme Corp", "My Claims")["generatedFrom"] == "etl"
+
+
+def test_visualizations_generate_and_store(spark, gold):
+    svc = DashboardService(spark, gold)
+    out = svc.visualizations("Acme Corp", "My Claims", max_charts=6)
+    assert out["status"] == "generated"
+    assert out["count"] >= 1
+    ok = [c for c in out["charts"] if "config" in c]
+    # every successful chart carries an ECharts series and its spec
+    for c in ok:
+        assert "series" in c["config"] and c["spec"]["type"]
+    # the store returns the same batch
+    assert svc.get_visualizations("Acme Corp", "My Claims") == out["charts"]
+    assert svc.get_visualizations("Acme Corp", "nope") is None
