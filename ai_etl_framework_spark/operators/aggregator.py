@@ -468,25 +468,44 @@ class Aggregator:
                     "two levels); use the default path"
                 )
         # r10 (q07 sf1 re-profile): only concat/list genuinely need the
-        # range-sorted stamped frame. first/last have the shuffle-free
-        # min_by path and the numerics/count_distinct are plain hash
-        # aggregations — routing them through _aggregate (which cannot
-        # re-enter here: a spec with no collecting fn takes the min_by
-        # or plain branch) and null-safe-joining the group-sized frames
-        # keeps their buffer updates OFF the sorted frame and their
-        # bytes OUT of the range shuffle. Measured at sf1 (6M rows,
-        # q07's 9-fn spec): 3.6s -> ~2.9s noop; at 100 TB the range
-        # shuffle carries only order cols + collect fields.
+        # range-sorted stamped frame; the order-insensitive scalars are
+        # plain hash aggregations — routing them through _aggregate
+        # (which cannot re-enter here: a spec with no collecting fn
+        # takes the min_by or plain branch) and null-safe-joining the
+        # group-sized frames keeps their buffer updates OFF the sorted
+        # frame and their bytes OUT of the range shuffle. Measured at
+        # sf1 (6M rows, q07's 9-fn spec): 3.6s -> ~2.9s noop; at
+        # 100 TB the range shuffle carries only order cols + collect
+        # fields.
+        #
+        # r12 (VERDICT r11 item 1 — the q07 profile): first/last RIDE
+        # the collecting branch when one exists instead of going to
+        # _aggregate's min_by path. The min_by struct key is the FULL
+        # order tuple (q07: 6 columns incl. strings) compared per row
+        # per function; on the stamped frame the same reduction is
+        # min/max over struct(rn long, value) — one long comparison —
+        # and the rows are already being range-shuffled for concat, so
+        # the ride-along is ~free. Component-profiled at sf0.1:
+        # first/last-only via min_by 0.99 s vs numerics-only 0.22 s —
+        # the struct-key reduction WAS the dominant scalar cost.
+        # Without a collecting fn the min_by path stays: it is
+        # shuffle-free, which the stamp path can never be.
         collecting = [
             (o, s) for o, s in specs if s["function"] in self.COLLECTING
         ]
-        scalar = [
-            (o, s) for o, s in specs if s["function"] not in self.COLLECTING
-        ]
-        if collecting and scalar:
-            left = self._distributed(df, order_cols, collecting)
-            right = self._aggregate(df, scalar)
-            return self._join_on_groups(left, right, specs)
+        if collecting:
+            ordered = [
+                (o, s) for o, s in specs
+                if s["function"] in self.ORDER_SENSITIVE
+            ]
+            scalar = [
+                (o, s) for o, s in specs
+                if s["function"] not in self.ORDER_SENSITIVE
+            ]
+            if scalar:
+                left = self._distributed(df, order_cols, ordered)
+                right = self._aggregate(df, scalar)
+                return self._join_on_groups(left, right, specs)
         ordering = [o.asc_nulls_last() for o in order_cols]
         df = (
             df.repartitionByRange(*ordering)
@@ -600,6 +619,47 @@ class Aggregator:
         lvl1 = df.groupBy("__slice", *self.group_by).agg(*partials)
         return lvl1.groupBy(*self.group_by).agg(*finals)
 
+    def _split_count_distinct(
+        self, df: DataFrame, specs: Sequence[tuple[str, dict[str, str]]]
+    ) -> DataFrame:
+        """Expand-free count_distinct (see the _aggregate comment):
+        the non-distinct aggregates run as ONE aggregation (keeping
+        their full physical-path machinery — min_by first/last,
+        distribute_sort, stamping), and each count_distinct output
+        becomes distinct (group, string-cast value) -> count-per-group,
+        LEFT-joined back with a 0 default so an all-NULL group still
+        reports 0 exactly as countDistinct does. The joined frames are
+        group-count-sized — AQE broadcasts them."""
+        cd = [(o, s) for o, s in specs if s["function"] == "count_distinct"]
+        rest = [(o, s) for o, s in specs if s["function"] != "count_distinct"]
+        left = self._aggregate(df, rest)
+        for out, spec in cd:
+            c = F.col(spec["field"]).cast("string")
+            dd = (
+                df.where(c.isNotNull())
+                .select(*self.group_by, c.alias("__cd_v"))
+                .distinct()
+            )
+            cnt = dd.groupBy(*self.group_by).agg(
+                F.count(F.lit(1)).cast("long").alias(out)
+            )
+            if self.group_by:
+                tmp = {g: f"__cd_{g}" for g in self.group_by}
+                for g, t in tmp.items():
+                    cnt = cnt.withColumnRenamed(g, t)
+                cond = None
+                for g, t in tmp.items():
+                    e = left[g].eqNullSafe(cnt[t])
+                    cond = e if cond is None else cond & e
+                left = left.join(cnt, cond, "left").drop(*tmp.values())
+            else:
+                # global aggregation: the rest frame is exactly one
+                # row; a left join keeps it even when every value was
+                # NULL (empty cnt frame)
+                left = left.join(cnt, F.lit(True), "left")
+            left = left.withColumn(out, F.coalesce(F.col(out), F.lit(0).cast("long")))
+        return left.select(*self.group_by, *[o for o, _ in specs])
+
     def __call__(self, df: DataFrame) -> DataFrame:
         specs = list(self.aggregations.items())
         builtin = [(o, s) for o, s in specs if s["function"] in AGG_FUNCTIONS]
@@ -634,6 +694,28 @@ class Aggregator:
     def _aggregate(
         self, df: DataFrame, specs: Sequence[tuple[str, dict[str, str]]]
     ) -> DataFrame:
+        # r12 (VERDICT r11 item 1): a count_distinct next to OTHER
+        # aggregates (and no collect buffer to share, where the
+        # no_expand collect_set path already applies) triggers
+        # RewriteDistinctAggregates' Expand — EVERY input row
+        # duplicated through the aggregation so the distinct buffer
+        # and the plain buffers can ride one operator. Split instead:
+        # the distinct count is its own pre-deduped pair of hash aggs
+        # (distinct (group, cast-string value) frame -> count per
+        # group; both phases have map-side partials and spill, so it
+        # stays high-cardinality-safe, unlike a collect_set), joined
+        # back onto the group-sized frame. Component-profiled at
+        # sf0.1: numerics+count_distinct one-pass 0.65 s vs
+        # numerics-only 0.22 s + pre-dedup 0.28 s on a shared scan.
+        # A LONE count_distinct keeps the single-pass plan — Spark
+        # plans one distinct aggregate without Expand.
+        fns_all = {s["function"] for _, s in specs}
+        if (
+            "count_distinct" in fns_all
+            and len([1 for _, s in specs if s["function"] != "count_distinct"]) > 0
+            and not (fns_all & set(self.COLLECTING))
+        ):
+            return self._split_count_distinct(df, specs)
         if not self.order_col:  # None or empty sequence
             order_cols = [F.monotonically_increasing_id()]
         elif isinstance(self.order_col, str):

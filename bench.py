@@ -451,6 +451,23 @@ def main() -> None:
             "margin_sec": round(margin, 4),
             "borderline": abs(margin) <= BORDERLINE_MARGIN,
         }
+        # STANDING variance adjudication (r12, VERDICT r11 item 1):
+        # for every deep-warmed borderline row, stamp the mean ± sd of
+        # its five deep-warm runs and the verdict that follows — when
+        # the run-to-run sd is at least the |margin to the 2x line|,
+        # the flag for this query at this SF is decided by noise, not
+        # by the plan, and the artifact says so ITSELF instead of a
+        # judge inferring it from bracketing runs across rounds (the
+        # q07 r9-r11 pattern: margins of ±0.1s against an sd of that
+        # same size, re-adjudicated by hand every round).
+        if k in borderline and len(raw_runs.get(k, [])) >= 5:
+            import statistics as _stats
+
+            tail = raw_runs[k][-5:]
+            sd = _stats.stdev(tail)
+            per_query[k]["warm_mean"] = round(_stats.mean(tail), 4)
+            per_query[k]["warm_sd"] = round(sd, 4)
+            per_query[k]["band_unresolvable"] = sd >= abs(margin)
     DEDUP = {"dd03_minhash_band_pairs", "dd04_ngram_jaccard"}
     ex_dedup = [k for k in duck if k not in DEDUP]
     # r11 (VERDICT r10 item 6): the official driver-run artifact keeps
@@ -563,6 +580,12 @@ def main() -> None:
             for k, v in sorted(per_query.items())
             if v["over_2x"]
         },
+        # deep-warmed rows whose run-to-run sd >= |margin|: the 2x
+        # flag is noise-decided at this SF (standing adjudication,
+        # r12 item 1) — mean/sd for each are in the full record
+        "band_unresolvable": sorted(
+            k for k, v in per_query.items() if v.get("band_unresolvable")
+        ),
         "pipeline_records_per_sec": full["pipeline_records_per_sec"],
         "loadavg_1min": loadavg_1min,
         "loadavg_retry": loadavg_retry,

@@ -441,7 +441,17 @@ ADJUDICATIONS = {
         "(aggregator._distributed) — sf1 warm 4.2 -> 2.8s under the "
         "alternating-order protocol (scripts/profile_q07_sf1.py, ratio "
         "3.28 -> 2.96); the smoke's min-of-2 reads higher from "
-        "cache-state asymmetry between the two dirs (r9 lesson)."
+        "cache-state asymmetry between the two dirs (r9 lesson). "
+        "r12: first/last now ride the stamped frame on the distributed "
+        "path (struct(rn,long) min/max instead of the 6-column-struct "
+        "min_by — interleaved A/B at the distributed shape: 1.73 -> "
+        "1.14 s median) and count_distinct splits Expand-free next to "
+        "other scalars. At sf0.1 the 10 MiB scan estimate keeps the "
+        "default single-agg stamp path, where the ~0.9 s concat "
+        "machinery was re-measured as the floor of BOTH shapes "
+        "(range-shuffle and group-partition) against a 0.29 s twin; "
+        "bench.py now stamps a standing mean±sd variance adjudication "
+        "(band_unresolvable) for every deep-warmed borderline row."
     ),
     # r12 (VERDICT r11 item 4) — the r11 >3x rows, each now also in
     # WARM_SPLIT so the artifact carries its own warm_ratio:
