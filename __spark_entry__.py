@@ -9622,6 +9622,116 @@ FROM q WHERE n >= 20
 """
 
 
+def x135_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution (operators/attribution.py
+    linear_attribution): purchase value split equally across each
+    conversion's click/view touches in a 3-day half-open lookback;
+    zero-touch conversions credit '(none)' in full, so total
+    attributed value equals total conversion value (the linear-model
+    invariant, test-pinned). One key-equality join with a time-range
+    residual + one window over the pair frame + one anti join."""
+    from ai_etl_framework_spark.operators.attribution import (
+        linear_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return linear_attribution(
+        ev, ["purchase"], ["click", "view"], lookback="3 days"
+    )
+
+
+_X135_SQL = """
+WITH conv AS (SELECT user_id AS k, ts AS cts, event_id AS cid,
+                     value::DOUBLE AS val
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type = 'purchase'),
+touch AS (SELECT user_id AS tk, ts AS tts, event_type AS channel
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IN ('click', 'view')),
+pairs AS (SELECT c.cid, c.val, t.channel
+          FROM conv c JOIN touch t
+            ON c.k = t.tk
+           AND t.tts >= c.cts - INTERVAL 3 DAY
+           AND t.tts < c.cts),
+credited AS (SELECT channel,
+                    val / (COUNT(*) OVER (PARTITION BY cid)) AS credit
+             FROM pairs),
+nonearm AS (SELECT '(none)' AS channel, val AS credit
+            FROM conv WHERE cid NOT IN (SELECT cid FROM pairs)),
+u AS (SELECT * FROM credited UNION ALL SELECT * FROM nonearm)
+SELECT channel, COUNT(*)::BIGINT AS n_credits,
+       ROUND(SUM(credit), 2) AS attributed_value
+FROM u GROUP BY channel
+"""
+
+
+def x136_rev_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Straight-line monthly revenue recognition (operators/
+    calendar.py recognize_monthly): each order's total spread equally
+    over a deterministic (o_orderkey % 12 + 1)-month term from its
+    order month — the ASC-606 straight-line / amortization-schedule
+    primitive. Scan → bounded sequence-explode → ONE month-sized hash
+    agg."""
+    from ai_etl_framework_spark.operators.calendar import recognize_monthly
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        "o_totalprice",
+        (F.col("o_orderkey") % 12 + 1).cast("int").alias("term_m"),
+    )
+    return recognize_monthly(orders, "o_orderdate", "o_totalprice", "term_m")
+
+
+_X136_SQL = """
+WITH base AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                     o_totalprice::DOUBLE AS amt,
+                     CAST(o_orderkey % 12 + 1 AS INT) AS term
+              FROM orders
+              WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+ex AS (SELECT unnest(generate_series(
+                 CAST(date_trunc('month', d) AS TIMESTAMP),
+                 CAST(date_trunc('month', d) AS TIMESTAMP)
+                   + (term - 1) * INTERVAL 1 MONTH,
+                 INTERVAL 1 MONTH))::DATE AS month,
+              amt / term AS credit
+       FROM base)
+SELECT month, COUNT(*)::BIGINT AS n_contracts,
+       ROUND(SUM(credit), 2) AS recognized
+FROM ex GROUP BY month
+"""
+
+
+def x137_state_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state per event type (operators/sequences.py
+    state_dwell): each inter-event gap attributed to the EARLIER
+    event's type — transition_matrix's duration companion, the
+    any-next-event complement of x94's same-type interarrival. One
+    user-keyed window + one |states|-sized hash agg."""
+    from ai_etl_framework_spark.operators.sequences import state_dwell
+
+    ev = load_table(spark, sf_dir, "events")
+    return state_dwell(ev)
+
+
+_X137_SQL = """
+WITH base AS (SELECT user_id, ts, event_type, event_id FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type IS NOT NULL),
+g AS (SELECT event_type,
+             epoch(lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) - epoch(ts)
+               AS dwell
+      FROM base)
+SELECT event_type, COUNT(*)::BIGINT AS n_intervals,
+       ROUND(SUM(dwell), 6) AS total_dwell_s,
+       ROUND(AVG(dwell), 6) AS avg_dwell_s,
+       ROUND(MAX(dwell), 6) AS max_dwell_s
+FROM g WHERE dwell IS NOT NULL GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9915,6 +10025,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (x133 promoted into the gate r12)
         "x132_target_encode": x132_target_encode,
         "x134_seasonal_envelope": x134_seasonal_envelope,
+        # r12 batch 1: multi-touch linear attribution, straight-line
+        # monthly revenue recognition, per-state dwell time
+        "x135_linear_attribution": x135_linear_attribution,
+        "x136_rev_recognition": x136_rev_recognition,
+        "x137_state_dwell": x137_state_dwell,
     }
 
 
@@ -10121,6 +10236,9 @@ def oracle_sql() -> dict[str, str]:
         "x132_target_encode": _X132_SQL,
         "x133_grouped_ols2": _X133_SQL,
         "x134_seasonal_envelope": _X134_SQL,
+        "x135_linear_attribution": _X135_SQL,
+        "x136_rev_recognition": _X136_SQL,
+        "x137_state_dwell": _X137_SQL,
         "st06_active_users": _X86_SQL,
         # x01's recall table is deterministic per corpus → fixture
         # VALUES oracle keyed by corpus fingerprint (r11, VERDICT r10

@@ -30,7 +30,7 @@ import datetime as _dt
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["date_dim"]
+__all__ = ["date_dim", "recognize_monthly"]
 
 
 def date_dim(spark: SparkSession, start: str, end: str) -> DataFrame:
@@ -65,4 +65,65 @@ def date_dim(spark: SparkSession, start: str, end: str) -> DataFrame:
         dow.isin(1, 7).alias("is_weekend"),
         (F.dayofmonth(d) == 1).alias("is_month_start"),
         (d == F.last_day(d)).alias("is_month_end"),
+    )
+
+
+def recognize_monthly(
+    df: DataFrame,
+    date_col: str,
+    amount_col: str,
+    term_col: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Straight-line monthly revenue recognition — each row's amount
+    spreads EQUALLY over ``term_col`` consecutive calendar months
+    starting at ``date_col``'s month: the SaaS/contract rev-rec (ASC
+    606 straight-line) and amortization-schedule primitive. The
+    calendar complement of the MoM revenue bridge (x103): the bridge
+    explains booked revenue movement, this converts bookings INTO the
+    recognized monthly schedule. Beyond-reference analytics scope.
+
+    Pinned semantics (oracle-replicated):
+
+    - rows with NULL date, NULL/non-positive term, or NULL amount
+      drop (a contract without a start, a length, or a value cannot
+      recognize anything — fail-quiet is pinned and documented
+      because partial CDC batches routinely carry such rows);
+    - recognition months = the ``term`` month STARTS from
+      month(date) inclusive: month k gets amount/term for k in
+      [0, term) — equal split, no day-of-month proration (pinned:
+      the straight-line monthly convention; daily proration is a
+      different estimator);
+    - output: (month DATE, n_contracts, recognized) — month pinned
+      to DATE on both engines (the r11 date_trunc trap),
+      n_contracts = contracts recognizing in that month, recognized
+      = Σ amount/term rounded 2dp (raw-magnitude sum — 2dp house
+      rule).
+
+    Scale shape: months = ``sequence(trunc(date), add_months(...),
+    1 month)`` built per row ON the executor, explode streams it
+    through codegen (fan-out = term, bounded by the data's max term),
+    then ONE month-sized hash aggregation. No window, no join, no
+    driver loop; at 100 TB this is scan + explode + map-side partial
+    agg."""
+    d = F.to_date(F.col(date_col))
+    term = F.col(term_col).cast("int")
+    amt = F.col(amount_col).cast("double")
+    base = df.where(d.isNotNull() & term.isNotNull() & (term > 0) & amt.isNotNull())
+    start = F.trunc(d, "MM")
+    months = F.sequence(
+        start, F.add_months(start, term - 1), F.expr("INTERVAL 1 MONTH")
+    )
+    per = (amt / term).alias("__credit")
+    exploded = base.select(
+        F.explode(months).alias("month"),
+        per,
+    )
+    return (
+        exploded.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_contracts"),
+            F.round(F.sum("__credit"), 2).alias("recognized"),
+        )
+        .orderBy("month")
     )

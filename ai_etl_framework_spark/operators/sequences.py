@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["frequent_event_sequences", "transition_matrix"]
+__all__ = ["frequent_event_sequences", "state_dwell", "transition_matrix"]
 
 
 def frequent_event_sequences(
@@ -115,4 +115,66 @@ def transition_matrix(
         F.round(
             F.col("n").cast("double") / F.sum("n").over(w_src), round_to
         ).alias("prob"),
+    )
+
+
+def state_dwell(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Time-in-state per event type — each inter-event gap is dwell
+    time attributed to the EARLIER event's type ("after clicking, how
+    long until the user does anything else"): the duration companion
+    of transition_matrix (which counts WHERE users go next, this
+    measures HOW LONG they sit first) and the complement of
+    interarrival_stats (x94 gaps between events of the SAME type;
+    dwell is the gap to the NEXT event of ANY type). Beyond-reference
+    analytics scope.
+
+    Pinned semantics (oracle-replicated):
+
+    - same ordering/NULL pins as transition_matrix: per-user
+      (ts, tiebreak) order, NULL user/ts/type rows drop, a user's
+      last event has no successor and contributes no interval;
+    - dwell seconds = epoch(next ts) − epoch(ts) as double (ties on
+      ts → 0-second dwell, KEPT: simultaneous events are real;
+      excluding them would inflate every average);
+    - output per state: (event_type, n_intervals, total_dwell_s,
+      avg_dwell_s, max_dwell_s) — totals/avgs rounded ``round_to``
+      (6dp default; dwell is second-scale, not raw-money-scale);
+    - epoch arithmetic is TIMESTAMP_NTZ-safe (the r11 trap:
+      ``unix_timestamp`` raises on NTZ; both sides pin
+      seconds-since-epoch extraction).
+
+    Scale shape: ONE window over (user) ordered by (ts, tiebreak) —
+    lead(ts) rides the same pass transition_matrix uses — then one
+    |states|-sized hash aggregation with map-side partials. Raw
+    events shuffle exactly once on the user key."""
+    from ai_etl_framework_spark.session import epoch_seconds
+
+    base = df.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    nxt = F.lead(ts_col).over(w)
+    gaps = base.select(
+        F.col(type_col),
+        (epoch_seconds(nxt) - epoch_seconds(F.col(ts_col))).alias("__dwell"),
+    ).where(F.col("__dwell").isNotNull())
+    return (
+        gaps.groupBy(type_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.round(F.sum("__dwell"), round_to).alias("total_dwell_s"),
+            F.round(F.avg("__dwell"), round_to).alias("avg_dwell_s"),
+            F.round(F.max("__dwell"), round_to).alias("max_dwell_s"),
+        )
     )

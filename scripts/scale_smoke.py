@@ -364,6 +364,13 @@ QUERIES = [
     "x133_grouped_ols2",
     # seasonal envelope = one (key, hour) agg, array-percentile buffer
     "x134_seasonal_envelope",
+    # linear attribution = key-equality join w/ range residual (per-user
+    # touches x convs in a 3-day window) + pair-frame window + anti join
+    "x135_linear_attribution",
+    # rev recognition = scan + bounded (term<=12) explode + month agg
+    "x136_rev_recognition",
+    # state dwell = one user window (lead) + |states| hash agg
+    "x137_state_dwell",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split
