@@ -9732,6 +9732,98 @@ FROM g WHERE dwell IS NOT NULL GROUP BY event_type
 """
 
 
+def x138_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage per key (operators/intervals.py
+    interval_coverage): events become [ts, ts + (event_id%90+1) min]
+    intervals keyed by event_type; overlapping/touching intervals
+    merge into islands — n_islands, covered/max island seconds. One
+    key window (running-max-end island test) + two bounded aggs."""
+    from ai_etl_framework_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(event_id % 90 + 1 AS INT), ts)"
+        ).alias("e"),
+    )
+    return interval_coverage(ev, "event_type", "s", "e")
+
+
+_X138_SQL = """
+WITH base AS (SELECT event_type AS k, ts AS s,
+                     ts + (event_id % 90 + 1) * INTERVAL 1 MINUTE AS e
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+flagged AS (SELECT k, s, e,
+                   CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          IS NULL
+                        OR s > max(e) OVER (PARTITION BY k ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS ni
+            FROM base),
+ids AS (SELECT k, s, e,
+               SUM(ni) OVER (PARTITION BY k ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+        FROM flagged),
+islands AS (SELECT k, island, COUNT(*)::BIGINT AS n,
+                   epoch(max(e)) - epoch(min(s)) AS span
+            FROM ids GROUP BY k, island)
+SELECT k AS event_type, CAST(SUM(n) AS BIGINT) AS n_intervals,
+       COUNT(*)::BIGINT AS n_islands,
+       ROUND(SUM(span), 6) AS covered_s,
+       ROUND(MAX(span), 6) AS max_island_s
+FROM islands GROUP BY k
+"""
+
+
+def x139_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment exact AUC (operators/evaluation.py grouped_auc):
+    does the 2dp-quantized event value rank purchases above
+    non-purchases equally well in every user-id%4 cohort — the
+    fairness/segment readout of x102's global rank-sum AUC. One
+    (group, score) agg + one group-partitioned cumulative window over
+    that frame + one group reduce."""
+    from ai_etl_framework_spark.operators.evaluation import grouped_auc
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("segment"),
+        F.round("value", 2).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return grouped_auc(ev, "segment", "score", "label")
+
+
+_X139_SQL = """
+WITH base AS (SELECT CAST(user_id % 4 AS INT) AS g,
+                     round(value, 2) AS s,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+              FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL
+                AND event_type IS NOT NULL),
+vc AS (SELECT g, s,
+              SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END)::DOUBLE AS cp,
+              SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END)::DOUBLE AS cn
+       FROM base GROUP BY g, s),
+ranked AS (SELECT g, cp, cn,
+                  SUM(cp + cn) OVER (PARTITION BY g ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - (cp + cn) + (cp + cn + 1) / 2.0 AS r
+           FROM vc),
+agg AS (SELECT g, SUM(cp) AS np, SUM(cn) AS nn, SUM(cp * r) AS rp
+        FROM ranked GROUP BY g)
+SELECT g AS segment, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       ROUND(CASE WHEN np > 0 AND nn > 0
+                  THEN (rp - np * (np + 1.0) / 2.0) / (np * nn) END, 6)
+         AS auc
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -10030,6 +10122,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x135_linear_attribution": x135_linear_attribution,
         "x136_rev_recognition": x136_rev_recognition,
         "x137_state_dwell": x137_state_dwell,
+        # r12 batch 2: gaps-and-islands interval coverage, per-segment
+        # fairness AUC
+        "x138_interval_coverage": x138_interval_coverage,
+        "x139_grouped_auc": x139_grouped_auc,
     }
 
 
@@ -10239,6 +10335,8 @@ def oracle_sql() -> dict[str, str]:
         "x135_linear_attribution": _X135_SQL,
         "x136_rev_recognition": _X136_SQL,
         "x137_state_dwell": _X137_SQL,
+        "x138_interval_coverage": _X138_SQL,
+        "x139_grouped_auc": _X139_SQL,
         "st06_active_users": _X86_SQL,
         # x01's recall table is deterministic per corpus → fixture
         # VALUES oracle keyed by corpus fingerprint (r11, VERDICT r10

@@ -48,6 +48,7 @@ __all__ = [
     "mrr_at_k",
     "calibration_table",
     "classifier_metrics",
+    "grouped_auc",
     "silhouette_centroid",
     "rrf_fuse",
 ]
@@ -601,3 +602,89 @@ def rrf_fuse(
     return fused.orderBy(
         F.col("rrf_score").desc(), F.col(id_col).asc()
     ).limit(top_n)
+
+
+def grouped_auc(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    max_distinct: int = 200_000,
+) -> DataFrame:
+    """Exact AUC PER SEGMENT — :func:`classifier_metrics`'s rank-sum
+    AUC with the value-count frame and rank window keyed by a group
+    column: the fairness/segment-evaluation readout ("the model
+    ranks well globally — does it rank well for EVERY cohort?").
+    A global AUC can hide a segment where the model is no better
+    than chance; this is the table that shows it.
+
+    Pinned semantics (oracle-replicated):
+
+    - same domain pins as classifier_metrics: NULL group/score/label
+      drop, labels 0/1 fail-loud, scores used raw (rank-based);
+    - average ranks over the segment's pooled scores (ties counted
+      half — exact trapezoidal ROC area), computed per group:
+      AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀);
+    - output per group: (group, n_pos, n_neg, auc) — auc NULL when a
+      segment lacks either class (single-class segments are the
+      common fairness-audit trap: NULL says "unmeasurable", 0.5
+      would lie); 6dp;
+    - ``max_distinct`` bounds the (group, score) frame fail-loud —
+      quantize scores first, the ks_drift house convention.
+
+    Scale shape: ONE (group, score) hash aggregation collapses the
+    corpus, one group-partitioned cumulative window over THAT frame,
+    one group-sized reduce. The corpus is scanned exactly once;
+    windows never see raw rows."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    base = df.where(g.isNotNull() & s.isNotNull() & lab.isNotNull()).select(
+        g.alias("__g"), s.alias("__s"), lab.alias("__y")
+    )
+    chk = base.where((F.col("__y") != 0) & (F.col("__y") != 1))
+    if chk.limit(1).count() > 0:
+        raise ValueError(f"grouped_auc: {label_col} must be binary 0/1")
+    vc = base.groupBy("__g", "__s").agg(
+        F.sum(F.when(F.col("__y") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("__cp"),
+        F.sum(F.when(F.col("__y") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("__cn"),
+    )
+    n_distinct = vc.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"grouped_auc: {n_distinct} (group, score) cells (> "
+            f"max_distinct={max_distinct}); quantize scores first "
+            "(e.g. F.round(score, 4)) or raise max_distinct."
+        )
+    w = Window.partitionBy("__g").orderBy(F.col("__s").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t_all = F.col("__cp") + F.col("__cn")
+    ranked = vc.select(
+        "__g",
+        "__cp",
+        "__cn",
+        (
+            F.sum(t_all).over(w) - t_all + (t_all + F.lit(1)) / F.lit(2.0)
+        ).alias("__r"),
+    )
+    y1, y0 = F.col("__cp"), F.col("__cn")
+    agg = ranked.groupBy(F.col("__g").alias(group_col)).agg(
+        F.sum(y1).alias("np"),
+        F.sum(y0).alias("nn"),
+        F.sum(y1 * F.col("__r")).alias("rp"),
+    )
+    np_, nn_ = F.col("np"), F.col("nn")
+    auc = (F.col("rp") - np_ * (np_ + F.lit(1.0)) / F.lit(2.0)) / (np_ * nn_)
+    return agg.select(
+        F.col(group_col),
+        np_.cast("long").alias("n_pos"),
+        nn_.cast("long").alias("n_neg"),
+        F.round(F.when((np_ > 0) & (nn_ > 0), auc), 6).alias("auc"),
+    )

@@ -371,6 +371,10 @@ QUERIES = [
     "x136_rev_recognition",
     # state dwell = one user window (lead) + |states| hash agg
     "x137_state_dwell",
+    # interval coverage = one key window (running max + cumsum) + 2 aggs
+    "x138_interval_coverage",
+    # grouped auc = one (group, score) agg + window over THAT frame
+    "x139_grouped_auc",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

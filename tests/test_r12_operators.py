@@ -145,3 +145,107 @@ def test_state_dwell_never_crosses_users(spark):
         (2, T0 + timedelta(days=9), 2, "view", None),
     ])
     assert state_dwell(df).collect() == []
+
+
+# -- interval_coverage ----------------------------------------------------
+
+
+def test_interval_coverage_hand_math(spark):
+    from ai_etl_framework_spark.operators.intervals import interval_coverage
+
+    rows = [
+        # key a: [0,10] [5,20] overlap -> island [0,20]; [20,25] touches
+        # (start == running max end) -> SAME island [0,25]; [100,110]
+        # is a second island
+        ("a", T0, T0 + timedelta(seconds=10)),
+        ("a", T0 + timedelta(seconds=5), T0 + timedelta(seconds=20)),
+        ("a", T0 + timedelta(seconds=20), T0 + timedelta(seconds=25)),
+        ("a", T0 + timedelta(seconds=100), T0 + timedelta(seconds=110)),
+        # key b: nested interval never extends the island
+        ("b", T0, T0 + timedelta(seconds=60)),
+        ("b", T0 + timedelta(seconds=10), T0 + timedelta(seconds=20)),
+        # NULL key drops
+        (None, T0, T0 + timedelta(seconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+    out = {r["k"]: r for r in interval_coverage(df, "k", "s", "e").collect()}
+    assert out["a"]["n_intervals"] == 4
+    assert out["a"]["n_islands"] == 2
+    assert out["a"]["covered_s"] == pytest.approx(25.0 + 10.0)
+    assert out["a"]["max_island_s"] == pytest.approx(25.0)
+    assert out["b"]["n_islands"] == 1
+    assert out["b"]["covered_s"] == pytest.approx(60.0)
+    assert set(out) == {"a", "b"}
+
+
+def test_interval_coverage_reversed_fails_loud(spark):
+    from ai_etl_framework_spark.operators.intervals import interval_coverage
+
+    df = spark.createDataFrame(
+        [("a", T0, T0 - timedelta(seconds=1))], "k string, s timestamp, e timestamp"
+    )
+    with pytest.raises(ValueError, match="end < start"):
+        interval_coverage(df, "k", "s", "e")
+
+
+# -- grouped_auc ----------------------------------------------------------
+
+
+def test_grouped_auc_hand_math(spark):
+    from ai_etl_framework_spark.operators.evaluation import grouped_auc
+
+    rows = [
+        # segment g1: perfect ranking -> auc 1.0
+        ("g1", 0.9, 1), ("g1", 0.8, 1), ("g1", 0.2, 0), ("g1", 0.1, 0),
+        # segment g2: anti-ranking -> auc 0.0
+        ("g2", 0.9, 0), ("g2", 0.1, 1),
+        # segment g3: all scores tied -> auc 0.5 (ties counted half)
+        ("g3", 0.5, 1), ("g3", 0.5, 0),
+        # segment g4: single class -> auc NULL
+        ("g4", 0.7, 1), ("g4", 0.3, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    out = {r["g"]: r for r in grouped_auc(df, "g", "s", "y").collect()}
+    assert out["g1"]["auc"] == pytest.approx(1.0)
+    assert out["g2"]["auc"] == pytest.approx(0.0)
+    assert out["g3"]["auc"] == pytest.approx(0.5)
+    assert out["g4"]["auc"] is None
+    assert out["g4"]["n_pos"] == 2 and out["g4"]["n_neg"] == 0
+
+
+def test_grouped_auc_matches_global_and_sklearn_formula(spark):
+    """Each segment's AUC equals the brute-force pair probability
+    P(score_pos > score_neg) + 0.5 P(tie), per segment."""
+    import itertools
+    import random
+
+    from ai_etl_framework_spark.operators.evaluation import grouped_auc
+
+    rng = random.Random(7)
+    rows = [
+        (f"g{i % 3}", round(rng.random(), 2), rng.randint(0, 1))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    out = {r["g"]: r["auc"] for r in grouped_auc(df, "g", "s", "y").collect()}
+    for g in ("g0", "g1", "g2"):
+        pos = [s for gg, s, y in rows if gg == g and y == 1]
+        neg = [s for gg, s, y in rows if gg == g and y == 0]
+        wins = sum(
+            1.0 if p > n else (0.5 if p == n else 0.0)
+            for p, n in itertools.product(pos, neg)
+        )
+        assert out[g] == pytest.approx(round(wins / (len(pos) * len(neg)), 6))
+
+
+def test_grouped_auc_domain_checks(spark):
+    from ai_etl_framework_spark.operators.evaluation import grouped_auc
+
+    df = spark.createDataFrame([("g", 0.5, 2)], "g string, s double, y int")
+    with pytest.raises(ValueError, match="binary"):
+        grouped_auc(df, "g", "s", "y")
+    df2 = spark.createDataFrame(
+        [("g", float(i) / 10, i % 2) for i in range(10)], "g string, s double, y int"
+    )
+    with pytest.raises(ValueError, match="max_distinct"):
+        grouped_auc(df2, "g", "s", "y", max_distinct=3)
