@@ -3624,11 +3624,13 @@ def txt10_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-table training (operators/bpe.py — Sennrich et al.
     2016, tokenizer prep): word_counts is the one corpus-scale
     aggregation (txt09's contract), the greedy merge loop runs on the
-    vocab-sized table. Rows-only by design (an ordered iterative
-    argmax has no single-query SQL twin); the pinned-rules +
-    local≡distributed + hypothesis differentials in tests/test_bpe.py
-    are the correctness evidence, and the row count is deterministic:
-    exactly min(n_merges, pairs-available) rows."""
+    vocab-sized table. No single-query SQL twin exists for the
+    ordered iterative argmax, but the merge table is a pure function
+    of the corpus word counts (pinned tie-breaks) — so since r12 the
+    row carries a corpus-fingerprint FIXTURE oracle (x04's recipe,
+    tests/fixtures/txt10_bpe_merges_expected.parquet); the
+    pinned-rules + local≡distributed + hypothesis differentials in
+    tests/test_bpe.py stay the second line of evidence."""
     from ai_etl_framework_spark.operators.bpe import (
         merge_table_df,
         train_bpe_merges,
@@ -3645,10 +3647,11 @@ def txt11_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-word shape: the merge loop runs once per vocab word, the
     per-word piece count joins back to the exploded corpus, corpus
     payload never enters Python). Trains 40 merges on the corpus word
-    counts then counts pieces per document. Rows-only by design (no
-    SQL twin for the merge loop); correctness evidence is
+    counts then counts pieces per document. No SQL twin exists for
+    the merge loop, but the output is corpus-deterministic — since
+    r12 the row carries a corpus-fingerprint FIXTURE oracle;
     tests/test_bpe.py's model differentials + the train→encode
-    reproduction property; row count = document count, deterministic."""
+    reproduction property stay the second line of evidence."""
     from ai_etl_framework_spark.operators.bpe import (
         bpe_token_counts,
         train_bpe_merges,
@@ -3763,11 +3766,14 @@ def txt13_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SentencePiece): train a 300-piece table on the corpus word counts
     (one corpus-scale aggregation; EM on the vocab-sized table), then
     Viterbi-encode per document via the zero-shuffle broadcast UDF.
-    Rows-only by design (EM has no SQL twin); the correctness
-    evidence is tests/test_unigram_lm.py — forward-backward vs
-    brute-force enumeration, EM likelihood monotonicity, Viterbi vs
-    brute-force argmax, character-coverage/round-trip invariants.
-    Row count = document count, deterministic."""
+    EM has no SQL twin, but the integer readout is
+    corpus-deterministic on one box (the EM floats live driver-side
+    over a canonical vocab table) — since r12 the row carries a
+    corpus-fingerprint FIXTURE oracle (one-box scope, x01's);
+    tests/test_unigram_lm.py — forward-backward vs brute-force
+    enumeration, EM likelihood monotonicity, Viterbi vs brute-force
+    argmax, character-coverage/round-trip invariants — stays the
+    second line of evidence."""
     from ai_etl_framework_spark.operators.bpe import word_counts
     from ai_etl_framework_spark.operators.unigram_lm import (
         train_unigram_lm,
@@ -4193,7 +4199,12 @@ def x09_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserves parity, so a doc and its twin stay in one split), score
     the odd half JVM-side, and report per-label counts, mean
     probability, decision accuracy, and the hash-seeded Pareto-keep
-    count. Rows-only by design (model-based scores, like x04)."""
+    count. Model-based like x04 — and like x04 since r12 it carries a
+    corpus-fingerprint FIXTURE oracle (the sampled fit rides the
+    deterministic file layout: one-box scope, measured 2x-stable
+    cross-process at all three SFs); the accuracy/determinism floors
+    in tests/test_quality_filter.py stay the second line of
+    evidence."""
     from ai_etl_framework_spark.ml.quality_filter import (
         fit_quality_classifier,
         pareto_keep_expr,
@@ -9824,6 +9835,45 @@ FROM agg
 """
 
 
+# Fixture oracles for the four non-streaming rows-only entries (r12,
+# extending VERDICT r11 item 3's x04 recipe): each output was measured
+# cross-process-deterministic at all three SFs (2x at sf0.1) before
+# committing — txt10/txt11 are pure functions of the corpus word
+# counts (pinned tie-breaks), txt13's EM runs driver-side over a
+# canonical vocab table (one-box scope for the float path; the two
+# integer readout columns are robust to last-ulp EM movement), x09's
+# sampled fit rides the deterministic file layout (one-box scope,
+# x01/x04's). Keyed by a documents-table fingerprint; unknown corpus
+# -> zero rows -> red row. Regenerate per tests/fixtures/README.md.
+_DOCS_CK = """
+WITH k AS (SELECT COUNT(*) || ':' || CAST(SUM(LENGTH(text)) AS BIGINT) AS ck
+           FROM documents)
+"""
+_FIX_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures"
+)
+_X09_SQL = f"""{_DOCS_CK}
+SELECT label, n, mean_prob, accuracy, pareto_kept
+FROM read_parquet('{_FIX_DIR}/x09_quality_classifier_expected.parquet') f
+JOIN k ON f.ck = k.ck
+"""
+_TXT10_SQL = f"""{_DOCS_CK}
+SELECT "rank", "left", "right"
+FROM read_parquet('{_FIX_DIR}/txt10_bpe_merges_expected.parquet') f
+JOIN k ON f.ck = k.ck
+"""
+_TXT11_SQL = f"""{_DOCS_CK}
+SELECT doc_id, n_words, n_tokens
+FROM read_parquet('{_FIX_DIR}/txt11_bpe_encode_expected.parquet') f
+JOIN k ON f.ck = k.ck
+"""
+_TXT13_SQL = f"""{_DOCS_CK}
+SELECT doc_id, n_tokens, n_piece_chars
+FROM read_parquet('{_FIX_DIR}/txt13_unigram_encode_expected.parquet') f
+JOIN k ON f.ck = k.ck
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -9962,7 +10012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x06_distributed_ordered_agg": x06_distributed_ordered_agg,
         "x07_repeated_line_dedup": x07_repeated_line_dedup,
         "x08_repeated_span_dedup": x08_repeated_span_dedup,
-        # rows-only (model-based, like x04): learned quality filter
+        # fixture-oracled r12 (was rows-only): learned quality filter
         "x09_quality_classifier": x09_quality_classifier,
         "x10_perplexity_score": x10_perplexity_score,
         "x11_perplexity_buckets": x11_perplexity_buckets,
@@ -9975,16 +10025,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x15_incremental_near_dedup": x15_incremental_near_dedup,
         "x16_dup_cluster_sizes": x16_dup_cluster_sizes,
         "x17_snapshot_diff": x17_snapshot_diff,
-        # rows-only (iterative argmax, no single-query SQL twin):
-        # correctness evidence is tests/test_bpe.py's pinned rules +
-        # local≡distributed + hypothesis differentials
+        # fixture-oracled r12 (was rows-only — the iterative argmax has
+        # no single-query SQL twin, but its output is a deterministic
+        # function of the corpus): tests/test_bpe.py differentials stay
         "txt10_bpe_merges": txt10_bpe_merges,
         "txt11_bpe_encode": txt11_bpe_encode,
         "x18_dsir_resample": x18_dsir_resample,
         "x19_interval_join": x19_interval_join,
         "txt12_strip_html": txt12_strip_html,
-        # rows-only (EM training, no SQL twin): evidence is
-        # tests/test_unigram_lm.py's brute-force/EM-monotone suite
+        # fixture-oracled r12 (was rows-only — EM has no SQL twin, but
+        # the integer readout is corpus-deterministic on one box):
+        # tests/test_unigram_lm.py's brute-force/EM suite stays
         "txt13_unigram_encode": txt13_unigram_encode,
         "txt14_bpe_apply": txt14_bpe_apply,
         "x20_dsir_select_frac": x20_dsir_select_frac,
@@ -10337,6 +10388,14 @@ def oracle_sql() -> dict[str, str]:
         "x137_state_dwell": _X137_SQL,
         "x138_interval_coverage": _X138_SQL,
         "x139_grouped_auc": _X139_SQL,
+        # r12 fixture oracles (x04's recipe over the documents
+        # fingerprint): the four non-streaming rows-only entries now
+        # hash-check like any oracle row; only st01/st03 (genuinely
+        # micro-batch-boundary-dependent) remain rows-only
+        "x09_quality_classifier": _X09_SQL,
+        "txt10_bpe_merges": _TXT10_SQL,
+        "txt11_bpe_encode": _TXT11_SQL,
+        "txt13_unigram_encode": _TXT13_SQL,
         "st06_active_users": _X86_SQL,
         # x01's recall table is deterministic per corpus → fixture
         # VALUES oracle keyed by corpus fingerprint (r11, VERDICT r10
