@@ -9043,6 +9043,68 @@ def st09_mix_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def st11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitters / key-skew service (pipeline/monitor.py
+    IncrementalHeavyHitters): two mtime-ordered event files through
+    readStream → foreachBatch [per-user counts merge ADDITIVELY into
+    the persisted key store — sum is commutative and associative, so
+    the store is micro-batch-boundary-independent] →
+    skew_report_from_counts, the SAME rider/top-k core as the x131
+    batch advisor. Carries a REAL hash oracle (x131's SQL shape over
+    events.user_id)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ai_etl_framework_spark.pipeline.monitor import (
+        IncrementalHeavyHitters,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="st11_")
+    try:
+        bronze = os.path.join(root, "bronze")
+        os.makedirs(bronze)
+        for i in (0, 1):
+            stage = os.path.join(root, f"stage{i}")
+            ev.where(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            src = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(bronze, f"feed_{i}.parquet")
+            shutil.move(os.path.join(stage, src), dst)
+            os.utime(dst, (_time.time() + i, _time.time() + i))
+        mon = IncrementalHeavyHitters(spark, root, key_col="user_id")
+        mon.run_stream(
+            bronze, os.path.join(root, "ckpt"), schema=ev.schema,
+            max_files_per_trigger=1,
+        )
+        out = mon.report(top_k=20)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_ST11_SQL = """
+WITH counts AS (SELECT user_id, COUNT(*)::BIGINT AS n
+                FROM events GROUP BY 1),
+riders AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                  COUNT(*)::BIGINT AS n_keys,
+                  ROUND(SUM(n::DOUBLE * n) / (SUM(n)::DOUBLE * SUM(n)), 6) AS hhi,
+                  ROUND(MAX(n) / SUM(n), 6) AS max_share
+           FROM counts),
+top AS (SELECT *, row_number() OVER (ORDER BY n DESC,
+                                     user_id ASC NULLS LAST) AS rank
+        FROM counts QUALIFY rank <= 20)
+SELECT rank, user_id, n, ROUND(n / n_rows, 6) AS share,
+       n_rows, n_keys, hhi, max_share
+FROM top, riders
+"""
+
+
 def x120_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency audit (operators/audit.py fd_audit):
     three candidate FDs over lineitem — one per-pair determinant hash
@@ -10177,6 +10239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fairness AUC
         "x138_interval_coverage": x138_interval_coverage,
         "x139_grouped_auc": x139_grouped_auc,
+        # r12 batch 3: streaming heavy-hitters service (additive key
+        # store -> boundary-independent -> REAL x131-shape oracle)
+        "st11_heavy_hitters": st11_heavy_hitters,
     }
 
 
@@ -10388,6 +10453,7 @@ def oracle_sql() -> dict[str, str]:
         "x137_state_dwell": _X137_SQL,
         "x138_interval_coverage": _X138_SQL,
         "x139_grouped_auc": _X139_SQL,
+        "st11_heavy_hitters": _ST11_SQL,
         # r12 fixture oracles (x04's recipe over the documents
         # fingerprint): the four non-streaming rows-only entries now
         # hash-check like any oracle row; only st01/st03 (genuinely

@@ -89,6 +89,7 @@ __all__ = [
     "containment",
     "fd_audit",
     "skew_report",
+    "skew_report_from_counts",
 ]
 
 
@@ -631,6 +632,22 @@ def skew_report(
     counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    return skew_report_from_counts(counts, key_cols, top_k)
+
+
+def skew_report_from_counts(
+    counts: DataFrame,
+    key_cols: "Sequence[str]",
+    top_k: int = 20,
+) -> DataFrame:
+    """:func:`skew_report`'s rider/top-k math over a PRE-COUNTED
+    (key..., n) frame — factored out (r12) so the streaming
+    heavy-hitters service (pipeline/monitor.py
+    IncrementalHeavyHitters), whose persisted store IS the key-count
+    frame, produces the exact same report without re-scanning raw
+    rows. Counts must already be collapsed to one row per key tuple;
+    all semantics (ranking, riders, HHI double cast) are
+    skew_report's."""
     riders = counts.agg(
         F.sum("n").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),

@@ -743,3 +743,106 @@ class IncrementalCategoryMix:
     def run_batches(self, batches) -> None:
         for i, b in enumerate(batches):
             self.process_batch(b, i)
+
+
+class IncrementalHeavyHitters:
+    """Streaming heavy-hitters / key-skew service — the incremental
+    twin of operators/audit.skew_report: each micro-batch collapses
+    to its per-key counts and MERGES them additively into a persisted
+    key store (sum is commutative + associative, the st04 argument),
+    so ``report()`` — which runs
+    :func:`~ai_etl_framework_spark.operators.audit.skew_report_from_counts`,
+    the SAME rider/top-k core the batch advisor uses — is independent
+    of micro-batch boundaries and equals the batch operator over
+    every event seen. The st11 registry row therefore carries a REAL
+    hash oracle (x131's SQL shape over the same input). Like
+    st04/st05/st07/st09 (and unlike st06's idempotent distinct
+    store), additive counts do NOT absorb at-least-once replays —
+    pair with upstream exactly-once file semantics or an id-dedup
+    stage.
+
+    Scale shape per batch: one batch-sized key hash aggregation + one
+    store-sized merge aggregation. The store is the |distinct keys|
+    frame — exactly the thing being measured (skew_report's
+    contract); for key spaces too large to persist exactly, a
+    Misra-Gries bounded-memory variant would trade the exact oracle
+    for an ε-approximate one — out of scope here, documented so the
+    100 TB deployment decision is explicit."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_col: str = "user_id",
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.key_col = key_col
+        self.store_dir = os.path.join(root, "hh_counts")
+
+    def _store(self) -> Optional[DataFrame]:
+        if not os.path.isdir(self.store_dir):
+            return None
+        return self.spark.read.parquet(self.store_dir)
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        # NULL keys are KEPT (as their own group): skew_report pins
+        # NULL as a key value — usually the heaviest skew culprit
+        counts = batch.groupBy(F.col(self.key_col).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        store = self._store()
+        if store is not None:
+            counts = (
+                store.unionByName(counts)
+                .groupBy("k")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        counts = counts.localCheckpoint(eager=True)
+        counts.write.mode("overwrite").parquet(self.store_dir)
+
+    def report(self, top_k: int = 20) -> DataFrame:
+        """skew_report over everything seen — (rank, key, n, share,
+        n_rows, n_keys, hhi, max_share), identical to the batch
+        advisor on the full event set."""
+        from ai_etl_framework_spark.operators.audit import (
+            skew_report_from_counts,
+        )
+
+        store = self._store()
+        if store is None:
+            raise ValueError("no events processed yet: store is empty")
+        return skew_report_from_counts(
+            store.withColumnRenamed("k", self.key_col),
+            [self.key_col],
+            top_k,
+        )
+
+    def run_stream(
+        self,
+        bronze_dir: str,
+        checkpoint_dir: str,
+        schema,
+        max_files_per_trigger: int = 1,
+        timeout_sec: int = 300,
+    ) -> None:
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(bronze_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"heavy-hitters stream did not finish in {timeout_sec}s"
+            )
+
+    def run_batches(self, batches) -> None:
+        for i, b in enumerate(batches):
+            self.process_batch(b, i)

@@ -341,3 +341,62 @@ def test_active_users_second_readout_new_returning(spark, tmp_path):
     # replay absorbs
     mon.process_batch(ev, 9)
     assert sorted(tuple(r) for r in mon.new_returning().collect()) == expected
+
+
+# -- heavy hitters (st11, r12) -------------------------------------------
+
+
+def _hh_events(spark):
+    rows = []
+    eid = 0
+    # user u gets u+1 events -> a known skewed distribution; one NULL
+    # user (skew_report pins NULL as a key value, usually the culprit)
+    for u in range(8):
+        for _ in range(u + 1):
+            rows.append((eid, T0 + timedelta(minutes=eid), u))
+            eid += 1
+    rows.append((eid, T0, None))
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+
+
+def _hh_key(rows):
+    return sorted(
+        (r["rank"], str(r["user_id"]), r["n"], r["share"],
+         r["n_rows"], r["n_keys"], r["hhi"], r["max_share"])
+        for r in rows
+    )
+
+
+@pytest.mark.parametrize("split", [1, 2, 3])
+def test_heavy_hitters_boundary_independent(spark, tmp_path, split):
+    """Additive key store ⇒ the streaming skew report equals the batch
+    advisor under ANY partition of the events into micro-batches —
+    the property that justifies st11's real hash oracle."""
+    from ai_etl_framework_spark.operators.audit import skew_report
+    from ai_etl_framework_spark.pipeline.monitor import (
+        IncrementalHeavyHitters,
+    )
+
+    import pyspark.sql.functions as F
+
+    ev = _hh_events(spark)
+    expected = _hh_key(skew_report(ev, ["user_id"], top_k=5).collect())
+    mon = IncrementalHeavyHitters(spark, str(tmp_path / f"hh{split}"))
+    mon.run_batches(
+        [ev.where(F.col("event_id") % split == i) for i in range(split)]
+    )
+    assert _hh_key(mon.report(top_k=5).collect()) == expected
+    # NULL key survives into the report as its own group
+    assert any(r["user_id"] is None for r in mon.report(top_k=20).collect())
+
+
+def test_heavy_hitters_empty_store_fails_loud(spark, tmp_path):
+    from ai_etl_framework_spark.pipeline.monitor import (
+        IncrementalHeavyHitters,
+    )
+
+    mon = IncrementalHeavyHitters(spark, str(tmp_path / "hhempty"))
+    with pytest.raises(ValueError, match="store is empty"):
+        mon.report()
