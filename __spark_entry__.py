@@ -9897,6 +9897,57 @@ FROM agg
 """
 
 
+def x140_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy selection per near-dup cluster (operators/
+    dedup.py cluster_canonical): q24's Jaccard≥0.5 component labels,
+    but the KEPT member is the highest-quality copy (quality = text
+    length here — the longest-copy curation rule), min-id through
+    ties. CC labels + cluster-sized aggregations only."""
+    from ai_etl_framework_spark.operators.dedup import (
+        cluster_canonical,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    q = docs.select(
+        "doc_id", F.length("text").cast("long").alias("quality")
+    )
+    return cluster_canonical(q, "doc_id", pairs, "quality")
+
+
+_X140_SQL = f"""
+WITH RECURSIVE d AS (SELECT doc_id, {_SHINGLES} AS shl FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(shl) AS s FROM d),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+prs AS (SELECT id_a, id_b FROM inter
+        JOIN counts ca ON id_a = ca.doc_id
+        JOIN counts cb ON id_b = cb.doc_id
+        WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.5),
+edges AS (SELECT id_a AS s, id_b AS dd FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT reach.id, e.dd FROM reach JOIN edges e ON reach.r = e.s),
+labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+members AS (SELECT l.label, l.id, CAST(LENGTH(doc.text) AS BIGINT) AS q
+            FROM labels l JOIN documents doc ON doc.doc_id = l.id),
+best AS (SELECT label, COUNT(*)::BIGINT AS n_members,
+                MAX(q) AS best_quality
+         FROM members GROUP BY label)
+SELECT m.label AS cluster, MIN(m.id) AS canonical, b.n_members,
+       b.best_quality,
+       CAST(b.n_members - 1 AS BIGINT) AS n_dropped
+FROM members m JOIN best b
+  ON m.label = b.label AND m.q IS NOT DISTINCT FROM b.best_quality
+GROUP BY m.label, b.n_members, b.best_quality
+"""
+
+
 # Fixture oracles for the four non-streaming rows-only entries (r12,
 # extending VERDICT r11 item 3's x04 recipe): each output was measured
 # cross-process-deterministic at all three SFs (2x at sf0.1) before
@@ -10242,6 +10293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12 batch 3: streaming heavy-hitters service (additive key
         # store -> boundary-independent -> REAL x131-shape oracle)
         "st11_heavy_hitters": st11_heavy_hitters,
+        # r12 batch 4: quality-based canonical selection per near-dup
+        # cluster (q24's labels, longest-copy-wins policy)
+        "x140_cluster_canonical": x140_cluster_canonical,
     }
 
 
@@ -10454,6 +10508,7 @@ def oracle_sql() -> dict[str, str]:
         "x138_interval_coverage": _X138_SQL,
         "x139_grouped_auc": _X139_SQL,
         "st11_heavy_hitters": _ST11_SQL,
+        "x140_cluster_canonical": _X140_SQL,
         # r12 fixture oracles (x04's recipe over the documents
         # fingerprint): the four non-streaming rows-only entries now
         # hash-check like any oracle row; only st01/st03 (genuinely

@@ -1556,3 +1556,81 @@ def duplicate_cluster_sizes(
         sizes.groupBy("cluster_size")
         .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
     )
+
+
+def cluster_canonical(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    quality_col: str,
+    max_iterations: int = 20,
+    driver_edge_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Canonical-copy selection per near-dup cluster — which document
+    to KEEP from each duplicate cluster, by quality instead of scan
+    position: the curation policy behind "keep the longest/cleanest
+    copy of every boilerplate family" (Lee et al. 2022 §4.2 keeps one
+    member per cluster; WHICH member is a quality decision this
+    operator makes explicit). Complements
+    :func:`dedup_connected_components` (which keeps the min-id member
+    — deterministic but quality-blind) and
+    :func:`duplicate_cluster_sizes` (the histogram over the same
+    labels).
+
+    Pinned semantics (oracle-replicated):
+
+    - clusters = connected components of the pair graph (the q24
+      labels; singleton documents appear in NO pair and form no
+      cluster — same pin as duplicate_cluster_sizes);
+    - canonical member = max ``quality_col`` within the cluster, ties
+      broken by MIN id (deterministic through equal-quality template
+      farms, where ties are the common case); NULL quality ranks
+      below every non-NULL quality (a member with unmeasured quality
+      never beats a measured one), all-NULL clusters fall back to
+      min id;
+    - output one row per cluster: (cluster = the component's min-id
+      label, canonical = the kept id, n_members, best_quality,
+      n_dropped = n_members − 1).
+
+    Scale shape: min-label propagation over the pair graph (the CC
+    labels), one broadcast-friendly join to (id, quality), one
+    per-cluster max aggregation + one equality join-back + one min
+    reduce — every frame after the labels is cluster- or
+    member-sized, never corpus-sized."""
+    labels = connected_component_labels(
+        pairs, max_iterations, driver_edge_threshold
+    )
+    members = labels.join(
+        df.select(
+            F.col(id_col).alias("id"), F.col(quality_col).alias("__q")
+        ),
+        "id",
+    )
+    best = members.groupBy(F.col("label").alias("__bl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("__q").alias("best_quality"),
+    )
+    # equality join-back on the max: NULL-safe so all-NULL clusters
+    # keep their members for the min-id fallback
+    canon = (
+        members.join(
+            best,
+            (members["label"] == best["__bl"])
+            & members["__q"].eqNullSafe(best["best_quality"]),
+        )
+        .select(
+            F.col("label").alias("cluster"),
+            F.col("id"),
+            F.col("n_members"),
+            F.col("best_quality"),
+        )
+        .groupBy("cluster", "n_members", "best_quality")
+        .agg(F.min("id").alias("canonical"))
+    )
+    return canon.select(
+        "cluster",
+        "canonical",
+        "n_members",
+        "best_quality",
+        (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+    )

@@ -375,6 +375,9 @@ QUERIES = [
     "x138_interval_coverage",
     # grouped auc = one (group, score) agg + window over THAT frame
     "x139_grouped_auc",
+    # canonical selection = CC labels (pair-graph-sized) + cluster aggs;
+    # the pair graph scales linearly under the rotation (dd04 argument)
+    "x140_cluster_canonical",
 ]
 
 # Queries whose sf1 ratio sits near the bound get a cold/warm split

@@ -249,3 +249,40 @@ def test_grouped_auc_domain_checks(spark):
     )
     with pytest.raises(ValueError, match="max_distinct"):
         grouped_auc(df2, "g", "s", "y", max_distinct=3)
+
+
+# -- cluster_canonical -----------------------------------------------------
+
+
+def test_cluster_canonical_hand_math(spark):
+    from ai_etl_framework_spark.operators.dedup import cluster_canonical
+
+    docs = spark.createDataFrame(
+        [
+            (1, 10.0), (2, 30.0), (3, 30.0),   # cluster {1,2,3}: best q=30
+            (4, None), (5, None),              # cluster {4,5}: all-NULL q
+            (6, 5.0),                          # singleton: no pairs, no row
+        ],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r["cluster"]: r for r in cluster_canonical(
+        docs, "doc_id", pairs, "quality").collect()}
+    # best quality wins; tie (2 vs 3 both 30.0) -> min id
+    assert out[1]["canonical"] == 2
+    assert out[1]["n_members"] == 3 and out[1]["n_dropped"] == 2
+    assert out[1]["best_quality"] == 30.0
+    # all-NULL cluster falls back to min id
+    assert out[4]["canonical"] == 4
+    assert out[4]["best_quality"] is None
+    # NULL quality never beats a measured one
+    docs2 = spark.createDataFrame(
+        [(1, None), (2, 1.0)], "doc_id long, quality double"
+    )
+    pairs2 = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out2 = cluster_canonical(docs2, "doc_id", pairs2, "quality").collect()
+    assert out2[0]["canonical"] == 2
+    # singletons never appear
+    assert set(out) == {1, 4}
