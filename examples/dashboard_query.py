@@ -55,6 +55,32 @@ def main() -> None:
     print("schema buckets:", {n: c["type"] for n, c in list(prof["columns"].items())[:3]})
     print("priorities:", svc.filter_values("Acme Corp", "Orders Feed", "o_orderpriority")["values"])
 
+    # r12 entry-point-C additions — the same request shapes as
+    # POST /api/analytics/generate-insights and
+    # POST /api/analytics/visualizations/generate (ref main.py:789,
+    # :1238). No LLM client here, so insights returns the prepared
+    # context payload with a null summary (the offline path).
+    ins = svc.insights("Acme Corp", "Orders Feed", run_type="etl")
+    ctx = ins["insights"]["context"]
+    print(
+        "insights:", ins["status"],
+        f"rows={ctx['row_count']}",
+        "metrics:", ctx["suggested_metrics"][:2],
+    )
+    again = svc.insights("Acme Corp", "Orders Feed", run_type="rag")
+    print("rerun (ETL precedence):", again["status"], "-", again["reason"])
+
+    viz = svc.visualizations("Acme Corp", "Orders Feed", max_charts=5)
+    print(f"visualizations: {viz['count']} charts generated")
+    for c in viz["charts"]:
+        if "config" in c:
+            spec = c["spec"]
+            print(
+                "  ", spec["type"], "on", spec.get("x"),
+                f"({c['rows']} aggregated rows,",
+                f"{len(c['config'].get('series', []))} series)",
+            )
+
 
 if __name__ == "__main__":
     main()
