@@ -309,8 +309,14 @@ class PipelineApiService:
         from ai_etl_framework_spark.sources.paths import slugify
 
         name = os.path.basename(filename or "")
-        if not name:
-            raise ValueError("upload_bronze: filename must be non-empty")
+        # '.'/'..' pass basename but name directories — without this
+        # check open(..., 'wb') dies with IsADirectoryError instead of
+        # the contract's fail-loud ValueError (r12 review finding)
+        if not name or name in (".", ".."):
+            raise ValueError(
+                f"upload_bronze: invalid filename {filename!r} — must "
+                "name a plain file"
+            )
         bronze = os.path.join(self.base_dir, slugify(org), "bronze")
         os.makedirs(bronze, exist_ok=True)
         path = os.path.join(bronze, name)

@@ -100,10 +100,20 @@ class IsolationForestNp:
     def fit_predict(self, x: np.ndarray) -> np.ndarray:
         """True = anomaly (top `contamination` fraction by score)."""
         self.fit(x)
-        scores = self.score(x)
-        k = max(1, int(round(self.contamination * x.shape[0])))
-        threshold = np.partition(scores, -k)[-k]
-        return scores >= threshold
+        return flags_from_scores(self.score(x), self.contamination)
+
+
+def flags_from_scores(scores: np.ndarray, contamination: float) -> np.ndarray:
+    """The contamination→flag rule in ONE place (r12 review finding):
+    flag the top ``max(1, round(contamination·n))`` scores, threshold
+    at the k-th largest (ties at the threshold all flag). Shared by
+    ``IsolationForestNp.fit_predict`` and ``fit_predict_global`` so a
+    future change to tie handling or the k rounding cannot silently
+    diverge between the local and Spark paths — exactly the drift the
+    x04 fixture oracle would surface but not localize."""
+    k = max(1, int(round(contamination * scores.shape[0])))
+    threshold = np.partition(scores, -k)[-k]
+    return scores >= threshold
 
 
 def impute_mean(x: np.ndarray) -> np.ndarray:
@@ -168,11 +178,10 @@ def fit_predict_global(
             contamination=contamination,
             random_state=random_state,
         ).fit(xi[order])
-        scores = model.score(xi)
-        k = max(1, int(round(contamination * xi.shape[0])))
-        threshold = np.partition(scores, -k)[-k]
         pdf = pdf.drop(columns=["__g"])
-        pdf["_meta_is_anomaly"] = scores >= threshold
+        pdf["_meta_is_anomaly"] = flags_from_scores(
+            model.score(xi), contamination
+        )
         return pdf
 
     return (

@@ -260,12 +260,31 @@ def create_app(service: DashboardService, pipeline_api=None):
 
     # entry-point-C parity (r12): insight + auto-chart routes
     # (ref main.py:789, :1238). Accept the reference's body keys
-    # (org_id/source_id/file_path) alongside the house org/source.
+    # (org_id/source_id/file_path) alongside the house org/source;
+    # missing identifiers are a caller error -> 400 with the field
+    # names, never a KeyError 500 (the reference 400s the same way,
+    # main.py:817-821).
+    def _org_source(body: dict) -> tuple:
+        org = body.get("org") or body.get("org_id")
+        source = (
+            body.get("source")
+            or body.get("source_name")
+            or body.get("source_id")
+        )
+        if not org or not source:
+            raise HTTPException(
+                status_code=400,
+                detail="org (or org_id) and source (or source_name/"
+                "source_id) are required",
+            )
+        return org, source
+
     @app.post("/api/analytics/generate-insights")
     def gen_insights(body: dict):
+        org, source = _org_source(body)
         return service.insights(
-            body.get("org") or body["org_id"],
-            body.get("source") or body.get("source_name") or body["source_id"],
+            org,
+            source,
             run_type=body.get("run_type", "etl"),
             file_path=body.get("file_path"),
         )
@@ -279,9 +298,10 @@ def create_app(service: DashboardService, pipeline_api=None):
 
     @app.post("/api/analytics/visualizations/generate")
     def gen_viz(body: dict):
+        org, source = _org_source(body)
         return service.visualizations(
-            body.get("org") or body["org_id"],
-            body.get("source") or body.get("source_name") or body["source_id"],
+            org,
+            source,
             max_charts=body.get("max_charts", 10),
             file_path=body.get("file_path"),
         )

@@ -150,3 +150,11 @@ def test_bronze_upload_and_list(svc):
     assert names == ["passwd", "sales.csv"] and listing["count"] == 2
     assert all(f["size"] >= 1 and f["modified"] for f in listing["files"])
     assert svc.list_bronze("empty-org") == {"files": [], "count": 0}
+
+
+def test_bronze_upload_rejects_dot_names(svc):
+    import pytest as _pytest
+
+    for bad in (".", "..", "a/..", "./"):
+        with _pytest.raises(ValueError, match="invalid filename|plain file"):
+            svc.upload_bronze("Acme Corp", bad, b"x")
