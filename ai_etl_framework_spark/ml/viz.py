@@ -218,6 +218,145 @@ def chart_records(df, chart: dict[str, Any], max_rows: int = 1000) -> list[dict[
     return [r.asDict(recursive=True) for r in out.limit(max_rows).collect()]
 
 
+# -- NL prompt → chart (reference generate_custom_chart) --------------
+#
+# Keyword tables ported verbatim from
+# src/api/visualization_generator.py:553-568 — the elif ORDER is the
+# spec: 'distribution' appears under both pie and histogram, and the
+# reference's pie branch wins because it is checked first.
+_PROMPT_CHART_KEYWORDS: list[tuple[str, tuple[str, ...]]] = [
+    ("line", ("line", "trend", "over time", "timeline")),
+    ("pie", ("pie", "distribution", "breakdown")),
+    ("scatter", ("scatter", "correlation", "vs", "versus")),
+    ("histogram", ("histogram", "distribution")),  # dead 'distribution': pie wins, kept verbatim
+    ("box", ("box", "boxplot")),
+    ("heatmap", ("heatmap", "heat map")),
+]
+
+
+def parse_chart_prompt(
+    prompt: str,
+    columns: list[str],
+    profile: Optional[dict[str, Any]] = None,
+) -> dict[str, Any]:
+    """Keyword-matched chart config from a natural-language prompt —
+    the reference's ``generate_custom_chart`` interpretation step
+    (visualization_generator.py:527-610, served by main.py:1300's
+    ``POST /api/analytics/visualizations/custom`` for the AI-chat
+    flow), deterministic and LLM-free:
+
+    - chart type: first keyword family that matches (ordered table
+      above), default ``bar`` (ref :552-568);
+    - columns: every column whose lowercased name — or its
+      underscores-as-spaces form — is a substring of the prompt, in
+      frame column order (ref :570-576);
+    - fallback when nothing is mentioned (ref :578-590): for bar/pie
+      the first non-ID categorical plus the first non-ID numeric,
+      for line/histogram the first non-ID numeric — the roles come
+      from the same profile analysis ``rank_charts`` uses (the house
+      analyzer stands in for the reference's pandas
+      ``analyze_dataframe``); scatter/box/heatmap get no fallback,
+      exactly like the reference;
+    - x = first pick else the frame's first column, y = second pick
+      else None, title = prompt truncated at 50 chars (ref :592-598).
+    """
+    prompt_lower = prompt.lower()
+
+    chart_type = "bar"  # default (ref :552)
+    for ctype, words in _PROMPT_CHART_KEYWORDS:
+        if any(w in prompt_lower for w in words):
+            chart_type = ctype
+            break
+
+    mentioned: list[str] = []
+    for col in columns:
+        low = col.lower()
+        if low in prompt_lower or low.replace("_", " ") in prompt_lower:
+            mentioned.append(col)
+
+    if not mentioned and profile is not None:
+        rows = profile["row_count"]
+        cols = profile["columns"]
+        roles = {n: analyze_column(n, i, rows) for n, i in cols.items()}
+        numeric = [
+            n for n, i in cols.items()
+            if i["type"] == "numeric" and not roles[n]["is_id"]
+        ]
+        categorical = [
+            n for n, i in cols.items()
+            if i["type"] == "categorical" and not roles[n]["is_id"]
+        ]
+        if chart_type in ("bar", "pie") and categorical:
+            mentioned = [categorical[0]]
+            if numeric:
+                mentioned.append(numeric[0])
+        elif chart_type in ("line", "histogram") and numeric:
+            mentioned = [numeric[0]]
+
+    return {
+        "chart_type": chart_type,
+        "title": prompt[:50] + ("..." if len(prompt) > 50 else ""),
+        "x_column": mentioned[0] if mentioned else (columns[0] if columns else None),
+        "y_column": mentioned[1] if len(mentioned) > 1 else None,
+    }
+
+
+def custom_chart(
+    df, prompt: str, profile: Optional[dict[str, Any]] = None
+) -> Optional[dict[str, Any]]:
+    """Prompt → one rendered chart dict, or None when the request
+    can't be satisfied — the reference returns None for every
+    execution failure (generate_plotly_chart wraps each per-type
+    branch in one except that swallows and returns None, ref
+    :376-465) and the route turns None into a "Could not generate
+    chart" payload (main.py:1340-1346). The execution rides the same
+    distributed chart-prep aggregates as the auto-chart batch
+    (``chart_records``), so the collect only ever sees an
+    aggregated / top-n / sampled frame. None cases, vs the
+    reference: bar/line with no y die identically
+    (``df.groupby(x)[None]`` raises → None, ref :379/:387); heatmap
+    prompts return None because the custom path never parses a z
+    column and ``pivot_table(values=None)`` dies the same way (ref
+    :446); scatter/box with no y are a DOCUMENTED conservative
+    divergence — plotly express would render a degenerate one-axis
+    chart there, we decline instead of inventing an axis."""
+    from ai_etl_framework_spark.plans.profile import profile_schema
+
+    prof = profile or profile_schema(df)
+    cfg = parse_chart_prompt(prompt, df.columns, prof)
+    ctype, x, y = cfg["chart_type"], cfg["x_column"], cfg["y_column"]
+
+    if ctype == "bar":
+        spec = {"type": "bar", "x": x, "y": y, "agg": "sum", "top_n": 15}
+    elif ctype == "line":
+        spec = {"type": "line", "x": x, "y": y}
+    elif ctype == "pie":
+        spec = {"type": "pie", "x": x, "top_n": 10}
+    elif ctype == "histogram":
+        spec = {"type": "histogram", "x": x, "bins": 30}
+    elif ctype == "scatter":
+        spec = {"type": "scatter", "x": x, "y": y, "sample": 1000}
+    elif ctype == "box":
+        spec = {"type": "box", "x": x, "y": y}
+    else:  # heatmap — no z in the custom path (ref :446 fails the same way)
+        return None
+    if ctype in ("bar", "line", "scatter", "box") and y is None:
+        return None  # ref: groupby/px call raises on y=None → except → None
+
+    try:
+        records = chart_records(df, spec)
+        config = echarts_config(spec, records)
+    except Exception:  # noqa: BLE001 — per-chart isolation (ref :456-460)
+        return None
+    return {
+        "chart_type": ctype,
+        "title": cfg["title"],
+        "x_column": x,
+        "y_column": y,
+        "chart_config": config,
+    }
+
+
 def generate_all_charts(
     df, max_charts: int = 10, profile: Optional[dict[str, Any]] = None
 ) -> list[dict[str, Any]]:

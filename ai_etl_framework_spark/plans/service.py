@@ -212,6 +212,34 @@ class DashboardService:
     def get_visualizations(self, org: str, source: str) -> Optional[list[dict[str, Any]]]:
         return self._viz.get((slugify(org), slugify(source)))
 
+    def custom_visualization(
+        self,
+        org: str,
+        source: str,
+        prompt: str,
+        file_path: Optional[str] = None,
+    ) -> dict[str, Any]:
+        """NL prompt → one chart (ml/viz.custom_chart; ref
+        generate_custom_chart via main.py:1300's ``POST
+        /api/analytics/visualizations/custom``, the AI-chat on-demand
+        chart). Response vocabulary matches the reference route: a
+        chart dict under ``"chart"`` on success, ``status: "error"``
+        with the reference's message when the prompt can't be
+        satisfied (main.py:1340-1346). Custom charts are returned
+        inline and NOT parked in the store — the reference doesn't
+        persist them either."""
+        from ai_etl_framework_spark.ml.viz import custom_chart
+
+        chart = custom_chart(self._df_for(org, source, file_path), prompt)
+        if chart is None:
+            return {
+                "status": "error",
+                "message": "Could not generate chart from the given prompt",
+                "org": org,
+                "source": source,
+            }
+        return {"status": "success", "chart": chart, "org": org, "source": source}
+
 
 def create_app(service: DashboardService, pipeline_api=None):
     """FastAPI app with the reference's dashboard routes
@@ -304,6 +332,19 @@ def create_app(service: DashboardService, pipeline_api=None):
             source,
             max_charts=body.get("max_charts", 10),
             file_path=body.get("file_path"),
+        )
+
+    @app.post("/api/analytics/visualizations/custom")
+    def gen_custom_viz(body: dict):
+        # ref main.py:1300-1356 — source_id, org_id, and prompt are
+        # all required, missing fields are a 400 naming them (the
+        # reference raises the same 400, main.py:1317-1321)
+        org, source = _org_source(body)
+        prompt = body.get("prompt")
+        if not prompt:
+            raise HTTPException(status_code=400, detail="prompt is required")
+        return service.custom_visualization(
+            org, source, prompt, file_path=body.get("file_path")
         )
 
     @app.get("/api/analytics/visualizations/{org}/{source}")

@@ -185,3 +185,115 @@ def test_generate_all_charts_isolation(spark):
     charts2 = generate_all_charts(df, max_charts=8, profile=prof)
     assert any("error" in c for c in charts2)
     assert any("config" in c for c in charts2)
+
+
+# -- NL prompt → chart (reference generate_custom_chart, r13) ----------
+
+
+def test_parse_chart_prompt_keyword_decisions():
+    """Chart-type keyword table + elif ORDER ported verbatim from
+    visualization_generator.py:552-568 — 'distribution' belongs to
+    pie (checked before histogram), line outranks everything."""
+    from ai_etl_framework_spark.ml.viz import parse_chart_prompt
+
+    cols = ["region", "total_amount"]
+    pick = lambda p: parse_chart_prompt(p, cols)["chart_type"]
+    assert pick("bar chart of sales") == "bar"           # default
+    assert pick("some numbers please") == "bar"          # no keyword → bar
+    assert pick("trend of revenue") == "line"
+    assert pick("sales over time") == "line"
+    assert pick("distribution of regions") == "pie"      # pie wins, not histogram
+    assert pick("breakdown by region") == "pie"
+    assert pick("amount vs quantity") == "scatter"
+    assert pick("correlation of price and qty") == "scatter"
+    assert pick("histogram of amounts") == "histogram"
+    assert pick("boxplot of amount by region") == "box"
+    assert pick("heat map of sales") == "heatmap"
+    # 'line' beats 'pie' because the line family is checked first
+    assert pick("pie timeline") == "line"
+
+
+def test_parse_chart_prompt_column_matching_and_title():
+    """Column mentions: lowercase substring OR underscores-as-spaces,
+    collected in frame column order (ref :570-576); title truncates
+    at 50 chars with '...' (ref :592-598)."""
+    from ai_etl_framework_spark.ml.viz import parse_chart_prompt
+
+    cols = ["order_id", "region", "total_amount", "qty"]
+    out = parse_chart_prompt("bar of total amount by region", cols)
+    # frame order: region precedes total_amount in the prompt but
+    # NOT in the frame — the reference iterates frame columns
+    assert out["x_column"] == "region"
+    assert out["y_column"] == "total_amount"
+
+    # no column mentioned, no profile → x falls back to columns[0]
+    out2 = parse_chart_prompt("just a chart", cols)
+    assert out2["x_column"] == "order_id" and out2["y_column"] is None
+
+    long_prompt = "x" * 60
+    assert parse_chart_prompt(long_prompt, cols)["title"] == "x" * 50 + "..."
+    assert parse_chart_prompt("short", cols)["title"] == "short"
+
+
+def test_parse_chart_prompt_profile_fallback(spark):
+    """No column mentioned + profile → role-driven pick: bar/pie get
+    first non-ID categorical + first non-ID numeric, line/histogram
+    get the first non-ID numeric, scatter gets nothing (ref
+    :578-590)."""
+    from ai_etl_framework_spark.ml.viz import parse_chart_prompt
+    from ai_etl_framework_spark.plans.profile import profile_schema
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0, 1.5), (2, "b", 20.0, 2.5), (3, "a", 30.0, 3.5)],
+        "order_id long, grp string, amount double, qty double",
+    )
+    prof = profile_schema(df)
+    cols = df.columns
+
+    bar = parse_chart_prompt("show me a chart", cols, profile=prof)
+    assert bar["x_column"] == "grp" and bar["y_column"] == "amount"
+
+    pie = parse_chart_prompt("a breakdown", cols, profile=prof)
+    assert pie["x_column"] == "grp" and pie["y_column"] == "amount"
+
+    line = parse_chart_prompt("a trend", cols, profile=prof)
+    assert line["x_column"] == "amount" and line["y_column"] is None
+
+    # scatter has NO fallback: x degrades to the frame's first column
+    scat = parse_chart_prompt("a correlation", cols, profile=prof)
+    assert scat["chart_type"] == "scatter"
+    assert scat["x_column"] == "order_id" and scat["y_column"] is None
+
+
+def test_custom_chart_execution_and_none_paths(spark):
+    """custom_chart rides the distributed chart-prep aggregates and
+    returns None exactly where the reference path dies (ref
+    :376-465: bar/line with no y, heatmap with no z)."""
+    from ai_etl_framework_spark.ml.viz import custom_chart
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "order_id long, region string, total_amount double",
+    )
+    out = custom_chart(df, "bar of total amount by region")
+    assert out is not None and out["chart_type"] == "bar"
+    assert out["x_column"] == "region" and out["y_column"] == "total_amount"
+    assert out["title"] == "bar of total amount by region"
+    series = out["chart_config"]["series"][0]["data"]
+    assert sorted(series, reverse=True) == [40.0, 20.0]  # sum per region, desc
+
+    # pie needs only x — executes off the count-per-category prep
+    pie = custom_chart(df, "breakdown by region")
+    assert pie is not None and pie["chart_type"] == "pie"
+
+    # bar with a prompt that names no numeric → fallback fills y from
+    # the profile, still renders
+    auto = custom_chart(df, "chart it")
+    assert auto is not None and auto["chart_type"] == "bar"
+
+    # heatmap: custom path never parses z → None (ref pivot_table(None))
+    assert custom_chart(df, "heat map of region") is None
+
+    # bar where even the fallback can't find a y (all-categorical frame)
+    cat_only = spark.createDataFrame([("a", "x"), ("b", "y")], "g string, h string")
+    assert custom_chart(cat_only, "bar of g") is None

@@ -162,3 +162,24 @@ def test_visualizations_generate_and_store(spark, gold):
     # the store returns the same batch
     assert svc.get_visualizations("Acme Corp", "My Claims") == out["charts"]
     assert svc.get_visualizations("Acme Corp", "nope") is None
+
+
+def test_custom_visualization_prompt_route(spark, gold):
+    """NL prompt → chart on the service (ref generate_custom_chart via
+    main.py:1300 POST /api/analytics/visualizations/custom): success
+    payload carries the chart inline and nothing lands in the viz
+    store; an unsatisfiable prompt returns the reference's error
+    message (main.py:1340-1346)."""
+    svc = DashboardService(spark, gold)
+    out = svc.custom_visualization("Acme Corp", "My Claims", "bar of amount by grp")
+    assert out["status"] == "success"
+    chart = out["chart"]
+    assert chart["chart_type"] == "bar"
+    assert chart["x_column"] == "grp" and chart["y_column"] == "amount"
+    assert "series" in chart["chart_config"]
+    # custom charts are NOT persisted (the reference doesn't either)
+    assert svc.get_visualizations("Acme Corp", "My Claims") is None
+
+    bad = svc.custom_visualization("Acme Corp", "My Claims", "heat map please")
+    assert bad["status"] == "error"
+    assert bad["message"] == "Could not generate chart from the given prompt"
