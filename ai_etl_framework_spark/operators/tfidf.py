@@ -26,6 +26,7 @@ never materializes full per-doc term lists."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ai_etl_framework_spark.functions.text import tokens as _tokens
 
@@ -70,6 +71,17 @@ def tfidf_topk_terms(
     when the caller KNOWS the vocabulary is bounded (e.g. a fixed
     controlled tag set) to pin the hint statically."""
     n_docs = df.count()
+    # ONE tokenize/explode pass, persisted: the (doc, term) count
+    # frame feeds BOTH tf·idf scoring and the per-term document
+    # frequency. Before r13 the idf branch re-exploded (re-tokenized)
+    # the whole corpus a second time — at 100 TB that doubles the
+    # heaviest map stage; ReuseExchange can't dedupe the branches
+    # because column pruning rewrites the idf side's sub-aggregate
+    # into a distinct that no longer canonically matches. Persist is
+    # the house pattern for dual-consumed frames (lm.py, ranks.py);
+    # MEMORY_AND_DISK so wide corpora spill instead of OOM. The frame
+    # stays persisted for the caller's action (same contract as
+    # train_bigram_lm's returned frames).
     tf = (
         df.select(
             F.col(id_col).alias("__id"),
@@ -77,13 +89,16 @@ def tfidf_topk_terms(
         )
         .groupBy("__id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
         .withColumn("n_doc", F.sum("n").over(Window.partitionBy("__id")))
     )
-    idf = doc_frequencies(df, text_col, id_col).select(
-        "term",
-        (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0).alias(
-            "idf"
-        ),
+    # df_t = number of documents containing t ≡ rows per term in the
+    # persisted (doc, term) frame — no second corpus scan, no DISTINCT.
+    idf = tf.groupBy("term").agg(
+        (
+            F.log(F.lit(float(n_docs + 1)) / (F.count(F.lit(1)) + 1))
+            + 1.0
+        ).alias("idf")
     )
     if vocab_small:
         idf = F.broadcast(idf)

@@ -449,6 +449,20 @@ ADJUDICATIONS = {
         "docs); dedicated warm runs 2.54 -> 5.81s (2.3x for 10x data = "
         "sublinear); hot-span guard ON at its default throughout."
     ),
+    "x21_tfidf_topk": (
+        "r13 spot-profile of the r12 warm 3.15 reading (the one row "
+        "that escaped annotation): on a dedicated 10x documents build "
+        "the executed plan keeps the idf join BROADCAST at sf1 (no "
+        "second shuffle; SortMergeJoin count 0) and warm min-of-3 read "
+        "0.95 -> 1.55s (1.6x) — the smoke's 3.15 was page-cache "
+        "asymmetry between the two dirs, not operator scaling. r13 "
+        "also removed the real fat the profile exposed: the idf branch "
+        "re-tokenized the whole corpus a second time (ReuseExchange "
+        "can't dedupe it — column pruning rewrites the branch into a "
+        "non-matching distinct); the (doc, term) frame is now "
+        "persisted and read by both branches (interleaved A/B at 10x: "
+        "median 2.14 -> 1.77s), one tokenize pass at any scale."
+    ),
     "q07_agg_semantics": (
         "known sort-heavy profile; r10 split: only concat rides the "
         "range-sorted frame, scalar aggregates broadcast-join back "
@@ -693,6 +707,24 @@ def main() -> None:
     for name, note in ADJUDICATIONS.items():
         if name in result:
             result[name]["adjudication"] = note
+    # r13 (VERDICT r12 item 3): the annotation gate keys on
+    # max(cold, warm) ratio, not cold alone — a statically warm-split
+    # row whose WARM reading lands over 3x used to escape with no
+    # note (x21 in r12: cold 2.09, warm 3.15, silent). Any >3x-by-
+    # either-measure row without a static adjudication now carries a
+    # machine note naming the escape, so "zero unannotated >3x rows"
+    # holds by both measures — by construction.
+    for name, r in result.items():
+        if "adjudication" in r:
+            continue
+        if max(r["ratio"], r.get("warm_ratio", 0.0)) > 3.0:
+            r["adjudication"] = (
+                "max(cold, warm) ratio >3x with no static adjudication "
+                "on file (r13 gate): 10x data means any ratio under 10 "
+                "is still sublinear, but this row needs a direct "
+                "profile + a static ADJUDICATIONS entry (or a plan "
+                "fix) next round."
+            )
     payload = {
         "metric": "sf1_scale_smoke",
         "unit": "sec",
