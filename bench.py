@@ -126,20 +126,38 @@ def main() -> None:
     # stamped `loadavg_retry` so a still-loaded record adjudicates
     # itself. Opt out with SPARK_GRAFT_LOAD_GATE=0 (pytest-adjacent
     # local runs where the contention is the run itself).
+    # r13 (VERDICT r12 item 7): the r12 driver record passed the old
+    # 1.0 gate at loadavg 0.54 with twins ~13% elevated — the gate is
+    # now 0.3 (about one background core on this 32-thread box) with
+    # up to TWO retry sleeps, so the official artifact converges to
+    # the quiet-box reading instead of just avoiding the worst case.
     loadavg_retry = None
+    loadavg_retries: list[float] = []
     _gate = os.environ.get("SPARK_GRAFT_LOAD_GATE", "1") != "0"
-    if _gate and loadavg_start is not None and loadavg_start > 1.0:
-        wait_s = int(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT", "180"))
+    _gate_max = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_MAX", "0.3"))
+    wait_s = int(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT", "180"))
+    retries_left = 2
+    while (
+        _gate
+        and retries_left > 0
+        and loadavg_start is not None
+        and loadavg_start > _gate_max
+    ):
         print(
-            f"bench: start loadavg {loadavg_start:.2f} > 1.0 — "
-            f"sleeping {wait_s}s once and re-measuring "
-            "(SPARK_GRAFT_LOAD_GATE=0 to skip)",
+            f"bench: start loadavg {loadavg_start:.2f} > {_gate_max} — "
+            f"sleeping {wait_s}s ({retries_left} retr"
+            f"{'ies' if retries_left > 1 else 'y'} left; "
+            "SPARK_GRAFT_LOAD_GATE=0 to skip)",
             file=sys.stderr,
         )
         time.sleep(wait_s)
+        retries_left -= 1
         loadavg_retry = _loadavg_1min()
         if loadavg_retry is not None:
+            loadavg_retries.append(loadavg_retry)
             loadavg_start = loadavg_retry
+        else:
+            break
 
     # module-level functions FIRST, registry as fallback: the 50-slot
     # driver registry consolidates names into merged gate rows
@@ -527,11 +545,14 @@ def main() -> None:
         "p02_sec_runs": [round(x, 4) for x in merge_runs],
         "loadavg_1min": loadavg_1min,
         "loadavg_1min_end": loadavg_end,
-        # non-None iff the start-load gate fired (r12 item 5): the
-        # re-measured load after the one retry sleep. A value still
-        # > 1 means the retry also hit load — the in-tail note the
-        # verdict asked for, machine-stamped.
+        # non-None iff the start-load gate fired: the re-measured load
+        # after the LAST retry sleep (r13: gate threshold 0.3, up to
+        # two retries — the full retry series rides alongside). A
+        # value still above the gate means every retry also hit load
+        # — the in-tail note the verdict asked for, machine-stamped.
         "loadavg_retry": loadavg_retry,
+        "loadavg_retries": loadavg_retries or None,
+        "loadavg_gate_max": _gate_max if _gate else None,
     }
     # Full record → a FILE (committed per round as BENCH_r{N}_local.json)
     # and an early stdout line; the LAST stdout line is a compact
@@ -582,13 +603,24 @@ def main() -> None:
         },
         # deep-warmed rows whose run-to-run sd >= |margin|: the 2x
         # flag is noise-decided at this SF (standing adjudication,
-        # r12 item 1) — mean/sd for each are in the full record
+        # r12 item 1)
         "band_unresolvable": sorted(
             k for k, v in per_query.items() if v.get("band_unresolvable")
         ),
+        # r13 (VERDICT r12 item 4): the evidence BEHIND each
+        # band_unresolvable / borderline verdict — mean ± sd of the
+        # five deep-warm runs — now rides in the compact driver tail
+        # too, so the official artifact self-adjudicates without the
+        # committed local record.
+        "warm_mean_sd": {
+            k: [v["warm_mean"], v["warm_sd"]]
+            for k, v in sorted(per_query.items())
+            if "warm_sd" in v
+        } or None,
         "pipeline_records_per_sec": full["pipeline_records_per_sec"],
         "loadavg_1min": loadavg_1min,
         "loadavg_retry": loadavg_retry,
+        "loadavg_retries": loadavg_retries or None,
         "full_record": os.path.basename(out_path),
     }
     print(json.dumps(compact), flush=True)
