@@ -2752,21 +2752,47 @@ def st02_stream_windows(spark: SparkSession, sf_dir: str, *,
 
 def st01_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate merge (round 5): BOTH streaming twins tag-unioned into one
-    rows-only row — same verbatim-composition pattern as _dd03m_sql —
-    freeing a gate slot so x01_ann_recall gets a driver signal
-    (VERDICT r4 item 3). The single-path functions stay: they are the
-    bench streaming series (p03/p04) and the subjects of the pytest
-    batch-equality/oracle assertions. Column mapping: session rows
-    carry (key = user_id, ts_start/ts_end = session bounds); window
-    rows carry (key = event_type, ts_start/ts_end = window bounds);
-    n_events/total_value align 1:1."""
+    row — same verbatim-composition pattern as _dd03m_sql. The
+    single-path functions stay: they are the bench streaming series
+    (p03/p04) and the subjects of the pytest batch-equality/oracle
+    assertions. Column mapping: session rows carry (key = user_id,
+    ts_start/ts_end = session bounds); window rows carry (key =
+    event_type, ts_start/ts_end = window bounds); n_events/
+    total_value align 1:1 (total_value rounded 2dp here — the q28
+    money convention — so the row hash-compares; the underlying
+    streaming functions stay unrounded).
+
+    ORACLE-BACKED since r13 (VERDICT r12 item 6, the st11 pattern
+    generalized): under _run_stream_once the bounded backfill is ONE
+    AvailableNow data batch (no maxFilesPerTrigger) plus Spark's
+    final no-data flush batch, so the emitted set is a pure function
+    of the events table, not of micro-batch boundaries:
+
+    - a session emits iff a later session exists for its key (closed
+      inline when the later segment arrives) OR the final watermark
+      strictly passes its timeout — floor_ms(end_us) + gap_ms <
+      floor_ms(max_ts_us) (watermark delay 0s; Spark tracks event
+      time in FLOORED milliseconds and EventTimeTimeout fires
+      STRICTLY past the stamp — both probed empirically with half-ms
+      tie fixtures, see tests/test_streaming.py's emission-rule
+      pins);
+    - a tumbling window emits iff floor_ms(max_ts_us) - 7_200_000 >=
+      window_end_ms (append finalization is NON-strict at the tie —
+      same probe).
+
+    The oracle replays exactly that: the q28 gaps-and-islands
+    fragment + per-key last-session open filter, and the q17 window
+    aggregate + watermark filter. The GENERAL multi-batch operator
+    stays boundary-sensitive for ts-unordered splits (late rows past
+    the watermark are dropped/refused) — that scope is pinned by the
+    stream≡batch equality suites, not this row."""
     a = st01_stream_sessions(spark, sf_dir).select(
         F.lit("session").alias("kind"),
         F.col("user_id").cast("string").alias("key"),
         F.col("session_start").alias("ts_start"),
         F.col("session_end").alias("ts_end"),
         F.col("n_events").cast("long").alias("n_events"),
-        F.col("total_value").cast("double").alias("total_value"),
+        F.round(F.col("total_value"), 2).alias("total_value"),
     )
     b = st02_stream_windows(spark, sf_dir).select(
         F.lit("window").alias("kind"),
@@ -2774,9 +2800,64 @@ def st01_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").alias("ts_start"),
         F.col("window_end").alias("ts_end"),
         F.col("n_events").cast("long").alias("n_events"),
-        F.col("total_value").cast("double").alias("total_value"),
+        F.round(F.col("total_value"), 2).alias("total_value"),
     )
     return a.unionByName(b)
+
+
+# Oracle for the streaming suite (r13): batch-replay of the two
+# streams' FINAL emitted sets. The wm CTE is the final event-time
+# watermark in Spark's own representation (event times floored to
+# milliseconds); the session arm reuses the q28 gaps-and-islands
+# fragment verbatim and keeps each key's last session only when the
+# watermark STRICTLY passes end + 30 min; the window arm keeps a
+# 1-hour bucket when the 2-hour-delayed watermark reaches its end
+# (non-strict). Both emission rules were probed with half-ms /
+# exact-tie fixtures (floor + strict for timeouts, non-strict for
+# window finalization).
+_ST01_SQL = """
+WITH wm AS (SELECT epoch_us(MAX(ts)) // 1000 AS wm_ms FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s2 AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+),
+sess AS (
+  SELECT user_id, MIN(ts) AS ts_start, MAX(ts) AS ts_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2) AS total_value
+  FROM s2 GROUP BY user_id, sess
+),
+marked AS (
+  SELECT *, MAX(ts_end) OVER (PARTITION BY user_id) AS last_end FROM sess
+),
+wins AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS ts_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2) AS total_value
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT 'session' AS kind, CAST(user_id AS VARCHAR) AS key,
+       ts_start, ts_end, n_events, total_value
+FROM marked, wm
+WHERE ts_end < last_end
+   OR (epoch_us(ts_end) // 1000) + 1800000 < wm_ms
+UNION ALL
+SELECT 'window' AS kind, event_type AS key,
+       ts_start, ts_start + INTERVAL '1 hour' AS ts_end,
+       n_events, total_value
+FROM wins, wm
+WHERE (epoch_us(ts_start + INTERVAL '1 hour') // 1000) <= wm_ms - 7200000
+"""
 
 
 def st03_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10335,6 +10416,11 @@ def oracle_sql() -> dict[str, str]:
         "q24_dedup_cc": _Q24_SQL,
         "q27_agg_custom_udaf": _Q27_SQL,
         "q28_sessionize": _Q28_SQL,
+        # r13 (VERDICT r12 item 6): the streaming suite's final
+        # emitted set is a pure function of the events table under
+        # the one-batch AvailableNow harness — see st01_stream_suite's
+        # docstring for the probed emission rules
+        "st01_stream_suite": _ST01_SQL,
         "q29_chart_prep": _Q29M_SQL,
         "q32_agg_list": _Q32_SQL,
         "q33_topk_per_group": _Q33_SQL,

@@ -95,3 +95,79 @@ def test_streaming_rejects_unschema(spark, tmp_path):
 
     with pytest.raises(AnalysisException):
         read_stream(spark, str(tmp_path / "nope"), fmt="parquet", schema=None).isStreaming
+
+
+# -- r13: the emission rules behind st01_stream_suite's oracle --------
+# The suite's SQL twin replays the FINAL emitted set of both streams
+# under the one-batch AvailableNow harness; these pins nail the exact
+# boundary semantics the SQL encodes (probed before the oracle was
+# written): Spark floors event-time to MILLISECONDS for the watermark,
+# EventTimeTimeout fires STRICTLY past the stamp, and append-mode
+# window finalization is NON-strict at the tie.
+
+import datetime as _dt
+
+
+def _run_avail_now(spark, tmp_path, ev, build, sub):
+    out = str(tmp_path / f"o{sub}")
+    bronze = str(tmp_path / f"b{sub}")
+    ev.write.mode("overwrite").parquet(bronze)
+    q = (
+        build(read_stream(spark, bronze, fmt="parquet", schema=ev.schema))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / f"c{sub}"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def test_session_timeout_strict_and_ms_floored(spark, tmp_path):
+    from ai_etl_framework_spark.streaming.sessions import sessionize_stream
+
+    T0 = _dt.datetime(2024, 1, 1)
+    gap30 = _dt.timedelta(minutes=30)
+
+    def emitted_users(sub, max_offset_us):
+        rows = [
+            (1, T0, 1.0),
+            (2, T0 + gap30 + _dt.timedelta(microseconds=max_offset_us), 1.0),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = _run_avail_now(
+            spark, tmp_path, ev,
+            lambda s: sessionize_stream(s, gap_minutes=30.0, watermark="0 seconds"),
+            f"s{max_offset_us}",
+        )
+        return sorted(r["user_id"] for r in out.collect())
+
+    # watermark exactly AT user 1's timeout stamp: strict -> no emit
+    assert emitted_users("tie", 0) == []
+    # half a millisecond past: ms-FLOOR keeps wm == stamp -> no emit
+    assert emitted_users("halfms", 500) == []
+    # 1.5 ms past: floored wm is 1 ms past the stamp -> emits
+    assert emitted_users("over", 1500) == [1]
+
+
+def test_window_finalization_nonstrict_at_tie(spark, tmp_path):
+    T0 = _dt.datetime(2024, 1, 1)
+    # window [00:00, 01:00) ends at 1h; max_ts = 3h exactly puts the
+    # 2h-delayed watermark exactly AT the window end -> emits
+    rows = [
+        ("x", T0 + _dt.timedelta(minutes=30), 1.0),
+        ("x", T0 + _dt.timedelta(hours=3), 1.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = _run_avail_now(
+        spark, tmp_path, ev,
+        lambda s: windowed_counts(
+            s, ts_col="ts", window="1 hour", watermark="2 hours",
+            group_cols=["event_type"],
+        ).select(F.col("window.start").alias("ws"), "n_events"),
+        "w",
+    )
+    got = [(r["ws"], r["n_events"]) for r in out.collect()]
+    assert got == [(T0, 1)]
