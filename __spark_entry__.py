@@ -2680,7 +2680,28 @@ def _run_stream_once(spark: SparkSession, ev: DataFrame, build_sink,
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, pv)
-    return spark.createDataFrame(pdf, schema)
+    return _nan_to_null(spark.createDataFrame(pdf, schema))
+
+
+def _nan_to_null(df: DataFrame) -> DataFrame:
+    """NULL-preserving pandas round trip: toPandas() represents NULL
+    doubles as NaN, and whether createDataFrame maps NaN back to null
+    depends on the session's Arrow configuration (the house session
+    does, a PLAIN ANSI session does not — caught by st03's oracle
+    under SPARK_GRAFT_PLAIN_SESSION). No streaming output here ever
+    produces a legitimate NaN (finite sums / rates), so nan→null is
+    exact."""
+    from pyspark.sql.types import DoubleType
+
+    cols = [
+        F.when(F.isnan(F.col(f.name)), F.lit(None).cast("double"))
+        .otherwise(F.col(f.name))
+        .alias(f.name)
+        if isinstance(f.dataType, DoubleType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(*cols)
 
 
 def st01_stream_sessions(spark: SparkSession, sf_dir: str, *,
@@ -2866,12 +2887,24 @@ def st03_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl files, driven through readStream → foreachBatch
     [clean_text → exact dedup vs fingerprint store → near dedup vs
     LSH band index → append + store update] → corpus_report refresh.
-    Rows-only by design: WHICH document survives a cross-batch dup
-    pair depends on micro-batch order — deterministic here (mtime-
-    ordered files under maxFilesPerTrigger=1) but not SQL-expressible
-    as one query over the input. Stream-vs-batch equality, store
-    semantics, and idempotent re-crawl are pinned in
-    tests/test_incremental_ingest.py.
+
+    ORACLE-BACKED since r13 (VERDICT r12 item 6): WHICH document
+    survives a cross-batch dup pair depends on micro-batch order —
+    but this harness PINS the order (history %3==0 seeds the stores;
+    crawl_1 then crawl_2 as mtime-ordered single-file micro-batches),
+    and every survivor rule is deterministic (earlier batch wins;
+    min doc_id wins within a batch, exact and near) — so the accepted
+    set is a pure function of the documents table and the _st03_sql
+    twin replays the whole two-batch cascade in SQL: txt08's clean
+    chain → dd01-style fp anti-join vs store → 16×4 band-collision
+    anti-join vs store → within-batch min-id band self-join over the
+    post-filter subset → store update → batch 2 → rpt01's dup_rate.
+    Stream-vs-batch equality, store semantics, and idempotent
+    re-crawl stay pinned in tests/test_incremental_ingest.py; the
+    general operator under arbitrary/unordered splits remains
+    order-sensitive (near-dup CHAINS — see pipeline/ingest.py's
+    module docstring), which is exactly why the oracle encodes THIS
+    harness's pinned sequence rather than claiming split-invariance.
 
     Output: tagged union — one ("accepted", doc_id, 1, NULL) row per
     silver document plus one ("report", source, n_docs, dup_rate) row
@@ -2920,7 +2953,7 @@ def st03_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema, pdf = out.schema, out.toPandas()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(pdf, schema)
+    return _nan_to_null(spark.createDataFrame(pdf, schema))
 
 
 def x01_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3657,6 +3690,134 @@ ver AS (
         / len(list_distinct(a.ds || b.ds)) >= 0.5)
 SELECT doc_id FROM documents
 WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT nid FROM ver)
+"""
+
+
+# -- st03 oracle (r13, VERDICT r12 item 6) ---------------------------
+#
+# The ingest loop's accepted set is a PURE FUNCTION of the documents
+# table because the st03 harness pins the batch sequence: seeded
+# history = doc_id%3==0 (raw text), then crawl_1 (%3==1) and crawl_2
+# (%3==2) as mtime-ordered single-file micro-batches. Survivor policy
+# is deterministic at every step (earlier batches win cross-batch
+# collisions; min doc_id wins within a batch, for exact AND near) —
+# so the whole cascade replays in SQL: clean (txt08's regex chain) →
+# exact fp anti-join vs store → store-band anti-join (16 hashes × 4
+# bands, band-collision only: ingest passes no verify threshold) →
+# within-batch min-id band self-join over the POST-filter subset →
+# store update → repeat for crawl_2 → silver = history ∪ acc1 ∪ acc2,
+# plus rpt01's dup_rate/n_docs per source over silver.
+
+
+def _st03_clean(col: str) -> str:
+    """txt08's clean_text regex chain (hash-checked byte-for-byte by
+    _TXT08_SQL) applied to an arbitrary column expression."""
+    return (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"regexp_replace({col}, "
+        r"'[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{200b}-\x{200d}\x{feff}\x{ad}]', '', 'g'), "
+        r"'[\x{a0}\x{1680}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]', ' ', 'g'), "
+        r"'[ \t]+', ' ', 'g'), "
+        r"' ?\n ?', chr(10), 'g'), "
+        r"'^[ \n]+|[ \n]+$', '', 'g')"
+    )
+
+
+def _st03_band_ctes(src: str, tag: str) -> str:
+    """sig + 4-band CTEs over CTE ``src`` (16 hashes, 4 rows/band —
+    the ingest's minhash_band_table parameters; band_hash matches
+    _banded_frame's md5(concat_ws('|', h..)) composition).
+
+    Shape matters here, not just semantics: ONE md5 per exploded
+    shingle with all 16 affine mins in a single GROUP BY (the
+    minhash_signatures plan), and the sig/band CTEs MATERIALIZED —
+    DuckDB otherwise inlines the CTE into each of its references
+    (the band union alone has four), re-running the whole minhash
+    per reference; the first cut of this oracle ran minutes at
+    sf0.001 for exactly that reason."""
+    mins = ", ".join(
+        f"MIN((a + {i} * b) % {_MH_P}) AS h{i}" for i in range(16)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, md5("
+        + " || '|' || ".join(
+            f"CAST(h{4 * b + r} AS VARCHAR)" for r in range(4)
+        )
+        + f") AS band_hash FROM {tag}sig"
+        for b in range(4)
+    )
+    return (
+        f"{tag}sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s"
+        f" FROM (SELECT doc_id, text FROM {src})),\n"
+        f"{tag}ab AS (SELECT doc_id,"
+        " ('0x' || substr(md5(s), 1, 15))::BIGINT AS a,"
+        " ('0x' || substr(md5(s), 17, 8))::BIGINT AS b"
+        f" FROM {tag}sh),\n"
+        f"{tag}sig AS MATERIALIZED ("
+        f"SELECT doc_id, {mins} FROM {tag}ab GROUP BY doc_id),\n"
+        f"{tag}band AS MATERIALIZED ({bands})"
+    )
+
+
+def _st03_batch_ctes(batch: str, fp_store: str, band_store: str,
+                     tag: str) -> str:
+    """One micro-batch of the ingest cascade over cleaned CTE
+    ``batch``, probing ``fp_store``/``band_store``: exact-dup
+    anti-join, within-batch min-id exact keeper, store band
+    anti-join, then the within-batch min-id band self-join over the
+    surviving subset (the order process_batch runs them in)."""
+    return f"""{tag}fp AS (SELECT doc_id, md5({_NORMC}) AS fp FROM {batch}),
+{tag}ex AS (SELECT MIN(doc_id) AS doc_id FROM {tag}fp
+            WHERE fp NOT IN (SELECT fp FROM {fp_store}) GROUP BY fp),
+{tag}s1 AS MATERIALIZED (SELECT b.* FROM {batch} b JOIN {tag}ex USING (doc_id)),
+{_st03_band_ctes(f"{tag}s1", f"{tag}c")},
+{tag}hit AS (SELECT DISTINCT n.doc_id FROM {tag}cband n
+             JOIN {band_store} h ON n.band_idx = h.band_idx
+                                AND n.band_hash = h.band_hash),
+{tag}s2 AS MATERIALIZED (SELECT * FROM {tag}s1
+            WHERE doc_id NOT IN (SELECT doc_id FROM {tag}hit)),
+{tag}sb AS (SELECT * FROM {tag}cband
+            WHERE doc_id IN (SELECT doc_id FROM {tag}s2)),
+{tag}wb AS (SELECT DISTINCT b.doc_id FROM {tag}sb a
+            JOIN {tag}sb b ON a.band_idx = b.band_idx
+                          AND a.band_hash = b.band_hash
+                          AND b.doc_id > a.doc_id),
+{tag}acc AS MATERIALIZED (SELECT * FROM {tag}s2
+             WHERE doc_id NOT IN (SELECT doc_id FROM {tag}wb))"""
+
+
+def _st03_sql() -> str:
+    clean = _st03_clean("text")
+    return f"""
+WITH hist AS (SELECT doc_id, source, lang, text FROM documents
+              WHERE doc_id % 3 = 0),
+c1 AS MATERIALIZED (SELECT doc_id, source, lang, {clean} AS text
+       FROM documents WHERE doc_id % 3 = 1),
+c2 AS MATERIALIZED (SELECT doc_id, source, lang, {clean} AS text
+       FROM documents WHERE doc_id % 3 = 2),
+hfp AS (SELECT DISTINCT md5({_NORMC}) AS fp FROM hist),
+{_st03_band_ctes("hist", "h")},
+{_st03_batch_ctes("c1", "hfp", "hband", "b1")},
+fp2 AS (SELECT fp FROM hfp
+        UNION SELECT md5({_NORMC}) AS fp FROM b1acc),
+band2 AS (SELECT doc_id, band_idx, band_hash FROM hband
+          UNION ALL SELECT doc_id, band_idx, band_hash FROM b1cband
+                    WHERE doc_id IN (SELECT doc_id FROM b1acc)),
+{_st03_batch_ctes("c2", "fp2", "band2", "b2")},
+silver AS MATERIALIZED (SELECT doc_id, source, lang, text FROM hist
+           UNION ALL SELECT doc_id, source, lang, text FROM b1acc
+           UNION ALL SELECT doc_id, source, lang, text FROM b2acc),
+rep AS (SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(1.0 - COUNT(DISTINCT md5({_NORMC})) * 1.0 / COUNT(*), 6)
+                 AS dup_rate
+        FROM silver GROUP BY source)
+SELECT 'accepted' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       CAST(1 AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS val
+FROM silver
+UNION ALL
+SELECT 'report' AS kind, source AS key, n_docs AS n, dup_rate AS val
+FROM rep
 """
 
 
@@ -10464,6 +10625,12 @@ def oracle_sql() -> dict[str, str]:
         "txt09_vocab_topk": _TXT09_SQL,
         "rpt01_corpus_report": _RPT01_SQL,
         "x15_incremental_near_dedup": _x15_sql(),
+        # r13 (VERDICT r12 item 6): the st03 harness PINS the batch
+        # sequence (history %3==0, crawl_1, crawl_2, one file per
+        # trigger, mtime-ordered), and every ingest survivor rule is
+        # deterministic — so the whole loop replays as a two-batch
+        # SQL cascade; see the _st03_sql block
+        "st03_incremental_ingest": _st03_sql(),
         "x16_dup_cluster_sizes": _X16_SQL,
         "x17_snapshot_diff": _X17_SQL,
         "x18_dsir_resample": _X18_SQL,
