@@ -479,7 +479,14 @@ ADJUDICATIONS = {
         "machinery was re-measured as the floor of BOTH shapes "
         "(range-shuffle and group-partition) against a 0.29 s twin; "
         "bench.py now stamps a standing mean±sd variance adjudication "
-        "(band_unresolvable) for every deep-warmed borderline row."
+        "(band_unresolvable) for every deep-warmed borderline row. "
+        "r13: the guardrail fired (two of four same-day runs over the "
+        "line with |margin| > sd) and the sanctioned profiling pass "
+        "ran — the named stamp-column-prune lever is EXHAUSTED: the "
+        "executed plan already scans only the 7 needed columns, and "
+        "the scalar-split third shape measured SLOWER (1.00 -> 1.24 s "
+        "median, scripts/profile_q07_split_ab.py); full series + "
+        "verdict in docs/BENCH_NOTES.md r13."
     ),
     # r12 (VERDICT r11 item 4) — the r11 >3x rows, each now also in
     # WARM_SPLIT so the artifact carries its own warm_ratio:
