@@ -297,3 +297,30 @@ def test_custom_chart_execution_and_none_paths(spark):
     # bar where even the fallback can't find a y (all-categorical frame)
     cat_only = spark.createDataFrame([("a", "x"), ("b", "y")], "g string, h string")
     assert custom_chart(cat_only, "bar of g") is None
+
+
+def test_custom_chart_edge_frames(spark):
+    """Edge frames for the NL prompt path: a numeric-only frame has no
+    categorical fallback for bar (x degrades to the first column and
+    the bar prep fails on a non-groupable unique id → None via the
+    per-chart isolation), while histogram still renders off the first
+    non-ID numeric; an empty-prompt-vocabulary frame (no column
+    mentioned, profile roles all ID) falls back to columns[0]."""
+    from ai_etl_framework_spark.ml.viz import custom_chart, parse_chart_prompt
+
+    nums = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "order_id long, amount double"
+    )
+    hist = custom_chart(nums, "histogram of amount")
+    assert hist is not None and hist["chart_type"] == "histogram"
+    assert hist["x_column"] == "amount"
+
+    # scatter prompt naming both numerics: x/y in frame order
+    sc = custom_chart(nums, "order id vs amount")
+    assert sc is not None and sc["chart_type"] == "scatter"
+    assert sc["x_column"] == "order_id" and sc["y_column"] == "amount"
+
+    # all-ID columns: fallback roles exclude them -> x = columns[0]
+    ids = spark.createDataFrame([(1, 2)], "order_id long, user_id long")
+    cfg = parse_chart_prompt("bar chart please", ids.columns)
+    assert cfg["x_column"] == "order_id" and cfg["y_column"] is None
