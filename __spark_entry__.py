@@ -2640,7 +2640,18 @@ def _run_stream_once(spark: SparkSession, ev: DataFrame, build_sink,
         bronze = os.path.join(tmp, "bronze")
         out = os.path.join(tmp, "out")
         ckpt = os.path.join(tmp, "ckpt")
-        ev.write.mode("overwrite").parquet(bronze)
+        # the scratch bronze copy arrives as ONE scan split (a single
+        # sf parquet file), so a bare write would parquet-encode the
+        # whole input on one core. A round-robin spread to a few
+        # tasks overlaps the encode; 8 (capped by the session's
+        # parallelism) is past the committer-overhead knee measured at
+        # sf0.1 (0.75 s → 0.41 s; 32 output files was SLOWER than 8).
+        # Still one AvailableNow data batch — no maxFilesPerTrigger —
+        # so the st01/st03 oracle contract (emitted set is a pure
+        # function of the events table) is untouched.
+        ev.repartition(
+            min(8, spark.sparkContext.defaultParallelism)
+        ).write.mode("overwrite").parquet(bronze)
 
         def _go() -> None:
             q = (
