@@ -2583,6 +2583,43 @@ SELECT 'ivf' AS path, vec_id, cos_sim FROM ({_SIM01_SQL})
 """
 
 
+def _backfill_state_partitions(spark: SparkSession, bronze_dir: str) -> int:
+    """Size-derived state-partition count for a bounded AvailableNow
+    backfill (guide §2.2 — derive partitioning from input size, never
+    a constant tuned for one box).
+
+    Cost model: each state partition pays a per-micro-batch FIXED cost
+    — RocksDB instance open, commit, changelog upload — measured at
+    ~25–50 ms here, against per-row work of ~5–10 µs, so a partition
+    needs at least a few thousand rows (~128 KiB of parquet) to
+    amortize its overhead. Measured A/B at sf0.1 (fresh checkpoints,
+    warm, median of 3): p04 windowed backfill 2.16 s at 32 state
+    partitions → 1.29–1.33 s at 4–8; p03 sessionize 3.32 s at 32 →
+    2.79 s at 16 (Python flush work still wants some parallelism,
+    hence the floor). The count is clamped to
+    [4, defaultParallelism]: any cluster-scale backfill (GBs+) hits
+    the cap and keeps every core — behavior there is unchanged — while
+    tiny local/incremental backfills stop paying 32× fixed costs.
+    ``SPARK_GRAFT_STATE_PART_BYTES`` overrides the per-partition byte
+    target (local default 128 KiB; on a real cluster state partitions
+    should amortize far more — set it to MBs there)."""
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(bronze_dir):
+        for f in files:
+            if not f.startswith((".", "_")):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    target = int(os.environ.get(
+        "SPARK_GRAFT_STATE_PART_BYTES", str(128 * 1024)
+    ))
+    n = max(1, math.ceil(total / max(target, 1)))
+    return max(4, min(n, spark.sparkContext.defaultParallelism))
+
+
 def _run_stream_once(spark: SparkSession, ev: DataFrame, build_sink,
                      prefix: str, marginal_ev: DataFrame | None = None,
                      timings: dict | None = None) -> DataFrame:
@@ -2615,14 +2652,21 @@ def _run_stream_once(spark: SparkSession, ev: DataFrame, build_sink,
             "RocksDBStateStoreProvider",
         "spark.sql.streaming.stateStore.rocksdb."
         "changelogCheckpointing.enabled": "true",
-        # state partition count is baked into the (fresh) checkpoint at
-        # query start: pin it to the actual core count so a session
-        # with default 200 shuffle partitions doesn't spin 200 state
-        # stores per micro-batch for this bounded input (measured on a
-        # plain 32-core session at sf0.01: st01 42s -> single-digit s)
-        "spark.sql.shuffle.partitions":
-            str(spark.sparkContext.defaultParallelism),
     }
+    # state partition count is baked into the (fresh) checkpoint at
+    # query start. r12 pinned it to the core count so a session with
+    # default 200 shuffle partitions doesn't spin 200 state stores per
+    # micro-batch (measured on a plain 32-core session at sf0.01:
+    # st01 42s -> single-digit s). r13 derives it from the INPUT SIZE
+    # instead of any constant (guide §2.2 — scale-adaptive
+    # partitioning): every state partition pays a per-batch fixed cost
+    # (RocksDB open + commit + changelog upload, tens of ms) that a
+    # bounded backfill must amortize over its rows, so a tiny backfill
+    # wants few, larger state partitions while a big one still wants
+    # every core. See _backfill_state_partitions below — the count is
+    # set AFTER the bronze write (it is derived from the bronze bytes)
+    # and before the stream starts; the marginal restart reuses the
+    # same checkpoint, whose offsets log carries the same count.
     # scratch dir first, then the save/set loop INSIDE the try: any
     # failure after the first conf.set (a host session rejecting a
     # later key, an interrupt mid-loop) must still restore what was
@@ -2652,6 +2696,14 @@ def _run_stream_once(spark: SparkSession, ev: DataFrame, build_sink,
         ev.repartition(
             min(8, spark.sparkContext.defaultParallelism)
         ).write.mode("overwrite").parquet(bronze)
+
+        _k = "spark.sql.shuffle.partitions"
+        if _k not in _prev_confs:
+            try:
+                _prev_confs[_k] = spark.conf.get(_k)
+            except Exception:
+                _prev_confs[_k] = None
+        spark.conf.set(_k, str(_backfill_state_partitions(spark, bronze)))
 
         def _go() -> None:
             q = (
