@@ -256,14 +256,14 @@ def contamination_pairs(
     fall back to a shuffle join when the "benchmark" is itself huge.
     """
     bench_sh = (
-        benchmark.select(F.explode(shingles(F.col(text_col), ngram)).alias("__sh"))
+        benchmark.select(F.explode(shingles(text_col, ngram)).alias("__sh"))
         .distinct()
     )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
     corp = corpus.select(
         F.col(id_col),
-        shingles(F.col(text_col), ngram).alias("__shs"),
+        shingles(text_col, ngram).alias("__shs"),
     ).select(
         id_col,
         F.size("__shs").cast("long").alias("n_shingles"),

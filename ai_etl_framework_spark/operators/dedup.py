@@ -214,7 +214,31 @@ def _cache_keep_one(tag: str, df: DataFrame) -> DataFrame:
 from ai_etl_framework_spark.functions.text import tokens  # noqa: E402
 
 
-def shingles(text: Column, k: int = 3) -> Column:
+# The shingle expression as SQL text (r13): the Column-API
+# construction of this HOF tree costs ~250 py4j round trips per call
+# (each lambda is assembled element-wise through the gateway) — ~0.1 s
+# of pure plan-BUILD latency on every dd03/dd04/novelty call. Parsing
+# the identical tree from text is ONE round trip. The tree is exactly
+# the old Column build: tokens bound once via the poor-man's let
+# (get(transform(array(tokens), body), 0) — see _let_tokens), same
+# size guards, same short-doc fallbacks. Lambda variables use __
+# names so a same-named input column cannot be shadowed differently
+# than the API path (whose variables are compiler-fresh).
+# Output equality with the Column build is pinned in
+# tests/test_dedup_fuzzy.py::test_shingles_expr_matches_column_api.
+_SHINGLE_EXPR_TMPL = (
+    "get(transform(array(coalesce(filter(split(lower({t}), '\\\\s+'), "
+    "__tk -> __tk != ''), CAST(array() AS array<string>))), "
+    "__ts -> array_distinct("
+    "CASE WHEN size(__ts) >= {k} THEN transform("
+    "sequence(0, greatest(size(__ts) - {k}, 0)), "
+    "__i -> array_join(slice(__ts, __i + 1, {k}), ' ')) "
+    "WHEN size(__ts) > 0 THEN array(array_join(__ts, ' ')) "
+    "ELSE array() END)), 0)"
+)
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-token shingles, joined with a single space.
 
     The token array is bound once (_let_tokens): the expression
@@ -222,7 +246,17 @@ def shingles(text: Column, k: int = 3) -> Column:
     short-doc fallbacks) and each textual reference would otherwise
     inline its own split+filter tree — codegen subexpression
     elimination does not dedup higher-order-function trees (the r6
-    corpus_quality lesson)."""
+    corpus_quality lesson).
+
+    Pass a column NAME (str) to build the identical tree from SQL
+    text in one JVM parse (_SHINGLE_EXPR_TMPL) — the Column-API HOF
+    construction is ~250 py4j round trips of pure driver latency per
+    call. A Column input keeps the API construction (arbitrary input
+    expressions have no SQL text form)."""
+    if isinstance(text, str):
+        return F.expr(_SHINGLE_EXPR_TMPL.format(
+            t="`" + text.replace("`", "``") + "`", k=int(k)
+        ))
     from ai_etl_framework_spark.functions.text import _let_tokens
 
     def body(toks: Column) -> Column:
@@ -280,12 +314,23 @@ def minhash_signatures(
         sh = shingle_sets.select(F.col(id_col), F.explode("sh").alias("__s"))
     else:
         sh = widen(df.select(id_col, text_col)).select(
-            F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__s")
+            F.col(id_col), F.explode(shingles(text_col, k)).alias("__s")
         )
-    a, b = _minhash_ab(F.md5(F.col("__s")))
-    sh = sh.select(id_col, a.alias("__a"), b.alias("__b"))
+    # Expression text parsed JVM-side in ONE py4j round trip per
+    # column instead of ~10 Column-API calls each (r13, guide §5
+    # driver work): the a/b projection + N affine-min aggregates cost
+    # ~0.15 s of pure py4j socket latency per plan BUILD at 16 hashes
+    # — pure driver-side cost on every call, identical analyzed plan
+    # (the SQL text is exactly _minhash_ab's tree; equality pinned in
+    # tests/test_dedup_fuzzy.py::test_minhash_exprs_match_column_api).
+    idq = "`" + id_col.replace("`", "``") + "`"
+    sh = sh.selectExpr(
+        idq,
+        "CAST(conv(substring(md5(__s), 1, 15), 16, 10) AS BIGINT) AS __a",
+        "CAST(conv(substring(md5(__s), 17, 8), 16, 10) AS BIGINT) AS __b",
+    )
     aggs = [
-        F.min((F.col("__a") + F.lit(i) * F.col("__b")) % F.lit(MINHASH_P)).alias(f"h{i}")
+        F.expr(f"min((__a + {i} * __b) % {MINHASH_P}) AS h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -299,20 +344,19 @@ def _banded_frame(
     minhash_band_table (one definition so the self-join path and the
     persisted incremental index can never hash bands differently)."""
     rows_per_band = num_hashes // bands
-    band_hashes = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"h{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
+    # one JVM-parsed expression (r13): the bands × rows_per_band
+    # md5/concat_ws/cast tree cost ~60 py4j round trips per plan build
+    # via the Column API; the SQL text is the identical expression
+    parts = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(
+            f"CAST(h{b * rows_per_band + r} AS STRING)"
+            for r in range(rows_per_band)
+        )
+        + "))"
+        for b in range(bands)
     )
+    band_hashes = F.expr(f"array({parts})")
     return sig.select(
         F.col(id_col),
         F.posexplode(band_hashes).alias("band_idx", "band_hash"),
@@ -395,7 +439,7 @@ def near_dedup_against_history(
         .distinct()
     )
     if threshold is not None:
-        sh_expr = F.array_distinct(shingles(F.col(text_col), k))
+        sh_expr = F.array_distinct(shingles(text_col, k))
         new_sh = new.select(F.col(id_col), sh_expr.alias("__sh_n"))
         hist_sh = history.select(
             F.col(id_col).alias("__hist_id"), sh_expr.alias("__sh_h")
@@ -675,7 +719,7 @@ def ngram_jaccard_pairs(
     # verification only joins candidate ids.
     sh_sets = (
         widen(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")))
-        .select("id", shingles(F.col("__txt"), k).alias("sh"))
+        .select("id", shingles("__txt", k).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
     )
     # the shingle table feeds candidate generation AND both sides of

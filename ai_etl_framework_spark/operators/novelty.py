@@ -53,7 +53,7 @@ def novelty_scores(
 
     sh = df.select(
         F.col(id_col),
-        F.explode(shingles(F.col(text_col), k)).alias("__sh"),
+        F.explode(shingles(text_col, k)).alias("__sh"),
     )
     dfreq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
     per_doc = (

@@ -40,6 +40,14 @@ def _is_nullish(df: DataFrame, name: str) -> Column:
     return c.isNull()
 
 
+def _nullish_sql(df: DataFrame, name: str) -> str:
+    """SQL text of :func:`_is_nullish` (same tree, one JVM parse)."""
+    c = "`" + name.replace("`", "``") + "`"
+    if isinstance(df.schema[name].dataType, T.StringType):
+        return f"({c} IS NULL OR {c} = '')"
+    return f"({c} IS NULL)"
+
+
 class NullRemover:
     def __init__(
         self,
@@ -55,17 +63,20 @@ class NullRemover:
 
     def __call__(self, df: DataFrame) -> DataFrame:
         cols = self.fields or df.columns
-        nullish = [_is_nullish(df, c) for c in cols]
-        any_nullish = None
-        all_nullish = None
-        for p in nullish:
-            any_nullish = p if any_nullish is None else (any_nullish | p)
-            all_nullish = p if all_nullish is None else (all_nullish & p)
 
-        if self.strategy == "drop":
-            return df.filter(~any_nullish) if any_nullish is not None else df
-        if self.strategy == "drop_all":
-            return df.filter(~all_nullish) if all_nullish is not None else df
+        # drop / drop_all: the predicate as ONE JVM-parsed expression
+        # (r13, guide §5 driver work) — the per-column Column-API
+        # OR/AND fold cost ~60 py4j round trips ≈ 80 ms of plan-build
+        # latency per call on a 9-column frame. The text is the same
+        # tree: NOT (n1 OR n2 ...) / NOT (n1 AND n2 ...), left-assoc,
+        # ""≡NULL for strings. Pinned against the Column build in
+        # tests/test_quality.py::test_null_remover_sql_text_matches.
+        if self.strategy in ("drop", "drop_all"):
+            if not cols:
+                return df
+            glue = " OR " if self.strategy == "drop" else " AND "
+            pred = glue.join(_nullish_sql(df, c) for c in cols)
+            return df.filter(F.expr(f"NOT ({pred})"))
         if self.strategy == "fill":
             out = df
             for name in cols:

@@ -51,8 +51,127 @@ def _is_integer(dt: T.DataType) -> bool:
     return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
 
 
+def _sql_name(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
 def quality_expressions(df: DataFrame) -> dict[str, Column]:
-    """Build {completeness, validity, consistency, quality_score}."""
+    """Build {completeness, validity, consistency, quality_score} from
+    JVM-parsed SQL text — ONE py4j round trip per metric.
+
+    r13 (guide §5 — driver work): the Column-API construction of these
+    per-field when-trees cost ~400 py4j round trips ≈ 340 ms of pure
+    plan-build latency per call on a 9-column frame — 65% of the p01
+    pipeline's whole timed region at sf0.1. The text generator below
+    mirrors :func:`_quality_expressions_column_api` (kept verbatim as
+    the reference implementation) check for check; literal suffixes
+    matter (bare ``0.0`` parses as DECIMAL in Spark SQL — every float
+    literal carries ``D``). Equality across dtypes/edge rows is pinned
+    by tests/test_quality.py::test_quality_sql_text_matches_column_api
+    and the q09/x09 oracle rows."""
+    fields = df.schema.fields
+    n = len(fields)
+
+    complete = []
+    val_num: list[str] = []
+    val_den: list[str] = []
+    cons: list[str] = []
+    for f in fields:
+        c = _sql_name(f.name)
+        is_str = isinstance(f.dataType, T.StringType)
+        nullish = f"({c} IS NULL OR {c} = '')" if is_str else f"({c} IS NULL)"
+        low = f.name.lower()
+
+        complete.append(f"CASE WHEN {nullish} THEN 0.0D ELSE 1.0D END")
+
+        if is_str:
+            val_num.append(
+                f"CASE WHEN {nullish} THEN 1.0D "
+                f"WHEN (length({c}) > 10000) THEN 0.0D "
+                f"WHEN (length({c}) > 1000) THEN 0.5D ELSE 1.0D END"
+            )
+            val_den.append("1.0D")
+            if "email" in low:
+                ok = f"(contains({c}, '@') AND contains({c}, '.'))"
+                val_num.append(
+                    f"CASE WHEN {nullish} THEN 0.0D ELSE "
+                    f"CASE WHEN {ok} THEN 1.0D ELSE 0.0D END END"
+                )
+                val_den.append(
+                    f"CASE WHEN {nullish} THEN 0.0D ELSE 1.0D END"
+                )
+        elif _is_numeric(f.dataType):
+            val_num.append(
+                f"CASE WHEN ({nullish} OR (abs({c}) <= 1.0E15D)) "
+                f"THEN 1.0D ELSE 0.0D END"
+            )
+            val_den.append("1.0D")
+        else:
+            val_num.append("1.0D")
+            val_den.append("1.0D")
+
+        if "age" in low:
+            cons.append(
+                f"CASE WHEN {nullish} THEN 1.0D "
+                f"WHEN (({c} > 0) AND ({c} < 150)) THEN 1.0D ELSE 0.0D END"
+                if _is_numeric(f.dataType)
+                else f"CASE WHEN {nullish} THEN 1.0D ELSE 0.0D END"
+            )
+        elif ("salary" in low) or ("price" in low):
+            cons.append(
+                f"CASE WHEN {nullish} THEN 1.0D "
+                f"WHEN ({c} > 0) THEN 1.0D ELSE 0.0D END"
+                if _is_numeric(f.dataType)
+                else f"CASE WHEN {nullish} THEN 1.0D ELSE 0.0D END"
+            )
+        elif low in ID_EXACT:
+            cons.append(
+                f"CASE WHEN {nullish} THEN 1.0D "
+                f"WHEN ({c} >= 0) THEN 1.0D ELSE 0.5D END"
+                if _is_integer(f.dataType)
+                else f"CASE WHEN {nullish} THEN 1.0D ELSE 0.5D END"
+            )
+        elif "email" in low:
+            cons.append(
+                f"CASE WHEN {nullish} THEN 1.0D ELSE 1.0D END"
+                if is_str
+                else f"CASE WHEN {nullish} THEN 1.0D ELSE 0.0D END"
+            )
+        else:
+            cons.append("1.0D")
+
+    if n:
+        completeness = F.expr(
+            "(" + " + ".join(complete) + f") / {float(n)!r}D"
+        )
+        consistency = F.expr(
+            "(" + " + ".join(cons) + f") / {float(n)!r}D"
+        )
+    else:
+        completeness = F.lit(0.0)
+        consistency = F.lit(1.0)
+    validity = (
+        F.expr(
+            "(" + " + ".join(val_num) + ") / ("
+            + " + ".join(val_den) + ")"
+        )
+        if val_num
+        else F.lit(1.0)
+    )
+
+    score = completeness * 0.4 + validity * 0.3 + consistency * 0.3
+    return {
+        "completeness": completeness,
+        "validity": validity,
+        "consistency": consistency,
+        "quality_score": score,
+    }
+
+
+def _quality_expressions_column_api(df: DataFrame) -> dict[str, Column]:
+    """Column-API reference build of the same expressions — the
+    pre-r13 construction, kept verbatim so the SQL-text generator
+    above has an executable spec to be pinned against."""
     fields = df.schema.fields
     n = len(fields)
 

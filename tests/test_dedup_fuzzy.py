@@ -982,3 +982,127 @@ def test_semantic_dedup_matches_python_model(spark):
         assert got == model(rows, t)
 
     run()
+
+
+def test_minhash_exprs_match_column_api(spark):
+    """The r13 plan-build optimization replaced the Column-API
+    construction of the minhash a/b projection, the affine-min
+    aggregates, and the banded-frame hash array with JVM-parsed SQL
+    text (one py4j round trip per expression). Pin that the SQL text
+    builds the IDENTICAL analyzed expressions: the signature and band
+    frames must equal a Column-API reference implementation row for
+    row — same hashes, not just same pairs."""
+    from ai_etl_framework_spark.operators.dedup import (
+        MINHASH_P,
+        _banded_frame,
+        _minhash_ab,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with other tokens here"),
+            (4, ""),
+            (5, None),
+            (6, "two tokens"),
+        ],
+        "doc_id long, text string",
+    )
+
+    # Column-API reference: the pre-r13 construction, verbatim
+    sh = docs.select(
+        F.col("doc_id"), F.explode(shingles(F.col("text"), 3)).alias("__s")
+    )
+    a, b = _minhash_ab(F.md5(F.col("__s")))
+    ref_sig = (
+        sh.select("doc_id", a.alias("__a"), b.alias("__b"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.col("__a") + F.lit(i) * F.col("__b")) % F.lit(MINHASH_P)
+                ).alias(f"h{i}")
+                for i in range(8)
+            ]
+        )
+    )
+    got_sig = minhash_signatures(docs, "doc_id", "text", num_hashes=8, k=3)
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(got_sig.collect()) == key(ref_sig.collect())
+
+    ref_band = ref_sig.select(
+        F.col("doc_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{bb * 2 + r}").cast("string")
+                                for r in range(2)
+                            ],
+                        )
+                    )
+                    for bb in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    ).where(F.col("band_hash").isNotNull())
+    got_band = _banded_frame(got_sig, "doc_id", 8, 4)
+    assert key(got_band.collect()) == key(ref_band.collect())
+
+
+def test_lit_vec_expr_matches_lit_loop(spark):
+    """lit_vec's one-parse array literal must equal the per-element
+    F.lit loop exactly (repr round-trips doubles), including
+    negatives, subnormals, and zero; non-finite values take the
+    Column-API fallback and still work."""
+    import math
+
+    from ai_etl_framework_spark.functions.similarity import lit_vec
+
+    vals = [1.0, -2.5, 0.0, 1e-300, 3.141592653589793, -0.1]
+    row = spark.range(1).select(
+        lit_vec(vals).alias("a"),
+        F.array(*[F.lit(float(x)) for x in vals]).alias("b"),
+    ).first()
+    assert row["a"] == row["b"] == vals
+
+    nf = [1.0, float("nan"), float("inf")]
+    got = spark.range(1).select(lit_vec(nf).alias("a")).first()["a"]
+    assert got[0] == 1.0 and math.isnan(got[1]) and math.isinf(got[2])
+
+
+def test_shingles_expr_matches_column_api(spark):
+    """The SQL-text shingle fast path (column-name input) must build
+    the same values as the Column-API tree for every boundary shape:
+    NULL, empty, whitespace-only, fewer-than-k tokens, exactly k,
+    duplicates, mixed whitespace (tab/newline), uppercase, and a
+    backtick-hostile column name — for several k."""
+    from ai_etl_framework_spark.operators.dedup import shingles
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   \t\n  "),
+        (4, "one"),
+        (5, "one two"),
+        (6, "one two three"),
+        (7, "one two three four"),
+        (8, "A B a b A B a b"),
+        (9, "x\ty\nz\fw\x0bv"),
+        (10, "  leading and trailing  "),
+    ]
+    df = spark.createDataFrame(rows, "id long, `t x` string")
+    for k in (1, 2, 3, 5):
+        got = df.select(
+            "id", shingles("t x", k).alias("sh")
+        ).orderBy("id").collect()
+        ref = df.select(
+            "id", shingles(F.col("t x"), k).alias("sh")
+        ).orderBy("id").collect()
+        assert [list(r["sh"]) for r in got] == [list(r["sh"]) for r in ref], k
