@@ -995,7 +995,7 @@ def txt03_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_etl_framework_spark.functions.text import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("doc_quality"))
+    return docs.select("doc_id", F.round(quality_score("text"), 6).alias("doc_quality"))
 
 
 def _txt03_sql() -> str:

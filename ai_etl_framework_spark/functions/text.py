@@ -195,12 +195,73 @@ def repetition_ratio(text: Column) -> Column:
     return _let_tokens(text, repetition_ratio_of)
 
 
-def quality_score(text: Column) -> Column:
+# SQL-text escapes for characters appearing in _ALNUM_WS / stopword
+# lists. Control chars use \uXXXX exclusively: Spark SQL's literal
+# unescape knows \t/\n/\r but silently turns an UNKNOWN short escape
+# into the bare character — '\f' parses as 'f' (measured: the form
+# feed vanished from the translate set and FF survived as "punct") —
+# so no short escapes at all.
+_SQL_CHAR_ESCAPES = {
+    "\\": "\\\\", "'": "\\'", "\t": "\\u0009", "\n": "\\u000A",
+    "\x0b": "\\u000B", "\f": "\\u000C", "\r": "\\u000D",
+}
+
+
+def _sql_str(s: str) -> str:
+    return "'" + "".join(_SQL_CHAR_ESCAPES.get(ch, ch) for ch in s) + "'"
+
+
+# tokens() as SQL text — identical tree, one JVM parse (r13; see the
+# shingles twin in operators/dedup.py for the measured py4j cost of
+# building HOF trees through the Column API)
+_TOKENS_SQL_TMPL = (
+    "coalesce(filter(split(lower({t}), '\\\\s+'), __tk -> __tk != ''), "
+    "CAST(array() AS array<string>))"
+)
+
+
+def _quality_score_sql(name: str) -> str:
+    """quality_score's expression as SQL text for a plain column
+    ``name`` — mirrors the Column build below branch for branch
+    (every float literal carries ``D``: a bare 0.3 parses as
+    DECIMAL). Pinned bit-identical in
+    tests/test_text_quality_sql.py."""
+    t = "`" + name.replace("`", "``") + "`"
+    en = ", ".join(_sql_str(w) for w in STOPWORDS["en"])
+    alnum = _sql_str(_ALNUM_WS)
+    punct_excess = (
+        f"least(CASE WHEN (length({t}) > 0) "
+        f"THEN (length(translate({t}, {alnum}, '')) / length({t})) "
+        f"ELSE 0.0D END * 5.0D, 1.0D)"
+    )
+    toks = _TOKENS_SQL_TMPL.format(t=t)
+    body = (
+        "(CASE WHEN ((size(__ts) >= 10) AND (size(__ts) <= 100000)) "
+        "THEN 1.0D ELSE CASE WHEN (size(__ts) > 0) THEN 0.5D "
+        "ELSE 0.0D END END) * 0.3D"
+        f" + (1.0D - {punct_excess}) * 0.3D"
+        f" + least(CASE WHEN (size(__ts) > 0) THEN "
+        f"(size(filter(__ts, __t -> __t IN ({en}))) / size(__ts)) "
+        f"ELSE 0.0D END * 4.0D, 1.0D) * 0.2D"
+        " + (1.0D - (CASE WHEN (size(__ts) > 0) THEN "
+        "(1.0D - (size(array_distinct(__ts)) / size(__ts))) "
+        "ELSE 0.0D END)) * 0.2D"
+    )
+    return f"get(transform(array({toks}), __ts -> {body}), 0)"
+
+
+def quality_score(text: Column | str) -> Column:
     """Composite document quality in [0,1]:
     0.3·length_ok + 0.3·(1−punct_excess) + 0.2·stopword_signal +
     0.2·(1−repetition). Deterministic, oracle-replicable. The token
     array is bound ONCE (_let_tokens) — the length/stopword/repetition
-    terms previously each re-tokenized the document."""
+    terms previously each re-tokenized the document.
+
+    Pass a column NAME (str) to build the identical tree from SQL
+    text in one JVM parse (~0.1 s of py4j chatter saved per call);
+    a Column input keeps the API construction."""
+    if isinstance(text, str):
+        return F.expr(_quality_score_sql(text))
     punct_excess = F.least(punct_ratio(text) * 5.0, F.lit(1.0))
 
     def body(toks: Column) -> Column:
