@@ -33,7 +33,7 @@ import threading
 from typing import Iterator, Optional, Sequence
 
 import pandas as pd  # module-level: pandas_udf type hints resolve here
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -489,11 +489,12 @@ def minhash_candidates(
     return (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+            F.expr(
+                "a.band_idx = b.band_idx AND a.band_hash = b.band_hash"
+                " AND a.id < b.id"
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .selectExpr("a.id AS id_a", "b.id AS id_b")
         .distinct()
     )
 
@@ -507,6 +508,14 @@ def minhash_candidates(
 _EPS = 1e-9
 
 
+def _dlit(x: float) -> str:
+    """Exact SQL DOUBLE literal: ``repr`` round-trips doubles;
+    exponent forms are already DOUBLE in Spark SQL, plain decimals
+    need the ``D`` suffix (a bare ``0.5`` parses as DECIMAL)."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "D"
+
+
 def _prefix_frame(sh_sets: DataFrame, threshold: float) -> DataFrame:
     """Persisted ``(id, n_sh, s, pos)`` prefix entries: each doc's
     shingles ordered by global document frequency (rarest first),
@@ -517,19 +526,19 @@ def _prefix_frame(sh_sets: DataFrame, threshold: float) -> DataFrame:
     chain. Persist lifecycle: one live frame per site via
     :func:`_cache_keep_one` (the auto-crossover branch additionally
     frees it early when it is known-dead)."""
-    exploded = sh_sets.select("id", "n_sh", F.explode("sh").alias("s"))
-    freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
-    prefix_len = (
-        F.col("n_sh")
-        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(_EPS))
-        + 1
+    # expression trees parsed JVM-side (r13 plan-build work — same
+    # trees, one py4j round trip each instead of dozens)
+    exploded = sh_sets.selectExpr("id", "n_sh", "explode(sh) AS s")
+    freq = exploded.groupBy("s").agg(F.expr("count(1) AS df"))
+    pos = F.expr("row_number() OVER (PARTITION BY id ORDER BY df ASC, s ASC)")
+    keep = F.expr(
+        f"pos <= n_sh - CEIL({_dlit(threshold)} * n_sh - {_dlit(_EPS)}) + 1"
     )
     return _cache_keep_one(
         "ppjoin_prefix",
         exploded.join(freq, "s")
-        .withColumn("pos", F.row_number().over(w))
-        .where(F.col("pos") <= prefix_len)
+        .withColumn("pos", pos)
+        .where(keep)
         .select("id", "n_sh", "s", "pos"),
     )
 
@@ -580,28 +589,22 @@ def prefix_filter_candidates(
         pref = _prefix_frame(sh_sets, threshold)
     a = pref.alias("a")
     b = pref.alias("b")
-    # overlap needed for J ≥ t (slack: see _EPS note above)
-    required = F.ceil(
-        F.lit(threshold / (1.0 + threshold))
-        * (F.col("a.n_sh") + F.col("b.n_sh"))
-        - F.lit(_EPS)
-    )
-    pos_bound = F.lit(1) + F.least(
-        F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
+    t, eps = _dlit(threshold), _dlit(_EPS)
+    # one JVM-parsed join condition (r13): same tree — equality on the
+    # prefix shingle, id order, the size-ratio prune (slack keeps the
+    # exact-boundary |A| = t·|B| pair), and the position filter
+    # (overlap needed for J ≥ t; exact — see docstring proof)
+    cond = F.expr(
+        f"a.s = b.s AND a.id < b.id"
+        f" AND a.n_sh >= {t} * b.n_sh - {eps}"
+        f" AND b.n_sh >= {t} * a.n_sh - {eps}"
+        f" AND (1 + least(a.n_sh - a.pos, b.n_sh - b.pos)) >="
+        f" CEIL({_dlit(threshold / (1.0 + threshold))}"
+        f" * (a.n_sh + b.n_sh) - {eps})"
     )
     return (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.id") < F.col("b.id"))
-            # size-ratio prune: J ≥ t ⇒ sizes within factor t
-            # (slack keeps the exact-boundary |A| = t·|B| pair)
-            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh") - F.lit(_EPS))
-            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh") - F.lit(_EPS))
-            # position filter (exact — see docstring proof)
-            & (pos_bound >= required),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(b, cond)
+        .selectExpr("a.id AS id_a", "b.id AS id_b")
         .distinct()
     )
 
@@ -771,24 +774,24 @@ def ngram_jaccard_pairs(
         if candidates is None:
             candidates = prefix_filter_candidates(sh_sets, threshold, pref=pref)
     # verification: exact intersection over the shingle arrays
+    # (JVM-parsed expressions — same trees as the Column build, r13)
     pairs = (
         candidates.join(
-            sh_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-                           F.col("n_sh").alias("n_a")),
+            sh_sets.selectExpr("id AS id_a", "sh AS sh_a", "n_sh AS n_a"),
             "id_a",
         )
         .join(
-            sh_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-                           F.col("n_sh").alias("n_b")),
+            sh_sets.selectExpr("id AS id_b", "sh AS sh_b", "n_sh AS n_b"),
             "id_b",
         )
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_inter", F.expr("size(array_intersect(sh_a, sh_b))"))
     )
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        pairs.withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        pairs.withColumn(
+            "jaccard", F.expr("n_inter / (n_a + n_b - n_inter)")
+        )
+        .where(F.expr(f"jaccard >= {_dlit(threshold)}"))
+        .selectExpr("id_a", "id_b", "round(jaccard, 6) AS jaccard")
     )
 
 
