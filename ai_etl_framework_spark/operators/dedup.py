@@ -252,11 +252,15 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     text in one JVM parse (_SHINGLE_EXPR_TMPL) — the Column-API HOF
     construction is ~250 py4j round trips of pure driver latency per
     call. A Column input keeps the API construction (arbitrary input
-    expressions have no SQL text form)."""
-    if isinstance(text, str):
+    expressions have no SQL text form), and so does a DOTTED name
+    (ADVICE r13: ``F.col('meta.text')`` resolves struct-field paths,
+    which a backtick-quoted text identifier would not)."""
+    if isinstance(text, str) and "." not in text:
         return F.expr(_SHINGLE_EXPR_TMPL.format(
             t="`" + text.replace("`", "``") + "`", k=int(k)
         ))
+    if isinstance(text, str):
+        text = F.col(text)
     from ai_etl_framework_spark.functions.text import _let_tokens
 
     def body(toks: Column) -> Column:
@@ -509,11 +513,12 @@ _EPS = 1e-9
 
 
 def _dlit(x: float) -> str:
-    """Exact SQL DOUBLE literal: ``repr`` round-trips doubles;
-    exponent forms are already DOUBLE in Spark SQL, plain decimals
-    need the ``D`` suffix (a bare ``0.5`` parses as DECIMAL)."""
-    r = repr(float(x))
-    return r if ("e" in r or "E" in r) else r + "D"
+    """Exact SQL DOUBLE literal: ``repr`` round-trips doubles; the
+    ``D`` suffix is unconditional (ADVICE r13 — a bare ``0.5`` parses
+    as DECIMAL, and an exponent form like ``1e-09`` is only DOUBLE
+    while ``spark.sql.legacy.exponentLiteralAsDecimal.enabled`` stays
+    false; ``1e-09D`` is valid under either conf)."""
+    return repr(float(x)) + "D"
 
 
 def _prefix_frame(sh_sets: DataFrame, threshold: float) -> DataFrame:
