@@ -120,11 +120,13 @@ def q02_filter_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         },
     )
-    return out.select(
+    # selectExpr (r14 plan-build): one JVM parse per column vs the
+    # F.round/alias py4j chain — identical projection
+    return out.selectExpr(
         "o_orderstatus",
         "o_orderpriority",
         "n_orders",
-        F.round("total_price_raw", 2).alias("total_price"),
+        "round(total_price_raw, 2) AS total_price",
     )
 
 
@@ -311,14 +313,17 @@ def q07_agg_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (scripts/profile_q07_sf1.py holds the protocol).
         distribute_sort="auto",
     )
-    return agg(li).select(
+    # selectExpr (r14 plan-build): the string select + four
+    # F.round/alias chains cost ~113 py4j round trips per call; the
+    # identical projection parses JVM-side in one trip per column
+    return agg(li).selectExpr(
         "l_returnflag",
         "n_rows",
         "n_status",
-        F.round("sum_qty_raw", 2).alias("sum_qty"),
-        F.round("avg_qty_raw", 4).alias("avg_qty"),
-        F.round("min_qty_raw", 2).alias("min_qty"),
-        F.round("max_qty_raw", 2).alias("max_qty"),
+        "round(sum_qty_raw, 2) AS sum_qty",
+        "round(avg_qty_raw, 4) AS avg_qty",
+        "round(min_qty_raw, 2) AS min_qty",
+        "round(max_qty_raw, 2) AS max_qty",
         "first_status",
         "last_status",
         "status_concat",
@@ -2613,11 +2618,21 @@ def _backfill_state_partitions(spark: SparkSession, bronze_dir: str) -> int:
                     total += os.path.getsize(os.path.join(root, f))
                 except OSError:
                     pass
-    target = int(os.environ.get(
-        "SPARK_GRAFT_STATE_PART_BYTES", str(128 * 1024)
-    ))
+    try:
+        target = int(os.environ.get(
+            "SPARK_GRAFT_STATE_PART_BYTES", str(128 * 1024)
+        ))
+    except ValueError:
+        # malformed override must not fail the whole streaming query
+        # (ADVICE r13) — fall back to the 128 KiB default
+        target = 128 * 1024
     n = max(1, math.ceil(total / max(target, 1)))
-    return max(4, min(n, spark.sparkContext.defaultParallelism))
+    # clamp to [4, defaultParallelism] with the FLOOR also bounded by
+    # the parallelism (ADVICE r13: max(4, min(n, dp)) returned 4 on a
+    # <4-core session, exceeding dp and contradicting the documented
+    # clamp)
+    dp = max(spark.sparkContext.defaultParallelism, 1)
+    return min(max(n, 4), dp)
 
 
 def _run_stream_once(spark: SparkSession, ev: DataFrame, build_sink,
@@ -3160,14 +3175,17 @@ def x06_distributed_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         distribute_sort=True,
     )
-    return agg(li).select(
+    # selectExpr (r14 plan-build): the string select + four
+    # F.round/alias chains cost ~113 py4j round trips per call; the
+    # identical projection parses JVM-side in one trip per column
+    return agg(li).selectExpr(
         "l_returnflag",
         "n_rows",
         "n_status",
-        F.round("sum_qty_raw", 2).alias("sum_qty"),
-        F.round("avg_qty_raw", 4).alias("avg_qty"),
-        F.round("min_qty_raw", 2).alias("min_qty"),
-        F.round("max_qty_raw", 2).alias("max_qty"),
+        "round(sum_qty_raw, 2) AS sum_qty",
+        "round(avg_qty_raw, 4) AS avg_qty",
+        "round(min_qty_raw, 2) AS min_qty",
+        "round(max_qty_raw, 2) AS max_qty",
         "first_status",
         "last_status",
         "status_concat",

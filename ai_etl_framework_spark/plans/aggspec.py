@@ -61,6 +61,34 @@ class AggregationSpec:
 
 
 def _metric_expr(m: Metric, approx: bool) -> Column:
+    """One metric Column — parsed from SQL text in one JVM round trip
+    when the names have a safe quoted form (r14 plan-build campaign:
+    the Column-API build costs ~15-30 py4j round trips per metric, all
+    pure driver latency), else the Column-API reference build below.
+    Equality pinned in tests/test_plans.py::test_metric_expr_sql_text_
+    matches_column_api."""
+    from ai_etl_framework_spark.operators.aggregator import _sql_name, _sql_safe
+
+    if _sql_safe(m.column) and _sql_safe(m.out_name) and (
+        m.column != "*" or m.agg == "count"  # '*' only means COUNT(*)
+    ):
+        c = _sql_name(m.column)
+        if m.agg == "count":
+            body = "count(1)" if m.column == "*" else f"count({c})"
+        elif m.agg == "count_distinct":
+            body = (
+                f"approx_count_distinct({c})" if approx
+                else f"count(DISTINCT {c})"
+            )
+        else:
+            body = f"{m.agg}({c})"
+        return F.expr(f"{body} AS {_sql_name(m.out_name)}")
+    return _metric_expr_column_api(m, approx)
+
+
+def _metric_expr_column_api(m: Metric, approx: bool) -> Column:
+    """Column-API reference build of the same metric (pinned against
+    the SQL-text path above; the fallback for unquotable names)."""
     c = F.col(m.column)
     if m.agg == "sum":
         e = F.sum(c)

@@ -63,6 +63,7 @@ def _model(rows):
     return out
 
 
+@pytest.mark.slow  # r14 driver-tier split: 126 s of hypothesis examples
 @pytest.mark.parametrize("distribute", [False, True])
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
@@ -444,3 +445,119 @@ def test_auto_saturated_estimate_reads_leaf_stats(spark, tmp_path):
     assert "rangepartitioning" in plan_of(1)
     # and a huge threshold still keeps the latency plan
     assert "rangepartitioning" not in plan_of(1 << 40)
+
+
+def test_expr_sql_text_matches_column_api(spark):
+    """r14 plan-build campaign pin: every builtin aggregate branch's
+    SQL text (_agg_expr_sql — ONE JVM parse) must produce bit-identical
+    results to the Column-API reference build (_expr_column_api) on
+    every physical operand form the paths use: the __rn stamp (concat/
+    list present), the nulls-last struct order key (first/last only),
+    the shared-concat count_distinct buffer, the collect_set no_expand
+    form, and the plain countDistinct form. Edge rows cover NULL group
+    keys, NULL/empty/comma-bearing strings, all-NULL groups, and
+    non-numeric strings in numeric positions."""
+    from ai_etl_framework_spark.operators.aggregator import (
+        _agg_expr_sql,
+        _order_key,
+        _order_key_sql,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (ord, g, v, s)
+        (0, "a", 1.25, "x"),
+        (1, "a", None, None),
+        (2, "a", -0.0, ""),
+        (3, "b", float("nan"), "x, y"),
+        (4, "b", 2.5, "x"),
+        (5, None, None, None),  # all-NULL group
+        (6, "c", 1e-9, "zz"),
+    ]
+    df = spark.createDataFrame(rows, "ord long, g string, v double, s string")
+    agg = Aggregator(group_by=["g"], aggregations={}, order_col="ord")
+
+    # --- stamp path operands (concat/list present → __rn, no_expand)
+    stamped = (
+        df.repartition(F.col("g"))
+        .sortWithinPartitions(F.col("ord").asc_nulls_last())
+        .withColumn("__rn", F.monotonically_increasing_id())
+    )
+    rn = F.col("__rn")
+    shared = frozenset({"s"})
+    cases = [
+        ("sum", "v"), ("avg", "v"), ("min", "v"), ("max", "v"),
+        ("count", "s"), ("count_distinct", "s"), ("count_distinct", "v"),
+        ("first", "s"), ("last", "s"), ("concat", "s"), ("list", "s"),
+        ("list", "v"),
+    ]
+    got_exprs, ref_exprs = [], []
+    for i, (fn, field) in enumerate(cases):
+        text = _agg_expr_sql(field, fn, rn_sql="__rn", no_expand=True,
+                             shared_concat_fields=shared)
+        assert text is not None, (fn, field)
+        got_exprs.append(F.expr(text).alias(f"g_{i}"))
+        ref_exprs.append(
+            agg._expr_column_api(f"r_{i}", field, fn, rn, no_expand=True,
+                                 shared_concat_fields=shared)
+        )
+    def _same(g, r):
+        if isinstance(g, float) and isinstance(r, float) \
+                and math.isnan(g) and math.isnan(r):
+            return True
+        if isinstance(g, list) and isinstance(r, list):
+            return len(g) == len(r) and all(_same(a, b) for a, b in zip(g, r))
+        return g == r
+
+    out = stamped.groupBy("g").agg(*got_exprs, *ref_exprs).collect()
+    for row in out:
+        for i in range(len(cases)):
+            g, r = row[f"g_{i}"], row[f"r_{i}"]
+            assert _same(g, r), (cases[i], row["g"], g, r)
+
+    # --- min_by path operands (first/last only → nulls-last struct)
+    order_names = ["v", "s"]  # NULLs + NaN in the key itself
+    key_sql = _order_key_sql(order_names)
+    key_col = _order_key([F.col(n) for n in order_names])
+    out2 = df.groupBy("g").agg(
+        F.expr(f"CAST(min_by(s, {key_sql}) AS STRING)").alias("g_first"),
+        F.expr(f"CAST(max_by(s, {key_sql}) AS STRING)").alias("g_last"),
+        agg._expr_column_api("r_first", "s", "first", order_key=key_col),
+        agg._expr_column_api("r_last", "s", "last", order_key=key_col),
+        F.expr(_agg_expr_sql("s", "count_distinct")).alias("g_cd"),
+        agg._expr_column_api("r_cd", "s", "count_distinct"),
+    ).collect()
+    for row in out2:
+        assert row["g_first"] == row["r_first"], row
+        assert row["g_last"] == row["r_last"], row
+        assert row["g_cd"] == row["r_cd"], row
+
+
+def test_expr_sql_unsafe_names_fall_back_to_column_api(spark):
+    """A field/order name with a dot or backtick has no safe quoted
+    text form (the r13 dedup fast-path trap): _agg_expr_sql must
+    refuse (None) and the Aggregator must still answer through the
+    Column-API build, unchanged from pre-r14 behavior."""
+    from ai_etl_framework_spark.operators.aggregator import (
+        _agg_expr_sql,
+        _order_key_sql,
+    )
+
+    assert _agg_expr_sql("a.b", "sum") is None
+    assert _agg_expr_sql("a`b", "count") is None
+    assert _order_key_sql(["ok", "bad.name"]) is None
+    # order-sensitive functions with no order operand have no text form
+    assert _agg_expr_sql("s", "first") is None
+    assert _agg_expr_sql("s", "concat", rn_sql=None) is None
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", 3.0)], "ord long, g string, v double"
+    )
+    agg = Aggregator(
+        group_by=["g"],
+        aggregations={"total": {"field": "v", "function": "sum"},
+                      "cat": {"field": "v", "function": "concat"}},
+        order_col="ord",
+    )
+    res = {r["g"]: (r["total"], r["cat"]) for r in agg(df).collect()}
+    assert res == {"a": (5.0, "2.0, 3.0")}

@@ -199,3 +199,45 @@ def test_drill_down_map_column_default_order_is_deterministic(spark):
     # map-only projection: still deterministic, no AnalysisException
     only_map = drill_down(df, columns=["props"], limit=7)
     assert len(only_map["records"]) == 7
+
+
+def test_metric_expr_sql_text_matches_column_api(spark):
+    """r14 plan-build pin: every Metric agg's SQL text parses to the
+    same result as the Column-API reference build, exact and approx,
+    including COUNT(*) vs COUNT(col) null semantics — and unquotable
+    names fall back to the Column path unchanged."""
+    from ai_etl_framework_spark.plans.aggspec import (
+        Metric,
+        _metric_expr,
+        _metric_expr_column_api,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "x"), (2, None, "x"), (3, 2.0, None), (4, 5.5, "y")],
+        "id long, v double, s string",
+    )
+    metrics = [
+        Metric("v", "sum"), Metric("v", "avg"), Metric("v", "min"),
+        Metric("v", "max"), Metric("v", "count"), Metric("*", "count"),
+        Metric("s", "count"), Metric("s", "count_distinct"),
+    ]
+    for approx in (False, True):
+        got = df.agg(*[
+            _metric_expr(m, approx).alias(f"g{i}")
+            for i, m in enumerate(metrics)
+        ]).collect()[0]
+        ref = df.agg(*[
+            _metric_expr_column_api(m, approx).alias(f"r{i}")
+            for i, m in enumerate(metrics)
+        ]).collect()[0]
+        for i in range(len(metrics)):
+            assert got[f"g{i}"] == ref[f"r{i}"], (metrics[i], approx)
+
+    # default alias comes from the text path too
+    out = df.agg(_metric_expr(Metric("v", "sum"), False))
+    assert out.columns == ["v_sum"]
+    # unquotable name → Column-API fallback (same error/behavior as
+    # pre-r14; here the dotted name simply doesn't resolve as SQL text)
+    dotted = df.withColumnRenamed("v", "v.x")
+    got = dotted.agg(_metric_expr(Metric("`v.x`", "sum"), False)).collect()[0]
+    assert got[0] == 9.5
