@@ -486,6 +486,31 @@ def main() -> None:
             per_query[k]["warm_mean"] = round(_stats.mean(tail), 4)
             per_query[k]["warm_sd"] = round(sd, 4)
             per_query[k]["band_unresolvable"] = sd >= abs(margin)
+    # Twin-ratio self-adjudication (r14, VERDICT r13 item 3): divide
+    # this run's DuckDB twin by the committed quiet-box record's
+    # (BENCH_TWIN_REF.json). Both engines read the same parquet on the
+    # same box, so a ratio well above 1.0 on the heavyweight twins
+    # (dd03/dd04/q07/txt03) is HOST degradation stamped in-artifact —
+    # a PERF consumer separates host drift from plan changes
+    # mechanically instead of recomputing it from a prior round's
+    # artifact by hand. Additions-only: no timed loop changes.
+    twin_ref_path = os.environ.get(
+        "SPARK_GRAFT_TWIN_REF",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_TWIN_REF.json"),
+    )
+    twin_ratio_vs_committed: dict[str, float] | None = None
+    try:
+        with open(twin_ref_path) as fh:
+            _ref_twins = json.load(fh).get("duckdb_twin_sec", {})
+        twin_ratio_vs_committed = {
+            k: round(duck[k] / _ref_twins[k], 3)
+            for k in duck
+            if _ref_twins.get(k)
+        } or None
+    except (OSError, ValueError):
+        pass  # reference missing/corrupt → the stamp is simply absent
+
     DEDUP = {"dd03_minhash_band_pairs", "dd04_ngram_jaccard"}
     ex_dedup = [k for k in duck if k not in DEDUP]
     # r11 (VERDICT r10 item 6): the official driver-run artifact keeps
@@ -553,6 +578,7 @@ def main() -> None:
         "loadavg_retry": loadavg_retry,
         "loadavg_retries": loadavg_retries or None,
         "loadavg_gate_max": _gate_max if _gate else None,
+        "twin_ratio_vs_committed": twin_ratio_vs_committed,
     }
     # Full record → a FILE (committed per round as BENCH_r{N}_local.json)
     # and an early stdout line; the LAST stdout line is a compact
@@ -621,6 +647,10 @@ def main() -> None:
         "loadavg_1min": loadavg_1min,
         "loadavg_retry": loadavg_retry,
         "loadavg_retries": loadavg_retries or None,
+        # r14 (VERDICT r13 item 3): this run's twin / the committed
+        # quiet-box record's twin, per row — host drift adjudicates
+        # itself in the official artifact (see the full-record comment)
+        "twin_ratio_vs_committed": twin_ratio_vs_committed,
         "full_record": os.path.basename(out_path),
     }
     print(json.dumps(compact), flush=True)
