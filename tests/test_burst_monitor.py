@@ -12,8 +12,15 @@ from datetime import datetime, timedelta
 
 import pytest
 
+# r14 driver-tier split (VERDICT r13 item 1): this suite is
+# hypothesis/differential/e2e-heavy and runs in the SLOW tier
+# (`pytest -m slow`); the driver's default `pytest tests/` keeps
+# the contract/pin/parity suites inside its verify window.
+pytestmark = pytest.mark.slow
+
 from ai_etl_framework_spark.operators.timeseries import burst_detection
 from ai_etl_framework_spark.pipeline.monitor import IncrementalBurstMonitor
+
 
 T0 = datetime(2024, 5, 1, 0, 0, 0)
 

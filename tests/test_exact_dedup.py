@@ -6,10 +6,18 @@ the plan pins that each path compiles to the intended aggregate."""
 
 from __future__ import annotations
 
+import pytest
+
+# r14 driver-tier split (VERDICT r13 item 1): this suite is
+# hypothesis/differential/e2e-heavy and runs in the SLOW tier
+# (`pytest -m slow`); the driver's default `pytest tests/` keeps
+# the contract/pin/parity suites inside its verify window.
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from ai_etl_framework_spark.operators.dedup import exact_dedup
+
 
 
 def _rows(spark, data):

@@ -10,9 +10,16 @@ import shutil
 import time
 
 import pytest
+
+# r14 driver-tier split (VERDICT r13 item 1): this suite is
+# hypothesis/differential/e2e-heavy and runs in the SLOW tier
+# (`pytest -m slow`); the driver's default `pytest tests/` keeps
+# the contract/pin/parity suites inside its verify window.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from ai_etl_framework_spark.pipeline.ingest import IncrementalCorpusIngest
+
 
 HIST = [
     (100, "the quick brown fox jumps over the lazy dog", "en", "web"),

@@ -7,10 +7,17 @@ edge shapes (empty sides, all-matched, none-matched, NULL payloads)."""
 from __future__ import annotations
 
 import pytest
+
+# r14 driver-tier split (VERDICT r13 item 1): this suite is
+# hypothesis/differential/e2e-heavy and runs in the SLOW tier
+# (`pytest -m slow`); the driver's default `pytest tests/` keeps
+# the contract/pin/parity suites inside its verify window.
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from ai_etl_framework_spark.operators.merge import merge_upsert
+
 
 ROW = st.tuples(
     st.integers(min_value=0, max_value=9),               # key

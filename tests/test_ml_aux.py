@@ -7,10 +7,17 @@ import os
 import sqlite3
 
 import pytest
+
+# r14 driver-tier split (VERDICT r13 item 1): this suite is
+# hypothesis/differential/e2e-heavy and runs in the SLOW tier
+# (`pytest -m slow`); the driver's default `pytest tests/` keeps
+# the contract/pin/parity suites inside its verify window.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from ai_etl_framework_spark.ml.insights import build_insight_context, generate_insights
 from ai_etl_framework_spark.ml.viz import (
+
     analyze_column,
     echarts_config,
     rank_charts,

@@ -9,10 +9,18 @@ single-token docs)."""
 
 from __future__ import annotations
 
+import pytest
+
+# r14 driver-tier split (VERDICT r13 item 1): this suite is
+# hypothesis/differential/e2e-heavy and runs in the SLOW tier
+# (`pytest -m slow`); the driver's default `pytest tests/` keeps
+# the contract/pin/parity suites inside its verify window.
+pytestmark = pytest.mark.slow
 import itertools
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
 
 
 def _brute_force(rows, k, threshold):

@@ -7,9 +7,16 @@ from __future__ import annotations
 import random
 
 import pytest
+
+# r14 driver-tier split (VERDICT r13 item 1): this suite is
+# hypothesis/differential/e2e-heavy and runs in the SLOW tier
+# (`pytest -m slow`); the driver's default `pytest tests/` keeps
+# the contract/pin/parity suites inside its verify window.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from ai_etl_framework_spark.ml.quality_filter import (
+
     fit_quality_classifier,
     pareto_keep_expr,
     pareto_resample,

@@ -6,11 +6,18 @@ event-time timeout → parquet sink, compared against the batch twin
 from __future__ import annotations
 
 import pytest
+
+# r14 driver-tier split (VERDICT r13 item 1): this suite is
+# hypothesis/differential/e2e-heavy and runs in the SLOW tier
+# (`pytest -m slow`); the driver's default `pytest tests/` keeps
+# the contract/pin/parity suites inside its verify window.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from ai_etl_framework_spark.session import load_table
 from ai_etl_framework_spark.streaming.events import read_stream
 from ai_etl_framework_spark.streaming.sessions import (
+
     sessionize_batch,
     sessionize_stream,
 )
