@@ -224,6 +224,77 @@ def _agg_expr_sql(
     return None
 
 
+def _dist_exprs_sql(
+    out: str, field: str, fn: str, rn_sql: str = "__rn",
+) -> Optional[tuple[list[str], str]]:
+    """SQL text for one function's two-level (``_distributed``)
+    aggregation: ``(level-1 partial expressions, level-2 final
+    expression)`` — the same trees the Column-API branches in
+    :meth:`Aggregator._distributed` build (kept verbatim there as the
+    pinned reference and the fallback), parsed JVM-side in one round
+    trip each (r14: the x06/distributed build cost 980 py4j round
+    trips ≈ 0.34 s — the shape q07's "auto" takes at sf1+, i.e. the
+    cost every at-scale build pays). ``None`` when a name has no safe
+    quoted form. Equality pinned by
+    tests/test_aggregator_properties.py::test_distributed_sql_text_matches_column_api."""
+    if not (_sql_safe(field) and _sql_safe(out)):
+        return None
+    c = _sql_name(field)
+    num = f"try_cast({c} AS DOUBLE)"
+    p = _sql_name(f"__p_{out}")
+    o = _sql_name(out)
+
+    def slice_part(pe: str) -> str:
+        # one entry per (group, slice), keyed by slice id so level 2
+        # reassembles in global order (mirror of the Column slice_part)
+        return f"array_sort(collect_list(struct(__slice AS p, {pe} AS v)))"
+
+    if fn == "sum":
+        return ([f"sum({num}) AS {p}"],
+                f"CAST(coalesce(sum({p}), 0.0D) AS DOUBLE) AS {o}")
+    if fn == "avg":
+        ps = _sql_name(f"__p_{out}_s")
+        pn = _sql_name(f"__p_{out}_n")
+        return ([f"sum({num}) AS {ps}", f"count({num}) AS {pn}"],
+                f"CAST((sum({ps}) / sum({pn})) AS DOUBLE) AS {o}")
+    if fn == "min":
+        return ([f"min({num}) AS {p}"],
+                f"CAST(min({p}) AS DOUBLE) AS {o}")
+    if fn == "max":
+        return ([f"max({num}) AS {p}"],
+                f"CAST(max({p}) AS DOUBLE) AS {o}")
+    if fn == "count":
+        # coalesce: a GLOBAL aggregation over zero rows must yield 0
+        return ([f"count(1) AS {p}"],
+                f"CAST(coalesce(sum({p}), 0) AS BIGINT) AS {o}")
+    if fn == "count_distinct":
+        return ([f"collect_set(CAST({c} AS STRING)) AS {p}"],
+                f"CAST(size(array_distinct(flatten(collect_list({p})))) "
+                f"AS BIGINT) AS {o}")
+    if fn in ("first", "last"):
+        red = "min" if fn == "first" else "max"
+        return ([f"{red}(struct({rn_sql} AS r, {c} AS v)) AS {p}"],
+                f"CAST(({red}({p})).v AS STRING) AS {o}")
+    if fn == "concat":
+        entry = (f"CASE WHEN {c} IS NOT NULL THEN "
+                 f"struct({rn_sql} AS r, CAST({c} AS STRING) AS v) END")
+        se = f"array_sort(collect_list({entry}))"
+        # a slice with NO entries (all values NULL there) must yield a
+        # NULL part, not '' — '' is a legitimate part that must survive
+        part = (f"CASE WHEN (size({se}) > 0) THEN "
+                f"array_join(transform({se}, __s -> __s.v), ', ') END")
+        return ([f"{part} AS {p}"],
+                f"array_join(filter(transform({slice_part(p)}, "
+                f"__s -> __s.v), __x -> __x IS NOT NULL), ', ') AS {o}")
+    if fn == "list":
+        entry = (f"CASE WHEN {c} IS NOT NULL THEN "
+                 f"struct({rn_sql} AS r, {c} AS v) END")
+        return ([f"transform(array_sort(collect_list({entry})), "
+                 f"__s -> __s.v) AS {p}"],
+                f"flatten(transform({slice_part(p)}, __s -> __s.v)) AS {o}")
+    return None
+
+
 def _order_key_sql(order_names: Sequence[str]) -> Optional[str]:
     """SQL text of :func:`_order_key` over NAMED order columns — the
     asc-NULLS-LAST struct the shuffle-free first/last path reduces
@@ -562,15 +633,40 @@ class Aggregator:
         keys match themselves (exactly as groupBy grouped them);
         -0.0/0.0 were already normalized to one group by both
         groupBys. Group-count-sized frames — AQE broadcasts the
-        join."""
+        join.
+
+        r14 plan-build: when every involved name has a safe quoted
+        form (and the rename targets don't collide with left's
+        columns), the per-key withColumnRenamed loop and the
+        eqNullSafe Column chain collapse to one selectExpr + one
+        parsed ``<=>`` conjunction (the same EqualNullSafe
+        expression) — ~66 → ~25 py4j round trips per mixed/split
+        build. The Column path below is the reference and the
+        fallback."""
         if self.group_by:
             tmp = {g: f"__ga_{g}" for g in self.group_by}
-            for g, t in tmp.items():
-                right = right.withColumnRenamed(g, t)
-            cond = None
-            for g, t in tmp.items():
-                c = left[g].eqNullSafe(right[t])
-                cond = c if cond is None else cond & c
+            fast = (
+                all(_sql_safe(c) for c in right.columns)
+                and all(_sql_safe(c) for c in left.columns)
+                and set(tmp.values()).isdisjoint(left.columns)
+            )
+            if fast:
+                right = right.selectExpr(*[
+                    f"{_sql_name(c)} AS {_sql_name(tmp[c])}"
+                    if c in tmp else _sql_name(c)
+                    for c in right.columns
+                ])
+                cond = F.expr(" AND ".join(
+                    f"{_sql_name(g)} <=> {_sql_name(t)}"
+                    for g, t in tmp.items()
+                ))
+            else:
+                for g, t in tmp.items():
+                    right = right.withColumnRenamed(g, t)
+                cond = None
+                for g, t in tmp.items():
+                    c = left[g].eqNullSafe(right[t])
+                    cond = c if cond is None else cond & c
             result = left.join(right, cond).drop(*tmp.values())
         else:
             result = left.crossJoin(right)
@@ -667,6 +763,16 @@ class Aggregator:
         finals: list[Column] = []
         for out, spec in specs:
             fn = spec["function"]
+            # SQL-text build first (r14 plan-build campaign, guide §5):
+            # one JVM parse per expression instead of the Column-API
+            # py4j chains below, which stay as the pinned reference
+            # (tests pin text-vs-Column equality) and the fallback for
+            # unquotable names
+            texts = _dist_exprs_sql(out, spec["field"], fn)
+            if texts is not None:
+                partials.extend(F.expr(t) for t in texts[0])
+                finals.append(F.expr(texts[1]))
+                continue
             c = F.col(spec["field"])
             p = f"__p_{out}"
 
@@ -783,16 +889,53 @@ class Aggregator:
         rest = [(o, s) for o, s in specs if s["function"] != "count_distinct"]
         left = self._aggregate(df, rest)
         for out, spec in cd:
-            c = F.col(spec["field"]).cast("string")
-            dd = (
-                df.where(c.isNotNull())
-                .select(*self.group_by, c.alias("__cd_v"))
-                .distinct()
+            field = spec["field"]
+            # r14 plan-build: one-parse forms of the pre-dedup frame,
+            # the count, and the null-safe join condition when every
+            # name is quotable (same trees; the Column path below is
+            # the reference/fallback — see _join_on_groups)
+            fast = (
+                _sql_safe(field) and _sql_safe(out)
+                and all(_sql_safe(g) for g in self.group_by)
+                and all(_sql_safe(c) for c in left.columns)
+                and not any(
+                    f"__cd_{g}" in left.columns for g in self.group_by
+                )
             )
-            cnt = dd.groupBy(*self.group_by).agg(
-                F.count(F.lit(1)).cast("long").alias(out)
-            )
-            if self.group_by:
+            if fast:
+                dd = (
+                    df.selectExpr(
+                        *[_sql_name(g) for g in self.group_by],
+                        f"CAST({_sql_name(field)} AS STRING) AS __cd_v",
+                    )
+                    .where("__cd_v IS NOT NULL")
+                    .distinct()
+                )
+                cnt = dd.groupBy(*self.group_by).agg(
+                    F.expr(f"CAST(count(1) AS BIGINT) AS {_sql_name(out)}")
+                )
+            else:
+                c = F.col(field).cast("string")
+                dd = (
+                    df.where(c.isNotNull())
+                    .select(*self.group_by, c.alias("__cd_v"))
+                    .distinct()
+                )
+                cnt = dd.groupBy(*self.group_by).agg(
+                    F.count(F.lit(1)).cast("long").alias(out)
+                )
+            if self.group_by and fast:
+                tmp = {g: f"__cd_{g}" for g in self.group_by}
+                cnt = cnt.selectExpr(*[
+                    f"{_sql_name(g)} AS {_sql_name(t)}"
+                    for g, t in tmp.items()
+                ] + [_sql_name(out)])
+                cond = F.expr(" AND ".join(
+                    f"{_sql_name(g)} <=> {_sql_name(t)}"
+                    for g, t in tmp.items()
+                ))
+                left = left.join(cnt, cond, "left").drop(*tmp.values())
+            elif self.group_by:
                 tmp = {g: f"__cd_{g}" for g in self.group_by}
                 for g, t in tmp.items():
                     cnt = cnt.withColumnRenamed(g, t)
@@ -806,7 +949,12 @@ class Aggregator:
                 # row; a left join keeps it even when every value was
                 # NULL (empty cnt frame)
                 left = left.join(cnt, F.lit(True), "left")
-            left = left.withColumn(out, F.coalesce(F.col(out), F.lit(0).cast("long")))
+            left = left.withColumn(
+                out,
+                F.expr(f"coalesce({_sql_name(out)}, CAST(0 AS BIGINT))")
+                if fast
+                else F.coalesce(F.col(out), F.lit(0).cast("long")),
+            )
         return left.select(*self.group_by, *[o for o, _ in specs])
 
     def __call__(self, df: DataFrame) -> DataFrame:

@@ -561,3 +561,101 @@ def test_expr_sql_unsafe_names_fall_back_to_column_api(spark):
     )
     res = {r["g"]: (r["total"], r["cat"]) for r in agg(df).collect()}
     assert res == {"a": (5.0, "2.0, 3.0")}
+
+
+def test_distributed_sql_text_matches_column_api(spark, monkeypatch):
+    """r14: the _distributed two-level build's SQL text must produce
+    bit-identical results to the Column-API reference branches for all
+    10 builtin functions, across multiple slices (the range spread) and
+    edge rows (NULL group keys, all-NULL groups, empty strings, NaN)."""
+    from ai_etl_framework_spark.operators import aggregator
+
+    rows = [
+        (0, "a", 1.25, "x"), (1, "a", None, None), (2, "a", -0.0, ""),
+        (3, "b", float("nan"), "x, y"), (4, "b", 2.5, "x"),
+        (5, None, None, None), (6, "c", 1e-9, "zz"),
+        (7, "b", 7.5, "y"), (8, "a", 3.0, "w"),
+    ]
+    df = spark.createDataFrame(rows, "ord long, g string, v double, s string")
+    aggs = {
+        "total": {"field": "v", "function": "sum"},
+        "mean": {"field": "v", "function": "avg"},
+        "lo": {"field": "v", "function": "min"},
+        "hi": {"field": "v", "function": "max"},
+        "n": {"field": "s", "function": "count"},
+        "cd": {"field": "s", "function": "count_distinct"},
+        "f": {"field": "s", "function": "first"},
+        "l": {"field": "s", "function": "last"},
+        "cat": {"field": "s", "function": "concat"},
+        "lst": {"field": "s", "function": "list"},
+    }
+
+    def run():
+        agg = Aggregator(group_by=["g"], aggregations=aggs,
+                         order_col="ord", distribute_sort=True)
+        out = agg(df).collect()
+        return sorted(
+            (tuple(r) for r in out),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+
+    got = run()  # SQL-text build (the shipping path)
+    monkeypatch.setattr(aggregator, "_dist_exprs_sql", lambda *a, **kw: None)
+    ref = run()  # Column-API reference build
+
+    def _same(a, b):
+        if isinstance(a, float) and isinstance(b, float) \
+                and math.isnan(a) and math.isnan(b):
+            return True
+        if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+            return len(a) == len(b) and all(_same(x, y) for x, y in zip(a, b))
+        return a == b
+
+    assert _same(got, ref), (got, ref)
+
+
+def test_distributed_sql_unsafe_names_refuse_text_form():
+    from ai_etl_framework_spark.operators.aggregator import _dist_exprs_sql
+
+    assert _dist_exprs_sql("out", "a.b", "sum") is None
+    assert _dist_exprs_sql("o`ut", "v", "sum") is None
+    assert _dist_exprs_sql("out", "v", "sum") is not None
+
+
+def test_sql_fast_paths_match_column_fallbacks_everywhere(spark, monkeypatch):
+    """r14: force EVERY SQL-text fast path off (_sql_safe -> False) and
+    pin that the Column-API fallbacks produce identical results for the
+    specs that exercise all the converted plumbing at once — the
+    count_distinct+scalars split (_split_count_distinct's pre-dedup +
+    null-safe join) and the mixed distributed spec (_join_on_groups),
+    over NULL group keys and all-NULL groups."""
+    from ai_etl_framework_spark.operators import aggregator
+
+    rows = [
+        (0, "a", 1.0, "x"), (1, "a", None, None), (2, None, 2.0, "y"),
+        (3, "b", 3.0, "y"), (4, "b", 4.0, ""), (5, "c", None, None),
+    ]
+    df = spark.createDataFrame(rows, "ord long, g string, v double, s string")
+    split_spec = {  # count_distinct next to scalars, no collect buffer
+        "n": {"field": "v", "function": "count"},
+        "total": {"field": "v", "function": "sum"},
+        "cd": {"field": "s", "function": "count_distinct"},
+        "cd2": {"field": "v", "function": "count_distinct"},
+    }
+    dist_spec = {  # collecting + scalars -> _distributed + join-back
+        "total": {"field": "v", "function": "sum"},
+        "cd": {"field": "s", "function": "count_distinct"},
+        "cat": {"field": "s", "function": "concat"},
+        "f": {"field": "s", "function": "first"},
+    }
+
+    def run(spec, **kw):
+        out = Aggregator(group_by=["g"], aggregations=spec,
+                         order_col="ord", **kw)(df).collect()
+        return sorted((tuple(r) for r in out),
+                      key=lambda t: (t[0] is None, t[0]))
+
+    got = [run(split_spec), run(dist_spec, distribute_sort=True)]
+    monkeypatch.setattr(aggregator, "_sql_safe", lambda n: False)
+    ref = [run(split_spec), run(dist_spec, distribute_sort=True)]
+    assert got == ref, (got, ref)
